@@ -1,0 +1,22 @@
+"""nspc_etl_basic_spark — a PySpark-native analytics/ETL engine.
+
+A ground-up re-expression of the capabilities of the reference
+``tan-res-space/nspc-etl-basic`` (a schema-inferring file->SQL loader) as an
+idiomatic Spark DataFrame engine, extended with the operators a large-scale
+training-data pipeline needs (dedup, similarity search, text analysis,
+multimodal plumbing).
+
+Design stance (SURVEY.md §7.0): DataFrame + Spark SQL only; no RDDs, no
+custom Catalyst rules. Storage is Parquet-backed tables; JDBC is an optional
+sink behind the same interface. The public seams mirror the reference's
+de-facto API (SURVEY.md §3.3): ``infer_schema``, ``cast_and_split``,
+``write_table``, composed by ``process_file``.
+"""
+
+from nspc_etl_basic_spark.config import load_config
+from nspc_etl_basic_spark.naming import generate_table_name
+from nspc_etl_basic_spark.session import get_spark
+
+__all__ = ["load_config", "generate_table_name", "get_spark"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,99 @@
+"""Key-based merge (upsert) and last-wins dedup (SURVEY.md §2 D1, D2, E1).
+
+The reference upserts row-at-a-time (MERGE per row, loader.py:1272-1299, or
+UPDATE-then-INSERT, loader.py:1301-1338). The Spark-native plan replaces the
+per-row round-trips with ONE join-based snapshot rewrite:
+
+    merged = target.join(source, pk, 'left_anti').unionByName(source)
+
+i.e. keep target rows whose key is absent from the source, then take every
+source row (source wins on matched keys). Equivalent to SQL MERGE with
+UPDATE-all-columns + INSERT semantics.
+
+Scale notes:
+  - the anti-join shuffles both sides on the PK unless the source is small —
+    for file-sized sources against a large target we ``broadcast(source)``
+    so the 100 TB target never shuffles (broadcast-anti-join + union is a
+    map-only plan over the target);
+  - insert/update split (D2 semantics — the reference's batch path
+    miscounts, acknowledged at loader.py:1294-1297; we compute the true
+    split) reuses the same broadcast via semi/anti counts;
+  - last-wins dedup (E1) windows on the per-file ``__seq`` order BEFORE any
+    shuffle, because input order is semantic (SURVEY.md §7.2 item 1).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nspc_etl_basic_spark.sources.reader import SEQ_COL
+
+
+@dataclass
+class MergeCounts:
+    inserted: int
+    updated: int
+
+
+def dedup_last_wins(df: DataFrame, pk_cols: list[str], order_col: str = SEQ_COL) -> DataFrame:
+    """E1: within one source file, the LAST occurrence of a duplicate key
+    wins (pinned by reference test_upsert_operations.py:361-395 and config
+    ``duplicate_keys_in_source: 'last_wins'``).
+
+    ``order_col`` must capture input row order assigned at read time
+    (reader's ``__seq``); falls back to synthesizing one when absent —
+    callers that shuffled first lose order guarantees, so don't.
+    """
+    work = df
+    if order_col not in df.columns:
+        work = df.withColumn(order_col, F.monotonically_increasing_id())
+    w = Window.partitionBy(*[F.col(c) for c in pk_cols]).orderBy(F.col(order_col).desc())
+    return (
+        work.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    pk_cols: list[str],
+    broadcast_source: bool | None = None,
+) -> DataFrame:
+    """D1: join-based MERGE — returns the post-merge snapshot.
+
+    Column sets must match (caller aligns via ``unionByName`` contract).
+    ``broadcast_source=None`` auto-broadcasts (file-sized sources vs large
+    targets is the reference's only workload shape); pass False for
+    symmetric-size merges so Catalyst/AQE picks a shuffled join.
+    """
+    src = source.select(*target.columns)
+    join_side = F.broadcast(src) if broadcast_source is not False else src
+    kept = target.join(join_side, on=pk_cols, how="left_anti")
+    return kept.unionByName(src)
+
+
+def merge_counts(target: DataFrame, source: DataFrame, pk_cols: list[str]) -> MergeCounts:
+    """D2 semantics: true inserted/updated split via semi/anti joins (the
+    reference's per-row path returns this; its batch MERGE path admits to
+    counting everything as updates — we implement the correct split,
+    SURVEY.md §4.1 'deviation-to-correctness').
+
+    Broadcasts the SOURCE keys (file-sized) and scans only the target's
+    pk columns (column-pruned), so the large target is never shuffled or
+    broadcast. Assumes source is already key-deduped (E1 runs first in the
+    pipeline), so matched target keys == updated source rows."""
+    src_keys = F.broadcast(source.select(*pk_cols).distinct())
+    total = source.select(*pk_cols).distinct().count()
+    updated = (
+        target.select(*pk_cols)
+        .distinct()
+        .join(src_keys, on=pk_cols, how="left_semi")
+        .count()
+    )
+    return MergeCounts(inserted=total - updated, updated=updated)

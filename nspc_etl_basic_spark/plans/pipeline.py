@@ -1,0 +1,224 @@
+"""Per-file load pipeline (reference ``process_file``, loader.py:1386-1500).
+
+Spark lifecycle (SURVEY.md §3.1): path -> spark.read (lazy) -> inference
+aggregation job -> StructType -> cast/validate projection -> validity split
+-> write job -> metadata append -> file lifecycle move. 2-3 Spark jobs per
+file, driver-orchestrated; the per-file granularity is semantic (one file ->
+one table, retry/resume unit), so we keep the driver loop and parallelize
+WITHIN each file via Spark.
+
+Transaction semantics:
+  strict   = all-or-nothing: any invalid row -> no write, file -> error/
+             (H3, loader.py:965-1012)
+  tolerant = invalid rows <= max-row-errors -> write valid split, log
+             invalid rows; beyond threshold -> no write, file -> error/
+             (H4/G2, loader.py:1014-1068)
+Upsert adds: E1 last-wins dedup -> D1 merge snapshot -> D2 true
+inserted/updated split (H5/H6, loader.py:1169-1270).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.config import load_config
+from nspc_etl_basic_spark.naming import generate_table_name
+from nspc_etl_basic_spark.operators.cast import cast_and_split
+from nspc_etl_basic_spark.operators.merge import (
+    dedup_last_wins,
+    merge_counts,
+    merge_upsert,
+)
+from nspc_etl_basic_spark.operators.schema_inference import infer_schema
+from nspc_etl_basic_spark.sinks.metadata import MetadataStore
+from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+from nspc_etl_basic_spark.sources.reader import SEQ_COL, read_any
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class FileLoadResult:
+    status: str  # Completed | Failed
+    table_name: str = ""
+    rows_read: int = 0
+    rows_inserted: int = 0
+    rows_updated: int = 0
+    rows_failed: int = 0
+    error_message: str | None = None
+    job_run_id: str = ""
+    duration_seconds: float = 0.0
+    moved_to: str | None = None
+    details: dict = field(default_factory=dict)
+
+
+def _ensure_subdirs(src_dir: str) -> None:
+    """H7: error/ processed/ logs/ alongside the source (loader.py:491-496)."""
+    for sub in ("error", "processed", "logs"):
+        os.makedirs(os.path.join(src_dir, sub), exist_ok=True)
+
+
+def _move_file(path: str, dest_sub: str) -> str | None:
+    try:
+        src_dir = os.path.dirname(os.path.abspath(path))
+        dest = os.path.join(src_dir, dest_sub, os.path.basename(path))
+        shutil.move(path, dest)
+        return dest
+    except OSError:
+        return None
+
+
+def process_file(
+    spark: SparkSession,
+    file_path: str,
+    config: dict | None = None,
+    warehouse: ParquetWarehouse | None = None,
+    batch_job_id: str | None = None,
+    move_files: bool = True,
+) -> FileLoadResult:
+    config = config or load_config()
+    t0 = time.time()
+    job_run_id = config.get("job_run_id") or str(uuid.uuid4())
+    start_ts = _dt.datetime.utcnow()
+    loader_cfg = config["loader"]
+    mode = loader_cfg.get("table_mode", "drop_recreate")
+    txn = loader_cfg.get("transaction_mode", "strict")
+    max_row_errors = int(loader_cfg.get("max-row-errors", 100))
+    pk_cols = list(loader_cfg.get("primary_key_columns", ["id"]))
+
+    if warehouse is None:
+        warehouse = ParquetWarehouse(
+            spark, config["database"].get("warehouse_path", "warehouse")
+        )
+    meta = MetadataStore(warehouse, config)
+
+    table_name = config.get("override_table_name") or generate_table_name(file_path)
+    src_dir = os.path.dirname(os.path.abspath(file_path))
+    if move_files:
+        _ensure_subdirs(src_dir)
+
+    result = FileLoadResult(status="Failed", table_name=table_name, job_run_id=job_run_id)
+
+    try:
+        df = read_any(spark, file_path, with_seq=True)
+        rows_read = df.count()
+        result.rows_read = rows_read
+
+        if rows_read == 0 or not [c for c in df.columns if not c.startswith("__")]:
+            # A5: empty file — valid no-op in upsert mode (loader.py:1420-1432)
+            if mode == "upsert":
+                result.status = "Completed"
+                if move_files:
+                    result.moved_to = _move_file(file_path, "processed")
+                return result
+            raise ValueError(f"Empty file: {file_path}")
+
+        df = df.cache()
+
+        # Schema authority (reference parity): for append/upsert into an
+        # EXISTING table the target's schema governs the cast — the
+        # reference inserts into the existing DDL and the database rejects
+        # mismatches (e.g. 'invalid' into an INT column, the strict-rollback
+        # scenario test_upsert_operations.py:698-734). Fresh tables get
+        # file inference.
+        existing = (
+            mode in ("append", "upsert") and warehouse.exists(table_name)
+        )
+        if existing:
+            target_struct = warehouse.read(table_name).schema
+            file_cols = [c for c in df.columns if not c.startswith("__")]
+            extra = [c for c in file_cols if c not in target_struct.names]
+            if extra:
+                raise ValueError(
+                    f"columns {extra} not in existing table '{table_name}'"
+                )
+            # missing target columns -> NULL (SQL INSERT column-list rule)
+            for c in target_struct.names:
+                if c not in file_cols:
+                    df = df.withColumn(c, F.lit(None).cast("string"))
+            struct = target_struct
+            result.details["sql_types"] = {
+                f.name: f.dataType.simpleString() for f in target_struct.fields
+            }
+        else:
+            schema = infer_schema(df, table_name=table_name, config=config)
+            struct = schema.struct
+            result.details["sql_types"] = schema.sql_types
+
+        valid, invalid = cast_and_split(df, struct)
+        invalid_count = invalid.count()
+        result.rows_failed = invalid_count
+
+        if txn == "strict" and invalid_count > 0:
+            raise ValueError(
+                f"strict mode: {invalid_count} row(s) failed validation"
+            )
+        if txn == "tolerant" and invalid_count > max_row_errors:
+            raise ValueError(
+                f"tolerant mode: {invalid_count} failed rows exceed "
+                f"max-row-errors={max_row_errors}"
+            )
+
+        if invalid_count > 0:
+            meta.write_invalid_rows(invalid, job_run_id, table_name)
+
+        if mode == "upsert":
+            deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
+            if warehouse.exists(table_name):
+                target = warehouse.read(table_name)
+                counts = merge_counts(target, deduped.select(*target.columns), pk_cols)
+                merged = merge_upsert(target, deduped, pk_cols)
+                warehouse.overwrite_snapshot(merged, table_name)
+                result.rows_inserted = counts.inserted
+                result.rows_updated = counts.updated
+            else:
+                warehouse.write(deduped, table_name, mode="drop_recreate")
+                result.rows_inserted = deduped.count()
+        else:
+            warehouse.write(valid, table_name, mode=mode)
+            result.rows_inserted = rows_read - invalid_count
+
+        result.status = "Completed"
+        if move_files:
+            result.moved_to = _move_file(file_path, "processed")
+    except Exception as exc:  # noqa: BLE001 — per-file failure is data, not a crash
+        logger.exception("load failed for %s", file_path)
+        result.status = "Failed"
+        result.error_message = str(exc)
+        if move_files and os.path.exists(file_path):
+            result.moved_to = _move_file(file_path, "error")
+    finally:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
+        result.duration_seconds = time.time() - t0
+        if config.get("job_statistics", {}).get("enabled", True):
+            end_ts = _dt.datetime.utcnow()
+            meta.write_statistics(
+                {
+                    "JobRunID": job_run_id,
+                    "JobStartTime": start_ts,
+                    "JobEndTime": end_ts,
+                    "JobDurationSeconds": int(result.duration_seconds),
+                    "JobStatus": result.status,
+                    "SourceFile": os.path.basename(file_path),
+                    "TargetTable": table_name,
+                    "RowsRead": result.rows_read,
+                    "RowsInserted": result.rows_inserted,
+                    "RowsUpdated": result.rows_updated,
+                    "RowsFailed": result.rows_failed,
+                    "ErrorMessage": result.error_message,
+                    "BatchJobID": batch_job_id,
+                }
+            )
+    return result

@@ -1,0 +1,73 @@
+"""Multi-format scan operators (SURVEY.md §2 A1-A6).
+
+``read_any`` reads CSV/PSV/JSON *as all-string columns* on purpose: type
+resolution belongs to this engine's inference pass (operators/schema
+inference), not to Spark's ``inferSchema``, so the reference's inference
+semantics (priority order, sampling, fallback) stay ours.
+
+Scale notes: csv/json reads are splittable line-format scans; Spark
+parallelizes by ``spark.sql.files.maxPartitionBytes``. Column pruning and
+filter pushdown happen downstream via Catalyst. An empty or header-only file
+yields a 0-row DataFrame (reference treats EmptyDataError as a valid no-op in
+upsert mode, loader.py:1420-1432).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.sources.sniffer import detect_file_type
+
+#: ordinal column carrying input row order within a file — the one place
+#: input order is semantic (last-wins dedup, SURVEY.md §2 E1). Assigned at
+#: read time, before any shuffle can reorder rows.
+SEQ_COL = "__seq"
+
+
+def read_any(
+    spark: SparkSession,
+    path: str,
+    file_type: str | None = None,
+    with_seq: bool = False,
+) -> DataFrame:
+    """Read csv|psv|json into an all-string DataFrame.
+
+    When ``with_seq`` is set, a monotonically increasing ``__seq`` column
+    pins input row order for order-sensitive operators (E1 last-wins).
+    """
+    kind = file_type or detect_file_type(path)
+    if kind == "csv":
+        df = _read_delim(spark, path, ",")
+    elif kind == "psv":
+        df = _read_delim(spark, path, "|")
+    elif kind == "json":
+        df = _read_json_flat(spark, path)
+    else:
+        raise ValueError(f"Unsupported file type: {kind}")
+
+    if with_seq:
+        df = df.withColumn(SEQ_COL, F.monotonically_increasing_id())
+    return df
+
+
+def _read_delim(spark: SparkSession, path: str, sep: str) -> DataFrame:
+    return (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("inferSchema", False)
+        # empty strings become NULL at cast/validation (B9), not read, so
+        # max-length stats still see the raw value
+        .option("nullValue", None)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def _read_json_flat(spark: SparkSession, path: str) -> DataFrame:
+    # array-of-flat-objects (reference reads with pd.read_json); multiLine
+    # handles the pretty-printed array form of the reference fixtures
+    df = spark.read.option("multiLine", True).json(path)
+    # normalize every column to string so inference semantics match the
+    # delimited path (inference decides the real types)
+    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])

@@ -1,0 +1,45 @@
+"""File-type detection (reference ``detect_file_type``, loader.py:104-142).
+
+Semantics: inspect the first 10 lines. JSON when the first line opens with
+``[``/``{`` AND the whole file parses as JSON; PSV when every non-blank
+sampled line has the same positive pipe count; CSV likewise for commas;
+otherwise fall back to the extension; otherwise error.
+
+This is a driver-side utility that touches only a file head — the actual
+(distributed) read is dispatched to ``spark.read.<format>`` by the reader.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def detect_file_type(file_path: str) -> str:
+    try:
+        with open(file_path, encoding="utf-8") as fh:
+            head = [fh.readline() for _ in range(10)]
+    except OSError as exc:
+        raise ValueError(f"Could not determine file type for {file_path}: {exc}")
+
+    first = head[0].strip() if head else ""
+    if first.startswith(("[", "{")):
+        try:
+            with open(file_path, encoding="utf-8") as fh:
+                json.load(fh)
+            return "json"
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    non_blank = [ln for ln in head if ln.strip()]
+    pipe_counts = [ln.count("|") for ln in non_blank]
+    comma_counts = [ln.count(",") for ln in non_blank]
+    if pipe_counts and pipe_counts[0] > 0 and len(set(pipe_counts)) == 1:
+        return "psv"
+    if comma_counts and comma_counts[0] > 0 and len(set(comma_counts)) == 1:
+        return "csv"
+
+    lower = file_path.lower()
+    for ext, kind in ((".csv", "csv"), (".psv", "psv"), (".json", "json")):
+        if lower.endswith(ext):
+            return kind
+    raise ValueError(f"Could not determine file type for {file_path}")
