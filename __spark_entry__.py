@@ -1,10 +1,15 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a §M7 training-data extension) as a DataFrame query over the driver's
+parquet tables; ``oracle_sql()`` holds the exact-parity DuckDB SQL. Shared
+determinism rules:
+
+  - every computed double is ``round(x, n)`` on BOTH sides;
+  - md5-hex-slice integer derivation is Spark ``conv(h,16,10)`` == DuckDB
+    ``CAST('0x'||h AS BIGINT)``;
+  - window tie-breaks always include a unique id;
+  - aggregate/computed columns carry identical aliases on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +17,777 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from nspc_etl_basic_spark.functions.casting import parse_datetime_col
+from nspc_etl_basic_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_on_candidates,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+)
+from nspc_etl_basic_spark.operators.merge import merge_upsert
+from nspc_etl_basic_spark.operators.similarity import cosine_topk, rp_lsh_topk
+from nspc_etl_basic_spark.operators.text import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    language_id,
+    quality_features,
+)
+from nspc_etl_basic_spark.operators.text import fingerprint as text_fingerprint_op
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects by default. Read nanos as long (legacy conf) and
+    convert to a microsecond timestamp — the data is µs-precision, so the
+    ns→µs conversion is exact."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational queries (aggregation C1-C6, joins D, windows E/F)
+# ---------------------------------------------------------------------------
+
+def _dsum(expr, scale: int = 2):
+    """Order-independent comparable sum: per-row cast to DECIMAL(18,4)
+    (deterministic), exact decimal addition (no fp summation-order drift
+    between engines/partitionings), round in the DECIMAL domain (both
+    engines round exact decimals half-away-from-zero — double rounding is
+    NOT portable at half boundaries), cast to double last."""
+    return F.round(F.sum(expr.cast("decimal(18,4)")), scale).cast("double")
+
+
+def _davg(expr, scale: int = 6):
+    return F.round(
+        F.sum(expr.cast("decimal(18,4)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (SURVEY §2 C: one
+    map-side-combined groupBy over the fact table; no join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            _davg(F.col("l_quantity")).alias("avg_qty"),
+            _davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join + groupBy (shuffle on the join key; AQE picks
+    the physical join)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join: small dims broadcast, fact shuffles once."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking (SURVEY §2 F3/F4 sort+limit semantics, per group)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ETL-engine operator queries (inference C1-C4, cast B3/B5, merge D1-D3, E1)
+# ---------------------------------------------------------------------------
+
+def schema_infer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1+C2+C3: the inference full-scan aggregate — per-column max length,
+    null presence, row count in ONE pass (schema_inference.py phase 1)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.length(F.col("text").cast("string"))).alias("max_len_text"),
+        F.max(F.length(F.col("lang").cast("string"))).alias("max_len_lang"),
+        F.max(F.length(F.col("source").cast("string"))).alias("max_len_source"),
+        F.max(F.col("text").isNull().cast("int")).alias("has_null_text"),
+        F.max(F.col("lang").isNull().cast("int")).alias("has_null_lang"),
+    )
+
+
+def type_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 + B5: 'all values integer-like' flags over a sampled projection —
+    min-of-boolean ≡ ALL, exactly the inference flag semantics."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return ev.agg(
+        F.min(k.rlike(r"^[+-]?[0-9]+$").cast("int")).cast("boolean").alias("all_k_integer"),
+        F.min(F.col("event_type").rlike(r"^[a-z]+$").cast("int")).cast("boolean").alias(
+            "all_type_alpha"
+        ),
+        F.count_distinct(k).alias("n_distinct_k"),
+    )
+
+
+def b3_multiformat_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3: the ordered 6-pattern datetime coalesce chain, applied to
+    US-format strings rendered from events.ts."""
+    ev = _t(spark, sf_dir, "events")
+    s = F.date_format("ts", "MM/dd/yyyy HH:mm:ss")
+    parsed = parse_datetime_col(s)
+    return (
+        ev.select(F.col("event_type"), parsed.alias("parsed"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("parsed").alias("n_parsed"),
+            F.min("parsed").alias("min_ts"),
+            F.max("parsed").alias("max_ts"),
+        )
+    )
+
+
+def e1_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: last-wins dedup — latest event per user (window + row_number,
+    unique tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+def d1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: join-based MERGE snapshot (target anti-join source ∪ source),
+    aggregated for a compact comparison surface."""
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    merged = merge_upsert(target, source, ["o_orderkey"], broadcast_source=False)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice")).alias("total_price"),
+    )
+
+
+def d2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: true inserted/updated split via key-match (the reference's batch
+    path miscounts; this is the corrected semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    tgt = orders.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey")
+    src = orders.filter(F.col("o_orderkey") % 3 == 0).select("o_orderkey")
+    joined = src.join(tgt.withColumn("__m", F.lit(1)), "o_orderkey", "left")
+    return joined.agg(
+        F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).cast("long").alias("updated"),
+        F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0)).cast("long").alias("inserted"),
+    )
+
+
+def d3_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: checkpoint-style anti-join — customers with no orders."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def g2_validity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: validity-split counters — one pass, complementary predicates."""
+    ev = _t(spark, sf_dir, "events")
+    valid = (F.col("value") >= 0) & (F.col("value") <= 50)
+    return ev.agg(
+        F.sum(valid.cast("int")).cast("long").alias("valid_rows"),
+        F.sum((~valid).cast("int")).cast("long").alias("invalid_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: dedup family
+# ---------------------------------------------------------------------------
+
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def dedup_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    return jaccard_on_candidates(docs, cand)
+
+
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: text analysis
+# ---------------------------------------------------------------------------
+
+def text_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_features(_t(spark, sf_dir, "documents"))
+
+
+def text_lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_fingerprint_op(_t(spark, sf_dir, "documents"))
+
+
+def text_token_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit(r"\S+"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.round(F.avg(n_tok), 6).alias("avg_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: similarity search
+# ---------------------------------------------------------------------------
+
+def sim_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rp_lsh_topk(emb, queries, k=5, n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# Event-time operations (batch views of the streaming ops)
+# ---------------------------------------------------------------------------
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window per event_type (batch view of the
+    Structured Streaming windowed aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+            _davg(F.col("value")).alias("avg_value"),
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
+    the batch twin of applyInPandasWithState sessionization."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ms = F.lag(F.unix_millis(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev_ms.isNull() | (F.unix_millis(F.col("ts")) - prev_ms > 1_800_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on sf0.001: the Q1 pricing summary."""
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "q5_revenue_by_nation": q5_revenue_by_nation,
+        "q_top_orders_per_customer": q_top_orders_per_customer,
+        "schema_infer_stats": schema_infer_stats,
+        "type_conformance": type_conformance,
+        "b3_multiformat_dates": b3_multiformat_dates,
+        "e1_last_wins": e1_last_wins,
+        "d1_merge_upsert": d1_merge_upsert,
+        "d2_merge_counts": d2_merge_counts,
+        "d3_anti_join": d3_anti_join,
+        "g2_validity_split": g2_validity_split,
+        "dedup_exact": dedup_exact_q,
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_lsh_pairs": dedup_lsh_pairs_q,
+        "dedup_jaccard": dedup_jaccard_q,
+        "dedup_simhash": dedup_simhash_q,
+        "text_quality": text_quality_q,
+        "text_lang_id": text_lang_id_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_token_stats": text_token_stats_q,
+        "sim_topk": sim_topk_q,
+        "sim_ann_lsh": sim_ann_lsh_q,
+        "events_windowed": events_windowed,
+        "events_sessionize": events_sessionize,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# ---- oracle SQL builders (shared fragments) --------------------------------
+
+_WORD_RE = "[a-z0-9']+"  # doubled quote for SQL embedding below
+_DT_PATTERNS_DUCK = [
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+    "%m/%d/%Y %H:%M:%S",
+    "%m/%d/%Y",
+    "%d-%m-%Y %H:%M:%S",
+    "%d-%m-%Y",
+]
+
+
+def _osum(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of ``_dsum``: exact decimal sum, decimal round, double."""
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(18,4))), {scale}) AS DOUBLE)"
+
+
+def _oavg(expr: str, scale: int = 6) -> str:
+    return (
+        f"round(CAST(sum(CAST({expr} AS DECIMAL(18,4))) AS DOUBLE) / count(*), {scale})"
+    )
+
+
+def _sql_word_tokens(expr: str) -> str:
+    return f"regexp_extract_all(lower({expr}), '[a-z0-9'']+')"
+
+
+def _sql_shingles(k: int = 8) -> str:
+    """Distinct (doc_id, shingle) over documents."""
+    return f"""
+        SELECT DISTINCT doc_id, substr(text, i, {k}) AS shingle
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
+            FROM documents
+        )
     """
-    return {}
+
+
+def _sql_minhash_sigs(n_hashes: int = 8, k: int = 8) -> str:
+    mins = ", ".join(
+        f"min(substr(h, {4 * j + 1}, 4)) AS mh_{j}" for j in range(n_hashes)
+    )
+    return f"""
+        SELECT doc_id, {mins}
+        FROM (SELECT doc_id, md5(shingle) AS h FROM ({_sql_shingles(k)}))
+        GROUP BY doc_id
+    """
+
+
+def _sql_lsh_bands(n_hashes: int = 8, band_size: int = 2) -> str:
+    n_bands = n_hashes // band_size
+    parts = []
+    for b in range(n_bands):
+        key = " || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _sql_lsh_pairs() -> str:
+    return f"""
+        WITH sigs AS ({_sql_minhash_sigs()}),
+        bands AS ({_sql_lsh_bands()})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared_bands
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def _sql_simhash(bits: int = 48) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    packed = " + ".join(
+        f"CASE WHEN v{i} >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+        for i in range(bits)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_sql_word_tokens('text')}) AS tok FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 12) AS BIGINT) AS h
+            FROM toks
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+    """
+
+
+def _sql_lang_scores() -> str:
+    cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        cols.append(
+            f"len(list_filter({_sql_word_tokens('text')}, x -> x IN ({markers}))) AS score_{lang}"
+        )
+    return f"SELECT doc_id, {', '.join(cols)} FROM documents"
+
+
+def _sql_lang_id() -> str:
+    langs = sorted(LANG_MARKERS)
+    best = f"greatest({', '.join('score_' + lg for lg in langs)})"
+    case = " ".join(
+        f"WHEN score_{lg} = best THEN '{lg}'" for lg in langs
+    )
+    return f"""
+        WITH scored AS ({_sql_lang_scores()}),
+        best_t AS (SELECT doc_id, {best} AS best,
+                          {', '.join('score_' + lg for lg in langs)} FROM scored)
+        SELECT doc_id, CASE {case} END AS pred_lang,
+               best AS marker_hits
+        FROM best_t
+    """
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+
+
+def _sql_rp_signature(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for p in range(n_planes):
+        plane = (
+            f"list_transform(generate_series(0, {dim - 1}), i -> "
+            f"CASE WHEN CAST('0x' || substr(md5('{p}_' || CAST(i AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 1 "
+            f"THEN 1.0 ELSE -1.0 END)"
+        )
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {plane}) >= 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dt_chain = "coalesce(" + ", ".join(
+        f"try_strptime(s, '{p}')" for p in _DT_PATTERNS_DUCK
+    ) + ")"
+    quality_words = _sql_word_tokens("text")
+    stopwords = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   {_osum('l_quantity')} AS sum_qty,
+                   {_osum('l_extendedprice')} AS sum_base_price,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+                   {_oavg('l_quantity')} AS avg_qty,
+                   {_oavg('l_discount')} AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_order_revenue": f"""
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        """,
+        "q5_revenue_by_nation": f"""
+            SELECT r_name, n_name,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
+            FROM orders
+            QUALIFY rk <= 3
+        """,
+        "schema_infer_stats": """
+            SELECT count(*) AS n_rows,
+                   CAST(max(length(CAST(text AS VARCHAR))) AS INTEGER) AS max_len_text,
+                   CAST(max(length(CAST(lang AS VARCHAR))) AS INTEGER) AS max_len_lang,
+                   CAST(max(length(CAST(source AS VARCHAR))) AS INTEGER) AS max_len_source,
+                   CAST(max(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS has_null_text,
+                   CAST(max(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS has_null_lang
+            FROM documents
+        """,
+        "type_conformance": """
+            SELECT bool_and(regexp_matches(json_extract_string(props, '$.k'), '^[+-]?[0-9]+$'))
+                       AS all_k_integer,
+                   bool_and(regexp_matches(event_type, '^[a-z]+$')) AS all_type_alpha,
+                   CAST(count(DISTINCT json_extract_string(props, '$.k')) AS BIGINT)
+                       AS n_distinct_k
+            FROM events
+        """,
+        "b3_multiformat_dates": f"""
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(parsed) AS n_parsed,
+                   min(parsed) AS min_ts,
+                   max(parsed) AS max_ts
+            FROM (
+                SELECT event_type, {dt_chain} AS parsed
+                FROM (SELECT event_type, strftime(ts, '%m/%d/%Y %H:%M:%S') AS s FROM events)
+            )
+            GROUP BY event_type
+        """,
+        "e1_last_wins": """
+            SELECT user_id, event_id, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "d1_merge_upsert": f"""
+            WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            merged AS (
+                SELECT t.* FROM target t
+                WHERE NOT EXISTS (SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey)
+                UNION ALL
+                SELECT * FROM source
+            )
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   {_osum('o_totalprice')} AS total_price
+            FROM merged GROUP BY o_orderstatus
+        """,
+        "d2_merge_counts": """
+            WITH tgt AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),
+            src AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT CAST(count(t.o_orderkey) AS BIGINT) AS updated,
+                   CAST(count(*) - count(t.o_orderkey) AS BIGINT) AS inserted
+            FROM src s LEFT JOIN tgt t ON s.o_orderkey = t.o_orderkey
+        """,
+        "d3_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+        "g2_validity_split": """
+            SELECT CAST(sum(CASE WHEN value >= 0 AND value <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS valid_rows,
+                   CAST(sum(CASE WHEN value >= 0 AND value <= 50 THEN 0 ELSE 1 END) AS BIGINT)
+                       AS invalid_rows
+            FROM events
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp_md5,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "dedup_minhash": _sql_minhash_sigs(),
+        "dedup_lsh_pairs": _sql_lsh_pairs(),
+        "dedup_jaccard": f"""
+            WITH sigs AS ({_sql_minhash_sigs()}),
+            bands AS ({_sql_lsh_bands()}),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            sh AS ({_sql_shingles()}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT c.id_a, c.id_b,
+                   round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+                         (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+        """,
+        "dedup_simhash": _sql_simhash(),
+        "text_quality": f"""
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+                   round(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_filter({quality_words}, x -> x IN ({stopwords}))) AS DOUBLE)
+                         / greatest(len({quality_words}), 1), 6) AS stopword_ratio,
+                   round(CAST(list_sum(list_transform({quality_words}, x -> length(x))) AS DOUBLE)
+                         / greatest(len({quality_words}), 1), 4) AS mean_token_len
+            FROM documents
+        """,
+        "text_lang_id": _sql_lang_id(),
+        "text_fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5,
+                   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp60
+            FROM documents
+        """,
+        "text_token_stats": """
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+                   round(avg(len(regexp_extract_all(text, '\\S+'))), 6) AS avg_tokens
+            FROM documents GROUP BY source
+        """,
+        "sim_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            sim AS (
+                SELECT query_id, vec_id, {_sql_cosine('qv', 'cv')} AS cos_sim
+                FROM q CROSS JOIN c WHERE query_id != vec_id
+            )
+            SELECT query_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM sim
+            QUALIFY rank <= 5
+        """,
+        "sim_ann_lsh": f"""
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv,
+                       {_sql_rp_signature('embedding::DOUBLE[]')} AS sig
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id AS query_id, cv AS qv, sig FROM c WHERE vec_id % 50 = 0
+            ),
+            sim AS (
+                SELECT q.query_id, c.vec_id, {_sql_cosine('q.qv', 'c.cv')} AS cos_sim
+                FROM q JOIN c ON q.sig = c.sig
+                WHERE q.query_id != c.vec_id
+            )
+            SELECT query_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM sim
+            QUALIFY rank <= 5
+        """,
+        "events_windowed": f"""
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   count(*) AS n_events,
+                   {_osum('value')} AS sum_value,
+                   {_oavg('value')} AS avg_value
+            FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        "events_sessionize": """
+            WITH seq AS (
+                SELECT user_id,
+                       CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END
+                           AS new_sess
+                FROM (
+                    SELECT user_id, epoch_ms(ts) AS ms,
+                           lag(epoch_ms(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+                    FROM events
+                )
+            )
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM seq GROUP BY user_id
+        """,
+    }
