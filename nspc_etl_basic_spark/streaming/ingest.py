@@ -1,0 +1,66 @@
+"""Streaming directory ingest — the idiomatic Spark upgrade of the
+reference's checkpointed batch loop (SURVEY.md §2 J / §7.1 M7).
+
+The reference polls a directory, anti-joins against a completed-files
+statistics table (D3, loader.py:231-251), retries, and resumes batches
+within 24 h (D4, loader.py:170-229). Structured Streaming's file source IS
+that loop, hardened: the checkpoint log records processed files exactly
+once, ``Trigger.AvailableNow`` gives the drain-then-stop batch semantics,
+and ``maxFilesPerTrigger`` bounds per-micro-batch work.
+
+Scale: the file-source listing is incremental; each micro-batch is a
+normal Catalyst-planned job, so everything in operators/ composes
+unchanged over ``readStream`` inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def stream_directory(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    fmt: str = "csv",
+    options: dict | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """``readStream`` over a directory. Streaming sources require an
+    explicit schema — pass the inference result from a representative file
+    (operators.schema_inference.infer_schema on a batch read)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt in ("csv", "psv"):
+        reader = reader.option("header", True)
+    if fmt == "psv":
+        reader = reader.format("csv").option("sep", "|")
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def run_available_now(
+    df: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    fmt: str = "parquet",
+    output_mode: str = "append",
+    query_name: str = "ingest",
+):
+    """Drain all currently-available input, then stop — the exact semantics
+    of the reference's one-shot directory batch (process all pending files,
+    checkpoint each). Returns the finished StreamingQuery."""
+    q = (
+        df.writeStream.format(fmt)
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode(output_mode)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,298 @@
+"""Reference-parity ETL scenarios (SURVEY.md §5): the 13 upsert scenarios
+of test_upsert_operations.py and the date-format matrix of
+test_date_formats.py, replayed against process_file + ParquetWarehouse.
+
+Oracle pattern is the reference's own: load, then read the full table and
+diff against expected rows sorted by primary key."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from nspc_etl_basic_spark import load_config
+from nspc_etl_basic_spark.naming import generate_table_name
+from nspc_etl_basic_spark.plans.pipeline import process_file
+from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+
+def _write(path, text):
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    return str(path)
+
+
+def _cfg(tmp_path, **loader):
+    return load_config(
+        overrides={
+            "database": {"warehouse_path": str(tmp_path / "wh")},
+            "loader": loader,
+        }
+    )
+
+
+def _load(spark, tmp_path, name, text, **loader):
+    cfg = _cfg(tmp_path, **loader)
+    path = _write(tmp_path / name, text)
+    return process_file(spark, path, cfg, move_files=False), cfg
+
+
+def _rows(spark, tmp_path, table, order="id"):
+    df = spark.read.parquet(str(tmp_path / "wh" / table))
+    return [tuple(r) for r in df.orderBy(order).collect()]
+
+
+UPSERT = dict(table_mode="upsert", primary_key_columns=["id"])
+INITIAL = "id,name,value\n1,alpha,10\n2,beta,20\n3,gamma,30\n"
+
+
+# ---------------------------------------------------------------------------
+# type inference + date formats
+# ---------------------------------------------------------------------------
+
+def test_inference_types(spark, tmp_path):
+    r, _ = _load(
+        spark, tmp_path, "t.csv",
+        "i,d,ts,s\n1,1.5,2024-01-02 03:04:05,hello\n-2,2.25,2024-02-03,world\n",
+    )
+    assert r.status == "Completed"
+    assert r.details["sql_types"] == {
+        "i": "INT", "d": "DECIMAL(18,4)", "ts": "DATETIME2", "s": "NVARCHAR(50)",
+    }
+
+
+@pytest.mark.parametrize(
+    "value,expected",
+    [
+        ("2024-03-04 05:06:07", datetime.datetime(2024, 3, 4, 5, 6, 7)),
+        ("2024-03-04", datetime.datetime(2024, 3, 4)),
+        ("03/04/2024 05:06:07", datetime.datetime(2024, 3, 4, 5, 6, 7)),
+        ("03/04/2024", datetime.datetime(2024, 3, 4)),
+        ("04-03-2024 05:06:07", datetime.datetime(2024, 3, 4, 5, 6, 7)),
+        ("04-03-2024", datetime.datetime(2024, 3, 4)),
+    ],
+)
+def test_date_format_patterns(spark, tmp_path, value, expected):
+    """B3: all six strptime patterns, in the reference's order (US MM/dd
+    before European dd-MM)."""
+    r, _ = _load(spark, tmp_path, "d.csv", f"id,when\n1,{value}\n")
+    assert r.details["sql_types"]["when"] == "DATETIME2"
+    assert _rows(spark, tmp_path, "d_csv") == [(1, expected)]
+
+
+def test_invalid_dates_become_string_column(spark, tmp_path):
+    """A column with unparseable date values falls through to NVARCHAR."""
+    r, _ = _load(
+        spark, tmp_path, "bad.csv",
+        "id,when\n1,2024-13-45\n2,not a date\n",
+    )
+    assert r.details["sql_types"]["when"].startswith("NVARCHAR")
+    assert r.status == "Completed"
+
+
+def test_legacy_never_datetime_flag(spark, tmp_path):
+    """Config flag reproduces the reference's accidental CSV-dates-stay-
+    NVARCHAR behavior (TEST_RESULTS_SUMMARY.md:57-69)."""
+    r, _ = _load(
+        spark, tmp_path, "leg.csv",
+        "id,when\n1,2024-01-02\n",
+        legacy_string_columns_never_datetime=True,
+    )
+    assert r.details["sql_types"]["when"] == "NVARCHAR(50)"
+
+
+def test_psv_and_json_formats(spark, tmp_path):
+    r, _ = _load(spark, tmp_path, "p.psv", "id|name\n1|alpha\n2|beta\n")
+    assert r.status == "Completed"
+    assert _rows(spark, tmp_path, "p_psv") == [(1, "alpha"), (2, "beta")]
+
+    r2, _ = _load(
+        spark, tmp_path, "j.json",
+        '[{"id": 1, "name": "alpha"}, {"id": 2, "name": "beta"}]',
+    )
+    assert r2.status == "Completed"
+    assert _rows(spark, tmp_path, "j_json") == [(1, "alpha"), (2, "beta")]
+
+
+def test_nvarchar_bucketing(spark, tmp_path):
+    long_val = "x" * 120
+    r, _ = _load(spark, tmp_path, "buck.csv", f"id,s\n1,{long_val}\n")
+    assert r.details["sql_types"]["s"] == "NVARCHAR(255)"
+
+
+def test_table_naming():
+    assert generate_table_name("/x/dates_iso_format.csv") == "dates_iso_format_csv"
+    assert generate_table_name("data_0001") == "data"
+    assert generate_table_name("9lives.csv") == "t_lives_csv"
+
+
+# ---------------------------------------------------------------------------
+# upsert scenario matrix (reference test_upsert_operations.py:228-787)
+# ---------------------------------------------------------------------------
+
+def _seed(spark, tmp_path):
+    r, _ = _load(spark, tmp_path, "seed.csv", INITIAL, **UPSERT)
+    assert r.status == "Completed" and r.rows_inserted == 3
+    return "seed_csv"
+
+
+def _load_into(spark, tmp_path, table, text, name="next.csv", **extra_loader):
+    cfg = load_config(
+        overrides={
+            "database": {"warehouse_path": str(tmp_path / "wh")},
+            "loader": {**UPSERT, **extra_loader},
+            "override_table_name": table,
+        }
+    )
+    path = _write(tmp_path / name, text)
+    return process_file(spark, path, cfg, move_files=False)
+
+
+def test_upsert_update_only(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n1,ALPHA,11\n2,BETA,22\n")
+    assert (r.rows_updated, r.rows_inserted) == (2, 0)
+    assert _rows(spark, tmp_path, t) == [(1, "ALPHA", 11), (2, "BETA", 22), (3, "gamma", 30)]
+
+
+def test_upsert_insert_only(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n4,delta,40\n5,eps,50\n")
+    assert (r.rows_updated, r.rows_inserted) == (0, 2)
+    assert len(_rows(spark, tmp_path, t)) == 5
+
+
+def test_upsert_mixed(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n2,BETA,22\n4,delta,40\n")
+    assert (r.rows_updated, r.rows_inserted) == (1, 1)
+    assert _rows(spark, tmp_path, t) == [
+        (1, "alpha", 10), (2, "BETA", 22), (3, "gamma", 30), (4, "delta", 40),
+    ]
+
+
+def test_upsert_empty_file_is_noop(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n")
+    assert r.status == "Completed"
+    assert len(_rows(spark, tmp_path, t)) == 3
+
+
+def test_upsert_duplicate_pks_last_wins(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(
+        spark, tmp_path, t,
+        "id,name,value\n4,first,1\n4,second,2\n4,third,3\n",
+    )
+    assert (r.rows_updated, r.rows_inserted) == (0, 1)
+    assert _rows(spark, tmp_path, t)[-1] == (4, "third", 3)
+
+
+def test_upsert_nulls(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n2,,\n")
+    assert r.status == "Completed" and r.rows_updated == 1
+    assert _rows(spark, tmp_path, t)[1] == (2, None, None)
+
+
+def test_upsert_unicode(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r = _load_into(spark, tmp_path, t, "id,name,value\n2,héllo wörld 你好,22\n")
+    assert r.status == "Completed"
+    assert _rows(spark, tmp_path, t)[1] == (2, "héllo wörld 你好", 22)
+
+
+def test_upsert_strict_rollback_on_bad_value(spark, tmp_path):
+    """Constraint-violation parity: a non-integer into the INT column in
+    strict mode fails the file and leaves the target untouched
+    (reference test_upsert_operations.py:698-734)."""
+    t = _seed(spark, tmp_path)
+    before = _rows(spark, tmp_path, t)
+    r = _load_into(
+        spark, tmp_path, t,
+        "id,name,value\n2,ok,22\n3,bad,not_a_number\n",
+        transaction_mode="strict",
+    )
+    assert r.status == "Failed" and r.rows_failed == 1
+    assert _rows(spark, tmp_path, t) == before
+
+
+def test_upsert_tolerant_partial(spark, tmp_path):
+    """Tolerant mode merges the good rows and records the bad ones."""
+    t = _seed(spark, tmp_path)
+    r = _load_into(
+        spark, tmp_path, t,
+        "id,name,value\n2,ok,22\n3,bad,not_a_number\n4,new,44\n",
+        transaction_mode="tolerant",
+    )
+    assert r.status == "Completed"
+    assert (r.rows_updated, r.rows_inserted, r.rows_failed) == (1, 1, 1)
+    assert _rows(spark, tmp_path, t) == [
+        (1, "alpha", 10), (2, "ok", 22), (3, "gamma", 30), (4, "new", 44),
+    ]
+    err = spark.read.parquet(str(tmp_path / "wh" / "EtlJobError"))
+    assert err.count() >= 1
+
+
+def test_upsert_tolerant_threshold_rejects_file(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    bad_rows = "".join(f"{100+i},bad,not_a_number\n" for i in range(5))
+    r = _load_into(
+        spark, tmp_path, t, "id,name,value\n" + bad_rows,
+        transaction_mode="tolerant", **{"max-row-errors": 3},
+    )
+    assert r.status == "Failed"
+    assert len(_rows(spark, tmp_path, t)) == 3
+
+
+def test_upsert_multiformat(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    r1 = _load_into(spark, tmp_path, t, "id|name|value\n4|psv|40\n", name="n.psv")
+    r2 = _load_into(
+        spark, tmp_path, t,
+        '[{"id": 5, "name": "json", "value": 50}]', name="n.json",
+    )
+    assert r1.status == r2.status == "Completed"
+    rows = _rows(spark, tmp_path, t)
+    assert rows[-2:] == [(4, "psv", 40), (5, "json", 50)]
+
+
+def test_statistics_recorded(spark, tmp_path):
+    t = _seed(spark, tmp_path)
+    _load_into(spark, tmp_path, t, "id,name,value\n2,BETA,22\n4,delta,40\n")
+    stats = spark.read.parquet(str(tmp_path / "wh" / "EtlJobStatistics"))
+    rows = stats.orderBy("JobStartTime").collect()
+    assert len(rows) == 2
+    last = rows[-1]
+    assert last.JobStatus == "Completed"
+    assert (last.RowsRead, last.RowsInserted, last.RowsUpdated) == (2, 1, 1)
+    assert last.TargetTable == t
+
+
+# ---------------------------------------------------------------------------
+# table modes + lifecycle
+# ---------------------------------------------------------------------------
+
+def test_mode_append_and_fail(spark, tmp_path):
+    _load(spark, tmp_path, "a.csv", "id,v\n1,10\n")
+    r2, _ = _load(spark, tmp_path, "a.csv", "id,v\n2,20\n", table_mode="append")
+    assert r2.status == "Completed"
+    assert len(_rows(spark, tmp_path, "a_csv")) == 2
+    r3, _ = _load(spark, tmp_path, "a.csv", "id,v\n3,30\n", table_mode="fail")
+    assert r3.status == "Failed" and "fail" in (r3.error_message or "")
+
+
+def test_file_lifecycle_moves(spark, tmp_path):
+    cfg = _cfg(tmp_path)
+    good = _write(tmp_path / "good.csv", "id,v\n1,10\n")
+    r = process_file(spark, good, cfg, move_files=True)
+    assert r.status == "Completed"
+    assert not os.path.exists(good)
+    assert os.path.exists(tmp_path / "processed" / "good.csv")
+
+    bad = _write(tmp_path / "bad.csv", "id\n")  # header-only, insert mode
+    r2 = process_file(spark, bad, cfg, move_files=True)
+    assert r2.status == "Failed"
+    assert os.path.exists(tmp_path / "error" / "bad.csv")

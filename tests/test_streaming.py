@@ -1,0 +1,132 @@
+"""Structured Streaming: availableNow directory ingest (checkpointed,
+exactly-once across restarts), watermarked windowed aggregation, and
+stateful sessionization — each checked against its batch twin."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from nspc_etl_basic_spark.streaming import (
+    run_available_now,
+    sessionize_stateful,
+    stream_directory,
+    windowed_agg,
+)
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+    ]
+)
+
+
+def test_ingest_available_now_exactly_once(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name\n1,a\n2,b\n")
+    (src / "b.csv").write_text("id,name\n3,c\n")
+
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    df = stream_directory(spark, str(src), CSV_SCHEMA, fmt="csv")
+    run_available_now(df, sink, ckpt)
+    assert spark.read.parquet(sink).count() == 3
+
+    # restart with one new file: only the new file is processed (the
+    # checkpoint log is the reference's completed-files anti-join, D3)
+    (src / "c.csv").write_text("id,name\n4,d\n5,e\n")
+    df2 = stream_directory(spark, str(src), CSV_SCHEMA, fmt="csv")
+    run_available_now(df2, sink, ckpt)
+    out = spark.read.parquet(sink)
+    assert out.count() == 5
+    assert out.select(F.count_distinct("id")).collect()[0][0] == 5
+
+
+def test_windowed_agg_stream_matches_batch(spark, tmp_path):
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+        (2, datetime.datetime(2024, 1, 1, 0, 55), "click", 2.0),
+        (3, datetime.datetime(2024, 1, 1, 1, 5), "click", 4.0),
+        (4, datetime.datetime(2024, 1, 1, 1, 10), "view", 8.0),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    batch = spark.createDataFrame(rows, schema)
+    src = tmp_path / "ev"
+    batch.coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    agg = windowed_agg(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window"]["start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from win_out").collect()
+    }
+    expected = {
+        (datetime.datetime(2024, 1, 1, 0, 0), "click"): (2, 3.0),
+        (datetime.datetime(2024, 1, 1, 1, 0), "click"): (1, 4.0),
+        (datetime.datetime(2024, 1, 1, 1, 0), "view"): (1, 8.0),
+    }
+    assert got == expected
+
+
+def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
+    # user 7: two sessions separated by > 30 min; the second session stays
+    # open until the watermark passes its timeout — a later third burst
+    # advances event time far enough to close both.
+    rows = [
+        (7, datetime.datetime(2024, 1, 1, 0, 0)),
+        (7, datetime.datetime(2024, 1, 1, 0, 10)),
+        (7, datetime.datetime(2024, 1, 1, 1, 0)),
+        (7, datetime.datetime(2024, 1, 1, 5, 0)),
+        (9, datetime.datetime(2024, 1, 1, 6, 0)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "sess"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sessions = sessionize_stateful(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+    )
+    # user 7's first two sessions close within the batch; the 05:00 session
+    # closes via event-time timeout (watermark reaches 06:00 > 05:30).
+    # User 9's 06:00 session is still open (timeout 06:30 > watermark).
+    assert got == [
+        (7, datetime.datetime(2024, 1, 1, 0, 0), 2),
+        (7, datetime.datetime(2024, 1, 1, 1, 0), 1),
+        (7, datetime.datetime(2024, 1, 1, 5, 0), 1),
+    ]
