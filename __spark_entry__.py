@@ -272,21 +272,21 @@ def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    # signatures are a pure projection (no exchange to reuse), so cache the
+    # tiny signature table — otherwise BOTH branches of the band self-join
+    # recompute every shingle md5
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents")).cache()
     return lsh_candidate_pairs(sigs)
 
 
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from nspc_etl_basic_spark.operators.dedup import char_shingles
-
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs).cache()  # one explode shared by all 3 stages
-    # materialize the (small) candidate set once: the verification stage
-    # references it twice (broadcast id-pruning + the pair join) and
-    # recomputing the LSH pipeline per reference would double the work
-    cand = lsh_candidate_pairs(minhash_signatures(docs, shingles=sh)).cache()
+    # materialize the (small) candidate set once so the verification stage
+    # broadcasts it instead of recomputing the LSH pipeline; signatures are
+    # cached for the same reason as in dedup_lsh_pairs_q
+    cand = lsh_candidate_pairs(minhash_signatures(docs).cache()).cache()
     cand.count()
-    return jaccard_on_candidates(docs, cand, shingles=sh)
+    return jaccard_on_candidates(docs, cand)
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -50,6 +50,17 @@ def exact_dedup(
     )
 
 
+def shingle_array(text, k: int = DEFAULT_SHINGLE_K):
+    """Array of k-char shingles of ``text`` as a column expression — the
+    shared kernel of MinHash and Jaccard. A document shorter than ``k``
+    contributes its whole text as the single shingle (sequence is clamped
+    to start position 1). Pure JVM array algebra, no explode."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.substring(text, i, k),
+    )
+
+
 def char_shingles(
     df: DataFrame,
     text_col: str = "text",
@@ -57,26 +68,13 @@ def char_shingles(
     k: int = DEFAULT_SHINGLE_K,
     distinct: bool = True,
 ) -> DataFrame:
-    """k-char shingles per document: (id, shingle).
-
-    One narrow explode via sequence+substring — no Python in the row path.
-    A document shorter than ``k`` contributes its whole text as the single
-    shingle (sequence is clamped to start position 1).
-
-    ``distinct=True`` (set semantics, one full shuffle) is required for
-    Jaccard counting; MinHash passes ``distinct=False`` because min over a
-    multiset equals min over its set — saving the shuffle entirely (the
-    signature groupBy is map-side combined over the raw explode).
-    """
-    t = F.col(text_col)
+    """k-char shingles per document as rows: (id, shingle) — the exploded
+    view, for callers that need shingles as a join key. The dedup pipeline
+    itself stays array-valued (see ``minhash_signatures`` /
+    ``jaccard_on_candidates``) and never pays this explode."""
     sh = df.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
-                lambda i: F.substring(t, i, k),
-            )
-        ).alias("shingle"),
+        F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
     )
     return sh.distinct() if distinct else sh
 
@@ -87,27 +85,36 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
     n_hashes: int = N_MINHASHES,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id, mh_0..mh_{n-1}).
 
     hash_j(shingle) = md5(shingle)[4j+1 : 4j+4] (hex slice); the minimum
     over a document's shingles under ANY total order is a valid MinHash —
-    lexicographic hex order serves, no numeric conversion needed.
+    lexicographic hex order serves, no numeric conversion needed. min over
+    the shingle multiset equals min over its set, so no dedup pass either.
 
-    Pass a (cached) ``shingles`` DataFrame to share the explode with other
-    stages — the shingle scan is the dominant cost of the whole pipeline.
+    PROJECTION-ONLY: the signature is ``array_min`` over an in-row hashed
+    shingle array — one md5 per shingle, ZERO shuffles. (The naive plan —
+    explode shingles, groupBy(doc) with n mins — shuffles every shingle of
+    every document; at 100 TB that shuffle is the whole job. This plan
+    keeps signature computation embarrassingly parallel with the scan.)
+
+    Null-text documents are dropped (they have no shingles — same row set
+    as the exploded formulation).
     """
-    sh = (
-        shingles
-        if shingles is not None
-        else char_shingles(df, text_col, id_col, k, distinct=False)
+    hashed = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.transform(shingle_array(F.col(text_col), k), F.md5).alias("__h"),
     )
-    hashed = sh.select(F.col(id_col), F.md5("shingle").alias("h"))
-    aggs = [
-        F.min(F.substring("h", 4 * j + 1, 4)).alias(f"mh_{j}") for j in range(n_hashes)
+    mhs = [
+        F.array_min(
+            F.transform(F.col("__h"), lambda h: F.substring(h, 4 * j + 1, 4))
+        ).alias(f"mh_{j}")
+        # safe w.r.t. closure late-binding: F.transform consumes the lambda
+        # eagerly (expression built during this iteration, while j is current)
+        for j in range(n_hashes)
     ]
-    return hashed.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *mhs)
 
 
 def lsh_candidate_pairs(
@@ -200,55 +207,39 @@ def jaccard_on_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram (char-shingle) Jaccard similarity for candidate pairs only:
     (id_a, id_b, jaccard).
 
-    |A ∩ B| via a shingle equi-join restricted to candidate pairs;
-    |A ∪ B| = |A| + |B| - |A ∩ B|. The candidate restriction keeps this
-    linear in bucket volume at scale — never all-pairs.
+    Per-pair set algebra: each side's DISTINCT shingle array is computed
+    in-row, the pair is assembled by two id equi-joins (the candidate set —
+    LSH bucket collisions — is tiny relative to the corpus, so it
+    broadcasts), and |A ∩ B| is ``array_intersect`` on the joined row.
+    |A ∪ B| = |A| + |B| - |A ∩ B|.
+
+    Scale contract: NO corpus-wide shingle explode, no shingle-keyed
+    shuffle. Work is O(candidate pairs x document length); non-candidate
+    documents are never shingled (the broadcast join prunes them at the
+    scan). The earlier formulation (explode all shingles, equi-join on the
+    shingle string) shuffled the entire shingled corpus to verify a
+    candidate set a thousandth its size.
     """
-    sh = shingles if shingles is not None else char_shingles(df, text_col, id_col, k)
-
-    # Prune the shingle set to documents that appear in ANY candidate pair
-    # BEFORE the equi-join: candidates are bucket collisions — a tiny id set
-    # relative to the corpus — so this broadcast semi-join turns a
-    # corpus-sized shuffle into a candidates-sized one. At 100 TB this is
-    # the difference between joining every document's shingles and joining
-    # only the colliding few percent.
-    cand_ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.array_distinct(shingle_array(F.col(text_col), k)).alias("__sh"),
     )
-    sh = sh.join(F.broadcast(cand_ids), id_col, "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
-    sh_a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"))
-    sh_b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
-    inter = (
-        candidates.select("id_a", "id_b")
-        .join(sh_a, "id_a")
-        .join(sh_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = F.broadcast(candidates.select("id_a", "id_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    n_union = F.size(F.col("__sh_a")) + F.size(F.col("__sh_b")) - n_inter
     return (
-        candidates.select("id_a", "id_b")
-        .join(inter, ["id_a", "id_b"], "left")
-        .join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(
-                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
-                6,
-            ).alias("jaccard"),
+            F.round(n_inter.cast("double") / n_union, 6).alias("jaccard"),
         )
     )
 
@@ -265,12 +256,13 @@ def near_dedup_minhash(
     """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
     Jaccard filter >= threshold. Returns confirmed near-duplicate pairs.
 
-    The shingle explode (the dominant scan) is computed ONCE and cached;
-    the candidate set is materialized eagerly (it is referenced twice by
-    the verification stage — broadcast id-pruning + the pair join)."""
-    sh = char_shingles(df, text_col, id_col, k).cache()
-    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes, shingles=sh)
+    Signatures are a projection (no shuffle); the candidate set is
+    materialized eagerly so the verification stage can broadcast it."""
+    # cache the (tiny) signature table: it is a pure projection, so without
+    # materialization both branches of the band self-join would recompute
+    # every shingle hash
+    sigs = minhash_signatures(df, text_col, id_col, k, n_hashes).cache()
     cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size).cache()
     cand.count()
-    jac = jaccard_on_candidates(df, cand, text_col, id_col, k, shingles=sh)
+    jac = jaccard_on_candidates(df, cand, text_col, id_col, k)
     return jac.filter(F.col("jaccard") >= threshold)
