@@ -29,7 +29,11 @@ from nspc_etl_basic_spark.operators.dedup import (
     simhash,
 )
 from nspc_etl_basic_spark.operators.merge import merge_upsert
-from nspc_etl_basic_spark.operators.similarity import cosine_topk, rp_lsh_topk
+from nspc_etl_basic_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup,
+    rp_lsh_topk,
+)
 from nspc_etl_basic_spark.operators.text import (
     EN_STOPWORDS,
     LANG_MARKERS,
@@ -149,6 +153,40 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast revenue: pure scan + selective filters + one
+    agg. The showcase for predicate pushdown / column pruning — the parquet
+    scan should read only 4 columns with all 4 filters pushed."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def c6_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: batch-level rollup semantics — monthly totals over orders
+    (count, sum, distinct customers), map-side combinable."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+            F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL-engine operator queries (inference C1-C4, cast B3/B5, merge D1-D3, E1)
 # ---------------------------------------------------------------------------
@@ -236,6 +274,36 @@ def d2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.agg(
         F.sum(F.when(F.col("__m").isNotNull(), 1).otherwise(0)).cast("long").alias("updated"),
         F.sum(F.when(F.col("__m").isNull(), 1).otherwise(0)).cast("long").alias("inserted"),
+    )
+
+
+def d4_resume_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: resumable-batch lookup semantics — the most recent row per
+    status (orderBy desc + limit-1-per-group), exactly the reference's
+    'latest InProgress|Failed batch' query shape (loader.py:170-229)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderstatus", "o_orderkey", "o_orderdate")
+    )
+
+
+def g1_strict_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: strict pre-pass validation — mark rows where a non-null input
+    fails its typed cast (the reject predicate of cast_and_split), counted
+    per file. Input dirtied deterministically so the reject set is real."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    s = F.when(k.cast("int") % 7 == 0, F.concat(F.lit("x"), k)).otherwise(k)
+    reject = s.isNotNull() & s.try_cast("int").isNull()
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(reject.cast("int")).cast("long").alias("n_reject"),
+        F.sum((~reject).cast("int")).cast("long").alias("n_ok"),
     )
 
 
@@ -339,6 +407,30 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, queries, k=5, n_planes=8)
 
 
+def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: rp-bucket candidate pairs verified by
+    exact cosine (threshold tuned to this corpus — max pairwise cosine in
+    the synthetic embeddings is ~0.5)."""
+    return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over an opaque binary column: byte length,
+    content fingerprint, and a hex prefix — computed on a real BinaryType
+    column (text encoded to UTF-8 bytes; with image/audio payloads only
+    the decode UDF changes, the schema/fingerprint path is identical —
+    see operators/multimodal.py for the mapInPandas decode stage)."""
+    docs = _t(spark, sf_dir, "documents")
+    b = F.encode(F.col("text"), "UTF-8")
+    hx = F.lower(F.hex(b))
+    return docs.select(
+        F.col("doc_id"),
+        F.length(b).alias("n_bytes"),
+        F.md5(hx).alias("fp_md5"),
+        F.substring(hx, 1, 16).alias("hex_prefix"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time operations (batch views of the streaming ops)
 # ---------------------------------------------------------------------------
@@ -394,6 +486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_order_revenue": q3_order_revenue,
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q_top_orders_per_customer": q_top_orders_per_customer,
+        "q6_filter_pushdown": q6_filter_pushdown,
+        "c6_batch_rollup": c6_batch_rollup,
         "schema_infer_stats": schema_infer_stats,
         "type_conformance": type_conformance,
         "b3_multiformat_dates": b3_multiformat_dates,
@@ -401,6 +495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_merge_upsert": d1_merge_upsert,
         "d2_merge_counts": d2_merge_counts,
         "d3_anti_join": d3_anti_join,
+        "d4_resume_lookup": d4_resume_lookup,
+        "g1_strict_validation": g1_strict_validation,
         "g2_validity_split": g2_validity_split,
         "dedup_exact": dedup_exact_q,
         "dedup_minhash": dedup_minhash_q,
@@ -413,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats_q,
         "sim_topk": sim_topk_q,
         "sim_ann_lsh": sim_ann_lsh_q,
+        "dedup_embedding": dedup_embedding_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
         "events_windowed": events_windowed,
         "events_sessionize": events_sessionize,
     }
@@ -607,6 +705,61 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rk
             FROM orders
             QUALIFY rk <= 3
+        """,
+        "q6_filter_pushdown": f"""
+            SELECT {_osum('l_extendedprice * l_discount')} AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "c6_batch_rollup": f"""
+            SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+                   count(*) AS n_orders,
+                   {_osum('o_totalprice')} AS total_price,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders
+            GROUP BY date_trunc('month', o_orderdate)
+        """,
+        "d4_resume_lookup": """
+            SELECT o_orderstatus, o_orderkey, o_orderdate
+            FROM orders
+            QUALIFY row_number() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        """,
+        "g1_strict_validation": """
+            SELECT count(*) AS n_rows,
+                   CAST(sum(CASE WHEN s IS NOT NULL AND TRY_CAST(s AS INTEGER) IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_reject,
+                   CAST(sum(CASE WHEN s IS NOT NULL AND TRY_CAST(s AS INTEGER) IS NULL
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_ok
+            FROM (
+                SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+                            THEN 'x' || json_extract_string(props, '$.k')
+                            ELSE json_extract_string(props, '$.k') END AS s
+                FROM events
+            )
+        """,
+        "dedup_embedding": f"""
+            WITH c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       {_sql_rp_signature('embedding::DOUBLE[]')} AS sig
+                FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {_sql_cosine('a.v', 'b.v')} AS cos_sim
+            FROM c a JOIN c b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE {_sql_cosine('a.v', 'b.v')} >= 0.3
+        """,
+        "multimodal_binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+                   md5(lower(hex(encode(text)))) AS fp_md5,
+                   substr(lower(hex(encode(text))), 1, 16) AS hex_prefix
+            FROM documents
         """,
         "schema_infer_stats": """
             SELECT count(*) AS n_rows,

@@ -136,6 +136,48 @@ def rp_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     return sig
 
 
+def embedding_neardup(
+    corpus: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
+    pairs sharing a random-hyperplane bucket with cosine >= threshold.
+
+    The all-pairs O(n^2) comparison is avoided the same way MinHash-LSH
+    avoids it for text: bucket on the rp-signature (one shuffle keyed by an
+    8-byte long), compare only within buckets (expected n^2 / 2^n_planes
+    pairs), verify with exact cosine. Caller should ``.cache()`` the corpus
+    if it is a recomputable projection — both self-join branches read it.
+    """
+    sig = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+        rp_signature(F.col(vec_col), n_planes, dim).alias("__sig"),
+    )
+    a = sig.select(
+        F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), F.col("__sig"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), F.col("__sig"),
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    return (
+        a.join(b, "__sig")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
