@@ -17,6 +17,28 @@ from nspc_etl_basic_spark.config import load_config
 from nspc_etl_basic_spark.naming import generate_table_name
 from nspc_etl_basic_spark.session import get_spark
 
-__all__ = ["load_config", "generate_table_name", "get_spark"]
+
+def process_file(*args, **kwargs):
+    """Lazy re-export of plans.pipeline.process_file (avoids importing
+    pyspark at package-import time)."""
+    from nspc_etl_basic_spark.plans.pipeline import process_file as fn
+
+    return fn(*args, **kwargs)
+
+
+def process_directory(*args, **kwargs):
+    """Lazy re-export of plans.batch.process_directory."""
+    from nspc_etl_basic_spark.plans.batch import process_directory as fn
+
+    return fn(*args, **kwargs)
+
+
+__all__ = [
+    "load_config",
+    "generate_table_name",
+    "get_spark",
+    "process_file",
+    "process_directory",
+]
 
 __version__ = "0.1.0"
