@@ -173,6 +173,44 @@ def q6_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: conditional-aggregate share over a selective scan
+    joined to a broadcast dimension (part). One shuffle-free join + one
+    scalar agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        _dsum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0))).alias(
+            "economy_revenue"
+        ),
+        _dsum(rev).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q9_brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: fact-to-dimension join + two-level rollup (brand x
+    ship year). The dimension broadcasts; the fact shuffles once on the
+    composite group key with map-side partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand"), F.year(F.col("l_shipdate")).cast("long").alias("ship_year")
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def c6_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6: batch-level rollup semantics — monthly totals over orders
     (count, sum, distinct customers), map-side combinable."""
@@ -487,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q6_filter_pushdown": q6_filter_pushdown,
+        "q14_promo_share": q14_promo_share,
+        "q9_brand_year_revenue": q9_brand_year_revenue,
         "c6_batch_rollup": c6_batch_rollup,
         "schema_infer_stats": schema_infer_stats,
         "type_conformance": type_conformance,
@@ -714,6 +754,22 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q14_promo_share": f"""
+            SELECT {_osum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+                       AS economy_revenue,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS total_revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        "q9_brand_year_revenue": f"""
+            SELECT p_brand, CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand, year(l_shipdate)
         """,
         "c6_batch_rollup": f"""
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
