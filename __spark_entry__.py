@@ -369,24 +369,35 @@ def g2_validity_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data extensions: dedup family
 # ---------------------------------------------------------------------------
 
+def _docs_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, spread across all cores. The sf parquet is ONE small file
+    -> one input split -> one task; the signature/hash projections are
+    CPU-bound, so a single task serializes the whole job. One tiny shuffle
+    (5k rows) buys full-width parallelism. At production scale the input
+    arrives in many splits and this is a no-op decision."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents"))
 
 
 def dedup_minhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(_t(spark, sf_dir, "documents"))
+    return minhash_signatures(_docs_wide(spark, sf_dir))
 
 
 def dedup_lsh_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signatures are a pure projection (no exchange to reuse), so cache the
     # tiny signature table — otherwise BOTH branches of the band self-join
     # recompute every shingle md5
-    sigs = minhash_signatures(_t(spark, sf_dir, "documents")).cache()
+    sigs = minhash_signatures(_docs_wide(spark, sf_dir)).cache()
     return lsh_candidate_pairs(sigs)
 
 
 def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs_wide(spark, sf_dir)
     # materialize the (small) candidate set once so the verification stage
     # broadcasts it instead of recomputing the LSH pipeline; signatures are
     # cached for the same reason as in dedup_lsh_pairs_q
@@ -396,7 +407,7 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash(_t(spark, sf_dir, "documents"))
+    return simhash(_docs_wide(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

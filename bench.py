@@ -43,8 +43,19 @@ def main() -> None:
     spark = build_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + whole-stage-codegen JIT + parquet footer caches. Run
+    # every query once at the smallest SF so each plan's generated code is
+    # compiled before timing — the timed pass then measures steady-state
+    # engine throughput (the 100 TB-relevant number), not one-time JIT.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for _name, fn in entrymod.queries().items():
+        try:
+            fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
+        except Exception:  # noqa: BLE001 — warmup must never fail the bench
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
