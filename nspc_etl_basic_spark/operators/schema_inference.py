@@ -29,8 +29,9 @@ reproduce the reference's accidental behavior.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
-from decimal import Decimal, InvalidOperation
+from decimal import ROUND_HALF_UP, Decimal, InvalidOperation
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -66,20 +67,49 @@ class InferredSchema:
     struct: T.StructType
 
 
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+
+
 def _is_int_py(value: str) -> bool:
-    try:
-        int(value)
-        return True
-    except ValueError:
+    """B5 under the engine's cast contract. The reference uses bare
+    ``int()`` (loader.py:760-764), which also accepts ``' 1_000 '``,
+    Unicode digits, and unbounded magnitude — values the engine's JVM cast
+    (ASCII regex + int64 ``try_cast``, operators/cast.py) rejects.
+    Inference must never promise a type the cast stage can't deliver
+    (strict mode would reject the whole file), so this predicate mirrors
+    the cast EXACTLY; the divergence from ``int()`` on those exotic inputs
+    is a documented deviation-to-correctness (SURVEY.md §7.2). Pinned
+    value-by-value against the Spark expressions in
+    tests/test_properties.py."""
+    v = value.strip()
+    if not _INT_RE.fullmatch(v):
         return False
+    return -(2**63) <= int(v) < 2**63
 
 
 def _is_decimal_py(value: str) -> bool:
+    """B6 under the engine's cast contract: mirrors Spark
+    ``try_cast(v AS DECIMAL(18,4))`` — accepts scientific notation and
+    anything ``Decimal()`` parses EXCEPT underscores and non-finite
+    values, requires the value to fit (18,4) after HALF_UP rounding to
+    scale 4. (Bare ``Decimal()`` — the reference's check,
+    loader.py:766-771 — would also accept ``'Infinity'``/``'NaN'``/
+    ``'1_0'`` and unbounded magnitude; same deviation rationale as
+    ``_is_int_py``.)"""
+    v = value.strip()
+    if "_" in v:
+        return False
     try:
-        Decimal(value)
-        return True
+        d = Decimal(v)
     except (ValueError, InvalidOperation):
         return False
+    if not d.is_finite():
+        return False
+    try:
+        q = d.quantize(Decimal("1e-4"), rounding=ROUND_HALF_UP)
+    except InvalidOperation:
+        return False  # needs more digits than (18,4) can hold
+    return abs(q) < Decimal(10) ** 14
 
 
 def _bucket_length(max_len: int) -> int:
