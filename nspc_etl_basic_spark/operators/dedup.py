@@ -218,15 +218,25 @@ def jaccard_on_candidates(
     |A ∪ B| = |A| + |B| - |A ∩ B|.
 
     Scale contract: NO corpus-wide shingle explode, no shingle-keyed
-    shuffle. Work is O(candidate pairs x document length); non-candidate
-    documents are never shingled (the broadcast join prunes them at the
-    scan). The earlier formulation (explode all shingles, equi-join on the
-    shingle string) shuffled the entire shingled corpus to verify a
-    candidate set a thousandth its size.
+    shuffle. Work is O(candidate pairs x document length): a broadcast
+    LEFT SEMI join on the candidate id set prunes the corpus BEFORE the
+    shingle projection runs — a broadcast hash join alone prunes after
+    the probe side's projection, so without the semi-join every document
+    would still pay ``array_distinct(shingle_array(...))`` only to be
+    dropped at the probe. The earlier formulation (explode all shingles,
+    equi-join on the shingle string) shuffled the entire shingled corpus
+    to verify a candidate set a thousandth its size.
     """
-    sh = df.filter(F.col(text_col).isNotNull()).select(
-        F.col(id_col),
-        F.array_distinct(shingle_array(F.col(text_col), k)).alias("__sh"),
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_array(F.col(text_col), k)).alias("__sh"),
+        )
     )
     pairs = F.broadcast(candidates.select("id_a", "id_b"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
