@@ -225,6 +225,179 @@ def c6_batch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS semi-join with a non-equi conjunct (lineitem
+    shipped after the order date), then priority counts. The semi-join
+    shuffles both sides on the order key; the non-equi predicate rides the
+    join condition so no post-join filter materializes matched rows."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: cross-nation trade volume. Two broadcast dimension
+    joins (nation via customer and via supplier) around one fact-fact
+    shuffle; group key (cust_nation, supp_nation, year)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    n1 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ))
+    n2 = F.broadcast(_t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(n1, customer.c_nationkey == F.col("c_nk"))
+        .join(n2, supplier.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "volume"
+            )
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer, top 20.
+    Aggregate first (shrinks the fact to one row per customer), join the
+    customer dimension after, global top-k via orderBy+limit (Spark plans
+    TakeOrderedAndProject — per-partition heaps, no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    customer = _t(spark, sf_dir, "customer")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    return (
+        rev.join(customer, rev.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional priority-class counts per line status
+    over a ship-date window. One equi-join + one small groupBy; the CASE
+    aggregation combines map-side."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: supplier(s) with maximum quarterly revenue. The
+    scalar max is computed as a 1-row aggregate and broadcast back — NOT a
+    global window (a partitionBy() window would funnel every supplier row
+    through a single task)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    rev = li.groupBy("l_suppkey").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = F.broadcast(rev.agg(F.max("total_revenue").alias("__max_rev")))
+    return (
+        rev.join(max_rev, rev.total_revenue == max_rev.__max_rev)
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: orders whose total quantity exceeds a threshold —
+    aggregate-then-join (the HAVING shrinks lineitem to the qualifying
+    order keys before any dimension join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            "total_qty",
+        )
+    )
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no orders.
+    Scalar subquery (global avg, rounded identically on both engines so the
+    threshold boundary is deterministic) broadcast-cross-joined, then an
+    anti-join against orders, rolled up by market segment."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = F.broadcast(
+        customer.filter(F.col("c_acctbal") > 0).agg(
+            _davg(F.col("c_acctbal")).alias("__avg_bal")
+        )
+    )
+    return (
+        customer.crossJoin(avg_bal)
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # ETL-engine operator queries (inference C1-C4, cast B3/B5, merge D1-D3, E1)
 # ---------------------------------------------------------------------------
@@ -538,6 +711,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_filter_pushdown": q6_filter_pushdown,
         "q14_promo_share": q14_promo_share,
         "q9_brand_year_revenue": q9_brand_year_revenue,
+        "q4_order_priority": q4_order_priority,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_items": q10_returned_items,
+        "q12_priority_class": q12_priority_class,
+        "q15_top_supplier": q15_top_supplier,
+        "q18_large_orders": q18_large_orders,
+        "q22_idle_customers": q22_idle_customers,
         "c6_batch_rollup": c6_batch_rollup,
         "schema_infer_stats": schema_infer_stats,
         "type_conformance": type_conformance,
@@ -781,6 +961,94 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand, year(l_shipdate)
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q7_nation_volume": f"""
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment, revenue
+            FROM (
+                SELECT o_custkey,
+                       {_osum('l_extendedprice * (1 - l_discount)')} AS revenue
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-07-01'
+                GROUP BY o_custkey
+            ) rev
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q12_priority_class": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q15_top_supplier": f"""
+            WITH rev AS (
+                SELECT l_suppkey,
+                       {_osum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q18_large_orders": f"""
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   total_qty
+            FROM (
+                SELECT l_orderkey, {_osum('l_quantity')} AS total_qty
+                FROM lineitem
+                GROUP BY l_orderkey
+                HAVING {_osum('l_quantity')} > 150
+            ) big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q22_idle_customers": f"""
+            SELECT c_mktsegment, count(*) AS n_customers,
+                   {_osum('c_acctbal')} AS total_acctbal
+            FROM customer
+            WHERE c_acctbal > (
+                SELECT {_oavg('c_acctbal')} FROM customer WHERE c_acctbal > 0
+            )
+            AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+            )
+            GROUP BY c_mktsegment
         """,
         "c6_batch_rollup": f"""
             SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
