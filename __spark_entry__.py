@@ -32,6 +32,7 @@ from nspc_etl_basic_spark.operators.merge import merge_upsert
 from nspc_etl_basic_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup,
+    ivf_topk,
     rp_lsh_topk,
 )
 from nspc_etl_basic_spark.operators.text import (
@@ -629,6 +630,16 @@ def sim_ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rp_lsh_topk(emb, queries, k=5, n_planes=8)
 
 
+def sim_ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: codebook-literal cell assignment (projection, no shuffle),
+    n_probe=4 of 16 cells probed, exact re-rank within probed cells."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4)
+
+
 def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: rp-bucket candidate pairs verified by
     exact cosine (threshold tuned to this corpus — max pairwise cosine in
@@ -740,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats_q,
         "sim_topk": sim_topk_q,
         "sim_ann_lsh": sim_ann_lsh_q,
+        "sim_ann_ivf": sim_ann_ivf_q,
         "dedup_embedding": dedup_embedding_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "events_windowed": events_windowed,
@@ -1254,6 +1266,39 @@ def oracle_sql() -> dict[str, str]:
             sim AS (
                 SELECT q.query_id, c.vec_id, {_sql_cosine('q.qv', 'c.cv')} AS cos_sim
                 FROM q JOIN c ON q.sig = c.sig
+                WHERE q.query_id != c.vec_id
+            )
+            SELECT query_id, vec_id, cos_sim,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
+            FROM sim
+            QUALIFY rank <= 5
+        """,
+        "sim_ann_ivf": f"""
+            WITH cents AS (
+                SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            q_assign AS (
+                SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, cent_id
+                FROM embeddings e CROSS JOIN cents
+                WHERE e.vec_id % 50 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) <= 4
+            ),
+            sim AS (
+                SELECT q.query_id, c.vec_id, {_sql_cosine('q.qv', 'c.cv')} AS cos_sim
+                FROM q_assign q JOIN c_assign c ON q.cent_id = c.cent_id
                 WHERE q.query_id != c.vec_id
             )
             SELECT query_id, vec_id, cos_sim,

@@ -178,6 +178,127 @@ def embedding_neardup(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids for IVF: the ``n_cells`` lowest-id
+    corpus vectors, collected to the driver. A production IVF trains
+    k-means centroids; centroid quality affects recall only, never the
+    operator contract, so a deterministic choice keeps the oracle exact.
+    The collect is O(n_cells) rows — the same driver-side footprint as a
+    trained quantizer's codebook."""
+    rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_cells)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    return [(r[0], [float(x) for x in r[1]]) for r in rows]
+
+
+def _ivf_cells_sorted(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Array of struct(neg_score, cent_id) sorted best-cell-first.
+
+    The centroid codebook is embedded as literal arrays, so scoring every
+    cell is a per-row projection (codegen'd dot products) — IVF assignment
+    needs NO shuffle and NO join; lexicographic struct sort on
+    (-score, cent_id) makes ties deterministic. Scores are rounded to 6
+    so the cell boundary is reproducible across engines."""
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with(
+                                vec,
+                                F.array(*[F.lit(w) for w in cvec]),
+                                lambda x, w: x.cast("double") * w,
+                            ),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                        / (
+                            norm(vec)
+                            * F.lit(sum(w * w for w in cvec) ** 0.5)
+                        ),
+                        6,
+                    )
+                ).alias("neg_score"),
+                F.lit(cid).cast("long").alias("cent_id"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    return F.sort_array(scored)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest coarse centroid; each query probes its ``n_probe``
+    nearest cells and exact-cosine re-ranks only those cells' vectors.
+
+    Scale contract: assignment is a projection (the codebook rides the
+    closure as literals — no shuffle, no join, embarrassingly parallel
+    with the scan); the only corpus-wide shuffle is the equi-join on the
+    8-byte cell id; re-rank work is |corpus| * n_probe / n_cells per
+    query instead of |corpus|. Recall is tuned by n_probe/n_cells.
+    """
+    cents = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+        F.element_at(_ivf_cells_sorted(F.col(vec_col), cents), 1)["cent_id"].alias(
+            "__cell"
+        ),
+    )
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+        F.explode(
+            F.transform(
+                F.slice(_ivf_cells_sorted(F.col(vec_col), cents), 1, n_probe),
+                lambda s: s["cent_id"],
+            )
+        ).alias("__cell"),
+    )
+    sim = (
+        q.join(c, "__cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__qvec"), F.col("__cvec"))
+                / (F.col("__qnorm") * F.col("__cnorm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        sim.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("__rk").alias("rank"))
+    )
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
