@@ -664,6 +664,58 @@ def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    """Documents re-framed as a media table: payload = UTF-8 bytes of the
+    text, metadata derived deterministically from doc stats. This makes the
+    mapInPandas media kernels drivable from the shared parquet tables."""
+    from nspc_etl_basic_spark.operators.multimodal import MEDIA_SCHEMA
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    b = F.encode(F.col("text"), "UTF-8")
+    if kind == "image":
+        meta = F.struct(
+            F.lit("image").alias("format"),
+            (F.length(b) % 64 + 32).cast("int").alias("width"),
+            (F.length(b) % 48 + 16).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        )
+    else:
+        meta = F.struct(
+            F.lit("video").alias("format"),
+            F.lit(64).cast("int").alias("width"),
+            F.lit(48).cast("int").alias("height"),
+            (F.length(b) % 7 + 4).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        )
+    out = docs.select(
+        F.col("doc_id").alias("media_id"), b.alias("payload"), meta.alias("meta")
+    )
+    # schemas must match the operator contract exactly
+    assert [f.name for f in MEDIA_SCHEMA.fields] == out.schema.names
+    return out
+
+
+def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas image feature extraction (stub decode
+    kernel — see operators/multimodal.py): per-payload mean intensity +
+    sha1 fingerprint. Rows-only check: the kernel is not SQL-expressible."""
+    from nspc_etl_basic_spark.operators.multimodal import image_features
+
+    return image_features(_docs_as_media(spark, sf_dir, "image"))
+
+
+def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one row per sampled frame via a
+    streaming-per-batch mapInPandas kernel. Rows-only check."""
+    from nspc_etl_basic_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_docs_as_media(spark, sf_dir, "video"), every_n=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame_payload").alias("frame_bytes")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Event-time operations (batch views of the streaming ops)
 # ---------------------------------------------------------------------------
@@ -754,6 +806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": sim_ann_ivf_q,
         "dedup_embedding": dedup_embedding_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_image_features": multimodal_image_features_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
         "events_windowed": events_windowed,
         "events_sessionize": events_sessionize,
     }
