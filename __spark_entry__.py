@@ -574,9 +574,13 @@ def dedup_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_wide(spark, sf_dir)
     # materialize the (small) candidate set once so the verification stage
     # broadcasts it instead of recomputing the LSH pipeline; signatures are
-    # cached for the same reason as in dedup_lsh_pairs_q
-    cand = lsh_candidate_pairs(minhash_signatures(docs).cache()).cache()
+    # cached for the same reason as in dedup_lsh_pairs_q and unpersisted as
+    # soon as the candidate set exists (cache hygiene — repeated bench/test
+    # invocations must not accumulate dead storage)
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
     cand.count()
+    sigs.unpersist()
     return jaccard_on_candidates(docs, cand)
 
 
@@ -661,6 +665,43 @@ def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(b).alias("n_bytes"),
         F.md5(hx).alias("fp_md5"),
         F.substring(hx, 1, 16).alias("hex_prefix"),
+    )
+
+
+def b7_table_naming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B7: filename -> SQL table identifier as column algebra
+    (naming.table_name_col) over synthesized ingest paths that exercise
+    all three rules: split-suffix strip (extension-less `batch_NNN`),
+    non-word -> `_` (dots, dashes, spaces), digit-prefix -> `t_`."""
+    from nspc_etl_basic_spark.naming import table_name_col
+
+    docs = _t(spark, sf_dir, "documents")
+    path = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("/in/"), F.col("source"), F.lit("/batch_"),
+                F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("/in/"), F.col("source"), F.lit("/"),
+                F.col("doc_id").cast("string"), F.lit("-report.csv"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/in/"), F.col("source"), F.lit("/"),
+                F.col("lang"), F.lit(" data.psv"),
+            )
+        )
+    )
+    return (
+        docs.select(table_name_col(path).alias("table_name"))
+        .groupBy("table_name")
+        .agg(F.count(F.lit(1)).alias("n_files"))
     )
 
 
@@ -785,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_infer_stats": schema_infer_stats,
         "type_conformance": type_conformance,
         "b3_multiformat_dates": b3_multiformat_dates,
+        "b7_table_naming": b7_table_naming_q,
         "e1_last_wins": e1_last_wins,
         "d1_merge_upsert": d1_merge_upsert,
         "d2_merge_counts": d2_merge_counts,
@@ -1190,6 +1232,30 @@ def oracle_sql() -> dict[str, str]:
                 FROM (SELECT event_type, strftime(ts, '%m/%d/%Y %H:%M:%S') AS s FROM events)
             )
             GROUP BY event_type
+        """,
+        "b7_table_naming": """
+            WITH paths AS (
+                SELECT CASE
+                    WHEN doc_id % 3 = 0 THEN '/in/' || source || '/batch_' ||
+                         lpad(CAST(doc_id AS VARCHAR), 4, '0')
+                    WHEN doc_id % 3 = 1 THEN '/in/' || source || '/' ||
+                         CAST(doc_id AS VARCHAR) || '-report.csv'
+                    ELSE '/in/' || source || '/' || lang || ' data.psv'
+                END AS p
+                FROM documents
+            ),
+            named AS (
+                SELECT regexp_replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_extract(p, '[^/]+$'),
+                             '_[0-9]{3,}$', ''),
+                           '[^a-zA-Z0-9_]', '_', 'g'),
+                         '^[0-9]', 't_') AS table_name
+                FROM paths
+            )
+            SELECT table_name, count(*) AS n_files
+            FROM named GROUP BY table_name
         """,
         "e1_last_wins": """
             SELECT user_id, event_id, event_type, value

@@ -25,3 +25,19 @@ def generate_table_name(file_path: str) -> str:
     name = re.sub(r"[^\w]", "_", name)
     name = re.sub(r"^[0-9]", "t_", name)
     return name
+
+
+def table_name_col(path):
+    """B7 as a column expression, for deriving table identities from a
+    path column at scale (millions of file paths in a manifest table —
+    driver-side Python would serialize the job). Same rule chain as
+    ``generate_table_name`` with one documented narrowing: the word class
+    is explicit ASCII ``[a-zA-Z0-9_]`` so Spark (Java regex) and the
+    DuckDB oracle (RE2) agree; the driver-side function's Python ``\\w``
+    is Unicode-aware, which only diverges for non-ASCII filenames."""
+    from pyspark.sql import functions as F
+
+    name = F.regexp_extract(path, r"[^/]+$", 0)
+    name = F.regexp_replace(name, r"_[0-9]{3,}$", "")
+    name = F.regexp_replace(name, r"[^a-zA-Z0-9_]", "_")
+    return F.regexp_replace(name, r"^[0-9]", "t_")

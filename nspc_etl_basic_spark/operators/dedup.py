@@ -274,5 +274,6 @@ def near_dedup_minhash(
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes).cache()
     cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size).cache()
     cand.count()
+    sigs.unpersist()  # cand is materialized; the signature cache is dead weight
     jac = jaccard_on_candidates(df, cand, text_col, id_col, k)
     return jac.filter(F.col("jaccard") >= threshold)
