@@ -88,6 +88,75 @@ def test_windowed_agg_stream_matches_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_windowed_append_drops_late_rows_across_restart(spark, tmp_path):
+    """Watermark semantics under restart: the watermark persists in the
+    checkpoint, so a row arriving in a later run but event-timed BEFORE the
+    persisted watermark is dropped — finalized windows never change. This
+    is the bounded-state contract that makes event-time aggregation viable
+    at 100 TB/day: state for closed windows is reclaimed, not kept forever
+    on the chance of stragglers."""
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "late_src"
+    src.mkdir()
+    out = str(tmp_path / "late_out")
+    ckpt = str(tmp_path / "late_ckpt")
+
+    def run(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / fname)
+        )
+        stream = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(src))
+        agg = windowed_agg(stream, window="1 hour", watermark="1 hour")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: event at 00:05 plus a 03:00 event that drives the watermark
+    # to 02:00, closing the [00:00, 01:00) window
+    run(
+        [
+            (1, datetime.datetime(2024, 1, 1, 0, 5), "click", 1.0),
+            (2, datetime.datetime(2024, 1, 1, 3, 0), "click", 2.0),
+        ],
+        "b1",
+    )
+    # run 2: a LATE row event-timed 00:30 (< persisted watermark 02:00 —
+    # must be dropped) and a fresh 05:00 row that closes the 03:00 window
+    run(
+        [
+            (3, datetime.datetime(2024, 1, 1, 0, 30), "click", 100.0),
+            (4, datetime.datetime(2024, 1, 1, 5, 0), "click", 4.0),
+        ],
+        "b2",
+    )
+
+    got = {
+        r["window"]["start"]: (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        # late row did NOT bump the finalized 00:00 window
+        datetime.datetime(2024, 1, 1, 0, 0): (1, 1.0),
+        datetime.datetime(2024, 1, 1, 3, 0): (1, 2.0),
+        # the 05:00 window is still open (watermark 04:00), so absent
+    }
+
+
 def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     # user 7: two sessions separated by > 30 min; the second session stays
     # open until the watermark passes its timeout — a later third burst
