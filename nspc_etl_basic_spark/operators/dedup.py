@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 DEFAULT_SHINGLE_K = 8
 N_MINHASHES = 8  # md5 = 32 hex chars -> 8 disjoint 4-char slices
@@ -122,6 +123,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_hashes: int = N_MINHASHES,
     band_size: int = 2,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature (band = concat of ``band_size`` consecutive
     minhashes) and self-join per (band_id, band_key) bucket. Returns
@@ -130,6 +132,17 @@ def lsh_candidate_pairs(
     Scale: the self-join shuffles on (band_id, band_key) so only documents
     sharing a bucket are compared; with b bands of r rows, a pair with
     Jaccard s collides with prob 1-(1-s^r)^b — the standard LSH S-curve.
+
+    ``max_bucket_size`` is the skew guard: a degenerate band key (shared
+    boilerplate, near-empty documents) can collect millions of documents,
+    and its self-join is O(bucket²) in ONE task — the classic hot-key bomb
+    AQE cannot split (it's a single key, not an imbalanced partition).
+    Buckets larger than the cap are dropped before the join (a window
+    count over the band key — one extra shuffle-free pass on the already
+    bucketed layout). Dropping is the industry-standard trade: members of
+    a mega-bucket almost always still collide in another, smaller band,
+    and a cluster that huge is better handled by exact dedup on the full
+    hash. ``None`` (default) keeps exact all-pairs semantics.
     """
     n_bands = n_hashes // band_size
     bands = signatures.select(
@@ -149,6 +162,13 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_key")
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     return (

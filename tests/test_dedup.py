@@ -1,0 +1,79 @@
+"""Unit tests for the dedup operator family's non-parity behaviors (the
+value-level semantics are pinned by tests/test_parity.py against DuckDB;
+these cover the knobs the oracle can't see)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    near_dedup_minhash,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_lsh_bucket_cap_drops_mega_bucket_keeps_small(spark):
+    # 30 identical boilerplate docs form a mega-bucket in EVERY band;
+    # two near-duplicate long docs form small buckets.
+    boiler = [(i, "lorem ipsum dolor sit amet " * 3) for i in range(30)]
+    pair = [
+        (100, "the quick brown fox jumps over the lazy dog again and again"),
+        (101, "the quick brown fox jumps over the lazy dog again and again!"),
+    ]
+    docs = _corpus(spark, boiler + pair)
+    sigs = minhash_signatures(docs).cache()
+
+    uncapped = lsh_candidate_pairs(sigs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
+
+    unc_pairs = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+
+    # uncapped: the mega-bucket contributes 30*29/2 pairs plus the near-dup
+    assert (100, 101) in unc_pairs
+    assert len(unc_pairs) == 30 * 29 // 2 + 1
+    # capped: ONLY the small-bucket pair survives
+    assert cap_pairs == {(100, 101)}
+    sigs.unpersist()
+
+
+def test_lsh_cap_none_is_exact_default(spark):
+    docs = _corpus(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon zeta")],
+    )
+    sigs = minhash_signatures(docs)
+    got = lsh_candidate_pairs(sigs).collect()
+    assert [(r.id_a, r.id_b, r.n_shared_bands) for r in got] == [(1, 2, 4)]
+
+
+def test_exact_dedup_groups_on_hash_not_id(spark):
+    docs = _corpus(spark, [(3, "same"), (1, "same"), (2, "other")])
+    got = {r.canonical_id: r.dup_count for r in exact_dedup(docs).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_near_dedup_end_to_end_threshold(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again and again"
+    docs = _corpus(
+        spark,
+        [(1, a), (2, a + "!"), (3, "completely different text about spark engines")],
+    )
+    got = near_dedup_minhash(docs, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(1, 2)]
+    assert all(r.jaccard >= 0.8 for r in got)
+
+
+def test_minhash_null_text_dropped(spark):
+    docs = spark.createDataFrame(
+        [(1, "some text"), (2, None)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs)
+    assert [r.doc_id for r in sigs.collect()] == [1]
+    assert sigs.filter(F.col("mh_0").isNull()).count() == 0
