@@ -143,6 +143,7 @@ def embedding_neardup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     pairs sharing a random-hyperplane bucket with cosine >= threshold.
@@ -152,6 +153,12 @@ def embedding_neardup(
     8-byte long), compare only within buckets (expected n^2 / 2^n_planes
     pairs), verify with exact cosine. Caller should ``.cache()`` the corpus
     if it is a recomputable projection — both self-join branches read it.
+
+    ``max_bucket_size`` is the same hot-key guard as in
+    ``dedup.lsh_candidate_pairs``: a degenerate signature bucket (e.g. the
+    zero vector, a saturated embedding) self-joins O(bucket²) in one task;
+    buckets above the cap are dropped before the join. ``None`` keeps
+    exact in-bucket all-pairs semantics.
     """
     sig = corpus.select(
         F.col(id_col),
@@ -159,6 +166,13 @@ def embedding_neardup(
         norm(F.col(vec_col)).alias("__n"),
         rp_signature(F.col(vec_col), n_planes, dim).alias("__sig"),
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__sig")
+        sig = (
+            sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
     a = sig.select(
         F.col(id_col).alias("id_a"), F.col("__v").alias("__va"),
         F.col("__n").alias("__na"), F.col("__sig"),
