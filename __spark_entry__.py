@@ -739,8 +739,10 @@ def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 
 def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas image feature extraction (stub decode
-    kernel — see operators/multimodal.py): per-payload mean intensity +
-    sha1 fingerprint. Rows-only check: the kernel is not SQL-expressible."""
+    kernel — see operators/multimodal.py): per-payload mean intensity
+    (floor-truncated to 6 decimals) + md5 fingerprint. Oracled: the stub
+    kernel is deterministic byte arithmetic DuckDB can replay via
+    hex-string parsing."""
     from nspc_etl_basic_spark.operators.multimodal import image_features
 
     return image_features(_docs_as_media(spark, sf_dir, "image"))
@@ -748,7 +750,8 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one row per sampled frame via a
-    streaming-per-batch mapInPandas kernel. Rows-only check."""
+    streaming-per-batch mapInPandas kernel. Oracled: the stub slicer's
+    chunk lengths are integer arithmetic DuckDB can replay."""
     from nspc_etl_basic_spark.operators.multimodal import sample_frames
 
     frames = sample_frames(_docs_as_media(spark, sf_dir, "video"), every_n=4)
@@ -1203,6 +1206,53 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(hex(encode(text)))) AS fp_md5,
                    substr(lower(hex(encode(text))), 1, 16) AS hex_prefix
             FROM documents
+        """,
+        # Replays the deterministic stub image kernel: payload = UTF-8 bytes
+        # of text; mean intensity = mean byte value / 255 floor-truncated to
+        # 6 decimals (floor, unlike round, is identical across engines);
+        # bytes are recovered by parsing the hex dump two chars at a time.
+        "multimodal_image_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       text,
+                       lower(hex(encode(text))) AS h,
+                       CAST(octet_length(encode(text)) AS INTEGER) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT media_id,
+                   CAST(n % 64 + 32 AS INTEGER) AS width,
+                   CAST(n % 48 + 16 AS INTEGER) AS height,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     floor(
+                       list_sum(list_transform(range(1, n + 1),
+                         i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1))
+                       / n / 255.0 * 1000000) / 1000000
+                   END AS mean_intensity,
+                   md5(text) AS payload_md5
+            FROM m
+        """,
+        # Replays the stub frame slicer: n_frames = byte_len % 7 + 4 (video
+        # meta rule), step = max(byte_len // n_frames, 1), frames sampled
+        # every 4; chunk length mirrors Python slice clamping semantics.
+        "multimodal_frame_sample": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(octet_length(encode(text)) AS INTEGER) AS len,
+                       CAST(octet_length(encode(text)) % 7 + 4 AS INTEGER) AS n
+                FROM documents WHERE text IS NOT NULL
+            ), f AS (
+                SELECT media_id, len, n,
+                       greatest(len // n, 1) AS step,
+                       CAST(unnest(generate_series(0, n - 1, 4)) AS INTEGER)
+                           AS frame_idx
+                FROM m
+            )
+            SELECT media_id, frame_idx,
+                   CAST(greatest(least((frame_idx + 1) * step, len)
+                        - least(frame_idx * step, len), 0) AS INTEGER)
+                       AS frame_bytes
+            FROM f
         """,
         "schema_infer_stats": """
             SELECT count(*) AS n_rows,

@@ -27,6 +27,7 @@ library is missing rather than silently faking.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,7 +59,7 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("mean_intensity", T.DoubleType()),
-        T.StructField("payload_sha1", T.StringType()),
+        T.StructField("payload_md5", T.StringType()),
     ]
 )
 
@@ -133,11 +134,16 @@ def image_features(df: DataFrame, require_real_decode: bool = False) -> DataFram
                     "media_id": pdf["media_id"],
                     "width": pdf["meta"].map(lambda m: m["width"]),
                     "height": pdf["meta"].map(lambda m: m["height"]),
+                    # floor-truncate to 6 decimals: unlike round(), floor has
+                    # identical semantics in Python, Spark and DuckDB, so the
+                    # kernel stays oracle-checkable bit-for-bit
                     "mean_intensity": pdf["payload"].map(
-                        lambda p: round(_fake_mean_intensity(bytes(p)), 6)
+                        lambda p: math.floor(
+                            _fake_mean_intensity(bytes(p)) * 1e6
+                        ) / 1e6
                     ),
-                    "payload_sha1": pdf["payload"].map(
-                        lambda p: hashlib.sha1(bytes(p)).hexdigest()
+                    "payload_md5": pdf["payload"].map(
+                        lambda p: hashlib.md5(bytes(p)).hexdigest()
                     ),
                 }
             )

@@ -22,10 +22,10 @@ def test_image_features_deterministic(spark):
     feats = image_features(df).orderBy("media_id")
     rows = feats.collect()
     assert len(rows) == 32
-    # deterministic: sha1 of the synthesized payload is reproducible
+    # deterministic: md5 of the synthesized payload is reproducible
     seed = hashlib.md5(b"image_0").digest()
     payload = (seed * 8)[:64]
-    assert rows[0].payload_sha1 == hashlib.sha1(payload).hexdigest()
+    assert rows[0].payload_md5 == hashlib.md5(payload).hexdigest()
     assert all(0.0 <= r.mean_intensity <= 1.0 for r in rows)
     assert rows[5].width == 32 + 5 % 64
 
