@@ -62,13 +62,29 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k by cosine for every query vector.
 
     ``queries`` must carry (query_id_col, vec_col). Self-matches (same id)
     are excluded when query ids live in the corpus id space. Ties broken by
     corpus id ascending — deterministic, SQL-expressible.
+
+    ``max_queries`` guards the exact tier's O(|q| x |c|) crossJoin: this
+    operator is the bounded re-rank/baseline kernel, and nothing else
+    stops an accidental all-pairs launch at 100 TB. If the query side
+    exceeds the bound (checked with a LIMIT-bounded count — never a full
+    scan), raise and point at the ANN tiers. ``None`` disables the guard
+    for callers that have already bounded the input.
     """
+    if max_queries is not None:
+        if queries.limit(max_queries + 1).count() > max_queries:
+            raise ValueError(
+                f"cosine_topk: query side exceeds max_queries={max_queries}; "
+                "the exact crossJoin tier is for bounded re-ranking. Use "
+                "ivf_topk or rp_lsh_topk for large query sets, or raise/"
+                "disable max_queries explicitly."
+            )
     # Norms are per-vector constants: compute each ONCE per side instead of
     # per pair — the arithmetic (dot / (norm_q * norm_c)) is unchanged, only
     # hoisted out of the O(|q| x |c|) loop. At scale this is the difference
@@ -122,7 +138,13 @@ def rp_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
     """Random-hyperplane signature: bit p = (vec . plane_p) >= 0, packed
     into a long. Planes are the deterministic md5-derived ±1 constant
     vectors, embedded as literal arrays — the per-row work is n_planes
-    codegen'd dot products, no hashing."""
+    codegen'd dot products, no hashing.
+
+    ``dim`` MUST match the actual vector length: the planes are constants
+    of that length, and ``zip_with`` would null-pad a mismatched vector,
+    silently collapsing every signature to 0 (one giant bucket — the exact
+    O(n²) hot-key bomb LSH exists to avoid). A per-row ``assert_true``
+    guard turns that silent degradation into a loud error."""
     sig = None
     for p in range(n_planes):
         plane = F.array(*[F.lit(w) for w in _plane(p, dim)])
@@ -133,7 +155,19 @@ def rp_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
         )
         bit = F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = bit if sig is None else (sig + bit)
-    return sig
+    guard = F.assert_true(
+        F.size(vec) == dim,
+        F.concat(
+            F.lit(
+                f"rp_signature: plane dim {dim} != vector dim "
+            ),
+            F.size(vec).cast("string"),
+            F.lit("; pass dim=<actual length> (signatures would all be 0)"),
+        ),
+    )
+    # assert_true yields NULL on success; the when() forces its evaluation
+    # per row without changing the signature value.
+    return F.when(guard.isNull(), sig)
 
 
 def embedding_neardup(
@@ -321,6 +355,7 @@ def rp_lsh_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: bucket by random-hyperplane signature, exact
     cosine re-rank within the query's bucket only.
@@ -328,16 +363,17 @@ def rp_lsh_topk(
     Recall tuning is n_planes (fewer planes -> bigger buckets -> higher
     recall, more work). At scale, the corpus signature projection is a
     one-pass scan and the join shuffles on the 8-byte signature.
+    ``dim`` must equal the embedding length (see ``rp_signature``).
     """
     c_sig = corpus.select(
         F.col(id_col), F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
-        rp_signature(F.col(vec_col), n_planes).alias("__sig"),
+        rp_signature(F.col(vec_col), n_planes, dim).alias("__sig"),
     )
     q_sig = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
-        rp_signature(F.col(vec_col), n_planes).alias("__sig"),
+        rp_signature(F.col(vec_col), n_planes, dim).alias("__sig"),
     )
     sim = (
         q_sig.join(c_sig, "__sig")

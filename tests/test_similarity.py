@@ -1,0 +1,67 @@
+"""Similarity-operator guards: the failure modes that only show up at
+scale (dimension-collapsed LSH signatures, unbounded exact crossJoin)
+must fail loudly at small scale instead of silently degrading."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.similarity import (
+    cosine_topk,
+    rp_lsh_topk,
+    rp_signature,
+)
+
+
+def _vec_df(spark, n, dim, id_col="vec_id"):
+    rows = [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, f"{id_col} long, embedding array<double>")
+
+
+def test_rp_signature_matching_dim_produces_spread_buckets(spark):
+    df = _vec_df(spark, 40, 16)
+    sigs = [
+        r.sig
+        for r in df.select(rp_signature(F.col("embedding"), 8, dim=16).alias("sig")).collect()
+    ]
+    # dimension-adaptive contract: real signatures, not the all-zero collapse
+    assert len(set(sigs)) > 1
+
+
+def test_rp_signature_dim_mismatch_raises_not_collapses(spark):
+    df = _vec_df(spark, 5, 16)
+    out = df.select(rp_signature(F.col("embedding"), 8, dim=64).alias("sig"))
+    with pytest.raises(Exception, match="rp_signature"):
+        out.collect()
+
+
+def test_rp_lsh_topk_threads_dim(spark):
+    corpus = _vec_df(spark, 30, 16)
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = rp_lsh_topk(corpus, queries, k=3, dim=16).collect()
+    assert len(res) > 0
+    assert all(r.rank <= 3 for r in res)
+    # mismatched dim surfaces as an error, not an O(n^2) single bucket
+    with pytest.raises(Exception, match="rp_signature"):
+        rp_lsh_topk(corpus, queries, k=3, dim=64).collect()
+
+
+def test_cosine_topk_guard_trips_above_bound(spark):
+    corpus = _vec_df(spark, 20, 8)
+    queries = corpus.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        cosine_topk(corpus, queries, k=2, max_queries=10)
+
+
+def test_cosine_topk_guard_allows_bounded_and_disabled(spark):
+    corpus = _vec_df(spark, 20, 8)
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bounded = cosine_topk(corpus, queries, k=2, max_queries=10).collect()
+    disabled = cosine_topk(corpus, queries, k=2, max_queries=None).collect()
+    assert sorted(map(tuple, bounded)) == sorted(map(tuple, disabled))
+    assert {r.query_id for r in bounded} == {0, 1, 2, 3}
