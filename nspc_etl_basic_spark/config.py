@@ -33,7 +33,8 @@ DEFAULT_CONFIG: dict[str, Any] = {
         # 'drop_recreate' | 'append' | 'upsert' | 'fail'
         "table_mode": "drop_recreate",
         "batch_size": 1000,
-        "max_retries": 3,
+        # reference main() default (loader.py:1579); raise via config/CLI
+        "max_retries": 1,
         "max-row-errors": 100,
         # 'strict' (all-or-nothing per file) | 'tolerant' (threshold)
         "transaction_mode": "strict",

@@ -138,8 +138,10 @@ def lsh_candidate_pairs(
     and its self-join is O(bucket²) in ONE task — the classic hot-key bomb
     AQE cannot split (it's a single key, not an imbalanced partition).
     Buckets larger than the cap are dropped before the join (a window
-    count over the band key — one extra shuffle-free pass on the already
-    bucketed layout). Dropping is the industry-standard trade: members of
+    count over the band key — the window introduces an exchange on
+    (band_id, band_key), but that is the same partitioning the self-join
+    needs, so Catalyst can reuse it; it is one extra pass over the
+    bucketed layout, not free). Dropping is the industry-standard trade: members of
     a mega-bucket almost always still collide in another, smaller band,
     and a cluster that huge is better handled by exact dedup on the full
     hash. ``None`` (default) keeps exact all-pairs semantics.

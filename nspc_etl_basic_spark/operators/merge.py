@@ -86,14 +86,18 @@ def merge_counts(target: DataFrame, source: DataFrame, pk_cols: list[str]) -> Me
 
     Broadcasts the SOURCE keys (file-sized) and scans only the target's
     pk columns (column-pruned), so the large target is never shuffled or
-    broadcast. Assumes source is already key-deduped (E1 runs first in the
-    pipeline), so matched target keys == updated source rows."""
-    src_keys = F.broadcast(source.select(*pk_cols).distinct())
-    total = source.select(*pk_cols).distinct().count()
-    updated = (
-        target.select(*pk_cols)
-        .distinct()
-        .join(src_keys, on=pk_cols, how="left_semi")
-        .count()
-    )
+    broadcast: the target snapshot maintains PK uniqueness (merge_upsert
+    anti-join + E1 dedup), so the matched count is a broadcast-semi scan
+    with NO exchange on the target side. The source-key set is built once
+    and cached for its two tiny jobs (total + matched)."""
+    src_keys = source.select(*pk_cols).distinct().cache()
+    try:
+        total = src_keys.count()
+        updated = (
+            target.select(*pk_cols)
+            .join(F.broadcast(src_keys), on=pk_cols, how="left_semi")
+            .count()
+        )
+    finally:
+        src_keys.unpersist()
     return MergeCounts(inserted=total - updated, updated=updated)

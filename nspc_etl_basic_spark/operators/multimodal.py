@@ -30,6 +30,7 @@ import hashlib
 import math
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -184,19 +185,36 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, payloads = [], [], []
-            for _, row in pdf.iterrows():
-                n = row["meta"]["n_frames"] or 0
-                raw = bytes(row["payload"]) if row["payload"] is not None else b""
-                if n <= 0:
-                    continue
-                step = max(len(raw) // n, 1)
-                for f_idx in range(0, n, every_n):
-                    ids.append(row["media_id"])
-                    idxs.append(f_idx)
-                    payloads.append(raw[f_idx * step : (f_idx + 1) * step])
+            # vectorized explode: numpy repeat/arange build the (row, frame)
+            # index plan for the whole Arrow batch; only the final payload
+            # slicing touches Python objects (frame explosion is the hottest
+            # multimodal path — no per-row pandas iteration)
+            n_frames = (
+                pdf["meta"].map(lambda m: m["n_frames"] or 0).to_numpy(dtype=np.int64)
+            )
+            raws = [
+                bytes(p) if p is not None else b"" for p in pdf["payload"]
+            ]
+            lens = np.fromiter((len(r) for r in raws), dtype=np.int64, count=len(raws))
+            counts = np.where(n_frames > 0, -(-n_frames // every_n), 0)
+            row_idx = np.repeat(np.arange(len(pdf)), counts)
+            # frame index within each row: global arange minus each row's
+            # starting offset, scaled by the sampling stride
+            offsets = np.repeat(np.cumsum(counts) - counts, counts)
+            frame_idx = (np.arange(counts.sum()) - offsets) * every_n
+            steps = np.maximum(lens[row_idx] // np.maximum(n_frames[row_idx], 1), 1)
+            starts = frame_idx * steps
+            stops = starts + steps
+            media_ids = pdf["media_id"].to_numpy()[row_idx]
+            payloads = [
+                raws[r][a:b] for r, a, b in zip(row_idx, starts, stops)
+            ]
             yield pd.DataFrame(
-                {"media_id": ids, "frame_idx": idxs, "frame_payload": payloads}
+                {
+                    "media_id": media_ids,
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_payload": payloads,
+                }
             )
 
     return df.mapInPandas(kernel, FRAME_SCHEMA)

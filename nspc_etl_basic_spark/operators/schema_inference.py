@@ -69,6 +69,11 @@ class InferredSchema:
 
 _INT_RE = re.compile(r"[+-]?[0-9]+")
 
+#: what Spark's internal ``UTF8String.trimAll`` removes before a numeric
+#: cast: every codepoint <= U+0020 (ASCII space + control chars). NOT
+#: Unicode whitespace — ``\xa0`` etc. stay and fail the parse.
+_TRIM_ALL_CHARS = "".join(chr(c) for c in range(0x21))
+
 
 def _is_int_py(value: str) -> bool:
     """B5 under the engine's cast contract. The reference uses bare
@@ -80,8 +85,13 @@ def _is_int_py(value: str) -> bool:
     the cast EXACTLY; the divergence from ``int()`` on those exotic inputs
     is a documented deviation-to-correctness (SURVEY.md §7.2). Pinned
     value-by-value against the Spark expressions in
-    tests/test_properties.py."""
-    v = value.strip()
+    tests/test_properties.py.
+
+    Whitespace: the cast is ``F.trim`` (strips U+0020 ONLY) + ASCII regex,
+    so the predicate strips only spaces — a Unicode-aware ``.strip()``
+    would accept ``'\\t12'``/``'\\xa07'`` that the cast rejects, and strict
+    mode would then reject the entire file."""
+    v = value.strip(" ")
     if not _INT_RE.fullmatch(v):
         return False
     return -(2**63) <= int(v) < 2**63
@@ -95,8 +105,15 @@ def _is_decimal_py(value: str) -> bool:
     scale 4. (Bare ``Decimal()`` — the reference's check,
     loader.py:766-771 — would also accept ``'Infinity'``/``'NaN'``/
     ``'1_0'`` and unbounded magnitude; same deviation rationale as
-    ``_is_int_py``.)"""
-    v = value.strip()
+    ``_is_int_py``.)
+
+    Whitespace: Spark's string->decimal cast trims via ``trimAll``
+    (codepoints <= U+0020), so mirror that exactly; any RESIDUAL ends-
+    whitespace (e.g. ``\\xa0``) fails Spark's parse but would be stripped
+    by ``Decimal()``'s Unicode-aware parsing — reject it explicitly."""
+    v = value.strip(_TRIM_ALL_CHARS)
+    if v != v.strip():
+        return False
     if "_" in v:
         return False
     try:

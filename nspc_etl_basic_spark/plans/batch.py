@@ -78,7 +78,7 @@ class BatchJobManager:
             return str(uuid.uuid4()), False
 
         max_age_h = float(bcfg.get("max_resume_age_hours", 24))
-        cutoff = _dt.datetime.utcnow() - _dt.timedelta(hours=max_age_h)
+        cutoff = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None) - _dt.timedelta(hours=max_age_h)
 
         from pyspark.sql import functions as F
 
@@ -143,7 +143,7 @@ def process_directory(
     all_files = _list_files(directory)
     pending = manager.get_pending_files(all_files, batch_job_id)
     total_files = len(all_files)
-    start = _dt.datetime.utcnow()
+    start = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
     prior_processed = prior_failed = 0
     if is_resumed:
@@ -173,7 +173,8 @@ def process_directory(
         }
     )
 
-    max_retries = int(config.get("loader", {}).get("max_retries", 3))
+    # reference main() defaults to 1 retry (loader.py:1579); config raises it
+    max_retries = int(config.get("loader", {}).get("max_retries", 1))
     run_processed = run_failed = 0
     results: list[FileLoadResult] = []
 
@@ -209,7 +210,7 @@ def process_directory(
     total_processed = prior_processed + run_processed
     total_failed = prior_failed + run_failed
     final_status = "CompletedWithErrors" if total_failed > 0 else "Completed"
-    end = _dt.datetime.utcnow()
+    end = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
 
     meta.append_batch_event(
         {

@@ -88,7 +88,7 @@ def process_file(
     config = config or load_config()
     t0 = time.time()
     job_run_id = config.get("job_run_id") or str(uuid.uuid4())
-    start_ts = _dt.datetime.utcnow()
+    start_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
     loader_cfg = config["loader"]
     mode = loader_cfg.get("table_mode", "drop_recreate")
     txn = loader_cfg.get("transaction_mode", "strict")
@@ -203,7 +203,7 @@ def process_file(
             pass
         result.duration_seconds = time.time() - t0
         if config.get("job_statistics", {}).get("enabled", True):
-            end_ts = _dt.datetime.utcnow()
+            end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             meta.write_statistics(
                 {
                     "JobRunID": job_run_id,

@@ -14,6 +14,7 @@ fail the job that completed).
 
 from __future__ import annotations
 
+import html
 import logging
 from email.mime.multipart import MIMEMultipart
 from email.mime.text import MIMEText
@@ -62,9 +63,10 @@ class EmailNotificationManager:
         rows = []
 
         def row(label: str, key: str, default: str = "N/A") -> None:
-            rows.append(
-                f"<tr><td><b>{label}</b></td><td>{job_summary.get(key, default)}</td></tr>"
-            )
+            # interpolated values (error messages, paths, table names) may
+            # contain markup — escape so they can't corrupt the HTML body
+            val = html.escape(str(job_summary.get(key, default)))
+            rows.append(f"<tr><td><b>{label}</b></td><td>{val}</td></tr>")
 
         row("Status", "status")
         row("Start time", "start_time")
@@ -84,10 +86,9 @@ class EmailNotificationManager:
             row("Rows updated", "rows_updated", "0")
             row("Rows failed", "rows_failed", "0")
         if job_summary.get("error_message"):
-            rows.append(
-                f"<tr><td><b>Error</b></td><td>{job_summary['error_message']}</td></tr>"
-            )
-        title = job_summary.get("job_type", "ETL Job")
+            err = html.escape(str(job_summary["error_message"]))
+            rows.append(f"<tr><td><b>Error</b></td><td>{err}</td></tr>")
+        title = html.escape(str(job_summary.get("job_type", "ETL Job")))
         return (
             f"<html><body><h2>{title} Summary</h2>"
             f"<table border='1' cellpadding='4'>{''.join(rows)}</table>"

@@ -12,9 +12,17 @@ This is a driver-side utility that touches only a file head — the actual
 from __future__ import annotations
 
 import json
+import os
+
+#: above this size the whole-file JSON parse is skipped (driver-OOM guard
+#: for multi-GB inputs) and the extension decides; the distributed reader
+#: still validates per-record
+MAX_JSON_SNIFF_BYTES = 64 * 1024 * 1024
 
 
-def detect_file_type(file_path: str) -> str:
+def detect_file_type(
+    file_path: str, max_json_sniff_bytes: int = MAX_JSON_SNIFF_BYTES
+) -> str:
     try:
         with open(file_path, encoding="utf-8") as fh:
             head = [fh.readline() for _ in range(10)]
@@ -24,6 +32,11 @@ def detect_file_type(file_path: str) -> str:
     first = head[0].strip() if head else ""
     if first.startswith(("[", "{")):
         try:
+            if os.path.getsize(file_path) > max_json_sniff_bytes:
+                # too big to json.load on the driver: trust the shape of
+                # the first line (+ extension fallback below if it later
+                # fails the distributed read)
+                return "json"
             with open(file_path, encoding="utf-8") as fh:
                 json.load(fh)
             return "json"

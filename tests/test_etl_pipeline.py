@@ -116,6 +116,25 @@ def test_psv_and_json_formats(spark, tmp_path):
     assert _rows(spark, tmp_path, "j_json") == [(1, "alpha"), (2, "beta")]
 
 
+def test_sniffer_size_cap_skips_driver_json_parse(tmp_path):
+    """Oversized JSON-looking files must not be json.load'ed on the driver
+    (OOM hazard); the first-line shape decides instead."""
+    from nspc_etl_basic_spark.sources.sniffer import detect_file_type
+
+    big = tmp_path / "big.json"
+    big.write_text('[{"id": 1}, {"id": 2}]')
+    # under the cap: full parse path
+    assert detect_file_type(str(big)) == "json"
+    # over the cap: no whole-file parse — even a file whose TAIL is broken
+    # JSON is classified by its head shape
+    broken = tmp_path / "broken.json"
+    broken.write_text('[{"id": 1}' + " " * 64 + "oops")
+    assert detect_file_type(str(broken), max_json_sniff_bytes=10) == "json"
+    # same broken file under the default cap falls through the parse and
+    # lands on the extension fallback
+    assert detect_file_type(str(broken)) == "json"
+
+
 def test_nvarchar_bucketing(spark, tmp_path):
     long_val = "x" * 120
     r, _ = _load(spark, tmp_path, "buck.csv", f"id,s\n1,{long_val}\n")

@@ -181,6 +181,12 @@ EDGE_VALUES = [
     "-9223372036854775808", "-9223372036854775809",
     "99999999999999.9999", "99999999999999.99995", "100000000000000.0",
     "1e30", "1e-30", "--5", "++5", "5-", "1.2.3", "1,5",
+    # non-space whitespace: F.trim strips U+0020 only; the decimal cast's
+    # internal trimAll strips codepoints <= U+0020; \xa0 is stripped by
+    # neither (but IS stripped by Python str.strip/Decimal — the round-1
+    # divergence)
+    "\t12", "\n5", "12\t", " \t 7 ", "\xa07", "7\xa0", "\x0b3", "\r9",
+    "\t1.5", "1.5\n", "\xa01.5", "2.5\xa0", " \x1f8 ",
 ]
 
 
