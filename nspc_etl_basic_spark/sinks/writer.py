@@ -6,23 +6,54 @@ with ``createTableColumnTypes`` DDL parity hangs off the same interface for
 reference-compatible SQL Server targets.
 
 Mode mapping (reference ``handle_existing_table``, loader.py:895-932):
-  drop_recreate -> overwrite | append -> append | fail -> error |
-  upsert -> snapshot rewrite via operators.merge.
+  drop_recreate -> versioned snapshot commit | append -> append |
+  fail -> error | upsert -> snapshot rewrite via operators.merge.
 
-Upsert atomicity: Spark cannot overwrite a path it is reading, and the
-reference's transaction rollback must become "never expose a half-written
-snapshot" (SURVEY.md §7.2 item 1). We write the merged snapshot to a
-staging dir, then swap directories via rename — single-driver atomic enough,
-mirroring a transactional table format's commit without the dependency.
+Snapshot commit protocol (object-store safe)
+--------------------------------------------
+The reference's transaction rollback must become "never expose a
+half-written snapshot" (SURVEY.md §7.2 item 1). Directory renames are NOT
+atomic (or even available) on S3/GCS, so snapshot tables use a
+manifest-pointer commit instead:
+
+    wh/<table>/
+        _current            tiny JSON manifest: {"version": "v_..."}
+        v_<ts>_<rand>/      immutable parquet data dirs, one per commit
+
+A commit (1) writes the full new snapshot into a FRESH version dir —
+readers cannot see it, nothing references it yet; (2) flips the
+``_current`` pointer. Locally the flip is write-temp + ``os.replace``
+(atomic POSIX); on an object store it maps to a single-object PUT, which
+is atomic read-after-write on S3/GCS. A crash anywhere before the flip
+leaves an orphan version dir and a fully intact previous snapshot; a
+reader mid-plan on the previous version keeps its files because GC
+retains ``keep_versions`` committed versions (plus any version newer than
+current, so an in-flight commit is never collected).
+
+Single writer per table is assumed — the same model as the reference
+(one loader process owns a target table); concurrent READERS are the
+party the protocol protects.
+
+Append-only tables (the EtlJob* metadata sinks) keep the plain flat-dir
+layout: appends add new immutable files, which is already object-store
+safe, and last-write-wins readers tolerate in-flight files. ``read()`` /
+``exists()`` resolve the manifest when present and fall back to the plain
+path, so legacy/unversioned tables keep working.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST_NAME = "_current"
+VERSION_PREFIX = "v_"
 
 
 class TableExistsError(RuntimeError):
@@ -30,60 +61,146 @@ class TableExistsError(RuntimeError):
 
 
 class ParquetWarehouse:
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
         self.spark = spark
         self.path = path
+        #: committed versions retained after each commit (>=1). 2 keeps the
+        #: previous snapshot alive for readers that resolved it just before
+        #: a pointer flip.
+        self.keep_versions = max(1, int(keep_versions))
         os.makedirs(path, exist_ok=True)
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
 
-    def exists(self, name: str) -> bool:
-        p = self.table_path(name)
+    # ------------------------------------------------------------------
+    # manifest resolution
+    # ------------------------------------------------------------------
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), MANIFEST_NAME)
+
+    def current_version(self, name: str) -> str | None:
+        """Version dir name the manifest points at, or None (plain table)."""
+        try:
+            with open(self._manifest_path(name), encoding="utf-8") as fh:
+                v = json.load(fh).get("version")
+        except (OSError, ValueError):
+            return None
+        return v if isinstance(v, str) and v.startswith(VERSION_PREFIX) else None
+
+    def data_path(self, name: str) -> str:
+        """Directory Spark should scan: the current version for versioned
+        tables, the table dir itself for plain (append/legacy) tables."""
+        v = self.current_version(name)
+        if v:
+            return os.path.join(self.table_path(name), v)
+        return self.table_path(name)
+
+    @staticmethod
+    def _has_data(p: str) -> bool:
         return os.path.isdir(p) and any(
             f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(p)
         )
 
+    def exists(self, name: str) -> bool:
+        return self._has_data(self.data_path(name))
+
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(name))
+        return self.spark.read.parquet(self.data_path(name))
+
+    # ------------------------------------------------------------------
+    # commits
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _strip_engine_cols(df: DataFrame) -> DataFrame:
+        drop_engine_cols = [c for c in df.columns if c.startswith("__")]
+        return df.drop(*drop_engine_cols) if drop_engine_cols else df
+
+    def _commit_version(self, df: DataFrame, name: str) -> str:
+        """Write ``df`` as a fresh immutable version dir, then atomically
+        flip the ``_current`` pointer. Returns the committed version name.
+
+        ``df`` may read from the table's CURRENT files (the upsert merge
+        does): the new version dir is disjoint from them, so the write
+        materializes the plan before anything old is touched."""
+        table_dir = self.table_path(name)
+        os.makedirs(table_dir, exist_ok=True)
+        version = f"{VERSION_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
+        df.write.mode("error").parquet(os.path.join(table_dir, version))
+
+        manifest = {
+            "version": version,
+            "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+            "table": name,
+        }
+        tmp = f"{self._manifest_path(name)}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        # the commit point: single small-file replace (object store: PUT)
+        os.replace(tmp, self._manifest_path(name))
+        self._gc(name, version)
+        return version
+
+    def _gc(self, name: str, current: str) -> None:
+        """Best-effort cleanup AFTER a successful commit — never part of
+        the commit itself, safe to crash anywhere in here.
+
+        Removes: committed-or-orphaned version dirs older than the
+        ``keep_versions`` newest up to ``current`` (version names sort by
+        commit wall-clock), and legacy plain-layout data files superseded
+        by the first versioned commit. Version dirs NEWER than ``current``
+        are never touched (single-writer model makes them impossible, but
+        cheap paranoia)."""
+        table_dir = self.table_path(name)
+        versions = sorted(
+            d
+            for d in os.listdir(table_dir)
+            if d.startswith(VERSION_PREFIX)
+            and os.path.isdir(os.path.join(table_dir, d))
+        )
+        if current in versions:
+            upto = versions.index(current) + 1
+            for stale in versions[: max(0, upto - self.keep_versions)]:
+                shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+        # legacy flat files from the pre-versioned layout are unreferenced
+        # once a manifest exists
+        for f in os.listdir(table_dir):
+            if f.endswith(".parquet") or f in ("_SUCCESS",) or f.startswith("."):
+                try:
+                    os.remove(os.path.join(table_dir, f))
+                except OSError:
+                    pass
+
+    # ------------------------------------------------------------------
+    # mode dispatch
+    # ------------------------------------------------------------------
 
     def write(self, df: DataFrame, name: str, mode: str = "drop_recreate") -> None:
         """H2 dispatcher for the non-merge modes."""
-        drop_engine_cols = [c for c in df.columns if c.startswith("__")]
-        if drop_engine_cols:
-            df = df.drop(*drop_engine_cols)
+        df = self._strip_engine_cols(df)
         if mode == "drop_recreate":
-            df.write.mode("overwrite").parquet(self.table_path(name))
+            self._commit_version(df, name)
         elif mode == "append":
-            df.write.mode("append").parquet(self.table_path(name))
+            # append-only tables stay plain flat-dir (new immutable files —
+            # already object-store safe); appending to a VERSIONED table
+            # adds files to its current version dir
+            target = self.data_path(name)
+            df.write.mode("append").parquet(target)
         elif mode == "fail":
             if self.exists(name):
                 raise TableExistsError(f"table '{name}' exists and table_mode is 'fail'")
-            df.write.mode("error").parquet(self.table_path(name))
+            self._commit_version(df, name)
         else:
             raise ValueError(f"unknown table mode: {mode}")
 
     def overwrite_snapshot(self, df: DataFrame, name: str) -> None:
-        """All-or-nothing snapshot replacement for the upsert path: stage,
-        then swap. ``df`` may read from the table's current files — the
-        staging write materializes it before the old dir is touched."""
-        drop_engine_cols = [c for c in df.columns if c.startswith("__")]
-        if drop_engine_cols:
-            df = df.drop(*drop_engine_cols)
-        final = self.table_path(name)
-        staging = f"{final}.__staging__{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
-        old = f"{final}.__old__{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(final):
-            os.rename(final, old)
-        try:
-            os.rename(staging, final)
-        except OSError:
-            if os.path.isdir(old):  # restore on failed swap
-                os.rename(old, final)
-            raise
-        if os.path.isdir(old):
-            shutil.rmtree(old, ignore_errors=True)
+        """All-or-nothing snapshot replacement for the upsert path — the
+        manifest-pointer commit (see module docstring)."""
+        self._commit_version(self._strip_engine_cols(df), name)
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)

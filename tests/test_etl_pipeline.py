@@ -40,7 +40,9 @@ def _load(spark, tmp_path, name, text, **loader):
 
 
 def _rows(spark, tmp_path, table, order="id"):
-    df = spark.read.parquet(str(tmp_path / "wh" / table))
+    # resolve through the warehouse: snapshot tables live behind the
+    # _current manifest pointer, not as flat parquet in the table dir
+    df = ParquetWarehouse(spark, str(tmp_path / "wh")).read(table)
     return [tuple(r) for r in df.orderBy(order).collect()]
 
 
