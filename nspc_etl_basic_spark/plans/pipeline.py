@@ -101,7 +101,13 @@ def process_file(
         )
     meta = MetadataStore(warehouse, config)
 
-    table_name = config.get("override_table_name") or generate_table_name(file_path)
+    # reference reads loader.override_table_name (loader.py:1440-1442);
+    # accept the top-level spelling too for backward compatibility
+    table_name = (
+        loader_cfg.get("override_table_name")
+        or config.get("override_table_name")
+        or generate_table_name(file_path)
+    )
     src_dir = os.path.dirname(os.path.abspath(file_path))
     if move_files:
         _ensure_subdirs(src_dir)
