@@ -60,6 +60,9 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "batch_table_name": "EtlBatchJobStatistics",
     },
     "tables": {},
+    # per-file log artifacts (logs/process_<stem>_<jobid>.log and
+    # failed-row logs/<stem>_<jobid>.txt, reference loader.py:69-101, 1049)
+    "logging": {"enabled": True},
     "email_notifications": {"enabled": False},
     "spark": {
         "shuffle_partitions": None,  # None -> leave session default / AQE

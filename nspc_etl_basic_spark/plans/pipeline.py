@@ -67,6 +67,65 @@ def _ensure_subdirs(src_dir: str) -> None:
         os.makedirs(os.path.join(src_dir, sub), exist_ok=True)
 
 
+class _FileLogging:
+    """Per-file log artifact: ``logs/process_<stem>_<jobid>.log`` next to
+    the source (reference ``setup_file_specific_logging``, loader.py:69-101).
+    Attaches a FileHandler to the package logger for the duration of one
+    ``process_file`` call; engine log lines (this module, merge, sinks)
+    propagate into it."""
+
+    def __init__(self, src_dir: str, stem: str, job_run_id: str, enabled: bool):
+        self.enabled = enabled
+        self.path = os.path.join(src_dir, "logs", f"process_{stem}_{job_run_id}.log")
+        self._handler: logging.FileHandler | None = None
+        self._pkg = logging.getLogger("nspc_etl_basic_spark")
+        self._prior_level: int | None = None
+
+    def __enter__(self) -> "_FileLogging":
+        if not self.enabled:
+            return self
+        try:
+            handler = logging.FileHandler(self.path, encoding="utf-8")
+        except OSError:
+            return self
+        handler.setFormatter(
+            logging.Formatter("%(asctime)s - %(levelname)s - %(message)s")
+        )
+        handler.setLevel(logging.INFO)
+        if self._pkg.getEffectiveLevel() > logging.INFO:
+            self._prior_level = self._pkg.level
+            self._pkg.setLevel(logging.INFO)
+        self._pkg.addHandler(handler)
+        self._handler = handler
+        return self
+
+    def __exit__(self, *exc_info) -> None:
+        if self._handler is not None:
+            self._pkg.removeHandler(self._handler)
+            self._handler.close()
+        if self._prior_level is not None:
+            self._pkg.setLevel(self._prior_level)
+
+
+def _write_failed_rows_txt(
+    src_dir: str, stem: str, job_run_id: str, invalid_rows: list
+) -> str | None:
+    """Failed-row detail artifact ``logs/<stem>_<jobid>.txt`` (reference
+    loader.py:1049-1058): one dict per failed row. The caller passes
+    COLLECTED rows — bounded by max-row-errors on the only path that
+    writes this file, so the driver-side materialization is capped."""
+    path = os.path.join(src_dir, "logs", f"{stem}_{job_run_id}.txt")
+    try:
+        with open(path, "w", encoding="utf-8") as fh:
+            for r in invalid_rows:
+                d = {k: v for k, v in r.asDict().items() if not k.startswith("__")}
+                d["errors"] = list(r["__errors"] or [])
+                fh.write(f"{d}\n")
+        return path
+    except OSError:
+        return None
+
+
 def _move_file(path: str, dest_sub: str) -> str | None:
     try:
         src_dir = os.path.dirname(os.path.abspath(path))
@@ -111,8 +170,16 @@ def process_file(
     src_dir = os.path.dirname(os.path.abspath(file_path))
     if move_files:
         _ensure_subdirs(src_dir)
+    stem = os.path.splitext(os.path.basename(file_path))[0]
+    log_artifacts = move_files and bool(
+        config.get("logging", {}).get("enabled", True)
+    )
+    flog = _FileLogging(src_dir, stem, job_run_id, enabled=log_artifacts)
+    flog.__enter__()
 
     result = FileLoadResult(status="Failed", table_name=table_name, job_run_id=job_run_id)
+    logger.info("processing %s -> table %s (mode=%s, txn=%s, job=%s)",
+                file_path, table_name, mode, txn, job_run_id)
 
     try:
         df = read_any(spark, file_path, with_seq=True)
@@ -176,6 +243,14 @@ def process_file(
 
         if invalid_count > 0:
             meta.write_invalid_rows(invalid, job_run_id, table_name)
+            logger.info("%d invalid row(s) recorded for %s", invalid_count, table_name)
+            if log_artifacts:
+                # bounded: tolerant mode capped this at max-row-errors above
+                txt = _write_failed_rows_txt(
+                    src_dir, stem, job_run_id, invalid.collect()
+                )
+                if txt:
+                    logger.info("failed-row detail written to %s", txt)
 
         if mode == "upsert":
             deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
@@ -194,6 +269,11 @@ def process_file(
             result.rows_inserted = rows_read - invalid_count
 
         result.status = "Completed"
+        logger.info(
+            "completed %s: %d read, %d inserted, %d updated, %d failed",
+            table_name, result.rows_read, result.rows_inserted,
+            result.rows_updated, result.rows_failed,
+        )
         if move_files:
             result.moved_to = _move_file(file_path, "processed")
     except Exception as exc:  # noqa: BLE001 — per-file failure is data, not a crash
@@ -203,6 +283,7 @@ def process_file(
         if move_files and os.path.exists(file_path):
             result.moved_to = _move_file(file_path, "error")
     finally:
+        flog.__exit__()
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001

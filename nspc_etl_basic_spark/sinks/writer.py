@@ -46,6 +46,7 @@ from __future__ import annotations
 import datetime as _dt
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -206,6 +207,25 @@ class ParquetWarehouse:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 
 
+#: H1 (SQL Server spelling) -> Spark-parseable DDL. Spark validates
+#: ``createTableColumnTypes`` with its OWN SQL parser (CatalystSqlParser),
+#: so NVARCHAR/DATETIME2 must be expressed as the equivalent Spark types;
+#: the target database's dialect then renders them (e.g. VARCHAR(50) ->
+#: NVARCHAR(50) under the SQL Server dialect's string handling).
+_H1_TYPE_RE = re.compile(r"^NVARCHAR\((\d+)\)$|^NVARCHAR\(MAX\)$", re.IGNORECASE)
+
+
+def h1_to_spark_ddl(sql_type: str) -> str:
+    """Translate one inferred H1 DDL type to Spark-parser-safe DDL."""
+    t = sql_type.strip().upper()
+    m = _H1_TYPE_RE.match(t)
+    if m:
+        return f"VARCHAR({m.group(1)})" if m.group(1) else "STRING"
+    if t == "DATETIME2":
+        return "TIMESTAMP"
+    return t  # INT / DECIMAL(18,4) are already valid Spark DDL
+
+
 def jdbc_write(
     df: DataFrame,
     url: str,
@@ -218,14 +238,15 @@ def jdbc_write(
     """Optional JDBC sink with reference DDL parity: the inferred NVARCHAR
     length buckets / DATETIME2 / DECIMAL(18,4) types (H1) are forwarded via
     ``createTableColumnTypes`` so the created table matches the reference's
-    generated DDL (loader.py:868-893). ``batchsize`` mirrors
-    ``loader.batch_size`` (src/loader_config.yaml:14)."""
+    generated DDL (loader.py:868-893) — translated via :func:`h1_to_spark_ddl`
+    because Spark parses the option with its own SQL parser. ``batchsize``
+    mirrors ``loader.batch_size`` (src/loader_config.yaml:14)."""
     writer = df.write.format("jdbc").option("url", url).option("dbtable", table)
     writer = writer.option("batchsize", str(batch_size))
     if sql_types:
         writer = writer.option(
             "createTableColumnTypes",
-            ", ".join(f"{c} {t}" for c, t in sql_types.items()),
+            ", ".join(f"{c} {h1_to_spark_ddl(t)}" for c, t in sql_types.items()),
         )
     for k, v in (options or {}).items():
         writer = writer.option(k, v)

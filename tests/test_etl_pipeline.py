@@ -376,3 +376,37 @@ def test_file_lifecycle_moves(spark, tmp_path):
     r2 = process_file(spark, bad, cfg, move_files=True)
     assert r2.status == "Failed"
     assert os.path.exists(tmp_path / "error" / "bad.csv")
+
+    # per-file log artifact exists for every processed file
+    logs = os.listdir(tmp_path / "logs")
+    assert any(f == f"process_good_{r.job_run_id}.log" for f in logs)
+    assert any(f == f"process_bad_{r2.job_run_id}.log" for f in logs)
+    log_text = (tmp_path / "logs" / f"process_good_{r.job_run_id}.log").read_text()
+    assert "completed good_csv" in log_text
+
+
+def test_failed_row_txt_artifact(spark, tmp_path):
+    """Tolerant partial load writes logs/<stem>_<jobid>.txt with one dict
+    per failed row (reference loader.py:1049-1058)."""
+    cfg = _cfg(
+        tmp_path,
+        transaction_mode="tolerant",
+        **{"max-row-errors": 10},
+    )
+    # seed a typed table so the second file's bad int fails the cast
+    src = _write(tmp_path / "m.csv", "id,v\n1,10\n")
+    assert process_file(spark, src, cfg, move_files=True).status == "Completed"
+    cfg2 = _cfg(
+        tmp_path,
+        transaction_mode="tolerant",
+        table_mode="append",
+        override_table_name="m_csv",
+        **{"max-row-errors": 10},
+    )
+    src2 = _write(tmp_path / "m2.csv", "id,v\n2,20\nnot_int,30\n")
+    r = process_file(spark, src2, cfg2, move_files=True)
+    assert r.status == "Completed" and r.rows_failed == 1
+    txt = tmp_path / "logs" / f"m2_{r.job_run_id}.txt"
+    assert txt.exists()
+    content = txt.read_text()
+    assert "not_int" in content and "errors" in content
