@@ -247,14 +247,24 @@ def ivf_centroids(
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
-def _ivf_cells_sorted(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _ivf_cells_sorted(
+    vec: Column,
+    cents: list[tuple[int, list[float]]],
+    norm_col: Column | None = None,
+) -> Column:
     """Array of struct(neg_score, cent_id) sorted best-cell-first.
 
     The centroid codebook is embedded as literal arrays, so scoring every
     cell is a per-row projection (codegen'd dot products) — IVF assignment
     needs NO shuffle and NO join; lexicographic struct sort on
     (-score, cent_id) makes ties deterministic. Scores are rounded to 6
-    so the cell boundary is reproducible across engines."""
+    so the cell boundary is reproducible across engines.
+
+    Pass ``norm_col`` (the row's precomputed vector norm) whenever one is
+    available: higher-order-function folds are not subexpression-
+    eliminated, so an inline ``norm(vec)`` would be re-evaluated once PER
+    CELL — n_cells redundant array folds per row."""
+    vnorm = norm_col if norm_col is not None else norm(vec)
     scored = F.array(
         *[
             F.struct(
@@ -270,7 +280,7 @@ def _ivf_cells_sorted(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
                             lambda acc, v: acc + v,
                         )
                         / (
-                            norm(vec)
+                            vnorm
                             * F.lit(sum(w * w for w in cvec) ** 0.5)
                         ),
                         6,
@@ -305,21 +315,35 @@ def ivf_topk(
     query instead of |corpus|. Recall is tuned by n_probe/n_cells.
     """
     cents = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    # two-stage projection: materialize the norm once, then score cells
+    # against it (norm inline in the cell array would fold n_cells times)
     c = corpus.select(
         F.col(id_col),
         F.col(vec_col).alias("__cvec"),
         norm(F.col(vec_col)).alias("__cnorm"),
-        F.element_at(_ivf_cells_sorted(F.col(vec_col), cents), 1)["cent_id"].alias(
-            "__cell"
-        ),
+    ).select(
+        id_col,
+        "__cvec",
+        "__cnorm",
+        F.element_at(
+            _ivf_cells_sorted(F.col("__cvec"), cents, F.col("__cnorm")), 1
+        )["cent_id"].alias("__cell"),
     )
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("__qvec"),
         norm(F.col(vec_col)).alias("__qnorm"),
+    ).select(
+        query_id_col,
+        "__qvec",
+        "__qnorm",
         F.explode(
             F.transform(
-                F.slice(_ivf_cells_sorted(F.col(vec_col), cents), 1, n_probe),
+                F.slice(
+                    _ivf_cells_sorted(F.col("__qvec"), cents, F.col("__qnorm")),
+                    1,
+                    n_probe,
+                ),
                 lambda s: s["cent_id"],
             )
         ).alias("__cell"),
