@@ -588,6 +588,24 @@ def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs_wide(spark, sf_dir))
 
 
+def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs -> connected components ->
+    (doc_id, component_id = min id in cluster; singletons map to self).
+    The keep-one-canonical-doc step of a training-data dedup pipeline.
+    Iterative min-label propagation (operators/dedup.neardup_components);
+    the DuckDB oracle replays it as a recursive reachability CTE."""
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    docs = _docs_wide(spark, sf_dir)
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    out = neardup_components(_t(spark, sf_dir, "documents"), cand)
+    cand.unpersist()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Training-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -841,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash_q,
         "dedup_lsh_pairs": dedup_lsh_pairs_q,
         "dedup_jaccard": dedup_jaccard_q,
+        "dedup_components": dedup_components_q,
         "dedup_simhash": dedup_simhash_q,
         "text_quality": text_quality_q,
         "text_lang_id": text_lang_id_q,
@@ -1356,6 +1375,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _sql_minhash_sigs(),
         "dedup_lsh_pairs": _sql_lsh_pairs(),
+        # connected components as recursive reachability: labels start as
+        # each node's own id and flow across (undirected) candidate edges;
+        # the UNION fixpoint terminates, and min(reachable label) is the
+        # component minimum — exactly the Spark label-propagation result
+        "dedup_components": f"""
+            WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN edges e ON r.node = e.dst
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+            FROM reach GROUP BY node
+        """,
         "dedup_jaccard": f"""
             WITH sigs AS ({_sql_minhash_sigs()}),
             bands AS ({_sql_lsh_bands()}),

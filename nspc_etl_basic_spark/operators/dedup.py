@@ -299,3 +299,78 @@ def near_dedup_minhash(
     sigs.unpersist()  # cand is materialized; the signature cache is dead weight
     jac = jaccard_on_candidates(df, cand, text_col, id_col, k)
     return jac.filter(F.col("jaccard") >= threshold)
+
+
+def neardup_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS from candidate pairs: every document mapped
+    to a ``component_id`` (the minimum id in its connected component of
+    the pair graph; singletons map to themselves). This is the step a
+    training-data pipeline runs after pair generation — keep one canonical
+    doc per cluster, drop the rest.
+
+    Algorithm: iterative min-label propagation (each round every node
+    takes the min label among itself and its neighbors) — the standard
+    shuffle-based connected components, no graph library needed. Rounds
+    needed = cluster diameter; near-dup clusters are shallow (every member
+    collided with a shared band key), so convergence is typically <= 4
+    rounds. Convergence is detected by the label-sum invariant: labels
+    only ever decrease, so an unchanged sum means a fixpoint — one cheap
+    aggregate per round instead of a join-and-compare.
+
+    100 TB stance: propagation runs ONLY over nodes that appear in a pair
+    (candidate graphs are orders of magnitude smaller than the corpus);
+    the untouched corpus is unioned back as singletons at the end. Each
+    round is one equi-join + one map-side-combined groupBy keyed by the
+    8-byte id, and ``localCheckpoint`` cuts the iterative plan's lineage
+    so round N's plan does not embed rounds 1..N-1.
+    """
+    edges_fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges_fwd.unionByName(
+        edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).cache()
+
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select(F.col("node"), F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                labels["node"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nb_label"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+
+    singletons = (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels.select("node"), on="node", how="left_anti")
+        .select(F.col("node"), F.col("node").alias("label"))
+    )
+    return (
+        labels.unionByName(singletons)
+        .select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
+    )

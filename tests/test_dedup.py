@@ -77,3 +77,45 @@ def test_minhash_null_text_dropped(spark):
     sigs = minhash_signatures(docs)
     assert [r.doc_id for r in sigs.collect()] == [1]
     assert sigs.filter(F.col("mh_0").isNull()).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def test_neardup_components_known_graph(spark):
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+    from pyspark.sql import functions as F
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    # components: {0,1,2,3} as a chain (diameter 3 — needs >1 round),
+    # {5,6}, singletons 4,7,8,9
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = neardup_components(nodes, pairs)
+    got = {r.doc_id: r.component_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_neardup_components_merges_via_bridge(spark):
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # two clusters bridged by (3,4): all one component rooted at 0
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (5, 6), (3, 4), (0, 1)], "id_a long, id_b long"
+    )
+    out = neardup_components(nodes, pairs)
+    assert {r.component_id for r in out.collect()} == {0}
+
+
+def test_neardup_components_empty_pairs(spark):
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = neardup_components(nodes, pairs)
+    assert {r.doc_id: r.component_id for r in out.collect()} == {
+        0: 0, 1: 1, 2: 2, 3: 3
+    }
