@@ -1,3 +1,7 @@
+from nspc_etl_basic_spark.streaming.dedup import (
+    stream_dedup_exact,
+    stream_dedup_keys,
+)
 from nspc_etl_basic_spark.streaming.ingest import stream_directory, run_available_now
 from nspc_etl_basic_spark.streaming.windows import (
     windowed_agg,
@@ -11,4 +15,6 @@ __all__ = [
     "windowed_agg",
     "sliding_window_agg",
     "sessionize_stateful",
+    "stream_dedup_exact",
+    "stream_dedup_keys",
 ]

@@ -1,0 +1,97 @@
+"""Plan-shape contracts: the SCALE.md claims as executable assertions.
+
+These pin the physical-plan properties that make the operators safe at
+100 TB — filter pushdown reaching the parquet scan, explicit dimension
+broadcasts, projection-only operators staying shuffle-free, global top-k
+avoiding a full sort, and no accidental cartesian products. A regression
+here may not change sf0.001 results at all, which is exactly why the
+plan itself is the test subject."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _plan_simple(df) -> str:
+    # one tree line per node (formatted mode repeats each node in the
+    # details section, which breaks node counting)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_q6_pushes_all_predicates_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q6_filter_pushdown"](spark, sf_dir))
+    assert "PushedFilters:" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    # column pruning: the scan reads only what the query needs
+    read = [ln for ln in plan.splitlines() if "ReadSchema:" in ln][0]
+    assert read.count(":") <= 6  # 4 columns + the label's colon(s)
+    assert "l_comment" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for qid in ("q5_revenue_by_nation", "q9_brand_year_revenue", "q14_promo_share"):
+        plan = _plan(QUERIES[qid](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{qid}: no broadcast join in plan"
+
+
+def test_projection_only_operators_have_no_exchange(spark, sf_dir):
+    """The 'zero shuffle' design claims: MinHash signatures, text features,
+    language id, fingerprints, and multimodal metadata are pure
+    projections — any Exchange in their plans is a scale regression."""
+    for qid in (
+        "dedup_minhash",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
+        "multimodal_binary_meta",
+    ):
+        plan = _plan(QUERIES[qid](spark, sf_dir))
+        # _docs_wide's explicit repartition is the one permitted exchange
+        # (single-file input spreading, a no-op decision at scale)
+        n_exchanges = plan.count("Exchange ")
+        allowed = 1 if qid == "dedup_minhash" else 0
+        assert n_exchanges <= allowed, f"{qid}: {n_exchanges} exchanges in plan"
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_accidental_cartesian_products(spark, sf_dir):
+    """sim_topk is the documented exact tier (bounded crossJoin by
+    design); every OTHER query must be free of cartesian/nested-loop
+    join strategies."""
+    for qid, fn in QUERIES.items():
+        if qid == "sim_topk":
+            continue
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{qid}: cartesian product"
+
+
+def test_ivf_assignment_is_projection_no_join(spark, sf_dir):
+    """IVF cell assignment must stay a shuffle-free projection (codebook
+    as literals): exactly one join in the whole plan — the cell-id
+    equi-join between queries and corpus."""
+    plan = _plan_simple(QUERIES["sim_ann_ivf"](spark, sf_dir))
+    joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert joins == 1, f"expected exactly 1 join (cell equi-join), got {joins}"

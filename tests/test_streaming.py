@@ -199,3 +199,86 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
         (7, datetime.datetime(2024, 1, 1, 1, 0), 1),
         (7, datetime.datetime(2024, 1, 1, 5, 0), 1),
     ]
+
+
+def test_stream_dedup_exact_first_wins(spark, tmp_path):
+    """Streaming exact dedup: only the first occurrence of each distinct
+    content survives; state keys are content hashes, bounded by the
+    watermark horizon."""
+    from nspc_etl_basic_spark.streaming import stream_dedup_exact
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0), "hello world"),
+        (2, datetime.datetime(2024, 1, 1, 0, 1), "hello world"),  # dup of 1
+        (3, datetime.datetime(2024, 1, 1, 0, 2), "fresh text"),
+        (4, datetime.datetime(2024, 1, 1, 0, 3), "fresh text"),  # dup of 3
+        (5, datetime.datetime(2024, 1, 1, 0, 4), "unique"),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "docs"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    deduped = stream_dedup_exact(stream, watermark="1 hour")
+    sink = str(tmp_path / "out")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(sink).collect()
+    assert sorted(r.doc_id for r in out) == [1, 3, 5]
+    assert sorted(r.text for r in out) == ["fresh text", "hello world", "unique"]
+
+
+def test_stream_dedup_keys_across_restart(spark, tmp_path):
+    """Key-dedup state persists in the checkpoint: a key seen in run 1 is
+    still suppressed in run 2 (within the watermark horizon)."""
+    from nspc_etl_basic_spark.streaming import stream_dedup_keys
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "keys"
+    src.mkdir()
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream_dedup_keys(stream, ["id"], watermark="1 day")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1, 0, 0)), (2, datetime.datetime(2024, 1, 1, 0, 1))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    spark.createDataFrame(
+        [(2, datetime.datetime(2024, 1, 1, 0, 5)), (3, datetime.datetime(2024, 1, 1, 0, 6))],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run()
+    out = spark.read.parquet(sink)
+    assert sorted(r.id for r in out.collect()) == [1, 2, 3]
