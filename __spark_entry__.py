@@ -154,6 +154,180 @@ def q_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: of ECONOMY-part revenue sold to
+    AMERICA-region customers, the share supplied from ASIA, per order
+    year. Two region-dimension legs (customer side filters, supplier side
+    classifies), all dims broadcast, one conditional-aggregate ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    nation_c = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+        )
+    )
+    nation_s = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_regionkey").alias("sr_key")
+        )
+    )
+    region_c = F.broadcast(
+        _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    region_s = F.broadcast(
+        _t(spark, sf_dir, "region").select(
+            F.col("r_regionkey").alias("sr_region"), F.col("r_name").alias("sr_name")
+        )
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation_c, customer.c_nationkey == F.col("cn_key"))
+        .join(region_c, F.col("cr_key") == F.col("r_regionkey"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation_s, supplier.s_nationkey == F.col("sn_key"))
+        .join(region_s, F.col("sr_key") == F.col("sr_region"))
+    )
+    asia_vol = F.when(F.col("sr_name") == "ASIA", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(asia_vol.cast("decimal(18,4)")).cast("double")
+                / F.sum(vol.cast("decimal(18,4)")).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q13_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: customers LEFT JOIN their non-failed orders,
+    per-customer order count, then the count histogram. Exercises outer
+    join null semantics + double aggregation."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "F")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were not taken, for
+    one brand. The correlated scalar subquery becomes a per-part
+    aggregate joined back — two passes over the brand's lineitems, both
+    pruned by a broadcast semi-join on the brand's part keys."""
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li_b = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    per_part = li_b.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li_b.join(F.broadcast(per_part), li_b.l_partkey == F.col("pp_key"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q19_disjunctive_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under an OR of brand/size/quantity
+    conjunctions — the disjunctive-predicate planning case (each disjunct
+    pairs part and lineitem conditions; the join must not degrade to a
+    cartesian product)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(_t(spark, sf_dir, "part"))
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style (adapted to this schema's columns): suppliers whose
+    returned item (l_returnflag='R') on a failed order (o_orderstatus='F')
+    was the ONLY return among multiple suppliers on that order — a
+    semi-join (another supplier shipped) plus an anti-join (no other
+    supplier's item was returned), both with compound equi+inequality
+    conditions."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    ).distinct()
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    ).distinct()
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2_key"))
+            & (F.col("l_suppkey") != F.col("s2_key")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3_key"))
+            & (F.col("l_suppkey") != F.col("s3_key")),
+            "left_anti",
+        )
+    )
+    return (
+        waited.join(supplier, F.col("l_suppkey") == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 def q6_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style forecast revenue: pure scan + selective filters + one
     agg. The showcase for predicate pushdown / column pruning — the parquet
@@ -834,6 +1008,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_revenue_by_nation": q5_revenue_by_nation,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q6_filter_pushdown": q6_filter_pushdown,
+        "q8_market_share": q8_market_share,
+        "q13_order_count_histogram": q13_order_count_histogram,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "q14_promo_share": q14_promo_share,
         "q9_brand_year_revenue": q9_brand_year_revenue,
         "q4_order_priority": q4_order_priority,
@@ -1075,6 +1254,84 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN sr.r_name = 'ASIA'
+                              THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                              ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+                     6) AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region cr ON cn.n_regionkey = cr.r_regionkey AND cr.r_name = 'AMERICA'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+            GROUP BY year(o_orderdate)
+        """,
+        "q13_order_count_histogram": """
+            SELECT c_count, count(*) AS custdist
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+                GROUP BY c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "q17_small_quantity_revenue": """
+            WITH li_b AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+            ),
+            per_part AS (
+                SELECT l_partkey AS pp_key,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                           / count(*) AS avg_qty
+                FROM li_b GROUP BY l_partkey
+            )
+            SELECT round(
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly
+            FROM li_b JOIN per_part ON l_partkey = pp_key
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "q19_disjunctive_pushdown": f"""
+            SELECT {_osum('l_extendedprice * (1 - l_discount)')} AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q21_waiting_suppliers": """
+            SELECT s_name, count(*) AS numwait
+            FROM (
+                SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+                FROM lineitem l1
+                JOIN orders ON l1.l_orderkey = o_orderkey
+                WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+                  AND EXISTS (
+                      SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+                  AND NOT EXISTS (
+                      SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+            )
+            JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_name
         """,
         "q14_promo_share": f"""
             SELECT {_osum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
