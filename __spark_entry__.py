@@ -973,6 +973,40 @@ def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite C4-style corpus filter (length band + token floor +
+    punctuation cap + stopword floor + language gate) as ONE projection +
+    filter — the pipeline step that decides which documents survive into
+    a training corpus."""
+    from nspc_etl_basic_spark.operators.text import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_chars=100, max_chars=20000, min_tokens=20,
+        max_punct_ratio=0.1, min_stopword_ratio=0.02, lang="en",
+    )
+
+
+def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour/1-hour event-time windows per event_type — batch
+    twin of streaming.sliding_window_agg (each event lands in exactly two
+    windows on the hour grid)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
     the batch twin of applyInPandasWithState sessionization."""
@@ -1051,7 +1085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_image_features": multimodal_image_features_q,
         "multimodal_frame_sample": multimodal_frame_sample_q,
+        "text_quality_filter": text_quality_filter_q,
         "events_windowed": events_windowed,
+        "events_sliding": events_sliding_q,
         "events_sessionize": events_sessionize,
     }
 
@@ -1779,6 +1815,39 @@ def oracle_sql() -> dict[str, str]:
                    {_osum('value')} AS sum_value,
                    {_oavg('value')} AS avg_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # sliding 2h/1h windows on the hour grid: each event lands in
+        # exactly two windows (its own hour and the previous one)
+        "events_sliding": f"""
+            SELECT window_start, event_type,
+                   count(*) AS n_events,
+                   {_osum('value')} AS sum_value
+            FROM (
+                SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                               date_trunc('hour', ts)]) AS window_start,
+                       event_type, value
+                FROM events
+            )
+            GROUP BY window_start, event_type
+        """,
+        "text_quality_filter": f"""
+            WITH feats AS (
+                SELECT doc_id,
+                       CAST(length(text) AS INTEGER) AS n_chars,
+                       CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER) AS n_tokens,
+                       round(CAST(len(regexp_extract_all(text, '[\\.,;:!\\?]')) AS DOUBLE)
+                             / greatest(length(text), 1), 6) AS punct_ratio,
+                       round(CAST(len(list_filter({quality_words}, x -> x IN ({stopwords}))) AS DOUBLE)
+                             / greatest(len({quality_words}), 1), 6) AS stopword_ratio
+                FROM documents
+            ),
+            lang AS ({_sql_lang_id()})
+            SELECT f.doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+                   pred_lang
+            FROM feats f JOIN lang l ON f.doc_id = l.doc_id
+            WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20
+              AND punct_ratio <= 0.1 AND stopword_ratio >= 0.02
+              AND pred_lang = 'en'
         """,
         "events_sessionize": """
             WITH seq AS (

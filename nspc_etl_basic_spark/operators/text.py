@@ -113,3 +113,72 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         md5.alias("fp_md5"),
         F.conv(F.substring(md5, 1, 15), 16, 10).cast("long").alias("fp60"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.1,
+    min_stopword_ratio: float = 0.05,
+    lang: str = "en",
+) -> DataFrame:
+    """Composite pretraining-corpus filter: keep documents that pass the
+    standard C4-style gates — length band, minimum token count, bounded
+    punctuation ratio, minimum stopword ratio, and predicted language.
+
+    Everything is computed in ONE narrow projection over the scan (no
+    join between the feature and language stages — at 100 TB a self-join
+    of two projections of the same table would shuffle the corpus twice
+    for nothing), then a single filter Catalyst can push partially into
+    the scan. Returns the surviving documents with their gate features.
+    """
+    t = F.col(text_col)
+    words = word_tokens(t)
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    punct_ratio = F.round(
+        F.regexp_count(t, F.lit(r"[\.,;:!\?]")).cast("double")
+        / F.greatest(n_chars, F.lit(1)),
+        6,
+    )
+    stop_ratio = F.round(
+        F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))).cast("double")
+        / F.greatest(F.size(words), F.lit(1)),
+        6,
+    )
+
+    def marker_score(markers: list[str]) -> Column:
+        # closure, not a defaulted lambda — pyspark HOF lambdas must be
+        # unary (a second parameter would bind the element index)
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    langs = sorted(LANG_MARKERS)
+    scores = {lg: marker_score(LANG_MARKERS[lg]) for lg in langs}
+    best = F.greatest(*[scores[lg] for lg in langs])
+    pred = None
+    for lg in langs:
+        pred = (
+            F.when(scores[lg] == best, F.lit(lg))
+            if pred is None
+            else pred.when(scores[lg] == best, F.lit(lg))
+        )
+
+    out = df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        pred.alias("pred_lang"),
+    )
+    return out.filter(
+        F.col("n_chars").between(min_chars, max_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+        & (F.col("pred_lang") == lang)
+    )

@@ -57,6 +57,10 @@ def test_projection_only_operators_have_no_exchange(spark, sf_dir):
     """The 'zero shuffle' design claims: MinHash signatures, text features,
     language id, fingerprints, and multimodal metadata are pure
     projections — any Exchange in their plans is a scale regression."""
+    # other tests may leave .cache()d frames in the shared session; a plan
+    # that reads through InMemoryRelation embeds the cached subtree's
+    # exchanges in explain output — assert on clean-cache plans
+    spark.catalog.clearCache()
     for qid in (
         "dedup_minhash",
         "text_quality",
