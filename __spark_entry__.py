@@ -1007,6 +1007,31 @@ def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attached to the user's most recent
+    prior-or-simultaneous view (operators/asof.py — union-window form,
+    one shuffle on user_id; DuckDB oracle uses native ASOF LEFT JOIN).
+    The right side is deduped to one row per (user_id, ts) (max event_id)
+    so ties are deterministic on both engines."""
+    from nspc_etl_basic_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        right_cols=["value"], suffix="_view",
+    )
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
     the batch twin of applyInPandasWithState sessionization."""
@@ -1088,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_quality_filter_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
+        "events_asof": events_asof_q,
         "events_sessionize": events_sessionize,
     }
 
@@ -1848,6 +1874,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20
               AND punct_ratio <= 0.1 AND stopword_ratio >= 0.02
               AND pred_lang = 'en'
+        """,
+        "events_asof": """
+            WITH v AS (
+                SELECT user_id, ts, value
+                FROM events
+                WHERE event_type = 'view'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   v.ts AS ts_view, v.value AS value_view
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
         """,
         "events_sessionize": """
             WITH seq AS (

@@ -1,0 +1,100 @@
+"""As-of join (operators/asof.py): most-recent-prior match semantics,
+exact-time inclusion, no-match NULLs, NULL right payloads, and per-key
+isolation — checked against hand-computed expectations and pandas-style
+merge_asof behavior."""
+
+from __future__ import annotations
+
+import datetime
+
+from nspc_etl_basic_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_basic_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(5)), (2, 100, _ts(10)), (3, 200, _ts(7)), (4, 300, _ts(1))],
+        "id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, _ts(3), 30.0),
+            (100, _ts(8), 80.0),
+            (100, _ts(11), 110.0),  # after every left row — never matched
+            (200, _ts(7), 70.0),    # exact time — matched (inclusive)
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r.id: (r.ts_r, r.value_r)
+        for r in asof_join(left, right, on="ts", by=["user_id"]).collect()
+    }
+    assert out[1] == (_ts(3), 30.0)   # latest right <= 0:05 is 0:03
+    assert out[2] == (_ts(8), 80.0)   # 0:08 beats 0:03
+    assert out[3] == (_ts(7), 70.0)   # exact-time match included
+    assert out[4] == (None, None)     # user 300 has no right rows
+
+
+def test_asof_null_payload_still_matches(spark):
+    """A right row whose VALUE is NULL is still a match (struct carry —
+    last(ignorenulls) must skip rows, not null fields)."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(5))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(2), None)], "user_id long, ts timestamp, value double"
+    )
+    row = asof_join(left, right, on="ts", by=["user_id"]).collect()[0]
+    assert row.ts_r == _ts(2) and row.value_r is None
+
+
+def test_asof_keys_are_isolated(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(9)), (2, 2, _ts(9))], "id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(1), 10.0)], "user_id long, ts timestamp, value double"
+    )
+    out = {r.id: r.value_r for r in asof_join(left, right, by=["user_id"]).collect()}
+    assert out == {1: 10.0, 2: None}
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Random-ish cross-check against pandas merge_asof (the public
+    semantic contract this operator mirrors)."""
+    import pandas as pd
+
+    lrows = [(i, i % 3, _ts((i * 7) % 50 + 1)) for i in range(40)]
+    rrows = [(i % 3, _ts((i * 11) % 50 + 1), float(i)) for i in range(30)]
+    # dedup right per (key, ts): keep max value (mirrors the query's rule)
+    rdf = (
+        pd.DataFrame(rrows, columns=["user_id", "ts", "value"])
+        .sort_values(["user_id", "ts", "value"])
+        .groupby(["user_id", "ts"], as_index=False)
+        .last()
+    )
+    ldf = pd.DataFrame(lrows, columns=["id", "user_id", "ts"]).sort_values("ts")
+    expected = pd.merge_asof(
+        ldf, rdf.sort_values("ts"), on="ts", by="user_id"
+    ).set_index("id")["value"].to_dict()
+
+    left = spark.createDataFrame(lrows, "id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [
+            (int(u), t.to_pydatetime(), float(v))
+            for u, t, v in rdf[["user_id", "ts", "value"]].itertuples(
+                index=False, name=None
+            )
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r.id: r.value_r for r in asof_join(left, right, by=["user_id"]).collect()
+    }
+    for i in expected:
+        e = expected[i]
+        g = got[i]
+        assert (pd.isna(e) and g is None) or e == g, (i, e, g)
