@@ -1032,6 +1032,30 @@ def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/interval.py): each click matched to
+    the same user's error windows [error_ts, error_ts + 2 h]. The
+    naive BETWEEN join would plan a nested loop; this is an equi-join on
+    (user_id, time bucket) + containment filter. Oracle: DuckDB's
+    IEJoin-backed inequality join."""
+    from nspc_etl_basic_spark.operators.interval import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = interval_join(
+        clicks, errors, ts_col="ts", by=["user_id"], bucket_seconds=3600
+    )
+    return out.select("click_id", "error_id", "user_id")
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
     the batch twin of applyInPandasWithState sessionization."""
@@ -1114,6 +1138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_asof": events_asof_q,
+        "events_range_join": events_range_join_q,
         "events_sessionize": events_sessionize,
     }
 
@@ -1889,6 +1914,17 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
             ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        "events_range_join": """
+            SELECT c.event_id AS click_id, e.event_id AS error_id,
+                   c.user_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'error') e
+              ON c.user_id = e.user_id
+             AND c.ts >= e.ts
+             AND c.ts <= e.ts + INTERVAL 2 HOUR
         """,
         "events_sessionize": """
             WITH seq AS (
