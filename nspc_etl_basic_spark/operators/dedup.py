@@ -314,13 +314,16 @@ def neardup_components(
     doc per cluster, drop the rest.
 
     Algorithm: iterative min-label propagation (each round every node
-    takes the min label among itself and its neighbors) — the standard
-    shuffle-based connected components, no graph library needed. Rounds
-    needed = cluster diameter; near-dup clusters are shallow (every member
-    collided with a shared band key), so convergence is typically <= 4
-    rounds. Convergence is detected by the label-sum invariant: labels
-    only ever decrease, so an unchanged sum means a fixpoint — one cheap
-    aggregate per round instead of a join-and-compare.
+    takes the min label among itself and its neighbors) plus POINTER
+    JUMPING (then takes its label's label) — the jump composes paths, so
+    label depth halves each round and convergence is O(log diameter)
+    rounds instead of O(diameter); each round costs one extra self-join
+    of the (small) label table. Convergence is detected by the label-sum
+    invariant: labels only ever decrease, so an unchanged sum means a
+    fixpoint — one cheap aggregate per round instead of a
+    join-and-compare. (Jumping never crosses components: a label is
+    always the id of a node in the same component, so composing labels
+    stays within it.)
 
     100 TB stance: propagation runs ONLY over nodes that appear in a pair
     (candidate graphs are orders of magnitude smaller than the corpus);
@@ -348,13 +351,24 @@ def neardup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nb_label"))
         )
+        stepped = labels.join(
+            neighbor_min, labels["node"] == neighbor_min["src"], "left"
+        ).select(
+            labels["node"],
+            F.least(
+                labels["label"], F.coalesce(F.col("nb_label"), labels["label"])
+            ).alias("label"),
+        )
+        # pointer jump: label <- label(label); labels are node ids of the
+        # same component, so the self-join always resolves in-component
+        jump_to = stepped.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
         new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            stepped.join(jump_to, stepped["label"] == F.col("__jn"), "left")
             .select(
-                labels["node"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nb_label"), labels["label"])
-                ).alias("label"),
+                stepped["node"],
+                F.coalesce(F.col("__jl"), stepped["label"]).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
