@@ -843,6 +843,25 @@ def dedup_embedding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-500 (tokenizer/vocab construction): explode
+    tokens -> map-side-combined count -> TakeOrderedAndProject top-k with
+    deterministic cutoff ties."""
+    from nspc_etl_basic_spark.operators.text import vocab_topk
+
+    return vocab_topk(_docs_wide(spark, sf_dir), k=500)
+
+
+def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with per-vector scale and
+    reconstruction MAE (operators/similarity.quantize_embeddings) — 4x
+    storage for a 100 TB float32 embedding table; floor(x+0.5) rounding
+    keeps it oracle-exact."""
+    from nspc_etl_basic_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
 def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over an opaque binary column: byte length,
     content fingerprint, and a hex prefix — computed on a real BinaryType
@@ -1127,6 +1146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": text_lang_id_q,
         "text_fingerprint": text_fingerprint_q,
         "text_token_stats": text_token_stats_q,
+        "text_vocab_topk": text_vocab_topk_q,
+        "emb_quantize": emb_quantize_q,
         "sim_topk": sim_topk_q,
         "sim_ann_lsh": sim_ann_lsh_q,
         "sim_ann_ivf": sim_ann_ivf_q,
@@ -1790,6 +1811,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(regexp_extract_all(text, '\\S+'))), 6) AS avg_tokens
             FROM documents GROUP BY source
+        """,
+        "text_vocab_topk": f"""
+            SELECT token, count(*) AS n
+            FROM (
+                SELECT unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            )
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 500
+        """,
+        # floor(x/scale + 0.5) mirrors the Spark kernel exactly (round()
+        # semantics at .5 differ across engines; floor does not)
+        "emb_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                           / 127.0 AS sc
+                FROM embeddings
+            )
+            SELECT vec_id,
+                   round(sc, 6) AS q_scale,
+                   list_transform(v, x -> CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+                       ELSE CAST(greatest(least(floor(x / sc + 0.5), 127), -127) AS BIGINT)
+                       END) AS q_vec,
+                   round(list_sum(list_transform(v, x ->
+                       CASE WHEN sc = 0 THEN abs(x)
+                       ELSE abs(x - greatest(least(floor(x / sc + 0.5), 127), -127) * sc)
+                       END)) / len(v), 6) AS mae
+            FROM s
         """,
         "sim_topk": f"""
             WITH q AS (

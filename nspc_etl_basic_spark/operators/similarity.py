@@ -420,3 +420,54 @@ def rp_lsh_topk(
         .filter(F.col("__rk") <= k)
         .select(query_id_col, id_col, "cos_sim", F.col("__rk").alias("rank"))
     )
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    scale = max|v| / 127, q_i = clamp(floor(v_i/scale + 0.5), ±127) —
+    4x storage reduction for a 100 TB float32 embedding table, with the
+    per-vector scale kept for dequantization/scoring.
+
+    ``floor(x + 0.5)`` instead of ``round``: round() semantics at .5
+    differ across engines (banker's vs half-away), floor is identical
+    everywhere, so the operator stays oracle-checkable bit-for-bit.
+    Emits reconstruction MAE per vector as the quality signal. Pure
+    column algebra — a projection that fuses with the scan, no shuffle.
+    """
+    vec = F.col(vec_col)
+    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+
+    def q_of(x):
+        return F.greatest(
+            F.least(F.floor(x.cast("double") / scale + F.lit(0.5)), F.lit(127)),
+            F.lit(-127),
+        )
+
+    q_vec = F.transform(
+        vec,
+        lambda x: F.when(scale == 0, F.lit(0)).otherwise(q_of(x)).cast("long"),
+    )
+    mae = F.round(
+        F.aggregate(
+            F.transform(
+                vec,
+                lambda x: F.when(scale == 0, F.abs(x.cast("double"))).otherwise(
+                    F.abs(x.cast("double") - q_of(x) * scale)
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.size(vec),
+        6,
+    )
+    return corpus.select(
+        F.col(id_col),
+        F.round(scale, 6).alias("q_scale"),
+        q_vec.alias("q_vec"),
+        mae.alias("mae"),
+    )

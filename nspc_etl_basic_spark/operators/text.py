@@ -182,3 +182,28 @@ def quality_filter(
         & (F.col("stopword_ratio") >= min_stopword_ratio)
         & (F.col("pred_lang") == lang)
     )
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent word tokens with counts —
+    the first step of tokenizer/vocab construction over a training
+    corpus. Ties at the cutoff break by token ascending (deterministic,
+    SQL-expressible).
+
+    Scale: one explode + one map-side-combined groupBy keyed by token
+    (partial aggregation collapses each partition's repeats before the
+    shuffle), then global top-k via orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heaps), never a full sort.
+    """
+    counts = (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
