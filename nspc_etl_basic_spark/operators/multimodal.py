@@ -226,18 +226,27 @@ def audio_features(df: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def duration(row):
-                sr = row["meta"]["sample_rate"] or 0
-                if not sr:
-                    return 0.0
-                n_samples = len(bytes(row["payload"])) / 2  # PCM16
-                return round(n_samples / sr, 6)
-
+            # vectorized per batch (no pandas row iteration): duration =
+            # payload_len/2 samples (PCM16) over the sample rate
+            srs = (
+                pdf["meta"]
+                .map(lambda m: m["sample_rate"] or 0)
+                .to_numpy(dtype=np.int64)
+            )
+            lens = np.fromiter(
+                (len(bytes(p)) for p in pdf["payload"]),
+                dtype=np.int64,
+                count=len(pdf),
+            )
+            raw = np.where(srs > 0, (lens / 2) / np.maximum(srs, 1), 0.0)
+            # final rounding via Python round(): numpy's scaled
+            # round-half-even diverges on exact halves (e.g. 32.5/8000)
+            duration = [round(float(x), 6) for x in raw]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
-                    "duration_s": pdf.apply(duration, axis=1),
+                    "duration_s": duration,
                     "rms": pdf["payload"].map(
                         lambda p: round(_fake_rms(bytes(p)), 6)
                     ),
