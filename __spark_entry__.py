@@ -328,6 +328,114 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape correlated-min subquery (adapted: no partsupp
+    table — lineitem unit price plays supplycost): for each STANDARD
+    part, the supplier(s) whose shipment achieved the part's minimum
+    unit price. The correlated ``MIN`` per part is rewritten as a
+    per-part aggregate broadcast-joined back onto the candidate rows —
+    the standard decorrelation Catalyst cannot always do for you."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    )
+    supplier = F.broadcast(_t(spark, sf_dir, "supplier"))
+    cand = li.join(part, li.l_partkey == part.p_partkey).withColumn(
+        "unit_price", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
+    )
+    min_per_part = cand.groupBy(F.col("l_partkey").alias("mp_key")).agg(
+        F.min("unit_price").alias("min_unit_price")
+    )
+    return (
+        cand.join(
+            F.broadcast(min_per_part),
+            (cand.l_partkey == F.col("mp_key"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .join(supplier, cand.l_suppkey == supplier.s_suppkey)
+        .select("p_partkey", "p_brand", "s_name", "unit_price")
+        .distinct()
+    )
+
+
+def q11_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape: per-supplier revenue HAVING greater than a
+    fraction of the GLOBAL total. The global scalar subquery is a 1-row
+    aggregate broadcast cross-joined onto the per-supplier rollup — two
+    aggregations over one scan each, never a window over an
+    unpartitioned frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_supp = li.groupBy("l_suppkey").agg(_dsum(rev).alias("supp_value"))
+    total = li.agg(
+        (F.sum(rev.cast("decimal(18,4)")).cast("double") * 0.0001).alias(
+            "threshold"
+        )
+    )
+    return (
+        per_supp.join(F.broadcast(total))
+        .filter(F.col("supp_value") > F.col("threshold"))
+        .select("l_suppkey", "supp_value")
+    )
+
+
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct-supplier count per (brand, size) over
+    shipped parts, excluding one brand/type and excluding deny-listed
+    suppliers (negative balance) — the NOT IN becomes a broadcast
+    LEFT ANTI join. count(DISTINCT) shuffles (brand, size, suppkey)
+    triples (distinct-aggregate expand), never raw lineitems twice."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part").filter(
+            (F.col("p_brand") != "Brand#45") & (F.col("p_type") != "PROMO")
+        )
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape nested semi-joins: suppliers who shipped a
+    'red'-named part in quantity exceeding 12% of that part's
+    total shipped quantity (the data's supplier fan-out makes the
+    classic 50% bar empty; the plan shape is identical). Corpus pruned by a broadcast join on the red part
+    keys FIRST, then two aggregations over the pruned slice, then the
+    qualifying supplier set semi-joins the supplier dimension — the
+    fact table is scanned once, the EXISTS chain never re-touches it."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li_red = li.join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+    per_ps = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty")
+    )
+    per_p = li_red.groupBy(F.col("l_partkey").alias("tp_key")).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty")
+    )
+    qual = (
+        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("tp_key"))
+        .filter(
+            F.col("supp_qty").cast("double")
+            > F.col("total_qty").cast("double") * 0.12
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    return supplier.join(
+        qual, supplier.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
 def q6_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6-style forecast revenue: pure scan + selective filters + one
     agg. The showcase for predicate pushdown / column pruning — the parquet
@@ -1026,6 +1134,57 @@ def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (hypertable-style day → event_type → grand
+    total) in ONE pass via ROLLUP grouping sets — Spark's expand +
+    partial aggregation computes every level map-side; no self-union of
+    three separate aggs, no second scan."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value")).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
+def events_percentiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distribution stats per event_type: median / p95 via exact
+    linear-interpolation percentile (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the definition). Exact percentile sorts each
+    group's values — the oracle-checkable tier; at 100 TB the same query
+    swaps in ``approx_percentile`` (t-digest sketch, mergeable map-side)
+    and tolerates bounded error instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 6).alias("p95"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def events_salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe fact-dim join (operators/skew.salted_join): events.user_id
+    concentrates on few hot users; the 8-way salt spreads each hot key
+    over 8 shuffle partitions by construction. Salting is a pure
+    physical rewrite — the oracle runs the PLAIN SQL join and must match
+    exactly."""
+    from nspc_etl_basic_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(ev, cust, on=[("user_id", "c_custkey")], n_salt=8)
+    return j.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+
+
 def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase attached to the user's most recent
     prior-or-simultaneous view (operators/asof.py — union-window form,
@@ -1115,6 +1274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_suppliers": q11_important_suppliers,
+        "q16_supplier_part_count": q16_supplier_part_count,
+        "q20_promotion_suppliers": q20_promotion_suppliers,
         "q14_promo_share": q14_promo_share,
         "q9_brand_year_revenue": q9_brand_year_revenue,
         "q4_order_priority": q4_order_priority,
@@ -1158,6 +1321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": text_quality_filter_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
+        "events_rollup": events_rollup_q,
+        "events_percentiles": events_percentiles_q,
+        "events_salted_join": events_salted_join_q,
         "events_asof": events_asof_q,
         "events_range_join": events_range_join_q,
         "events_sessionize": events_sessionize,
@@ -1440,6 +1606,65 @@ def oracle_sql() -> dict[str, str]:
             )
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
+        """,
+        # correlated-min subquery, written the natural correlated way —
+        # the Spark side decorrelates it by hand (agg + join back)
+        "q2_min_cost_supplier": """
+            WITH cand AS (
+                SELECT l.l_partkey AS p_partkey, p.p_brand, l.l_suppkey,
+                       round(l.l_extendedprice / l.l_quantity, 6) AS unit_price
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+                WHERE p.p_type = 'STANDARD'
+            )
+            SELECT DISTINCT c.p_partkey, c.p_brand, s.s_name, c.unit_price
+            FROM cand c
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            WHERE c.unit_price = (
+                SELECT min(c2.unit_price) FROM cand c2
+                WHERE c2.p_partkey = c.p_partkey)
+        """,
+        "q11_important_suppliers": f"""
+            SELECT l_suppkey,
+                   {_osum('l_extendedprice * (1 - l_discount)')} AS supp_value
+            FROM lineitem
+            GROUP BY l_suppkey
+            HAVING {_osum('l_extendedprice * (1 - l_discount)')} > (
+                SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(18,4))) AS DOUBLE) * 0.0001
+                FROM lineitem)
+        """,
+        "q16_supplier_part_count": """
+            SELECT p_brand, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "q20_promotion_suppliers": """
+            WITH lr AS (
+                SELECT l.l_partkey, l.l_suppkey, l.l_quantity
+                FROM lineitem l
+                WHERE l.l_partkey IN (
+                    SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            ),
+            per_ps AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+                FROM lr GROUP BY l_partkey, l_suppkey
+            ),
+            per_p AS (
+                SELECT l_partkey AS tp_key,
+                       sum(CAST(l_quantity AS DECIMAL(18,4))) AS total_qty
+                FROM lr GROUP BY l_partkey
+            )
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT DISTINCT l_suppkey
+                FROM per_ps p JOIN per_p t ON p.l_partkey = t.tp_key
+                WHERE CAST(supp_qty AS DOUBLE) > CAST(total_qty AS DOUBLE) * 0.12)
         """,
         "q14_promo_share": f"""
             SELECT {_osum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
@@ -1950,6 +2175,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars BETWEEN 100 AND 20000 AND n_tokens >= 20
               AND punct_ratio <= 0.1 AND stopword_ratio >= 0.02
               AND pred_lang = 'en'
+        """,
+        # ROLLUP grouping sets: identical null-marker semantics in both
+        # engines; grouping_id() is the same bitmask definition
+        "events_rollup": f"""
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   count(*) AS n_events,
+                   {_osum('value')} AS sum_value,
+                   CAST(grouping_id(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+            FROM events
+            GROUP BY ROLLUP(CAST(ts AS DATE), event_type)
+        """,
+        # quantile_cont == Spark percentile: exact linear interpolation
+        "events_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        # the PLAIN join: salting must be result-invariant
+        "events_salted_join": f"""
+            SELECT c_mktsegment, event_type,
+                   count(*) AS n_events,
+                   {_osum('value')} AS sum_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY c_mktsegment, event_type
         """,
         "events_asof": """
             WITH v AS (

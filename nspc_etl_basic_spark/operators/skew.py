@@ -1,0 +1,107 @@
+"""Skew-mitigation join: salting for hot keys.
+
+At 100 TB a handful of hot join keys (a viral user, a null-heavy FK, a
+default value) concentrate a shuffle partition onto one task. AQE's
+skew-join split handles sort-merge joins after the fact; explicit salting
+handles it *by construction* and also covers the shuffled-hash path and
+aggregate skew. (No reference counterpart — the reference engine is
+single-node pandas and never shuffles; this operator exists for the
+cluster deployment.)
+
+Mechanics (classic N-way salt):
+
+  - the LARGE (skewed) side gets a per-row salt in ``[0, n_salt)`` —
+    derived deterministically from a fingerprint of the whole row, so
+    replays/retries land identically (no ``rand()``);
+  - the SMALL side is exploded ``n_salt`` times, once per salt value;
+  - the equi-join runs on ``(key, salt)`` — each hot key now spreads
+    over ``n_salt`` shuffle partitions.
+
+Cost model: the small side is duplicated ``n_salt``×, so this is for
+joins whose small side fits comfortably even replicated (dimension-ish
+tables too big to broadcast, or broadcast-disabled environments). The
+result set is IDENTICAL to the unsalted join — salting is pure physical
+rewrite, which is what makes it oracle-checkable against a plain SQL
+join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["salted_join", "salted_count_by_key"]
+
+_SALT = "__salt"
+
+
+def _row_salt(df: DataFrame, n_salt: int):
+    """Deterministic per-row salt: xxhash64 over every column. Identical
+    duplicate rows share a salt — acceptable (load spreading only needs
+    the *hot key's* rows to scatter, and a key's rows differ in their
+    payload columns)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salt))
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: list[tuple[str, str]],
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``large`` (skewed) to ``small`` with an ``n_salt``-way
+    salt on the join key.
+
+    ``on`` is a list of ``(large_col, small_col)`` key pairs. Returns the
+    same rows as the plain join (all columns from both sides, salt
+    dropped). ``how`` supports ``inner`` and ``left`` (outer semantics
+    are preserved: every large-side row keeps exactly its one salt, so a
+    left join yields one null-extended row per unmatched large row, not
+    ``n_salt``)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_large = large.withColumn(_SALT, _row_salt(large, n_salt))
+    # explode the small side once per salt value: a bounded n_salt x |small|
+    # blowup that buys per-salt key spreading on the shuffle
+    salted_small = small.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    cond = [salted_large[_SALT] == salted_small[_SALT]]
+    for lc, rc in on:
+        cond.append(salted_large[lc] == salted_small[rc])
+    joined = salted_large.join(
+        salted_small, on=cond[0] & _and_all(cond[1:]), how=how
+    )
+    return joined.drop(_SALT)
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def salted_count_by_key(
+    df: DataFrame, keys: list[str], n_salt: int = 8
+) -> DataFrame:
+    """Two-phase skew-safe count: partial count on ``(keys, salt)`` — the
+    map-side/first shuffle spreads a hot key over ``n_salt`` reducers —
+    then final sum on ``keys``. Result identical to a plain
+    ``groupBy(keys).count()``; the second shuffle moves ``n_salt`` rows
+    per key, not the raw rows.
+
+    (For sum/min/max the same shape applies; count is the demonstrator
+    Spark's own partial aggregation already covers — this operator is the
+    explicit form for aggregates partial-agg can't spread, e.g.
+    ``collect_list`` or exact distinct counting per hot key.)"""
+    partial = (
+        df.withColumn(_SALT, _row_salt(df, n_salt))
+        .groupBy(*keys, _SALT)
+        .agg(F.count(F.lit(1)).alias("_partial"))
+    )
+    return (
+        partial.groupBy(*keys)
+        .agg(F.sum("_partial").cast("long").alias("n"))
+    )
