@@ -1040,6 +1040,14 @@ def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
             F.lit(None).cast("int").alias("sample_rate"),
         )
+    elif kind == "audio":
+        meta = F.struct(
+            F.lit("audio").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            (F.length(b) % 3 * 4000 + 8000).cast("int").alias("sample_rate"),
+        )
     else:
         meta = F.struct(
             F.lit("video").alias("format"),
@@ -1065,6 +1073,31 @@ def multimodal_image_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nspc_etl_basic_spark.operators.multimodal import image_features
 
     return image_features(_docs_as_media(spark, sf_dir, "image"))
+
+
+def multimodal_audio_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction (mapInPandas, Arrow-batched): PCM16
+    duration + RMS over the stub kernel. Oracled: duration is
+    floor-truncated arithmetic, RMS accumulates exact integer sum(b^2) —
+    both bit-replayable in DuckDB over the same derived media table."""
+    from nspc_etl_basic_spark.operators.multimodal import audio_features
+
+    return audio_features(_docs_as_media(spark, sf_dir, "audio"))
+
+
+def multimodal_resize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (mapInPandas): metadata clamped to max_dim=48 with
+    aspect preserved; stub keeps the payload. Output projects the new
+    dimensions + payload length so the oracle replays the clamp math."""
+    from nspc_etl_basic_spark.operators.multimodal import resize_images
+
+    resized = resize_images(_docs_as_media(spark, sf_dir, "image"), max_dim=48)
+    return resized.select(
+        "media_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.length("payload").alias("payload_bytes"),
+    )
 
 
 def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,6 +1350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_image_features": multimodal_image_features_q,
+        "multimodal_audio_features": multimodal_audio_features_q,
+        "multimodal_resize": multimodal_resize_q,
         "multimodal_frame_sample": multimodal_frame_sample_q,
         "text_quality_filter": text_quality_filter_q,
         "events_windowed": events_windowed,
@@ -1820,6 +1855,53 @@ def oracle_sql() -> dict[str, str]:
         # of text; mean intensity = mean byte value / 255 floor-truncated to
         # 6 decimals (floor, unlike round, is identical across engines);
         # bytes are recovered by parsing the hex dump two chars at a time.
+        # duration: floor-truncated double arithmetic (same op order as the
+        # numpy kernel); rms: exact integer sum(b^2) then ONE division +
+        # sqrt — bit-identical regardless of summation order
+        "multimodal_audio_features": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(encode(text))) AS h,
+                       CAST(octet_length(encode(text)) AS INTEGER) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT media_id,
+                   CAST(n % 3 * 4000 + 8000 AS INTEGER) AS sample_rate,
+                   floor((n / 2.0) / (n % 3 * 4000 + 8000) * 1000000)
+                       / 1000000 AS duration_s,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     floor(sqrt(
+                       CAST(list_sum(list_transform(
+                         list_transform(range(1, n + 1),
+                           i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                                + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1),
+                         v -> CAST(v AS BIGINT) * v)) AS DOUBLE)
+                       / (n * 65025)) * 1000000) / 1000000
+                   END AS rms
+            FROM m
+        """,
+        # the clamp math replayed: scale = max(w,h)/48 (one division), new
+        # dim = floor(d / scale) (second division) — same op order as the
+        # Python kernel, so doubles agree bit-for-bit
+        "multimodal_resize": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(octet_length(encode(text)) AS INTEGER) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            dims AS (
+                SELECT media_id, n, n % 64 + 32 AS w, n % 48 + 16 AS h FROM m
+            )
+            SELECT media_id,
+                   CAST(CASE WHEN greatest(w, h) > 48
+                        THEN floor(w / (greatest(w, h) / 48.0)) ELSE w END
+                        AS INTEGER) AS width,
+                   CAST(CASE WHEN greatest(w, h) > 48
+                        THEN floor(h / (greatest(w, h) / 48.0)) ELSE h END
+                        AS INTEGER) AS height,
+                   CAST(n AS INTEGER) AS payload_bytes
+            FROM dims
+        """,
         "multimodal_image_features": """
             WITH m AS (
                 SELECT doc_id AS media_id,

@@ -103,10 +103,14 @@ def _fake_mean_intensity(payload: bytes) -> float:
 
 
 def _fake_rms(payload: bytes) -> float:
+    """RMS of bytes scaled to [0, 1]. Accumulates the EXACT integer
+    sum(b^2) first — integer addition is order-independent, so the single
+    float division + sqrt is bit-identical across engines (a float
+    accumulation would drift with summation order)."""
     if not payload:
         return 0.0
-    acc = sum((b / 255.0) ** 2 for b in payload)
-    return (acc / len(payload)) ** 0.5
+    acc = sum(b * b for b in payload)
+    return (acc / (len(payload) * 65025)) ** 0.5
 
 
 # ---------------------------------------------------------------------------
@@ -239,16 +243,17 @@ def audio_features(df: DataFrame) -> DataFrame:
                 count=len(pdf),
             )
             raw = np.where(srs > 0, (lens / 2) / np.maximum(srs, 1), 0.0)
-            # final rounding via Python round(): numpy's scaled
-            # round-half-even diverges on exact halves (e.g. 32.5/8000)
-            duration = [round(float(x), 6) for x in raw]
+            # floor-truncate to 6 decimals: floor has identical semantics
+            # in numpy, Python and DuckDB (round() diverges on halves),
+            # keeping the kernel oracle-checkable bit-for-bit
+            duration = np.floor(raw * 1e6) / 1e6
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
                     "duration_s": duration,
                     "rms": pdf["payload"].map(
-                        lambda p: round(_fake_rms(bytes(p)), 6)
+                        lambda p: math.floor(_fake_rms(bytes(p)) * 1e6) / 1e6
                     ),
                 }
             )

@@ -5,6 +5,7 @@ schemas, batch iteration, determinism, partition parallelism)."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pytest
 
@@ -68,5 +69,5 @@ def test_audio_features_pcm16_duration(spark):
     for i, r in enumerate(rows):
         payload_len = 64 + (i % 17)
         assert r.sample_rate == 8000
-        assert r.duration_s == round((payload_len / 2) / 8000, 6)
+        assert r.duration_s == math.floor((payload_len / 2) / 8000 * 1e6) / 1e6
         assert 0.0 <= r.rms <= 1.0
