@@ -418,11 +418,15 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ps = li_red.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty")
     )
-    per_p = li_red.groupBy(F.col("l_partkey").alias("tp_key")).agg(
-        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("total_qty")
-    )
+    # part totals as a window over the (part, supplier) rollup — decimal
+    # addition is exact, so this equals summing the raw rows while
+    # touching the fact table only ONCE (a join back would re-plan the
+    # whole aggregate subtree: DataFrame reuse is not plan reuse). The
+    # window partition is per-part supplier counts — bounded fan-out.
     qual = (
-        per_ps.join(F.broadcast(per_p), per_ps.l_partkey == F.col("tp_key"))
+        per_ps.withColumn(
+            "total_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+        )
         .filter(
             F.col("supp_qty").cast("double")
             > F.col("total_qty").cast("double") * 0.12

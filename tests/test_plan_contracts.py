@@ -99,3 +99,48 @@ def test_ivf_assignment_is_projection_no_join(spark, sf_dir):
     plan = _plan_simple(QUERIES["sim_ann_ivf"](spark, sf_dir))
     joins = sum(plan.count(j) for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
     assert joins == 1, f"expected exactly 1 join (cell equi-join), got {joins}"
+
+
+def test_rollup_is_one_pass(spark, sf_dir):
+    """ROLLUP must compute all grouping levels via ONE Expand over ONE
+    scan — not a self-union of per-level aggregates."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_rollup"](spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q2_decorrelation_broadcasts_min_agg(spark, sf_dir):
+    """The decorrelated per-part MIN joins back via broadcast — the
+    correlated subquery must not become a shuffled self-join."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan_simple(QUERIES["q16_supplier_part_count"](spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_scans_fact_once(spark, sf_dir):
+    """Part totals re-aggregate the (part, supplier) rollup, so the
+    lineitem fact is scanned exactly once."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["q20_promotion_suppliers"](spark, sf_dir))
+    scans = [
+        ln for ln in plan.splitlines()
+        if "Scan parquet" in ln and "lineitem" in ln
+    ]
+    assert len(scans) == 1, plan
+
+
+def test_salted_join_stays_hash_join(spark, sf_dir):
+    """Salting must not degrade the join strategy: the salted equi-join
+    plans as a hash/sort-merge join, never nested-loop."""
+    plan = _plan(QUERIES["events_salted_join"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
