@@ -1120,6 +1120,45 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event-time operations (batch views of the streaming ops)
 # ---------------------------------------------------------------------------
 
+def corpus_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (operators/sampling.py):
+    membership is a pure hash of doc_id — stable under repartitioning,
+    corpus growth, and retries, unlike seeded df.sample(). The oracle
+    replays the exact md5-bucket arithmetic per row."""
+    from nspc_etl_basic_spark.operators.sampling import assign_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_split(
+        docs, key="doc_id", weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "lang", "split")
+
+
+def corpus_stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rebalancing: keep 50% of en, 25% of de, 10% of
+    fr, drop everything else — one projection + filter, no shuffle, no
+    per-stratum jobs."""
+    from nspc_etl_basic_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, key="doc_id", strata_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.1},
+    ).select("doc_id", "lang", "source")
+
+
+def corpus_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy budget selection: documents in doc_id order until 100k
+    chars. The global prefix sum is range-bucketed (operators/sampling.
+    take_until_budget) — per-bucket subtotals + offsets, windowed cumsum
+    within buckets; NO unpartitioned window."""
+    from nspc_etl_basic_spark.operators.sampling import take_until_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return take_until_budget(
+        docs, order_key="doc_id", weight_col="n_chars", budget=100_000
+    ).select("doc_id", "n_chars", F.col("cum_weight").cast("long").alias("cum_chars"))
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event_type (batch view of the
     Structured Streaming windowed aggregation)."""
@@ -1358,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": multimodal_resize_q,
         "multimodal_frame_sample": multimodal_frame_sample_q,
         "text_quality_filter": text_quality_filter_q,
+        "corpus_split": corpus_split_q,
+        "corpus_stratified_sample": corpus_stratified_sample_q,
+        "corpus_token_budget": corpus_token_budget_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2221,6 +2263,36 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
             FROM sim
             QUALIFY rank <= 5
+        """,
+        # hash-bucket membership replayed exactly: md5 of salt||key, first
+        # 8 hex chars as a 32-bit int, mod 10000. CASE order mirrors the
+        # operator's alphabetical cumulative-weight chain.
+        "corpus_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 10000 < 1000 THEN 'test'
+                        WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                             AS BIGINT) % 10000 < 9000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM documents
+        """,
+        "corpus_stratified_sample": """
+            SELECT doc_id, lang, source
+            FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500
+                              WHEN 'fr' THEN 1000 ELSE -1 END
+        """,
+        "corpus_token_budget": """
+            SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum_chars
+            FROM (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents
+            )
+            WHERE cum <= 100000
         """,
         "events_windowed": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,

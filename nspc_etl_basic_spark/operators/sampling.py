@@ -1,0 +1,165 @@
+"""Deterministic corpus sampling, splitting, and budget selection.
+
+Training-data pipelines need REPRODUCIBLE subset selection: the same
+document must land in the same sample/split on every run, on any cluster
+layout, after any retry. ``df.sample()``/``sampleBy()`` are seeded per
+partition — repartition the input and membership changes. These
+operators instead derive membership from a hash of the row KEY:
+
+    bucket(key) = int(md5(salt || key)[:8], 16) % 10_000
+
+which is a pure projection (no shuffle, no state, no partition
+sensitivity) and replayable in any engine with md5 — the driver oracle
+recomputes membership in DuckDB SQL exactly.
+
+``take_until_budget`` is the scale-safe form of "take documents until N
+tokens": a naive ``Window.orderBy(...)`` with no partition key collapses
+the whole corpus onto ONE task. Here the global prefix sum is
+range-bucketed: deterministic equal-width key buckets, per-bucket
+subtotals (driver-bounded: one row per bucket), per-bucket offsets
+joined back, then a windowed cumsum WITHIN each bucket — every stage
+parallel, no single-partition window. (Same decomposition as parallel
+prefix-scan; no reference counterpart — the reference engine is
+single-node pandas.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "assign_split",
+    "take_until_budget",
+]
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(key_col, salt: str = "") -> "F.Column":
+    """Deterministic bucket in [0, 10000) from md5 of ``salt || key``.
+    First 8 hex chars -> 32-bit int (conv base 16 -> 10) -> mod. Pure
+    projection; identical arithmetic is expressible in DuckDB
+    (``CAST('0x' || substr(md5(..)) AS BIGINT) % 10000``)."""
+    h = F.md5(F.concat(F.lit(salt), key_col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep rows whose hash bucket falls below ``fraction`` of the bucket
+    space. Reproducible across runs/partitionings; disjoint salts give
+    independent samples."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_bucket(F.col(key), salt) < int(fraction * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame, key: str, strata_col: str, fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum hash sampling (e.g. downsample per language/source to
+    rebalance a corpus). ``fractions`` maps stratum value -> keep
+    fraction; missing strata keep NOTHING (explicit is better than
+    accidental passthrough of an unlisted language). One projection +
+    filter — no shuffle, no per-stratum jobs."""
+    bucket = hash_bucket(F.col(key), salt)
+    threshold = F.lit(-1)
+    for value, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {value!r} must be in [0, 1]")
+        threshold = F.when(
+            F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def assign_split(
+    df: DataFrame, key: str, weights: dict[str, float], salt: str = "split",
+) -> DataFrame:
+    """Label every row with a split name ('train'/'val'/'test', any
+    names) by hash-bucket range. Splits are disjoint and exhaustive
+    (weights must sum to 1 within rounding); membership is a pure
+    function of the key, so a document can never migrate between splits
+    when the corpus grows. Adds a ``split`` column."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = hash_bucket(F.col(key), salt)
+    expr = None
+    cum = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        cum += w
+        cond = bucket < int(cum * _BUCKETS)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def take_until_budget(
+    df: DataFrame,
+    order_key: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows in ``order_key`` order until the running sum of ``weight_col``
+    exceeds ``budget`` (greedy prefix selection: a row is kept iff its
+    cumulative weight, itself included, is within budget).
+
+    Distributed global prefix sum over a NUMERIC unique order key:
+
+      1. deterministic equal-width buckets from min/max of the key (two
+         scalar aggregates — no sampled RangePartitioner, so the
+         bucketing is stable across runs/retries);
+      2. per-bucket subtotals -> driver (``n_buckets`` rows, bounded);
+      3. cumulative offset per bucket, rejoined as a broadcast literal
+         map;
+      4. windowed cumsum PARTITIONED BY bucket + the bucket's offset —
+         no unpartitioned window anywhere.
+
+    Adds a ``cum_weight`` column (exact integer arithmetic)."""
+    lo, hi = df.agg(
+        F.min(order_key).cast("long"), F.max(order_key).cast("long")
+    ).first()
+    if lo is None:
+        return df.withColumn("cum_weight", F.lit(None).cast("long")).limit(0)
+    width = max((hi - lo + n_buckets) // n_buckets, 1)
+    bucket = ((F.col(order_key).cast("long") - F.lit(lo)) / F.lit(width)).cast(
+        "long"
+    )
+    b = df.withColumn("__bucket", bucket)
+    subtotals = (
+        b.groupBy("__bucket")
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__subtotal"))
+        .collect()
+    )
+    totals = {r["__bucket"]: r["__subtotal"] for r in subtotals}
+    offsets, acc = {}, 0
+    for bk in sorted(totals):
+        offsets[bk] = acc
+        acc += totals[bk]
+    # early bucket pruning: buckets whose offset already exceeds the
+    # budget can never contribute a kept row — skip their window work
+    live = [bk for bk in offsets if offsets[bk] < budget]
+    offset_expr = F.lit(0)
+    for bk in live:
+        offset_expr = F.when(F.col("__bucket") == bk, F.lit(offsets[bk])).otherwise(
+            offset_expr
+        )
+    w = Window.partitionBy("__bucket").orderBy(order_key)
+    return (
+        b.filter(F.col("__bucket").isin(live))
+        .withColumn(
+            "cum_weight",
+            F.sum(F.col(weight_col).cast("long")).over(w) + offset_expr,
+        )
+        .filter(F.col("cum_weight") <= budget)
+        .drop("__bucket")
+    )

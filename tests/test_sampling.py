@@ -1,0 +1,114 @@
+"""Deterministic sampling/split/budget operators (operators/sampling.py):
+membership must be a pure function of the key (partitioning-invariant),
+splits disjoint+exhaustive, and the bucketed prefix sum must equal the
+naive single-window result while planning no unpartitioned window."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.sampling import (
+    assign_split,
+    hash_sample,
+    stratified_sample,
+    take_until_budget,
+)
+
+
+def _corpus(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("lang_"), F.col("id") % 3).alias("lang"),
+        (F.col("id") * 37 % 400 + 10).alias("n_chars"),
+    )
+
+
+def test_hash_sample_is_partitioning_invariant(spark):
+    df = _corpus(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.3).collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(df.repartition(17), "doc_id", 0.3).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_hash_sample_fraction_approximate(spark):
+    df = _corpus(spark, 2000)
+    kept = hash_sample(df, "doc_id", 0.3).count()
+    assert 0.25 * 2000 < kept < 0.35 * 2000
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    with pytest.raises(ValueError):
+        hash_sample(_corpus(spark), "doc_id", 1.5)
+
+
+def test_disjoint_salts_give_independent_samples(spark):
+    df = _corpus(spark)
+    a = {r.doc_id for r in hash_sample(df, "doc_id", 0.5, salt="a").collect()}
+    b = {r.doc_id for r in hash_sample(df, "doc_id", 0.5, salt="b").collect()}
+    assert a != b  # same fraction, different membership
+
+
+def test_stratified_sample_respects_per_stratum_fractions(spark):
+    df = _corpus(spark, 3000)
+    out = stratified_sample(
+        df, "doc_id", "lang", {"lang_0": 0.8, "lang_1": 0.1}
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert "lang_2" not in counts  # unlisted stratum keeps nothing
+    assert counts["lang_0"] > counts.get("lang_1", 0) * 4
+
+
+def test_split_disjoint_exhaustive_and_stable_under_growth(spark):
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = assign_split(_corpus(spark, 500), "doc_id", w)
+    big = assign_split(_corpus(spark, 1000), "doc_id", w)
+    assert small.count() == 500 and big.count() == 1000  # exhaustive
+    small_map = {r.doc_id: r.split for r in small.collect()}
+    big_map = {r.doc_id: r.split for r in big.collect()}
+    # growing the corpus never migrates an existing document's split
+    assert all(big_map[k] == v for k, v in small_map.items())
+
+
+def test_split_weights_must_sum_to_one(spark):
+    with pytest.raises(ValueError):
+        assign_split(_corpus(spark), "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_take_until_budget_matches_naive_window(spark):
+    df = _corpus(spark, 500)
+    budget = 40_000
+    got = take_until_budget(df, "doc_id", "n_chars", budget, n_buckets=8)
+    naive = []
+    acc = 0
+    for r in sorted(df.collect(), key=lambda r: r.doc_id):
+        acc += r.n_chars
+        if acc > budget:
+            break
+        naive.append((r.doc_id, acc))
+    assert sorted((r.doc_id, r.cum_weight) for r in got.collect()) == naive
+
+
+def test_take_until_budget_no_unpartitioned_window(spark):
+    df = _corpus(spark, 500)
+    out = take_until_budget(df, "doc_id", "n_chars", 40_000, n_buckets=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain()
+    plan = buf.getvalue()
+    # an empty partitionBy plans as a single-partition window:
+    # 'Window [...], [order...]' with no partition spec
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "windowspecdefinition" not in line or "__bucket" in line, line
+
+
+def test_take_until_budget_empty_input(spark):
+    df = _corpus(spark).filter(F.lit(False))
+    assert take_until_budget(df, "doc_id", "n_chars", 100).count() == 0
