@@ -8,8 +8,10 @@ from nspc_etl_basic_spark.streaming.windows import (
     sliding_window_agg,
 )
 from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
+from nspc_etl_basic_spark.streaming.joins import attribution_join
 
 __all__ = [
+    "attribution_join",
     "stream_directory",
     "run_available_now",
     "windowed_agg",

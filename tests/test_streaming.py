@@ -282,3 +282,87 @@ def test_stream_dedup_keys_across_restart(spark, tmp_path):
     run()
     out = spark.read.parquet(sink)
     assert sorted(r.id for r in out.collect()) == [1, 2, 3]
+
+
+def _attr_rows():
+    d = datetime.datetime
+    views = [
+        (1, d(2024, 1, 1, 9, 0), 10, "view"),
+        (2, d(2024, 1, 1, 9, 40), 10, "view"),
+        (3, d(2024, 1, 1, 8, 0), 10, "view"),   # > 1h before the purchase
+        (4, d(2024, 1, 1, 9, 30), 20, "view"),  # other user
+    ]
+    purchases = [
+        (100, d(2024, 1, 1, 10, 0), 10, "purchase"),
+        (101, d(2024, 1, 1, 10, 0), 30, "purchase"),  # no views at all
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return views, purchases, schema
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    from nspc_etl_basic_spark.streaming import attribution_join
+
+    views, purchases, schema = _attr_rows()
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    spark.createDataFrame(views, schema).coalesce(1).write.parquet(str(vdir))
+    spark.createDataFrame(purchases, schema).coalesce(1).write.parquet(str(pdir))
+
+    # batch twin: same operator, watermarks are no-ops on batch frames
+    batch = attribution_join(
+        spark.read.parquet(str(pdir)),
+        spark.read.parquet(str(vdir)),
+        on_key="user_id", max_lag="1 hour",
+    )
+    expected = sorted(
+        (r.event_id, r.event_id_r) for r in batch.collect()
+    )
+    assert expected == [(100, 1), (100, 2)]  # 8:00 view and user-20/30 excluded
+
+    ps = spark.readStream.schema(schema).parquet(str(pdir))
+    vs = spark.readStream.schema(schema).parquet(str(vdir))
+    joined = attribution_join(ps, vs, on_key="user_id", max_lag="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.event_id, r.event_id_r)
+        for r in spark.sql("select * from attr_out").collect()
+    )
+    assert got == expected
+
+
+def test_stream_stream_join_requires_supported_how(spark):
+    from nspc_etl_basic_spark.streaming import attribution_join
+
+    views, purchases, schema = _attr_rows()
+    l = spark.createDataFrame(purchases, schema)
+    r = spark.createDataFrame(views, schema)
+    with pytest.raises(ValueError):
+        attribution_join(l, r, on_key="user_id", how="fullOuter")
+
+
+def test_stream_stream_left_outer_null_extends_unmatched(spark, tmp_path):
+    from nspc_etl_basic_spark.streaming import attribution_join
+
+    views, purchases, schema = _attr_rows()
+    l = spark.createDataFrame(purchases, schema)
+    r = spark.createDataFrame(views, schema)
+    out = attribution_join(l, r, on_key="user_id", how="leftOuter")
+    rows = sorted(
+        ((r.event_id, r.event_id_r) for r in out.collect()),
+        key=lambda t: (t[0], t[1] if t[1] is not None else -1),
+    )
+    assert rows == [(100, 1), (100, 2), (101, None)]
