@@ -1159,6 +1159,26 @@ def corpus_token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_chars", F.col("cum_weight").cast("long").alias("cum_chars"))
 
 
+def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: documents laid end-to-end in doc_id
+    order, chunked into 2048-char training sequences; each document
+    reports the sequence range it spans. Offsets via the range-bucketed
+    prefix sum (no unpartitioned window)."""
+    from nspc_etl_basic_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, order_key="doc_id", weight_col="n_chars", seq_len=2048
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("cum_weight").cast("long").alias("cum_chars"),
+        "seq_start",
+        "seq_end",
+        "n_seqs",
+    )
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event_type (batch view of the
     Structured Streaming windowed aggregation)."""
@@ -1400,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": corpus_split_q,
         "corpus_stratified_sample": corpus_stratified_sample_q,
         "corpus_token_budget": corpus_token_budget_q,
+        "corpus_pack_sequences": corpus_pack_sequences_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2293,6 +2314,23 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        # DuckDB '/' is float division (like Spark), '//'-free on purpose:
+        # floor(double) mirrors F.floor; cum sums stay exact in double
+        # far below 2^53
+        "corpus_pack_sequences": """
+            SELECT doc_id, n_chars,
+                   CAST(cum AS BIGINT) AS cum_chars,
+                   CAST(floor((cum - n_chars) / 2048) AS BIGINT) AS seq_start,
+                   CAST(floor((cum - 1) / 2048) AS BIGINT) AS seq_end,
+                   CAST(floor((cum - 1) / 2048)
+                        - floor((cum - n_chars) / 2048) + 1 AS BIGINT) AS n_seqs
+            FROM (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents
+            )
         """,
         "events_windowed": f"""
             SELECT date_trunc('hour', ts) AS window_start, event_type,

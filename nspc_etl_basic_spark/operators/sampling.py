@@ -35,6 +35,7 @@ __all__ = [
     "stratified_sample",
     "assign_split",
     "take_until_budget",
+    "pack_sequences",
 ]
 
 _BUCKETS = 10_000
@@ -102,34 +103,33 @@ def assign_split(
     return df.withColumn("split", expr)
 
 
-def take_until_budget(
+def _bucketed_prefix_sum(
     df: DataFrame,
     order_key: str,
     weight_col: str,
-    budget: int,
-    n_buckets: int = 64,
-) -> DataFrame:
-    """Rows in ``order_key`` order until the running sum of ``weight_col``
-    exceeds ``budget`` (greedy prefix selection: a row is kept iff its
-    cumulative weight, itself included, is within budget).
-
-    Distributed global prefix sum over a NUMERIC unique order key:
+    n_buckets: int,
+    max_offset: int | None = None,
+):
+    """Distributed global prefix sum over a NUMERIC unique order key.
+    Returns ``(frame_with_cum_weight, empty)``.
 
       1. deterministic equal-width buckets from min/max of the key (two
          scalar aggregates — no sampled RangePartitioner, so the
          bucketing is stable across runs/retries);
       2. per-bucket subtotals -> driver (``n_buckets`` rows, bounded);
       3. cumulative offset per bucket, rejoined as a broadcast literal
-         map;
+         when-chain;
       4. windowed cumsum PARTITIONED BY bucket + the bucket's offset —
          no unpartitioned window anywhere.
 
-    Adds a ``cum_weight`` column (exact integer arithmetic)."""
+    With ``max_offset`` set, buckets whose starting offset already
+    reaches it are pruned before the window (their rows cannot matter to
+    a ``cum_weight <= max_offset`` consumer)."""
     lo, hi = df.agg(
         F.min(order_key).cast("long"), F.max(order_key).cast("long")
     ).first()
     if lo is None:
-        return df.withColumn("cum_weight", F.lit(None).cast("long")).limit(0)
+        return df.withColumn("cum_weight", F.lit(None).cast("long")).limit(0), True
     width = max((hi - lo + n_buckets) // n_buckets, 1)
     bucket = ((F.col(order_key).cast("long") - F.lit(lo)) / F.lit(width)).cast(
         "long"
@@ -145,21 +145,81 @@ def take_until_budget(
     for bk in sorted(totals):
         offsets[bk] = acc
         acc += totals[bk]
-    # early bucket pruning: buckets whose offset already exceeds the
-    # budget can never contribute a kept row — skip their window work
-    live = [bk for bk in offsets if offsets[bk] < budget]
+    live = [
+        bk for bk in offsets if max_offset is None or offsets[bk] < max_offset
+    ]
     offset_expr = F.lit(0)
     for bk in live:
         offset_expr = F.when(F.col("__bucket") == bk, F.lit(offsets[bk])).otherwise(
             offset_expr
         )
     w = Window.partitionBy("__bucket").orderBy(order_key)
-    return (
+    out = (
         b.filter(F.col("__bucket").isin(live))
         .withColumn(
             "cum_weight",
             F.sum(F.col(weight_col).cast("long")).over(w) + offset_expr,
         )
-        .filter(F.col("cum_weight") <= budget)
         .drop("__bucket")
+    )
+    return out, False
+
+
+def take_until_budget(
+    df: DataFrame,
+    order_key: str,
+    weight_col: str,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows in ``order_key`` order until the running sum of ``weight_col``
+    exceeds ``budget`` (greedy prefix selection: a row is kept iff its
+    cumulative weight, itself included, is within budget). Adds a
+    ``cum_weight`` column (exact integer arithmetic); see
+    ``_bucketed_prefix_sum`` for the scale decomposition."""
+    out, empty = _bucketed_prefix_sum(
+        df, order_key, weight_col, n_buckets, max_offset=budget
+    )
+    if empty:
+        return out
+    return out.filter(F.col("cum_weight") <= budget)
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_key: str,
+    weight_col: str,
+    seq_len: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents laid end-to-end in
+    ``order_key`` order form one logical token stream; each row gets the
+    fixed-length training sequence(s) it lands in —
+
+        seq_start = floor((cum_weight - weight) / seq_len)
+        seq_end   = floor((cum_weight - 1) / seq_len)
+
+    (``n_seqs = seq_end - seq_start + 1`` counts the chunks a document
+    spans; a document shorter than ``seq_len`` usually has
+    ``seq_start == seq_end``). This is the standard pretraining packing
+    layout; the global offsets come from the same range-bucketed prefix
+    sum as ``take_until_budget`` — no unpartitioned window. Adds
+    ``cum_weight``, ``seq_start``, ``seq_end``, ``n_seqs``."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    out, empty = _bucketed_prefix_sum(df, order_key, weight_col, n_buckets)
+    if empty:
+        return (
+            out.withColumn("seq_start", F.lit(None).cast("long"))
+            .withColumn("seq_end", F.lit(None).cast("long"))
+            .withColumn("n_seqs", F.lit(None).cast("long"))
+        )
+    start = F.floor(
+        (F.col("cum_weight") - F.col(weight_col).cast("long")) / seq_len
+    )
+    end = F.floor((F.col("cum_weight") - 1) / seq_len)
+    return (
+        out.withColumn("seq_start", start)
+        .withColumn("seq_end", end)
+        .withColumn("n_seqs", F.col("seq_end") - F.col("seq_start") + 1)
     )

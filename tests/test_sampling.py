@@ -112,3 +112,57 @@ def test_take_until_budget_no_unpartitioned_window(spark):
 def test_take_until_budget_empty_input(spark):
     df = _corpus(spark).filter(F.lit(False))
     assert take_until_budget(df, "doc_id", "n_chars", 100).count() == 0
+
+
+def test_hash_bucket_matches_python_md5_spec(spark):
+    """The Spark column (md5 -> conv base16 -> mod) must equal the pure
+    Python spec int(md5(salt+key)[:8], 16) % 10000 — the same arithmetic
+    the DuckDB oracles replay."""
+    import hashlib
+
+    from nspc_etl_basic_spark.operators.sampling import hash_bucket
+
+    df = _corpus(spark, 300).withColumn(
+        "b", hash_bucket(F.col("doc_id"), salt="s3")
+    )
+    for r in df.select("doc_id", "b").collect():
+        expect = (
+            int(hashlib.md5(f"s3{r.doc_id}".encode()).hexdigest()[:8], 16)
+            % 10_000
+        )
+        assert r.b == expect, (r.doc_id, r.b, expect)
+
+
+def test_pack_sequences_matches_naive_layout(spark):
+    from nspc_etl_basic_spark.operators.sampling import pack_sequences
+
+    df = _corpus(spark, 400)
+    seq_len = 512
+    got = {
+        r.doc_id: (r.cum_weight, r.seq_start, r.seq_end, r.n_seqs)
+        for r in pack_sequences(df, "doc_id", "n_chars", seq_len, n_buckets=8).collect()
+    }
+    acc = 0
+    for r in sorted(df.collect(), key=lambda r: r.doc_id):
+        start = acc // seq_len
+        acc += r.n_chars
+        end = (acc - 1) // seq_len
+        assert got[r.doc_id] == (acc, start, end, end - start + 1), r.doc_id
+    assert len(got) == 400
+
+
+def test_pack_sequences_long_doc_spans_multiple(spark):
+    from nspc_etl_basic_spark.operators.sampling import pack_sequences
+
+    rows = [(0, 10), (1, 5000), (2, 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = {r.doc_id: r.n_seqs for r in pack_sequences(df, "doc_id", "n_chars", 1024).collect()}
+    assert got[1] >= 4  # 5000 chars span ceil-ish 1024-chunks
+    assert got[0] == 1 and got[2] == 1
+
+
+def test_pack_sequences_rejects_bad_seq_len(spark):
+    from nspc_etl_basic_spark.operators.sampling import pack_sequences
+
+    with pytest.raises(ValueError):
+        pack_sequences(_corpus(spark), "doc_id", "n_chars", 0)
