@@ -1179,6 +1179,20 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source interleaving (stride scheduling):
+    four sources mixed 50/25/15/10 — every prefix of the
+    priority-ordered stream holds sources in weight proportion. One
+    per-source window + projection; no global window."""
+    from nspc_etl_basic_spark.operators.sampling import mixture_order
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_order(
+        docs, source_col="source", key="doc_id",
+        weights={"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.1},
+    ).select("doc_id", "source", "mix_rank", "mix_priority")
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event_type (batch view of the
     Structured Streaming windowed aggregation)."""
@@ -1421,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": corpus_stratified_sample_q,
         "corpus_token_budget": corpus_token_budget_q,
         "corpus_pack_sequences": corpus_pack_sequences_q,
+        "corpus_mixture": corpus_mixture_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2314,6 +2329,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        # per-source rank over (md5 bucket, doc_id) then stride priority
+        # (rank - 0.5) / weight — doubles identical cross-engine, rounded 6
+        "corpus_mixture": """
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)
+                                     AS BIGINT) % 10000, doc_id) AS BIGINT) AS mix_rank,
+                   round((mix_rank - 0.5) / CASE source
+                       WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.25
+                       WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1 END, 6)
+                       AS mix_priority
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
         """,
         # DuckDB '/' is float division (like Spark), '//'-free on purpose:
         # floor(double) mirrors F.floor; cum sums stay exact in double

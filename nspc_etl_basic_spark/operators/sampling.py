@@ -36,6 +36,7 @@ __all__ = [
     "assign_split",
     "take_until_budget",
     "pack_sequences",
+    "mixture_order",
 ]
 
 _BUCKETS = 10_000
@@ -222,4 +223,46 @@ def pack_sequences(
         out.withColumn("seq_start", start)
         .withColumn("seq_end", end)
         .withColumn("n_seqs", F.col("seq_end") - F.col("seq_start") + 1)
+    )
+
+
+def mixture_order(
+    df: DataFrame,
+    source_col: str,
+    key: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted interleaving for mixing corpus sources into
+    one training stream (stride scheduling): source ``s`` with weight
+    ``w`` fills a slot every ``1/w`` positions, so every prefix of the
+    priority-ordered stream holds sources in weight proportion —
+    "60% web, 30% code, 10% books" without materializing a shuffle of
+    the whole corpus into one sequence.
+
+    Rows rank WITHIN their source by (hash of key, key) — hash-first so
+    the stream isn't ingestion-ordered — then
+
+        mix_priority = (mix_rank - 0.5) / weight[source]
+
+    Consumers stream in ``mix_priority`` order (a range-partitioned sort
+    at write time); this operator itself is one per-source window + a
+    projection, no global window. Sources absent from ``weights`` are
+    dropped (explicit mixture, no accidental passthrough). Adds
+    ``mix_rank`` and ``mix_priority``."""
+    for s, w in weights.items():
+        if w <= 0:
+            raise ValueError(f"weight for {s!r} must be positive, got {w}")
+    bucket = hash_bucket(F.col(key), salt)
+    w_expr = F.lit(None).cast("double")
+    for s, w in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == s, F.lit(float(w))).otherwise(w_expr)
+    win = Window.partitionBy(source_col).orderBy(bucket, F.col(key))
+    return (
+        df.filter(F.col(source_col).isin(list(weights)))
+        .withColumn("mix_rank", F.row_number().over(win).cast("long"))
+        .withColumn(
+            "mix_priority",
+            F.round((F.col("mix_rank") - 0.5) / w_expr, 6),
+        )
     )

@@ -166,3 +166,45 @@ def test_pack_sequences_rejects_bad_seq_len(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(_corpus(spark), "doc_id", "n_chars", 0)
+
+
+def test_mixture_order_prefix_proportions(spark):
+    from nspc_etl_basic_spark.operators.sampling import mixture_order
+
+    df = spark.range(3000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id") % 3).alias("source"),
+    )
+    out = mixture_order(
+        df, "source", "doc_id", {"s0": 0.6, "s1": 0.3, "s2": 0.1}
+    )
+    ordered = sorted(out.collect(), key=lambda r: r.mix_priority)
+    prefix = [r.source for r in ordered[:500]]
+    from collections import Counter
+
+    c = Counter(prefix)
+    # stride scheduling: every prefix tracks the weight proportions
+    assert abs(c["s0"] / 500 - 0.6) < 0.05
+    assert abs(c["s1"] / 500 - 0.3) < 0.05
+    assert abs(c["s2"] / 500 - 0.1) < 0.05
+
+
+def test_mixture_order_deterministic_and_drops_unlisted(spark):
+    from nspc_etl_basic_spark.operators.sampling import mixture_order
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), F.col("id") % 4).alias("source"),
+    )
+    w = {"s0": 0.5, "s1": 0.5}
+    a = sorted(map(tuple, mixture_order(df, "source", "doc_id", w).collect()))
+    b = sorted(map(tuple, mixture_order(df.repartition(13), "source", "doc_id", w).collect()))
+    assert a == b
+    assert {t[1] for t in a} == {"s0", "s1"}  # s2/s3 dropped
+
+
+def test_mixture_order_rejects_nonpositive_weight(spark):
+    from nspc_etl_basic_spark.operators.sampling import mixture_order
+
+    with pytest.raises(ValueError):
+        mixture_order(_corpus(spark), "lang", "doc_id", {"lang_0": 0.0})
