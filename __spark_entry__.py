@@ -1193,6 +1193,25 @@ def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "mix_rank", "mix_priority")
 
 
+def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured projection: the ``props`` JSON column parsed with
+    an explicit schema (``from_json`` — JVM-side, codegen'd; never a
+    Python json.loads UDF), then grouped stats over the extracted field.
+    At scale the parse is a per-row projection fused into the scan
+    stage; the only shuffle is the final small groupBy."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k",
+        F.from_json(F.col("props"), "k INT").getField("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("k").cast("long")).alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window per event_type (batch view of the
     Structured Streaming windowed aggregation)."""
@@ -1436,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": corpus_token_budget_q,
         "corpus_pack_sequences": corpus_pack_sequences_q,
         "corpus_mixture": corpus_mixture_q,
+        "events_json_extract": events_json_extract_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2329,6 +2349,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        "events_json_extract": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+                   max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+            FROM events GROUP BY event_type
         """,
         # per-source rank over (md5 bucket, doc_id) then stride priority
         # (rank - 0.5) / weight — doubles identical cross-engine, rounded 6

@@ -1,0 +1,79 @@
+"""Bucketed-table layout (sinks/bucketed.py): the co-located join
+contract — two tables bucketed identically on the join key must join
+with ZERO Exchange nodes, and results must equal the plain join."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.sinks.bucketed import read_bucketed, write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def bucketed_pair(spark, tmp_path):
+    a = spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") * 7 % 100).alias("a_val")
+    )
+    b = spark.range(1500).select(
+        F.col("id").alias("k"), (F.col("id") * 11 % 100).alias("b_val")
+    )
+    write_bucketed(a, "t_buck_a", ["k"], 8, path=str(tmp_path / "a"), sort_cols=["k"])
+    write_bucketed(b, "t_buck_b", ["k"], 8, path=str(tmp_path / "b"), sort_cols=["k"])
+    yield a, b
+    spark.sql("DROP TABLE IF EXISTS t_buck_a")
+    spark.sql("DROP TABLE IF EXISTS t_buck_b")
+
+
+def test_colocated_join_has_no_exchange(spark, bucketed_pair):
+    # bucketing targets the regime where NEITHER side broadcasts (two
+    # fact tables); disable broadcast so the contract is visible at
+    # test scale
+    a, b = bucketed_pair
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "t_buck_a").join(
+            read_bucketed(spark, "t_buck_b"), "k"
+        )
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        # and the layout is semantics-free: same rows as the plain join
+        expected = sorted(map(tuple, a.join(b, "k").collect()))
+        assert sorted(map(tuple, j.collect())) == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, bucketed_pair):
+    g = (
+        read_bucketed(spark, "t_buck_a")
+        .groupBy("k")
+        .agg(F.sum("a_val").alias("s"))
+    )
+    assert "Exchange" not in _plan(g), _plan(g)
+
+
+def test_path_read_discards_bucket_spec(spark, tmp_path, bucketed_pair):
+    """The failure mode read_bucketed exists to prevent: path reads lose
+    the bucket metadata and the join shuffles again."""
+    a = spark.read.parquet(str(tmp_path / "a"))
+    b = spark.read.parquet(str(tmp_path / "b"))
+    assert "Exchange" in _plan(a.join(b, "k"))
+
+
+def test_write_bucketed_rejects_bad_bucket_count(spark):
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        write_bucketed(df, "t_bad", ["k"], 0)
