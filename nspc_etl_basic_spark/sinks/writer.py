@@ -203,6 +203,33 @@ class ParquetWarehouse:
         manifest-pointer commit (see module docstring)."""
         self._commit_version(self._strip_engine_cols(df), name)
 
+    def compact(self, name: str, target_file_mb: int = 256) -> str | None:
+        """Small-file compaction: rewrite the current snapshot into
+        ``ceil(total_bytes / target)`` files and commit it as a fresh
+        version (same manifest flip — concurrent readers keep their
+        version's files, a crash mid-compaction leaves the table
+        untouched). Uses ``coalesce`` — file-count reduction needs no
+        shuffle. Continuous per-file ingest at 100 TB rates produces
+        thousands of small files per table; compaction restores scan
+        efficiency (parquet footer overhead, task-per-file scheduling)
+        without pausing readers. No-op (returns None) when the table is
+        already at or below the target file count."""
+        data = self.data_path(name)
+        files = [
+            os.path.join(dp, f)
+            for dp, _dirs, fs in os.walk(data)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+        if not files:
+            return None
+        total = sum(os.path.getsize(f) for f in files)
+        target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+        if len(files) <= target:
+            return None
+        df = self.read(name).coalesce(int(target))
+        return self._commit_version(df, name)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 

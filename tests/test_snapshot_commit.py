@@ -128,3 +128,39 @@ def test_fail_mode_respects_versioned_existence(spark, tmp_path):
     wh.write(_df(spark, [(1, "a")]), "t", mode="fail")
     with pytest.raises(TableExistsError):
         wh.write(_df(spark, [(2, "b")]), "t", mode="fail")
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(dp, f)
+        for dp, _d, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compact_reduces_files_preserves_rows_and_versions(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), keep_versions=2)
+    df = spark.range(5000).toDF("v").repartition(16)
+    wh.write(df, "t_many", mode="drop_recreate")
+    before_version = wh.current_version("t_many")
+    assert len(_parquet_files(wh.data_path("t_many"))) == 16
+
+    got = wh.compact("t_many", target_file_mb=256)
+    assert got is not None and got != before_version
+    after = _parquet_files(wh.data_path("t_many"))
+    assert len(after) == 1  # 5000 longs << 256 MB
+    assert sorted(r.v for r in wh.read("t_many").collect()) == list(range(5000))
+    # previous version retained for in-flight readers (keep_versions=2)
+    versions = [
+        d for d in os.listdir(wh.table_path("t_many")) if d.startswith("v_")
+    ]
+    assert before_version in versions
+
+
+def test_compact_noop_when_already_compact(spark, tmp_path):
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    wh.write(spark.range(100).toDF("v").coalesce(1), "t_one")
+    v = wh.current_version("t_one")
+    assert wh.compact("t_one") is None
+    assert wh.current_version("t_one") == v
