@@ -439,7 +439,19 @@ def quantize_embeddings(
     column algebra — a projection that fuses with the scan, no shuffle.
     """
     vec = F.col(vec_col)
-    scale = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    # hoist the per-vector scale into its OWN projection step: embedding
+    # the array_max expression inside each per-element lambda would
+    # re-evaluate it per element (no CSE across lambda bodies) — an
+    # O(dim^2) blowup per row
+    scale_expr = (
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    staged = corpus.select(
+        F.col(id_col), vec.alias("__v"), scale_expr.alias("__scale")
+    )
+    vec = F.col("__v")
+    scale = F.col("__scale")
 
     def q_of(x):
         return F.greatest(
@@ -465,7 +477,7 @@ def quantize_embeddings(
         / F.size(vec),
         6,
     )
-    return corpus.select(
+    return staged.select(
         F.col(id_col),
         F.round(scale, 6).alias("q_scale"),
         q_vec.alias("q_vec"),
