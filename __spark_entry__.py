@@ -1263,6 +1263,56 @@ def events_sliding_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view -> click -> purchase): a click
+    qualifies only AFTER the user's first view, a purchase only after
+    the first qualifying click. Two running-min windows over ONE
+    user-partitioned sort (the exchange+sort is planned once and shared
+    — never a per-user collect_list, which a power user's event history
+    would blow up), then a per-user rollup and one global count row."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        ev.select("user_id", "ts", "event_type", "event_id")
+        .withColumn(
+            "first_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "qual_click_ts",
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("first_view")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("first_qual_click", F.min("qual_click_ts").over(w))
+        .withColumn(
+            "qual_purchase_ts",
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("first_qual_click")),
+                F.col("ts"),
+            ),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min("qual_click_ts").alias("t_click"),
+        F.min("qual_purchase_ts").alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
+    )
+
+
 def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (hypertable-style day → event_type → grand
     total) in ONE pass via ROLLUP grouping sets — Spark's expand +
@@ -1456,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": corpus_pack_sequences_q,
         "corpus_mixture": corpus_mixture_q,
         "events_json_extract": events_json_extract_q,
+        "events_funnel": events_funnel_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2349,6 +2400,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        # identical window frames/ordering on both engines; NULL stage
+        # timestamps propagate through >= as SQL three-valued logic
+        "events_funnel": """
+            WITH s AS (
+                SELECT user_id, ts, event_type, event_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER w AS first_view
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            s2 AS (
+                SELECT *, CASE WHEN event_type = 'click' AND ts >= first_view
+                               THEN ts END AS qual_click_ts
+                FROM s
+            ),
+            s3 AS (
+                SELECT *, min(qual_click_ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS first_qual_click
+                FROM s2
+            ),
+            s4 AS (
+                SELECT *, CASE WHEN event_type = 'purchase'
+                                AND ts >= first_qual_click
+                               THEN ts END AS qual_purchase_ts
+                FROM s3
+            ),
+            pu AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                       min(qual_click_ts) AS t_click,
+                       min(qual_purchase_ts) AS t_purchase
+                FROM s4 GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   count(t_view) AS n_viewed,
+                   count(t_click) AS n_clicked_after_view,
+                   count(t_purchase) AS n_purchased_after_click
+            FROM pu
         """,
         "events_json_extract": """
             SELECT event_type,
