@@ -1313,6 +1313,31 @@ def events_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-active week;
+    for each (cohort_week, weeks_since) the distinct users still active.
+    Shape: distinct (user, week) projection -> per-user min -> equi-join
+    back -> count_distinct rollup. The distinct pass shrinks the fact
+    table to at most |users| x |weeks| before anything else touches it."""
+    ev = _t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    firsts = activity.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week")
+    )
+    return (
+        activity.join(firsts, "user_id")
+        .withColumn(
+            "weeks_since",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7).cast("long"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (hypertable-style day → event_type → grand
     total) in ONE pass via ROLLUP grouping sets — Spark's expand +
@@ -1507,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mixture": corpus_mixture_q,
         "events_json_extract": events_json_extract_q,
         "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2400,6 +2426,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        # both engines truncate weeks to Monday, so the day diff is an
+        # exact multiple of 7
+        "events_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+                FROM events
+            ),
+            firsts AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM activity GROUP BY user_id
+            )
+            SELECT cohort_week,
+                   CAST(date_diff('day', cohort_week, week) // 7 AS BIGINT)
+                       AS weeks_since,
+                   count(DISTINCT a.user_id) AS n_users
+            FROM activity a JOIN firsts f ON a.user_id = f.user_id
+            GROUP BY cohort_week, weeks_since
         """,
         # identical window frames/ordering on both engines; NULL stage
         # timestamps propagate through >= as SQL three-valued logic
