@@ -64,3 +64,63 @@ def run_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_upsert(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    pk_cols: list[str],
+    checkpoint_path: str,
+    dedup_order_col: str | None = None,
+    query_name: str = "stream_upsert",
+):
+    """Continuous upsert: every micro-batch MERGEs into the warehouse
+    snapshot via ``foreachBatch`` — the streaming twin of the H5/H6
+    upsert path, against the same manifest-committed table the batch
+    engine writes.
+
+    Semantics per micro-batch: last-wins dedup on the PK within the
+    batch (ordered by ``dedup_order_col`` if given, the E1 contract),
+    then operators.merge.merge_upsert against the current snapshot and a
+    manifest-pointer commit. The checkpoint makes file delivery
+    exactly-once; the MERGE makes re-delivery idempotent anyway
+    (replaying a batch re-merges the same rows to the same result), so a
+    crash between the data commit and the checkpoint write cannot
+    duplicate rows — the safety argument the reference's per-file
+    stats-table dance approximates.
+
+    ``warehouse`` is a sinks.writer.ParquetWarehouse. Single writer per
+    table (same model as the batch engine).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.merge import merge_upsert
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        src = batch_df
+        if dedup_order_col:
+            w = Window.partitionBy(*pk_cols).orderBy(F.col(dedup_order_col).desc())
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            src = src.dropDuplicates(pk_cols)
+        if warehouse.exists(table):
+            merged = merge_upsert(warehouse.read(table), src, pk_cols)
+        else:
+            merged = src
+        warehouse.overwrite_snapshot(merged, table)
+
+    q = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -366,3 +366,50 @@ def test_stream_stream_left_outer_null_extends_unmatched(spark, tmp_path):
         key=lambda t: (t[0], t[1] if t[1] is not None else -1),
     )
     assert rows == [(100, 1), (100, 2), (101, None)]
+
+
+def test_stream_upsert_merges_microbatches_exactly_once(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming.ingest import (
+        run_stream_upsert,
+        stream_directory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_directory(
+            spark, str(src), schema, fmt="parquet", options={}
+        )
+        run_stream_upsert(
+            stream, wh, "t_stream", ["pk"], ckpt, dedup_order_col="seq"
+        )
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (2, "b2", 3)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    drain()
+    got = {r.pk: r.val for r in wh.read("t_stream").collect()}
+    assert got == {1: "a", 2: "b2"}  # in-batch last-wins on seq
+
+    # second drain: one update + one insert; old file NOT reprocessed
+    spark.createDataFrame([(1, "a9", 9), (3, "c", 10)], schema).coalesce(
+        1
+    ).write.parquet(str(src), mode="append")
+    drain()
+    got = {r.pk: r.val for r in wh.read("t_stream").collect()}
+    assert got == {1: "a9", 2: "b2", 3: "c"}
+
+    # re-drain with nothing new: checkpoint makes it a no-op
+    drain()
+    assert {r.pk: r.val for r in wh.read("t_stream").collect()} == got
