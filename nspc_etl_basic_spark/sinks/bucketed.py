@@ -59,3 +59,21 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     ``spark.read.parquet(path)`` would DISCARD the bucket spec and
     re-shuffle on the next join)."""
     return spark.table(table)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style directory partitioning (``path/col=value/...``) — the
+    standard layout for time-partitioned fact tables. A reader filtering
+    on a partition column prunes at PLANNING time (``PartitionFilters``
+    in the scan, untouched directories never listed or opened) — at
+    100 TB the difference between scanning a day and scanning a decade.
+    Orthogonal to bucketing: partition on the coarse time/tenant axis,
+    bucket within partitions on the join key. Callers own cardinality
+    discipline: partition columns must be low-cardinality (days, not
+    user ids) or the layout degrades into millions of directories."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -77,3 +77,24 @@ def test_write_bucketed_rejects_bad_bucket_count(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
         write_bucketed(df, "t_bad", ["k"], 0)
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.bucketed import write_partitioned
+
+    df = spark.range(1000).select(
+        F.col("id").alias("v"),
+        F.concat(F.lit("2024-01-0"), (F.col("id") % 5 + 1)).alias("day"),
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(df, path, ["day"])
+    back = spark.read.parquet(path)
+    q = back.filter(F.col("day") == "2024-01-03").select(F.sum("v").alias("s"))
+    plan = _plan(q)
+    # pruning happens at planning: the partition filter is in the scan's
+    # PartitionFilters, NOT a post-scan Filter over all partitions
+    assert "PartitionFilters" in plan
+    scan_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
+    assert "day" in scan_line.split("PartitionFilters")[1].split("PushedFilters")[0]
+    expected = sum(v for v in range(1000) if v % 5 + 1 == 3)
+    assert q.collect()[0].s == expected
