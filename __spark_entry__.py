@@ -964,6 +964,15 @@ def text_vocab_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(_docs_wide(spark, sf_dir), k=500)
 
 
+def text_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 adjacent-token bigrams (collocation stats): in-row
+    slice+zip_with bigram construction (projection, no unigram explode),
+    one explode + counted groupBy + TakeOrderedAndProject."""
+    from nspc_etl_basic_spark.operators.text import bigram_topk
+
+    return bigram_topk(_docs_wide(spark, sf_dir), k=100)
+
+
 def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization with per-vector scale and
     reconstruction MAE (operators/similarity.quantize_embeddings) — 4x
@@ -1514,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint_q,
         "text_token_stats": text_token_stats_q,
         "text_vocab_topk": text_vocab_topk_q,
+        "text_bigrams": text_bigrams_q,
         "emb_quantize": emb_quantize_q,
         "sim_topk": sim_topk_q,
         "sim_ann_lsh": sim_ann_lsh_q,
@@ -2297,6 +2307,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(regexp_extract_all(text, '\\S+'))), 6) AS avg_tokens
             FROM documents GROUP BY source
+        """,
+        "text_bigrams": f"""
+            SELECT bigram, count(*) AS n
+            FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS bigram
+                FROM (SELECT {_sql_word_tokens('text')} AS t FROM documents)
+                WHERE len(t) >= 2
+            )
+            GROUP BY bigram
+            ORDER BY n DESC, bigram ASC
+            LIMIT 100
         """,
         "text_vocab_topk": f"""
             SELECT token, count(*) AS n

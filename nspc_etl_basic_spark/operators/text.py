@@ -207,3 +207,35 @@ def vocab_topk(
         .filter(F.col("n") >= min_count)
     )
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+
+
+def bigram_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Top-k adjacent word-token bigrams with counts — collocation /
+    language-model statistics over a corpus. The bigram array is built
+    in-row by zipping the token array with itself shifted one (two
+    slices + zip_with — a projection, no self-join, no explode of
+    unigrams first), then one explode + map-side-combined count + global
+    top-k via orderBy+limit (TakeOrderedAndProject). Cutoff ties break
+    by bigram ascending."""
+    toks = word_tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    counts = (
+        df.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)
