@@ -328,6 +328,44 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag
+    — computed from EXACT decimal component sums (n, Σx, Σy, Σxy, Σx²,
+    Σy²) with one final double formula, instead of the native ``corr``
+    aggregate whose float accumulation is summation-order-dependent and
+    therefore not reproducible across engines/partitionings. Same single
+    map-side-combined groupBy pass as any other aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        # products stay at their natural DECIMAL(37,8) — truncating the
+        # scale would round differently per engine; the sum is still exact
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sx2"),
+        F.sum(y * y).alias("sy2"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy2 = F.col("sy2").cast("double")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy)
+    )
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(cov, 4).alias("cov_qty_price"),
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shape correlated-min subquery (adapted: no partsupp
     table — lineitem unit price plays supplycost): for each STANDARD
@@ -1488,6 +1526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_pushdown": q19_disjunctive_pushdown,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q_corr_stats": q_corr_stats,
         "q11_important_suppliers": q11_important_suppliers,
         "q16_supplier_part_count": q16_supplier_part_count,
         "q20_promotion_suppliers": q20_promotion_suppliers,
@@ -1830,6 +1869,32 @@ def oracle_sql() -> dict[str, str]:
             )
             JOIN supplier ON l_suppkey = s_suppkey
             GROUP BY s_name
+        """,
+        # exact decimal component sums -> one double formula (native corr
+        # is summation-order-dependent and engine-divergent)
+        "q_corr_stats": """
+            WITH g AS (
+                SELECT l_returnflag,
+                       count(*) AS n,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                                 * CAST(l_extendedprice AS DECIMAL(19,4)))
+                            AS DOUBLE) AS sxy,
+                       CAST(sum(CAST(l_quantity AS DECIMAL(19,4))
+                                 * CAST(l_quantity AS DECIMAL(19,4)))
+                            AS DOUBLE) AS sx2,
+                       CAST(sum(CAST(l_extendedprice AS DECIMAL(19,4))
+                                 * CAST(l_extendedprice AS DECIMAL(19,4)))
+                            AS DOUBLE) AS sy2
+                FROM lineitem GROUP BY l_returnflag
+            )
+            SELECT l_returnflag, n AS n_rows,
+                   round((n * sxy - sx * sy)
+                         / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy)),
+                         6) AS corr_qty_price,
+                   round((sxy - sx * sy / n) / (n - 1), 4) AS cov_qty_price
+            FROM g
         """,
         # correlated-min subquery, written the natural correlated way —
         # the Spark side decorrelates it by hand (agg + join back)
