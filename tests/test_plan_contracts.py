@@ -144,3 +144,17 @@ def test_salted_join_stays_hash_join(spark, sf_dir):
         j in plan
         for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
     )
+
+
+def test_funnel_reuses_one_user_partitioning(spark, sf_dir):
+    """Both running-min windows AND the per-user rollup must ride ONE
+    exchange on user_id — stacking windows over the same partitioning
+    may not add shuffles."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_funnel"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_bigrams_use_take_ordered(spark, sf_dir):
+    plan = _plan(QUERIES["text_bigrams"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
