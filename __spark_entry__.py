@@ -58,7 +58,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        # integer division (div), NOT `/`: ns epoch values exceed 2^53, so
+        # the double division drops low bits and lands ±1 µs off —
+        # unix_micros-level comparisons against the oracle then diverge
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )
 
 
@@ -1385,6 +1388,26 @@ def events_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_interarrival_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival analysis via lag(): per user-ordered stream, the gap
+    to the previous event in exact microseconds, rolled up per event
+    type. One window (shuffle by user) + one small groupBy; the gap
+    arithmetic stays in exact integer micros until the final division."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("gap_us") / F.count(F.lit(1)) / 1e6, 6).alias(
+            "avg_gap_s"
+        ),
+        F.round(F.max("gap_us") / 1e6, 6).alias("max_gap_s"),
+    )
+
+
 def events_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical rollup (hypertable-style day → event_type → grand
     total) in ONE pass via ROLLUP grouping sets — Spark's expand +
@@ -1582,6 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract_q,
         "events_funnel": events_funnel_q,
         "events_retention": events_retention_q,
+        "events_interarrival": events_interarrival_q,
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
@@ -2513,6 +2537,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE cum <= 100000
+        """,
+        # exact integer microseconds until the final division
+        "events_interarrival": """
+            WITH g AS (
+                SELECT event_type,
+                       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS gap_us
+                FROM events
+            )
+            SELECT event_type,
+                   count(*) AS n_gaps,
+                   round(sum(gap_us) / count(*) / 1e6, 6) AS avg_gap_s,
+                   round(max(gap_us) / 1e6, 6) AS max_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
         """,
         # both engines truncate weeks to Monday, so the day diff is an
         # exact multiple of 7
