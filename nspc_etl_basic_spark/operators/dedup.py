@@ -360,7 +360,10 @@ def neardup_components(
             ).alias("label"),
         )
         # pointer jump: label <- label(label); labels are node ids of the
-        # same component, so the self-join always resolves in-component
+        # same component, so the self-join always resolves in-component.
+        # (A second jump per round was measured SLOWER on the sf0.1
+        # candidate graph — the extra self-join outweighs the saved
+        # rounds when the label table is join-overhead-bound.)
         jump_to = stepped.select(
             F.col("node").alias("__jn"), F.col("label").alias("__jl")
         )
