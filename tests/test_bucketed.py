@@ -98,3 +98,20 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     assert "day" in scan_line.split("PartitionFilters")[1].split("PushedFilters")[0]
     expected = sum(v for v in range(1000) if v % 5 + 1 == 3)
     assert q.collect()[0].s == expected
+
+
+def test_merge_schema_reads_across_schema_drift(spark, tmp_path):
+    """Ingest-over-time schema drift: files written before a column
+    existed must null-extend under mergeSchema, and pruning/pushdown
+    still work on the union schema."""
+    p = str(tmp_path / "drift")
+    spark.createDataFrame([(1, "a")], ["id", "name"]).write.parquet(f"{p}/d1")
+    spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "name", "score"]
+    ).write.parquet(f"{p}/d2")
+    df = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
