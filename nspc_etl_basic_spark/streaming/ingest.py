@@ -92,6 +92,15 @@ def run_stream_upsert(
 
     ``warehouse`` is a sinks.writer.ParquetWarehouse. Single writer per
     table (same model as the batch engine).
+
+    Scale note: each micro-batch pays a snapshot REWRITE proportional to
+    |table|, not |batch| — the same trade the batch upsert makes, priced
+    per trigger. Right for moderate-rate upsert streams into mid-size
+    tables (bound the trigger rate with maxFilesPerTrigger / scheduled
+    AvailableNow drains); for high-rate streams into 100 TB tables the
+    upgrade path is a row-level-merge table format (Delta/Iceberg),
+    which slots in behind this same foreachBatch without changing the
+    operator's contract.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
