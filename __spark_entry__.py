@@ -384,15 +384,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = li.join(part, li.l_partkey == part.p_partkey).withColumn(
         "unit_price", F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)
     )
-    min_per_part = cand.groupBy(F.col("l_partkey").alias("mp_key")).agg(
-        F.min("unit_price").alias("min_unit_price")
-    )
+    # per-part MIN as a window over the candidate rows — an agg + join
+    # back would re-plan (and re-scan) the whole cand subtree twice
+    # (DataFrame reuse is not plan reuse); the window rides the one scan
+    min_price = F.min("unit_price").over(Window.partitionBy("l_partkey"))
     return (
-        cand.join(
-            F.broadcast(min_per_part),
-            (cand.l_partkey == F.col("mp_key"))
-            & (F.col("unit_price") == F.col("min_unit_price")),
-        )
+        cand.withColumn("min_unit_price", min_price)
+        .filter(F.col("unit_price") == F.col("min_unit_price"))
         .join(supplier, cand.l_suppkey == supplier.s_suppkey)
         .select("p_partkey", "p_brand", "s_name", "unit_price")
         .distinct()

@@ -57,7 +57,10 @@ def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> Dat
     independent samples."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return df.filter(hash_bucket(F.col(key), salt) < int(fraction * _BUCKETS))
+    # round(), never int(): 0.57 * 10000 is 5699.999... in IEEE double and
+    # int() would silently drop one bucket, diverging from any decimal
+    # replay of the same threshold
+    return df.filter(hash_bucket(F.col(key), salt) < round(fraction * _BUCKETS))
 
 
 def stratified_sample(
@@ -75,7 +78,7 @@ def stratified_sample(
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"fraction for {value!r} must be in [0, 1]")
         threshold = F.when(
-            F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))
+            F.col(strata_col) == value, F.lit(round(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
 
@@ -97,7 +100,7 @@ def assign_split(
     items = sorted(weights.items())
     for name, w in items[:-1]:
         cum += w
-        cond = bucket < int(cum * _BUCKETS)
+        cond = bucket < round(cum * _BUCKETS)
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
@@ -141,13 +144,18 @@ def _bucketed_prefix_sum(
         .agg(F.sum(F.col(weight_col).cast("long")).alias("__subtotal"))
         .collect()
     )
-    totals = {r["__bucket"]: r["__subtotal"] for r in subtotals}
+    # a bucket whose every weight is NULL sums to None — treat as 0, the
+    # same contribution its rows make to the cumulative sum
+    totals = {r["__bucket"]: (r["__subtotal"] or 0) for r in subtotals}
     offsets, acc = {}, 0
     for bk in sorted(totals):
         offsets[bk] = acc
         acc += totals[bk]
+    # keep boundary buckets (<=, not <): a zero-weight row at the head of
+    # a bucket starting exactly at max_offset has cum_weight == max_offset
+    # and a `cum_weight <= budget` consumer keeps it
     live = [
-        bk for bk in offsets if max_offset is None or offsets[bk] < max_offset
+        bk for bk in offsets if max_offset is None or offsets[bk] <= max_offset
     ]
     offset_expr = F.lit(0)
     for bk in live:

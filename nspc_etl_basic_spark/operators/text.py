@@ -200,13 +200,22 @@ def vocab_topk(
     shuffle), then global top-k via orderBy+limit — Spark plans
     TakeOrderedAndProject (per-partition heaps), never a full sort.
     """
+    return _counted_topk(
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("token")),
+        "token", k, min_count,
+    )
+
+
+def _counted_topk(exploded: DataFrame, col: str, k: int, min_count: int) -> DataFrame:
+    """Shared tail of the top-k count operators: map-side-combined count,
+    floor filter, global top-k (TakeOrderedAndProject) with ties broken
+    by the counted value ascending."""
     counts = (
-        df.select(F.explode(word_tokens(F.col(text_col))).alias("token"))
-        .groupBy("token")
+        exploded.groupBy(col)
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
     )
-    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(k)
+    return counts.orderBy(F.col("n").desc(), F.col(col).asc()).limit(k)
 
 
 def bigram_topk(
@@ -232,10 +241,6 @@ def bigram_topk(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    counts = (
-        df.select(F.explode(bigrams).alias("bigram"))
-        .groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
+    return _counted_topk(
+        df.select(F.explode(bigrams).alias("bigram")), "bigram", k, min_count
     )
-    return counts.orderBy(F.col("n").desc(), F.col("bigram").asc()).limit(k)

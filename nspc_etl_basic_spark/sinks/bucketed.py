@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_bucketed"]
+__all__ = ["write_bucketed", "read_bucketed", "write_partitioned"]
 
 
 def write_bucketed(

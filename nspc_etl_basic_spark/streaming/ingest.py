@@ -108,15 +108,31 @@ def run_stream_upsert(
     from nspc_etl_basic_spark.operators.merge import merge_upsert
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        # deliberately NOT operators.merge.dedup_last_wins: that contract
+        # keys on the reader's unique __seq (no ties possible); a stream
+        # batch has no such column, so the winner must be pinned by a
+        # CONTENT tie-break — otherwise a replayed batch after a crash
+        # between commit and checkpoint could pick a different row and
+        # break the idempotence argument above
         src = batch_df
-        if dedup_order_col:
-            w = Window.partitionBy(*pk_cols).orderBy(F.col(dedup_order_col).desc())
+        tiebreak = [
+            F.col(c).desc()
+            for c in batch_df.columns
+            if c not in pk_cols and c != dedup_order_col
+        ]
+        order = (
+            [F.col(dedup_order_col).desc()] if dedup_order_col else []
+        ) + tiebreak
+        if order:
+            w = Window.partitionBy(*pk_cols).orderBy(*order)
             src = (
                 src.withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") == 1)
                 .drop("__rn")
             )
         else:
+            # pk-only schema: duplicate rows are identical — any pick is
+            # the same row
             src = src.dropDuplicates(pk_cols)
         if warehouse.exists(table):
             merged = merge_upsert(warehouse.read(table), src, pk_cols)

@@ -208,3 +208,33 @@ def test_mixture_order_rejects_nonpositive_weight(spark):
 
     with pytest.raises(ValueError):
         mixture_order(_corpus(spark), "lang", "doc_id", {"lang_0": 0.0})
+
+
+def test_hash_sample_threshold_rounds_not_truncates(spark):
+    """0.57 * 10000 is 5699.999... in IEEE double; the threshold must
+    round to 5700, not silently drop bucket 5699."""
+    import hashlib
+
+    # replay hash_bucket's md5 arithmetic driver-side to find keys that
+    # deterministically land in the boundary bucket (and its neighbor)
+    def bucket(key: str) -> int:
+        return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % 10_000
+
+    boundary_key = next(f"k{i}" for i in range(100_000) if bucket(f"k{i}") == 5699)
+    dropped_key = next(f"k{i}" for i in range(100_000) if bucket(f"k{i}") == 5700)
+    df = spark.createDataFrame(
+        [(boundary_key,), (dropped_key,)], "doc_id string"
+    )
+    kept = {r.doc_id for r in hash_sample(df, "doc_id", 0.57).collect()}
+    assert boundary_key in kept  # int() truncation would drop bucket 5699
+    assert dropped_key not in kept
+
+
+def test_take_until_budget_handles_null_weights(spark):
+    rows = [(0, 10), (1, None), (2, 10), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = take_until_budget(df, "doc_id", "n_chars", budget=10, n_buckets=2)
+    # null weights contribute nothing; doc 0 fits, doc 2 would exceed
+    kept = {r.doc_id: r.cum_weight for r in got.collect()}
+    assert kept[0] == 10
+    assert 2 not in kept

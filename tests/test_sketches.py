@@ -11,15 +11,15 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 
-def _events(spark):
+def _events(spark, sf_dir):
     # events.parquet stores ts as TIMESTAMP(NANOS); these tests don't use
     # ts, but the reader still validates the schema — read nanos as long
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
-def test_approx_count_distinct_within_rsd(spark):
-    ev = _events(spark)
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    ev = _events(spark, sf_dir)
     exact = ev.select(F.count_distinct("user_id")).collect()[0][0]
     approx = ev.select(
         F.approx_count_distinct("user_id", rsd=0.05)
@@ -27,8 +27,8 @@ def test_approx_count_distinct_within_rsd(spark):
     assert abs(approx - exact) <= max(3 * 0.05 * exact, 3)
 
 
-def test_approx_percentile_within_accuracy(spark):
-    ev = _events(spark)
+def test_approx_percentile_within_accuracy(spark, sf_dir):
+    ev = _events(spark, sf_dir)
     exact, approx = ev.select(
         F.percentile(F.col("value"), F.lit(0.5)),
         F.percentile_approx("value", 0.5, accuracy=10000),
@@ -39,10 +39,10 @@ def test_approx_percentile_within_accuracy(spark):
     assert abs(approx - exact) <= (hi - lo) * 0.05
 
 
-def test_sketches_are_mergeable_across_partitions(spark):
+def test_sketches_are_mergeable_across_partitions(spark, sf_dir):
     """The scale property that makes sketches the right tier: the same
     answer regardless of partitioning (merge is associative)."""
-    ev = _events(spark)
+    ev = _events(spark, sf_dir)
     a = ev.coalesce(1).select(
         F.approx_count_distinct("user_id", rsd=0.02)
     ).collect()[0][0]

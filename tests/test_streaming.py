@@ -413,3 +413,50 @@ def test_stream_upsert_merges_microbatches_exactly_once(spark, tmp_path):
     # re-drain with nothing new: checkpoint makes it a no-op
     drain()
     assert {r.pk: r.val for r in wh.read("t_stream").collect()} == got
+
+
+def test_stream_upsert_dedup_tiebreak_is_deterministic(spark, tmp_path):
+    """Rows tied on the dedup order column must resolve by content, not
+    partition luck: a replayed micro-batch after a crash between the data
+    commit and the checkpoint write must pick the SAME winner or the
+    idempotence argument breaks."""
+    from pyspark.sql import types as T
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming.ingest import (
+        run_stream_upsert,
+        stream_directory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    # two rows tied on (pk, seq) across DIFFERENT files (so partition
+    # arrival order is not fixed); content tie-break picks val desc
+    spark.createDataFrame([(1, "alpha", 5)], schema).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    spark.createDataFrame([(1, "zeta", 5)], schema).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+
+    results = []
+    for attempt in ("a", "b"):  # fresh checkpoint ⇒ full replay
+        wh = ParquetWarehouse(spark, str(tmp_path / f"wh_{attempt}"))
+        stream = stream_directory(spark, str(src), schema, fmt="parquet")
+        run_stream_upsert(
+            stream,
+            wh,
+            "t",
+            ["pk"],
+            str(tmp_path / f"ckpt_{attempt}"),
+            dedup_order_col="seq",
+        )
+        results.append({r.pk: r.val for r in wh.read("t").collect()})
+    assert results[0] == results[1] == {1: "zeta"}
