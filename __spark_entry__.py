@@ -1012,6 +1012,31 @@ def text_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_topk(_docs_wide(spark, sf_dir), k=100)
 
 
+def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals (Gopher-style quality filters).
+    Entirely in-row: zip_with bigrams + array_distinct for the dup-bigram
+    fraction, and a run-length `aggregate` over the sorted token array
+    for top-token / distinct-token fractions — zero shuffle, zero join;
+    the oracle recomputes the same values the relational way."""
+    from nspc_etl_basic_spark.operators.text import repetition_features
+
+    return repetition_features(_docs_wide(spark, sf_dir))
+
+
+def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop corpus docs sharing any word
+    3-gram with the held-out eval slice (doc_id % 97 == 0). In-row
+    n-gram projection -> explode -> broadcast LEFT SEMI against the
+    (small) eval n-gram set -> broadcast LEFT ANTI on contaminated ids;
+    the corpus itself never shuffles."""
+    from nspc_etl_basic_spark.operators.decontaminate import decontaminate
+
+    docs = _docs_wide(spark, sf_dir)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, eval_df, n=3).select("doc_id", "n_chars")
+
+
 def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization with per-vector scale and
     reconstruction MAE (operators/similarity.quantize_embeddings) — 4x
@@ -1584,6 +1609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats_q,
         "text_vocab_topk": text_vocab_topk_q,
         "text_bigrams": text_bigrams_q,
+        "text_repetition": text_repetition_q,
+        "corpus_decontaminate": corpus_decontaminate_q,
         "emb_quantize": emb_quantize_q,
         "sim_topk": sim_topk_q,
         "sim_ann_lsh": sim_ann_lsh_q,
@@ -2394,6 +2421,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
                    round(avg(len(regexp_extract_all(text, '\\S+'))), 6) AS avg_tokens
             FROM documents GROUP BY source
+        """,
+        "text_repetition": f"""
+            WITH toks AS (
+                SELECT doc_id, {_sql_word_tokens('text')} AS t FROM documents
+            ),
+            cnt AS (
+                SELECT doc_id, token, count(*) AS n
+                FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+                GROUP BY doc_id, token
+            ),
+            tokstats AS (
+                SELECT doc_id,
+                       CAST(sum(n) AS BIGINT) AS n_tokens,
+                       round(max(n) * 1.0 / sum(n), 6) AS top_token_frac,
+                       round(count(*) * 1.0 / sum(n), 6) AS distinct_token_frac
+                FROM cnt GROUP BY doc_id
+            ),
+            big AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i + 1])
+                            ELSE CAST([] AS VARCHAR[]) END AS bg
+                FROM toks
+            )
+            SELECT b.doc_id,
+                   coalesce(s.n_tokens, 0) AS n_tokens,
+                   coalesce(s.top_token_frac, 0.0) AS top_token_frac,
+                   coalesce(s.distinct_token_frac, 0.0) AS distinct_token_frac,
+                   round(CASE WHEN len(bg) > 0
+                         THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                         ELSE 0.0 END, 6) AS dup_bigram_frac
+            FROM big b LEFT JOIN tokstats s USING (doc_id)
+        """,
+        "corpus_decontaminate": f"""
+            WITH toks AS (
+                SELECT doc_id, {_sql_word_tokens('text')} AS t FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(t) >= 3
+                              THEN list_transform(range(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                              ELSE CAST([] AS VARCHAR[]) END) AS gram
+                FROM toks
+            ),
+            eval_grams AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+            ),
+            bad AS (
+                SELECT DISTINCT g.doc_id
+                FROM grams g JOIN eval_grams e USING (gram)
+                WHERE g.doc_id % 97 != 0
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id % 97 != 0
+              AND doc_id NOT IN (SELECT doc_id FROM bad)
         """,
         "text_bigrams": f"""
             SELECT bigram, count(*) AS n

@@ -218,6 +218,105 @@ def _counted_topk(exploded: DataFrame, col: str, k: int, min_count: int) -> Data
     return counts.orderBy(F.col("n").desc(), F.col(col).asc()).limit(k)
 
 
+def bigram_array(text: Column) -> Column:
+    """array<string> of adjacent word-token bigrams, built in-row (two
+    slices + zip_with — a projection, no unigram explode, no self-join).
+    Empty array for docs with fewer than two tokens."""
+    toks = word_tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition scoring — the Gopher/FineWeb-style signals
+    that catch boilerplate and degenerate (looping) text, which exact and
+    near dedup both miss because the repetition is WITHIN one document:
+
+    - ``top_token_frac``: count of the most frequent token / total tokens
+      (a high value means one token dominates — menus, tag soup).
+    - ``distinct_token_frac``: distinct / total tokens (low = repetitive).
+    - ``dup_bigram_frac``: 1 - distinct bigrams / total bigrams (high =
+    the same phrase repeats over and over).
+
+    Scale: the WHOLE operator is a narrow in-row projection — no explode,
+    no shuffle, no join. Bigram stats come from ``array_distinct`` over
+    the zip_with bigram array; the max token frequency is the longest run
+    in the SORTED token array, computed by one ``aggregate`` pass with a
+    (prev, run, best, n_distinct) struct accumulator — O(L log L) per doc
+    beats shipping every token through a (doc_id, token) shuffle. The
+    sorted array and the accumulator struct are hoisted into their own
+    projection columns: HOF bodies get no common-subexpression
+    elimination, so anything referenced twice must already be a column.
+    No reference counterpart — the reference engine has no corpus
+    operators.
+    """
+    t = F.col(text_col)
+    bigrams = bigram_array(t)
+    base = df.select(
+        F.col(id_col),
+        F.size(word_tokens(t)).alias("__n"),
+        F.array_sort(word_tokens(t)).alias("__sorted"),
+        F.size(bigrams).alias("__nbg"),
+        F.size(F.array_distinct(bigrams)).alias("__dbg"),
+    )
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("n_distinct"),
+    )
+
+    def step(acc, x):
+        # tokens are non-empty matches, so prev='' never equals a token
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+            (
+                acc["n_distinct"]
+                + F.when(x == acc["prev"], F.lit(0)).otherwise(F.lit(1))
+            ).cast("long").alias("n_distinct"),
+        )
+
+    staged = base.select(
+        id_col, "__n", "__nbg", "__dbg",
+        F.aggregate(F.col("__sorted"), zero, step).alias("__st"),
+    )
+    n = F.col("__n")
+    nbg = F.col("__nbg")
+    return staged.select(
+        id_col,
+        n.cast("long").alias("n_tokens"),
+        F.round(
+            F.when(n > 0, F.col("__st")["best"] / n).otherwise(F.lit(0.0)), 6
+        ).alias("top_token_frac"),
+        F.round(
+            F.when(n > 0, F.col("__st")["n_distinct"] / n).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("distinct_token_frac"),
+        F.round(
+            F.when(
+                nbg > 0, F.lit(1.0) - F.col("__dbg") / nbg
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
 def bigram_topk(
     df: DataFrame,
     k: int = 100,
@@ -231,16 +330,7 @@ def bigram_topk(
     unigrams first), then one explode + map-side-combined count + global
     top-k via orderBy+limit (TakeOrderedAndProject). Cutoff ties break
     by bigram ascending."""
-    toks = word_tokens(F.col(text_col))
-    n = F.size(toks)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = bigram_array(F.col(text_col))
     return _counted_topk(
         df.select(F.explode(bigrams).alias("bigram")), "bigram", k, min_count
     )
