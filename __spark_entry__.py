@@ -1023,6 +1023,29 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_wide(spark, sf_dir))
 
 
+def text_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the corpus. The synthetic docs carry no PII, so
+    the query injects a deterministic email/ip/phone per doc (derived
+    from doc_id) and redacts it — both sides of the oracle replay the
+    same augmentation. Pure regex projection chain, no shuffle."""
+    from nspc_etl_basic_spark.operators.text import redact_pii
+
+    docs = _docs_wide(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 call 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
 def corpus_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: drop corpus docs sharing any word
     3-gram with the held-out eval slice (doc_id % 97 == 0). In-row
@@ -1610,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": text_vocab_topk_q,
         "text_bigrams": text_bigrams_q,
         "text_repetition": text_repetition_q,
+        "text_redact_pii": text_redact_pii_q,
         "corpus_decontaminate": corpus_decontaminate_q,
         "emb_quantize": emb_quantize_q,
         "sim_topk": sim_topk_q,
@@ -1668,6 +1692,39 @@ def _oavg(expr: str, scale: int = 6) -> str:
 
 def _sql_word_tokens(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '[a-z0-9'']+')"
+
+
+def _sql_redact_pii() -> str:
+    """Oracle for text_redact_pii, generated from the SAME PII_PATTERNS
+    the operator applies (patterns stay in the Java-regex/RE2 shared
+    subset) so the two sides cannot drift. Mirrors the sequential
+    count-then-replace stages."""
+    from nspc_etl_basic_spark.operators.text import PII_PATTERNS
+
+    stages, prev, i = [], "t0", 0
+    for name, (pat, repl) in PII_PATTERNS.items():
+        cur = f"t{i + 1}"
+        carried = ", ".join(f"n_{n}" for n, _ in list(PII_PATTERNS.items())[:i])
+        stages.append(
+            f"s{i + 1} AS (SELECT doc_id{', ' + carried if carried else ''},"
+            f" CAST(len(regexp_extract_all({prev}, '{pat}')) AS BIGINT)"
+            f" AS n_{name},"
+            f" regexp_replace({prev}, '{pat}', '{repl}', 'g') AS {cur}"
+            f" FROM s{i})"
+        )
+        prev, i = cur, i + 1
+    final_counts = ", ".join(f"n_{n}" for n in PII_PATTERNS)
+    return f"""
+        WITH s0 AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com from 10.'
+                        || (doc_id % 256) || '.0.1 call 555-867-530'
+                        || (doc_id % 10) AS t0
+            FROM documents
+        ),
+        {', '.join(stages)}
+        SELECT doc_id, {final_counts}, {prev} AS redacted FROM s{i}
+    """
 
 
 def _sql_shingles(k: int = 8) -> str:
@@ -2455,6 +2512,7 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS dup_bigram_frac
             FROM big b LEFT JOIN tokstats s USING (doc_id)
         """,
+        "text_redact_pii": _sql_redact_pii(),
         "corpus_decontaminate": f"""
             WITH toks AS (
                 SELECT doc_id, {_sql_word_tokens('text')} AS t FROM documents

@@ -73,3 +73,27 @@ def test_decontaminate_drops_only_overlapping_docs(spark):
     assert bad == {1}
     kept = {r.doc_id for r in decontaminate(corpus, eval_df, n=3).collect()}
     assert kept == {2, 3}
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from nspc_etl_basic_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co or 1.2.3.4 tel 555-123-4567 done")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 1, 1)
+    assert r.redacted == "mail <EMAIL> or <IP> tel <PHONE> done"
+
+
+def test_redact_pii_sequential_stages_do_not_double_count(spark):
+    """An ip-shaped domain inside an email is consumed by the email stage
+    and must NOT also count as an ip."""
+    from nspc_etl_basic_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(1, "ping a@10.0.0.2.com now")], ["doc_id", "text"])
+    r = redact_pii(df).collect()[0]
+    assert r.n_email == 1
+    assert r.n_ipv4 == 0
+    assert r.redacted == "ping <EMAIL> now"
