@@ -1023,6 +1023,15 @@ def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(_docs_wide(spark, sf_dir))
 
 
+def text_chunk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks with 16-token overlap.
+    In-row stride sequence + slice (projection), then one posexplode —
+    row growth is output-proportional, no shuffle."""
+    from nspc_etl_basic_spark.operators.text import chunk_tokens
+
+    return chunk_tokens(_docs_wide(spark, sf_dir), chunk_size=64, overlap=16)
+
+
 def text_redact_pii_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing over the corpus. The synthetic docs carry no PII, so
     the query injects a deterministic email/ip/phone per doc (derived
@@ -1633,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_topk": text_vocab_topk_q,
         "text_bigrams": text_bigrams_q,
         "text_repetition": text_repetition_q,
+        "text_chunk": text_chunk_q,
         "text_redact_pii": text_redact_pii_q,
         "corpus_decontaminate": corpus_decontaminate_q,
         "emb_quantize": emb_quantize_q,
@@ -2511,6 +2521,27 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
                          ELSE 0.0 END, 6) AS dup_bigram_frac
             FROM big b LEFT JOIN tokstats s USING (doc_id)
+        """,
+        "text_chunk": f"""
+            WITH toks AS (
+                SELECT doc_id, {_sql_word_tokens('text')} AS t FROM documents
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 1
+                            THEN list_transform(
+                                 range(1, greatest(len(t) - 16, 1) + 1, 48),
+                                 i -> array_to_string(
+                                          list_slice(t, i, i + 63), ' '))
+                            ELSE CAST([] AS VARCHAR[]) END AS cs
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(cs, 1) - 1 AS BIGINT) AS chunk_id,
+                   unnest(cs) AS chunk,
+                   CAST(len(regexp_extract_all(unnest(cs), '\\S+')) AS BIGINT)
+                       AS n_tokens
+            FROM chunks
         """,
         "text_redact_pii": _sql_redact_pii(),
         "corpus_decontaminate": f"""

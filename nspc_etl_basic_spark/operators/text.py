@@ -360,6 +360,67 @@ def redact_pii(
     return out
 
 
+def chunk_tokens(
+    df: DataFrame,
+    chunk_size: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size chunks with
+    ``overlap`` tokens of context carried between neighbours — the
+    context-window preparation step for training/RAG pipelines (distinct
+    from ``sampling.pack_sequences``, which packs WHOLE docs into
+    sequences; this splits long docs). Returns one row per chunk:
+    ``id_col``, 0-based ``chunk_id``, ``chunk`` text, ``n_tokens``.
+
+    The final chunk keeps the tail even when shorter than ``chunk_size``.
+    A chunk is emitted only if it contributes tokens beyond its
+    predecessor's end (a start inside the previous chunk's overlap tail
+    would repeat already-covered tokens), so a doc shorter than
+    ``chunk_size`` yields exactly one chunk and an empty doc yields none.
+
+    Scale: chunk construction is in-row (``transform`` over a stride
+    ``sequence`` of start offsets + ``slice``) and the only row growth is
+    the explode to one row per chunk — output-proportional, no shuffle.
+    No reference counterpart — the reference engine has no corpus
+    operators.
+    """
+    if chunk_size < 1:
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError(
+            f"overlap must be in [0, chunk_size), got {overlap}"
+        )
+    stride = chunk_size - overlap
+    toks = word_tokens(F.col(text_col))
+    # start offsets 1, 1+stride, ... while start <= n - overlap (a later
+    # start lies inside the previous chunk and adds nothing new);
+    # greatest(..., 1) keeps the single-chunk case, and the zero-token
+    # case is guarded below (sequence counts DOWN for an empty span)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(toks) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.when(
+        F.size(toks) >= 1,
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", F.slice(toks, i, chunk_size)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk")
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "chunk",
+        token_count(F.col("chunk")).cast("long").alias("n_tokens"),
+    )
+
+
 def bigram_topk(
     df: DataFrame,
     k: int = 100,

@@ -97,3 +97,45 @@ def test_redact_pii_sequential_stages_do_not_double_count(spark):
     assert r.n_email == 1
     assert r.n_ipv4 == 0
     assert r.redacted == "ping <EMAIL> now"
+
+
+def test_chunk_tokens_overlap_and_tail(spark):
+    from nspc_etl_basic_spark.operators.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, text), (2, "a b"), (3, "")], ["doc_id", "text"]
+    )
+    rows = chunk_tokens(df, chunk_size=8, overlap=4).collect()
+    got = {(r.doc_id, r.chunk_id): (r.chunk, r.n_tokens) for r in rows}
+    # doc 1: starts at tokens 0 and 4; a third start at token 8 would sit
+    # inside chunk 1's span and add nothing — must not be emitted
+    assert got[(1, 0)] == (" ".join(f"w{i}" for i in range(8)), 8)
+    assert got[(1, 1)] == (" ".join(f"w{i}" for i in range(4, 10)), 6)
+    assert (1, 2) not in got
+    # short doc: one whole-doc chunk; empty doc: no chunks
+    assert got[(2, 0)] == ("a b", 2)
+    assert {k[0] for k in got} == {1, 2}
+
+
+def test_chunk_tokens_no_overlap_covers_exactly(spark):
+    from nspc_etl_basic_spark.operators.text import chunk_tokens
+
+    text = " ".join(f"w{i}" for i in range(7))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_tokens(df, chunk_size=3).collect(), key=lambda r: r.chunk_id
+    )
+    assert [r.chunk for r in rows] == ["w0 w1 w2", "w3 w4 w5", "w6"]
+    # zero overlap: concatenation reconstructs the token stream exactly
+    assert " ".join(r.chunk for r in rows) == text
+
+
+def test_chunk_tokens_rejects_bad_params(spark):
+    from nspc_etl_basic_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_tokens(df, chunk_size=4, overlap=4)
