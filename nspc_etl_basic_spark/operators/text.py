@@ -438,3 +438,57 @@ def bigram_topk(
     return _counted_topk(
         df.select(F.explode(bigrams).alias("bigram")), "bigram", k, min_count
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by smoothed TF-IDF — keyword extraction /
+    relevance weighting over a training corpus. Weight = tf * (ln((N+1)/
+    (df+1)) + 1), ranked per document on the 6-decimal-rounded weight
+    (rounding collapses cross-engine double near-ties) with token-ascending
+    tie-break.
+
+    Scale: three shuffles, all on bounded-cardinality keys — (doc, token)
+    for TF, token for DF, doc for the final top-k window — each with
+    map-side partial aggregation. The document count N is a 1-row
+    aggregate broadcast into the plan (scalar-subquery shape, not a
+    driver collect). The DF side is vocabulary-sized, far too large to
+    broadcast at corpus scale, so the TF<->DF equi-join on token is left
+    to sort-merge; nothing here is all-pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("token"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tfidf", "rk")
+    )
