@@ -61,16 +61,26 @@ def main() -> None:
     # GC/page-cache noise (observed ±2x swings on individual queries); the
     # minimum over repeats is the stable engine-throughput estimate
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
-    timings: dict[str, float] = {}
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         best = float("inf")
-        for _ in range(max(1, repeats)):
-            t0 = time.monotonic()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        # per-query isolation: one broken plan must never zero the whole
+        # round's perf evidence (BENCH_r02 died on a single AnalysisException)
+        try:
+            for _ in range(max(1, repeats)):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            msg = f"{type(exc).__name__}: {exc}"[:300]
+            timings[name] = {"err": msg}
+            errors[name] = msg
 
-    total = round(sum(timings.values()), 3)
+    total = round(
+        sum(v for v in timings.values() if isinstance(v, float)), 3
+    )
     print(
         json.dumps(
             {
@@ -78,6 +88,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "errors": len(errors),
                 "sf": sf,
             }
         )

@@ -284,17 +284,28 @@ def near_dedup_minhash(
     n_hashes: int = N_MINHASHES,
     band_size: int = 2,
     threshold: float = 0.8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: MinHash -> LSH candidates -> exact
     Jaccard filter >= threshold. Returns confirmed near-duplicate pairs.
 
     Signatures are a projection (no shuffle); the candidate set is
-    materialized eagerly so the verification stage can broadcast it."""
+    materialized eagerly so the verification stage can broadcast it.
+
+    The LSH hot-key guard is ON by default here (``max_bucket_size=1000``):
+    the composed pipeline is what a user points at a raw corpus, where one
+    boilerplate band key can collect millions of docs and turn the bucket
+    self-join into a single O(bucket²) task. The trade: pairs whose ONLY
+    collision is inside a dropped mega-bucket are missed — such clusters
+    are better handled by exact dedup; pass ``max_bucket_size=None`` to
+    restore exact all-pairs semantics."""
     # cache the (tiny) signature table: it is a pure projection, so without
     # materialization both branches of the band self-join would recompute
     # every shingle hash
     sigs = minhash_signatures(df, text_col, id_col, k, n_hashes).cache()
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, band_size).cache()
+    cand = lsh_candidate_pairs(
+        sigs, id_col, n_hashes, band_size, max_bucket_size=max_bucket_size
+    ).cache()
     cand.count()
     sigs.unpersist()  # cand is materialized; the signature cache is dead weight
     jac = jaccard_on_candidates(df, cand, text_col, id_col, k)

@@ -70,6 +70,28 @@ def test_near_dedup_end_to_end_threshold(spark):
     assert all(r.jaccard >= 0.8 for r in got)
 
 
+def test_near_dedup_composed_cap_on_by_default(spark):
+    # The composed pipeline must ship with the hot-key guard ON: a
+    # degenerate boilerplate bucket (60 identical docs, bucket size > the
+    # 1000 default is impractical in a unit test, so pass an explicit small
+    # cap through the composed path) contributes zero candidate pairs,
+    # while a distinct near-dup pair in small buckets survives.
+    boiler = [(i, "lorem ipsum dolor sit amet " * 3) for i in range(30)]
+    pair = [
+        (100, "the quick brown fox jumps over the lazy dog again and again"),
+        (101, "the quick brown fox jumps over the lazy dog again and again!"),
+    ]
+    docs = _corpus(spark, boiler + pair)
+    got = near_dedup_minhash(docs, threshold=0.8, max_bucket_size=10).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(100, 101)]
+    # and the default value itself is non-None (the guard is on unless the
+    # caller explicitly asks for exact all-pairs)
+    import inspect
+
+    default = inspect.signature(near_dedup_minhash).parameters["max_bucket_size"].default
+    assert default is not None and default > 0
+
+
 def test_minhash_null_text_dropped(spark):
     docs = spark.createDataFrame(
         [(1, "some text"), (2, None)], "doc_id long, text string"

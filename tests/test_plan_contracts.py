@@ -158,3 +158,22 @@ def test_funnel_reuses_one_user_partitioning(spark, sf_dir):
 def test_bigrams_use_take_ordered(spark, sf_dir):
     plan = _plan(QUERIES["text_bigrams"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_composed_neardup_has_bucket_cap_filter(spark, sf_dir):
+    """The composed near_dedup_minhash pipeline must carry the LSH
+    hot-key guard by default: the bucket-size window count and its
+    filter must appear in the candidate plan (dropping O(bucket²)
+    mega-buckets is what keeps the self-join scale-safe on raw corpora)."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        near_dedup_minhash,
+    )
+    import inspect
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cap = inspect.signature(near_dedup_minhash).parameters["max_bucket_size"].default
+    assert cap is not None
+    plan = _plan(lsh_candidate_pairs(minhash_signatures(docs), max_bucket_size=cap))
+    assert "__bsz" in plan, plan
