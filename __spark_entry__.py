@@ -1230,6 +1230,95 @@ def multimodal_frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_real_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end-to-end oracled: each doc's first 256 UTF-8
+    bytes become the pixels of a 16x16 grayscale PNG (zero-padded),
+    encoded with the vendored pure-stdlib codec inside a mapInPandas
+    kernel, then decoded back by ``image_features(require_real_decode=
+    True)`` — a full PNG encode -> zlib -> parse -> unfilter -> decode
+    round trip on every row. The oracle replays the pixel arithmetic
+    (mean of the source bytes over the fixed 256-pixel canvas) without
+    touching PNG, so any codec defect breaks parity."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from nspc_etl_basic_spark.operators.codecs import encode_png
+    from nspc_etl_basic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def to_png(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = txt.encode("utf-8")[:256]
+                px = _np.zeros(256, dtype=_np.uint8)
+                px[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+                payloads.append(encode_png(px.reshape(16, 16)))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "image", "width": 16, "height": 16,
+                         "n_frames": None, "sample_rate": None}
+                    ] * len(pdf),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(to_png, MEDIA_SCHEMA)
+    return image_features(media, require_real_decode=True).select(
+        "media_id", "width", "height", "mean_intensity"
+    )
+
+
+def multimodal_real_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, end-to-end oracled: each doc's first 256 UTF-8
+    bytes become int16 PCM samples ((b-128)*256), encoded as a WAV with
+    the stdlib codec, then decoded back by ``audio_features(
+    require_real_decode=True)`` — header parse + PCM16 decode on every
+    row. The oracle replays the sample arithmetic directly."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from nspc_etl_basic_spark.operators.codecs import encode_wav
+    from nspc_etl_basic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def to_wav(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = _np.frombuffer(
+                    txt.encode("utf-8")[:256], _np.uint8
+                ).astype(_np.int16)
+                payloads.append(encode_wav((raw - 128) * 256, 8000))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "audio", "width": None, "height": None,
+                         "n_frames": None, "sample_rate": 8000}
+                    ] * len(pdf),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(to_wav, MEDIA_SCHEMA)
+    return audio_features(media, require_real_decode=True)
+
+
 # ---------------------------------------------------------------------------
 # Event-time operations (batch views of the streaming ops)
 # ---------------------------------------------------------------------------
@@ -1638,6 +1727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": multimodal_audio_features_q,
         "multimodal_resize": multimodal_resize_q,
         "multimodal_frame_sample": multimodal_frame_sample_q,
+        "multimodal_real_png": multimodal_real_png_q,
+        "multimodal_real_wav": multimodal_real_wav_q,
         "text_quality_filter": text_quality_filter_q,
         "corpus_split": corpus_split_q,
         "corpus_stratified_sample": corpus_stratified_sample_q,
@@ -2332,6 +2423,55 @@ def oracle_sql() -> dict[str, str]:
                         - least(frame_idx * step, len), 0) AS INTEGER)
                        AS frame_bytes
             FROM f
+        """,
+        # Replays multimodal_real_png WITHOUT touching PNG: the Spark side
+        # round-trips pixels through encode_png -> zlib -> decode_png; the
+        # oracle computes the same mean directly from the source bytes over
+        # the fixed 16x16=256-pixel canvas. Any codec defect breaks parity.
+        "multimodal_real_png": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(encode(text))) AS h,
+                       least(CAST(octet_length(encode(text)) AS INTEGER), 256) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   floor(
+                     coalesce(list_sum(list_transform(range(1, n + 1),
+                       i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                            + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)), 0)
+                     / 256.0 / 255.0 * 1000000) / 1000000 AS mean_intensity
+            FROM m
+        """,
+        # Replays multimodal_real_wav: sample v = (byte - 128) * 256;
+        # exact integer sum(v^2), one division + sqrt (32768^2 =
+        # 1073741824), floor-truncated — same op order as the decoder.
+        "multimodal_real_wav": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(encode(text))) AS h,
+                       least(CAST(octet_length(encode(text)) AS INTEGER), 256) AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            v AS (
+                SELECT media_id, n,
+                       list_transform(range(1, n + 1),
+                         i -> CAST(((strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1 - 128) * 256
+                              AS BIGINT)) AS s
+                FROM m
+            )
+            SELECT media_id,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   floor(n / 8000.0 * 1000000) / 1000000 AS duration_s,
+                   CASE WHEN n = 0 THEN 0.0 ELSE
+                     floor(sqrt(
+                       CAST(list_sum(list_transform(s, x -> x * x)) AS DOUBLE)
+                       / (n * 1073741824.0)) * 1000000) / 1000000
+                   END AS rms
+            FROM v
         """,
         "schema_infer_stats": """
             SELECT count(*) AS n_rows,

@@ -15,13 +15,16 @@ Spark plumbing for bytes-in/bytes-out transforms (vectorized transfer, no
 per-row pickling, bounded batch memory via
 ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-STUBBED CODECS: this container has no image/audio libraries, so the
-decode kernels are deterministic fakes over the payload bytes, clearly
-marked below. The Spark-side contract — schemas, UDF signatures, batch
-iteration, partitioning — is real and tested; swapping a fake kernel for
-PIL/librosa/pyav is a pure function replacement inside the mapInPandas
-body. Real-decode entry points raise ``NotImplementedError`` when the
-library is missing rather than silently faking.
+CODEC TIERS: each kernel dispatches per payload on the magic bytes.
+PNG and WAV payloads get a REAL decode via the vendored pure-stdlib
+codecs (``operators/codecs.py`` — zlib inflate + unfilter for PNG, the
+stdlib ``wave`` module for PCM16); when PIL is installed it is preferred
+for images (wider format coverage). Payloads in formats neither tier
+understands (JPEG/MP3/MP4...) fall back to a deterministic fake over the
+raw bytes so the distributed plumbing — Arrow batching, schemas, batch
+iteration, partitioning — always runs end-to-end; pass
+``require_real_decode=True`` to raise on any undecodable payload instead
+of silently faking.
 """
 
 from __future__ import annotations
@@ -91,6 +94,34 @@ def _try_import_pil():
         return None
 
 
+def _floor6(x: float) -> float:
+    """Truncate to 6 decimals: floor has identical semantics in Python,
+    numpy, Spark and DuckDB (round() diverges on halves), keeping every
+    kernel output oracle-checkable bit-for-bit."""
+    return math.floor(x * 1e6) / 1e6
+
+
+def _decode_image(payload: bytes):
+    """Real image decode: PIL when importable (any format it knows),
+    else the vendored pure-stdlib PNG codec. Returns an (h, w, c) uint8
+    array or None when no real tier can decode this payload."""
+    from nspc_etl_basic_spark.operators import codecs
+
+    pil = _try_import_pil()
+    if pil is not None:
+        import io
+
+        try:
+            img = pil.open(io.BytesIO(payload))
+            arr = np.asarray(img.convert("RGB") if img.mode == "P" else img)
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        except Exception:  # noqa: BLE001 — undecodable: fall through
+            pass
+    if codecs.sniff_media(payload) == "png":
+        return codecs.decode_png(payload)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # STUB KERNELS — deterministic fakes over payload bytes (see module note)
 # ---------------------------------------------------------------------------
@@ -120,63 +151,97 @@ def _fake_rms(payload: bytes) -> float:
 def image_features(df: DataFrame, require_real_decode: bool = False) -> DataFrame:
     """Per-image feature extraction via ``mapInPandas``.
 
-    With ``require_real_decode=True`` a real codec (PIL) must be present;
-    otherwise the deterministic fake kernel runs so the distributed
-    plumbing (Arrow batching, schema, partition parallelism) is exercised
-    end-to-end without the library.
+    Per-payload dispatch: decodable images (PNG via the vendored codec;
+    anything PIL knows when installed) report REAL width/height/mean
+    pixel intensity from the decoded array; undecodable payloads fall
+    back to the deterministic byte-stub (meta dims, byte-mean) so the
+    plumbing always completes. ``require_real_decode=True`` raises
+    ``ValueError`` on the first undecodable payload instead.
     """
-    pil = _try_import_pil()
-    if require_real_decode and pil is None:
-        raise NotImplementedError(
-            "real image decode requires PIL, which is not installed; "
-            "rerun with require_real_decode=False for the stub kernel"
+
+    def one(media_id, payload: bytes, m):
+        arr = _decode_image(payload)
+        if arr is not None:
+            mean = _floor6(
+                # exact integer pixel sum first (order-independent), one
+                # float division after
+                int(arr.astype(np.int64).sum()) / arr.size / 255.0
+            )
+            return (media_id, arr.shape[1], arr.shape[0], mean,
+                    hashlib.md5(payload).hexdigest())
+        if require_real_decode:
+            raise ValueError(
+                f"media_id={media_id}: payload is not a decodable image "
+                "(PNG supported natively; install PIL for more formats)"
+            )
+        return (
+            media_id, m["width"], m["height"],
+            _floor6(_fake_mean_intensity(payload)),
+            hashlib.md5(payload).hexdigest(),
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": pdf["meta"].map(lambda m: m["width"]),
-                    "height": pdf["meta"].map(lambda m: m["height"]),
-                    # floor-truncate to 6 decimals: unlike round(), floor has
-                    # identical semantics in Python, Spark and DuckDB, so the
-                    # kernel stays oracle-checkable bit-for-bit
-                    "mean_intensity": pdf["payload"].map(
-                        lambda p: math.floor(
-                            _fake_mean_intensity(bytes(p)) * 1e6
-                        ) / 1e6
-                    ),
-                    "payload_md5": pdf["payload"].map(
-                        lambda p: hashlib.md5(bytes(p)).hexdigest()
-                    ),
-                }
+            rows = [
+                one(i, bytes(p), m)
+                for i, p, m in zip(pdf["media_id"], pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "mean_intensity", "payload_md5",
+                ],
             )
-            yield out
 
     return df.mapInPandas(kernel, IMAGE_FEATURE_SCHEMA)
 
 
 def resize_images(df: DataFrame, max_dim: int = 256) -> DataFrame:
-    """Resize plumbing: recompute metadata to the clamped size and (stub)
-    re-emit the payload unchanged. A real kernel replaces the payload with
-    re-encoded bytes; schema and flow are identical."""
+    """Resize via ``mapInPandas``. PNG payloads are REALLY resized —
+    decode (vendored codec), nearest-neighbor downsample to fit
+    ``max_dim`` with aspect preserved, re-encode — and the payload is
+    replaced with the new bytes. Undecodable payloads keep their bytes
+    and only the metadata is clamped (stub tier), so the flow completes
+    on any corpus. Images already within ``max_dim`` pass through
+    untouched on both tiers."""
+    from nspc_etl_basic_spark.operators import codecs
+
+    def clamp_dims(w: int, h: int) -> tuple[int, int]:
+        scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
+        return int(w / scale) if w else w, int(h / scale) if h else h
+
+    def one(payload: bytes, m):
+        arr = None
+        if codecs.sniff_media(payload) == "png":
+            try:
+                arr = codecs.decode_png(payload)
+            except ValueError:
+                arr = None
+        if arr is not None:
+            h, w = arr.shape[:2]
+            nw, nh = clamp_dims(w, h)
+            if (nw, nh) != (w, h):
+                payload = codecs.encode_png(codecs.resize_nearest(arr, nw, nh))
+        else:
+            nw, nh = clamp_dims(m["width"] or 0, m["height"] or 0)
+        return payload, {
+            "format": m["format"],
+            "width": nw,
+            "height": nh,
+            "n_frames": m["n_frames"],
+            "sample_rate": m["sample_rate"],
+        }
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def clamp(m):
-                w, h = m["width"] or 0, m["height"] or 0
-                scale = max(w, h) / max_dim if max(w, h) > max_dim else 1.0
-                return {
-                    "format": m["format"],
-                    "width": int(w / scale) if w else w,
-                    "height": int(h / scale) if h else h,
-                    "n_frames": m["n_frames"],
-                    "sample_rate": m["sample_rate"],
+            pairs = [one(bytes(p), m) for p, m in zip(pdf["payload"], pdf["meta"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "payload": [p for p, _ in pairs],
+                    "meta": [m for _, m in pairs],
                 }
-
-            pdf = pdf.assign(meta=pdf["meta"].map(clamp))
-            yield pdf
+            )
 
     return df.mapInPandas(kernel, MEDIA_SCHEMA)
 
@@ -224,41 +289,85 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.mapInPandas(kernel, FRAME_SCHEMA)
 
 
-def audio_features(df: DataFrame) -> DataFrame:
-    """Audio feature plumbing: duration from payload length + sample rate
-    (true for PCM16 mono), RMS via the stub kernel."""
+def audio_features(df: DataFrame, require_real_decode: bool = False) -> DataFrame:
+    """Audio feature extraction via ``mapInPandas``.
+
+    Per-payload dispatch: WAV payloads get a REAL PCM16 decode (vendored
+    stdlib codec) — sample rate and duration from the header, RMS over
+    the int16 samples normalized to [0, 1]; other payloads fall back to
+    the deterministic byte-stub (meta sample rate, PCM16-length duration,
+    byte RMS). ``require_real_decode=True`` raises on undecodables."""
+    from nspc_etl_basic_spark.operators import codecs
+
+    def real_one(media_id, payload: bytes):
+        rate, samples = codecs.decode_wav(payload)
+        n = samples.shape[0]
+        # exact integer sum(s^2) first; one division + sqrt after
+        acc = int((samples.astype(np.int64) ** 2).sum())
+        rms = (acc / (samples.size * 32768 * 32768)) ** 0.5 if n else 0.0
+        return (media_id, rate, _floor6(n / rate if rate else 0.0), _floor6(rms))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # vectorized per batch (no pandas row iteration): duration =
-            # payload_len/2 samples (PCM16) over the sample rate
-            srs = (
-                pdf["meta"]
-                .map(lambda m: m["sample_rate"] or 0)
-                .to_numpy(dtype=np.int64)
-            )
-            lens = np.fromiter(
-                (len(bytes(p)) for p in pdf["payload"]),
-                dtype=np.int64,
-                count=len(pdf),
-            )
-            raw = np.where(srs > 0, (lens / 2) / np.maximum(srs, 1), 0.0)
-            # floor-truncate to 6 decimals: floor has identical semantics
-            # in numpy, Python and DuckDB (round() diverges on halves),
-            # keeping the kernel oracle-checkable bit-for-bit
-            duration = np.floor(raw * 1e6) / 1e6
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]),
-                    "duration_s": duration,
-                    "rms": pdf["payload"].map(
-                        lambda p: math.floor(_fake_rms(bytes(p)) * 1e6) / 1e6
-                    ),
-                }
-            )
+            real_rows, stub_mask = {}, []
+            for pos, (i, p) in enumerate(zip(pdf["media_id"], pdf["payload"])):
+                raw = bytes(p)
+                if codecs.sniff_media(raw) == "wav":
+                    try:
+                        real_rows[pos] = real_one(i, raw)
+                        stub_mask.append(False)
+                        continue
+                    except ValueError:
+                        if require_real_decode:
+                            raise
+                elif require_real_decode:
+                    raise ValueError(
+                        f"media_id={i}: payload is not a decodable PCM16 WAV"
+                    )
+                stub_mask.append(True)
+            if real_rows and not any(stub_mask):
+                yield pd.DataFrame(
+                    [real_rows[p] for p in sorted(real_rows)],
+                    columns=["media_id", "sample_rate", "duration_s", "rms"],
+                )
+                continue
+            stub = _audio_stub_batch(pdf)
+            if real_rows:
+                for pos, row in real_rows.items():
+                    stub.iloc[pos] = row
+            yield stub
 
     return df.mapInPandas(kernel, AUDIO_FEATURE_SCHEMA)
+
+
+def _audio_stub_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    # vectorized per batch (no pandas row iteration): duration =
+    # payload_len/2 samples (PCM16) over the sample rate
+    srs = (
+        pdf["meta"]
+        .map(lambda m: m["sample_rate"] or 0)
+        .to_numpy(dtype=np.int64)
+    )
+    lens = np.fromiter(
+        (len(bytes(p)) for p in pdf["payload"]),
+        dtype=np.int64,
+        count=len(pdf),
+    )
+    raw = np.where(srs > 0, (lens / 2) / np.maximum(srs, 1), 0.0)
+    # floor-truncate to 6 decimals: floor has identical semantics
+    # in numpy, Python and DuckDB (round() diverges on halves),
+    # keeping the kernel oracle-checkable bit-for-bit
+    duration = np.floor(raw * 1e6) / 1e6
+    return pd.DataFrame(
+        {
+            "media_id": pdf["media_id"].to_numpy(),
+            "sample_rate": pdf["meta"].map(lambda m: m["sample_rate"]).to_numpy(),
+            "duration_s": duration,
+            "rms": pdf["payload"]
+            .map(lambda p: math.floor(_fake_rms(bytes(p)) * 1e6) / 1e6)
+            .to_numpy(),
+        }
+    )
 
 
 def synthesize_media(spark, n: int = 64, kind: str = "image") -> DataFrame:

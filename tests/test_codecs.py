@@ -1,0 +1,104 @@
+"""Vendored pure-stdlib PNG/WAV codecs: round trips, filter coverage,
+sniffing, and rejection of out-of-scope inputs."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from nspc_etl_basic_spark.operators.codecs import (
+    PNG_MAGIC,
+    _chunk,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+    sniff_media,
+)
+
+
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (5, 7), (16, 16, 3), (3, 4, 4), (33, 9, 3)]
+)
+def test_png_roundtrip(shape):
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = decode_png(encode_png(a))
+    exp = a[:, :, None] if a.ndim == 2 else a
+    assert got.shape == exp.shape
+    assert (got == exp).all()
+
+
+def _png_with_filter(a: np.ndarray, build_row) -> bytes:
+    """Hand-assemble a PNG whose every scanline uses one filter type."""
+    h, w, ch = a.shape
+    stride = w * ch
+    rows, prev = [], np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = a[y].reshape(-1)
+        rows.append(build_row(line, prev, ch))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_sub_and_up_filters():
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+
+    def up_row(line, prev, ch):
+        return b"\x02" + ((line - prev) & 0xFF).astype(np.uint8).tobytes()
+
+    def sub_row(line, prev, ch):
+        d = line.astype(np.int16).copy()
+        d[ch:] -= line[:-ch]
+        return b"\x01" + (d & 0xFF).astype(np.uint8).tobytes()
+
+    assert (decode_png(_png_with_filter(a, up_row)) == a).all()
+    assert (decode_png(_png_with_filter(a, sub_row)) == a).all()
+
+
+def test_png_rejects_out_of_scope():
+    with pytest.raises(ValueError):
+        decode_png(b"definitely not a png")
+    # 16-bit depth is out of scope
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    png = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError):
+        decode_png(png)
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    rng = np.random.default_rng(2)
+    mono = rng.integers(-32768, 32768, 500).astype(np.int16)
+    rate, got = decode_wav(encode_wav(mono, 22050))
+    assert rate == 22050 and (got[:, 0] == mono).all()
+
+    stereo = rng.integers(-32768, 32768, (100, 2)).astype(np.int16)
+    rate, got = decode_wav(encode_wav(stereo, 8000))
+    assert rate == 8000 and got.shape == (100, 2) and (got == stereo).all()
+
+
+def test_sniff_media():
+    png = encode_png(np.zeros((2, 2), np.uint8))
+    wav = encode_wav(np.zeros(4, np.int16), 8000)
+    assert sniff_media(png) == "png"
+    assert sniff_media(wav) == "wav"
+    assert sniff_media(b"plain old text payload") is None
+    assert sniff_media(b"") is None
+
+
+def test_resize_nearest_known_grid():
+    a = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    # 4x4 -> 2x2 nearest: picks rows/cols 0 and 2
+    got = resize_nearest(a, 2, 2)
+    assert got[:, :, 0].tolist() == [[0, 2], [8, 10]]
