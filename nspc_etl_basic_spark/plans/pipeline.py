@@ -40,10 +40,32 @@ from nspc_etl_basic_spark.operators.merge import (
 )
 from nspc_etl_basic_spark.operators.schema_inference import infer_schema
 from nspc_etl_basic_spark.sinks.metadata import MetadataStore
-from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse, jdbc_write
 from nspc_etl_basic_spark.sources.reader import SEQ_COL, read_any
 
 logger = logging.getLogger(__name__)
+
+
+def _jdbc_options(db_cfg: dict) -> dict:
+    return {
+        k: db_cfg[k] for k in ("driver", "user", "password") if db_cfg.get(k)
+    }
+
+
+def _jdbc_target_schema(spark, url: str, table: str, opts: dict):
+    """Schema of an existing JDBC table, or None when it doesn't exist —
+    the JDBC twin of ``warehouse.exists + .read().schema`` (the existing
+    table's DDL governs the cast, reference
+    test_upsert_operations.py:698-734)."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load().schema
+    except Exception:  # noqa: BLE001 — missing table surfaces as an analysis error
+        return None
 
 
 @dataclass
@@ -202,12 +224,25 @@ def process_file(
         # reference inserts into the existing DDL and the database rejects
         # mismatches (e.g. 'invalid' into an INT column, the strict-rollback
         # scenario test_upsert_operations.py:698-734). Fresh tables get
-        # file inference.
+        # file inference. With ``database.type: jdbc`` the authority is the
+        # JDBC table itself (the reference's actual deployment shape).
+        db_cfg = config.get("database", {})
+        use_jdbc = db_cfg.get("type") == "jdbc" and db_cfg.get("url")
+        jdbc_opts = _jdbc_options(db_cfg) if use_jdbc else {}
+        jdbc_struct = None
+        if use_jdbc and mode in ("append", "upsert"):
+            jdbc_struct = _jdbc_target_schema(
+                spark, db_cfg["url"], table_name, jdbc_opts
+            )
         existing = (
-            mode in ("append", "upsert") and warehouse.exists(table_name)
+            jdbc_struct is not None
+            if use_jdbc
+            else mode in ("append", "upsert") and warehouse.exists(table_name)
         )
         if existing:
-            target_struct = warehouse.read(table_name).schema
+            target_struct = (
+                jdbc_struct if use_jdbc else warehouse.read(table_name).schema
+            )
             file_cols = [c for c in df.columns if not c.startswith("__")]
             extra = [c for c in file_cols if c not in target_struct.names]
             if extra:
@@ -252,7 +287,36 @@ def process_file(
                 if txt:
                     logger.info("failed-row detail written to %s", txt)
 
-        if mode == "upsert":
+        if use_jdbc:
+            # reference deployment shape: data lands in the database; the
+            # metadata/statistics tables stay in the parquet warehouse
+            # (the reference keeps those in the same DB — a config knob a
+            # real deployment can flip by pointing the warehouse at JDBC)
+            h1_types = result.details.get("sql_types")
+            if mode == "upsert":
+                from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert
+
+                counts = jdbc_upsert(
+                    spark, valid, db_cfg["url"], table_name, pk_cols,
+                    sql_types=None if existing else h1_types,
+                    options=jdbc_opts,
+                    dialect=db_cfg.get("dialect", "ansi"),
+                    batch_size=int(loader_cfg.get("batch_size", 1000)),
+                )
+                result.rows_inserted = counts.inserted
+                result.rows_updated = counts.updated
+            else:
+                clean = valid.select(
+                    [c for c in valid.columns if not c.startswith("__")]
+                )
+                jdbc_write(
+                    clean, db_cfg["url"], table_name, mode=mode,
+                    sql_types=None if existing else h1_types,
+                    options=jdbc_opts,
+                    batch_size=int(loader_cfg.get("batch_size", 1000)),
+                )
+                result.rows_inserted = rows_read - invalid_count
+        elif mode == "upsert":
             deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
             if warehouse.exists(table_name):
                 target = warehouse.read(table_name)

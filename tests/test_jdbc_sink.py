@@ -92,3 +92,128 @@ def test_jdbc_append_and_fail_modes(spark, tmp_path):
     assert sorted((r.id, r.v) for r in back.collect()) == [(1, "a"), (2, "b")]
     with pytest.raises(Exception):
         jdbc_write(df.coalesce(1), url, "t2", mode="fail", options=_opts())
+
+
+# ---------------------------------------------------------------------------
+# keyed upsert: staging + server-side MERGE (sinks/jdbc_merge.py)
+# ---------------------------------------------------------------------------
+
+def _read_back(spark, url, table):
+    return (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", table)
+        .option("driver", DERBY_DRIVER).load()
+    )
+
+
+def test_jdbc_upsert_creates_then_merges(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert
+
+    url = _derby_url(tmp_path)
+    first = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "id long, name string, score long"
+    )
+    c1 = jdbc_upsert(spark, first.coalesce(1), url, "scores", ["id"], options=_opts())
+    assert (c1.inserted, c1.updated) == (2, 0)
+
+    # second batch: one update (id=2 changes), one insert (id=3)
+    second = spark.createDataFrame(
+        [(2, "b2", 25), (3, "c", 30)], "id long, name string, score long"
+    )
+    c2 = jdbc_upsert(spark, second.coalesce(1), url, "scores", ["id"], options=_opts())
+    assert (c2.inserted, c2.updated) == (1, 1)
+
+    rows = sorted(
+        (r.id, r.name, r.score) for r in _read_back(spark, url, "scores").collect()
+    )
+    assert rows == [(1, "a", 10), (2, "b2", 25), (3, "c", 30)]
+    # staging table must be gone
+    import pytest as _pt
+    with _pt.raises(Exception):
+        _read_back(spark, url, "scores_stg").collect()
+
+
+def test_jdbc_upsert_last_wins_within_batch(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert
+
+    url = _derby_url(tmp_path)
+    base = spark.createDataFrame([(1, "old")], "id long, v string")
+    jdbc_upsert(spark, base.coalesce(1), url, "lw", ["id"], options=_opts())
+
+    # duplicate key inside one batch: the LAST occurrence wins (E1), and
+    # the split counts the key once
+    batch = spark.createDataFrame(
+        [(1, "mid"), (1, "new"), (2, "x")], "id long, v string"
+    )
+    from pyspark.sql import functions as F
+    batch = batch.withColumn("__seq", F.monotonically_increasing_id())
+    c = jdbc_upsert(spark, batch.coalesce(1), url, "lw", ["id"], options=_opts())
+    assert (c.inserted, c.updated) == (1, 1)
+    rows = sorted((r.id, r.v) for r in _read_back(spark, url, "lw").collect())
+    assert rows == [(1, "new"), (2, "x")]
+
+
+def test_render_merge_sql_dialects_and_injection_guard():
+    from nspc_etl_basic_spark.sinks.jdbc_merge import render_merge_sql
+
+    ansi = render_merge_sql("tgt", "stg", ["id", "v"], ["id"])
+    assert ansi == (
+        'MERGE INTO tgt t USING stg s ON (t."id" = s."id")'
+        ' WHEN MATCHED THEN UPDATE SET t."v" = s."v"'
+        ' WHEN NOT MATCHED THEN INSERT ("id", "v") VALUES (s."id", s."v")'
+    )
+    mssql = render_merge_sql("tgt", "stg", ["id", "v"], ["id"], dialect="sqlserver")
+    assert "WITH (HOLDLOCK)" in mssql and mssql.endswith(";")
+    # all-key table: no WHEN MATCHED clause
+    allkey = render_merge_sql("tgt", "stg", ["id"], ["id"])
+    assert "WHEN MATCHED" not in allkey
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        render_merge_sql("tgt; DROP TABLE x", "stg", ["id"], ["id"])
+
+
+def test_process_file_routes_to_jdbc(spark, tmp_path):
+    """End-to-end reference deployment shape: process_file with
+    database.type=jdbc lands data in the DATABASE (insert then keyed
+    upsert with true counts), while metadata stays in the warehouse."""
+    from nspc_etl_basic_spark import load_config
+    from nspc_etl_basic_spark.plans.pipeline import process_file
+
+    url = _derby_url(tmp_path)
+    cfg = load_config(
+        overrides={
+            "database": {
+                "type": "jdbc",
+                "url": url,
+                "driver": DERBY_DRIVER,
+                "warehouse_path": str(tmp_path / "wh"),
+            },
+            "loader": {"table_mode": "upsert", "primary_key_columns": ["id"]},
+        }
+    )
+
+    f1 = tmp_path / "items.csv"
+    f1.write_text("id,name,amount\n1,alpha,10.5\n2,beta,20.25\n")
+    r1 = process_file(spark, str(f1), cfg, move_files=False)
+    assert r1.status == "Completed", r1.error_message
+    assert (r1.rows_inserted, r1.rows_updated) == (2, 0)
+
+    # second file: update id=2, insert id=3 — and the EXISTING JDBC
+    # table's schema governs the cast
+    f2 = tmp_path / "items2.csv"
+    f2.write_text("id,name,amount\n2,beta2,21.0\n3,gamma,30.0\n")
+    cfg2 = dict(cfg)
+    cfg2["override_table_name"] = r1.table_name
+    r2 = process_file(spark, str(f2), cfg2, move_files=False)
+    assert r2.status == "Completed", r2.error_message
+    assert (r2.rows_inserted, r2.rows_updated) == (1, 1)
+
+    back = _read_back(spark, url, r1.table_name).orderBy("id").collect()
+    assert [(r[0], r[1]) for r in back] == [(1, "alpha"), (2, "beta2"), (3, "gamma")]
+
+    # strict upsert of a bad value into the typed table -> Failed, target unchanged
+    f3 = tmp_path / "items3.csv"
+    f3.write_text("id,name,amount\nnotanint,x,1.0\n")
+    r3 = process_file(spark, str(f3), cfg2, move_files=False)
+    assert r3.status == "Failed"
+    assert _read_back(spark, url, r1.table_name).count() == 3
