@@ -41,8 +41,14 @@ def read_any(
         df = _read_delim(spark, path, ",")
     elif kind == "psv":
         df = _read_delim(spark, path, "|")
+    elif kind == "tsv":
+        df = _read_delim(spark, path, "\t")
     elif kind == "json":
         df = _read_json_flat(spark, path)
+    elif kind == "jsonl":
+        df = _read_jsonl_flat(spark, path)
+    elif kind in ("parquet", "orc"):
+        df = _read_columnar_as_strings(spark, path, kind)
     else:
         raise ValueError(f"Unsupported file type: {kind}")
 
@@ -71,3 +77,28 @@ def _read_json_flat(spark: SparkSession, path: str) -> DataFrame:
     # normalize every column to string so inference semantics match the
     # delimited path (inference decides the real types)
     return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def _read_jsonl_flat(spark: SparkSession, path: str) -> DataFrame:
+    # newline-delimited JSON — Spark's native splittable json format (one
+    # record per line parallelizes by byte range, unlike the multiLine
+    # whole-document parse)
+    df = spark.read.json(path)
+    return df.select(*[F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def _read_columnar_as_strings(spark: SparkSession, path: str, fmt: str) -> DataFrame:
+    # parquet/orc land with real types; the load pipeline's contract is
+    # all-string input (type authority = our inference / the existing
+    # table's DDL, exactly as for delimited files), so render values to
+    # strings the same way the cast stage parses them back
+    df = spark.read.format(fmt).load(path)
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.simpleString().startswith("timestamp"):
+            # default string render drops subseconds inconsistently across
+            # writers; pin the B3-parseable form
+            c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+        cols.append(c.cast("string").alias(f.name))
+    return df.select(*cols)

@@ -2,7 +2,12 @@ from nspc_etl_basic_spark.streaming.dedup import (
     stream_dedup_exact,
     stream_dedup_keys,
 )
-from nspc_etl_basic_spark.streaming.ingest import stream_directory, run_available_now
+from nspc_etl_basic_spark.streaming.ingest import (
+    run_available_now,
+    run_stream_upsert,
+    run_stream_upsert_jdbc,
+    stream_directory,
+)
 from nspc_etl_basic_spark.streaming.windows import (
     windowed_agg,
     sliding_window_agg,
@@ -14,6 +19,8 @@ __all__ = [
     "attribution_join",
     "stream_directory",
     "run_available_now",
+    "run_stream_upsert",
+    "run_stream_upsert_jdbc",
     "windowed_agg",
     "sliding_window_agg",
     "sessionize_stateful",

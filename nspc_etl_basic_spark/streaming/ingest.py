@@ -66,6 +66,40 @@ def run_available_now(
     return q
 
 
+def _content_last_wins(
+    batch_df: DataFrame, pk_cols: list[str], dedup_order_col: str | None
+) -> DataFrame:
+    """Deterministic within-batch PK dedup for streaming merges.
+
+    Deliberately NOT operators.merge.dedup_last_wins: that contract keys
+    on the reader's unique ``__seq`` (no ties possible); a stream batch
+    has no such column, so the winner must be pinned by a CONTENT
+    tie-break — otherwise a replayed batch after a crash between data
+    commit and checkpoint write could pick a different row and break the
+    merge-idempotence argument."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    tiebreak = [
+        F.col(c).desc()
+        for c in batch_df.columns
+        if c not in pk_cols and c != dedup_order_col
+    ]
+    order = (
+        [F.col(dedup_order_col).desc()] if dedup_order_col else []
+    ) + tiebreak
+    if not order:
+        # pk-only schema: duplicate rows are identical — any pick is the
+        # same row
+        return batch_df.dropDuplicates(pk_cols)
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
+    return (
+        batch_df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def run_stream_upsert(
     df: DataFrame,
     warehouse,
@@ -102,43 +136,60 @@ def run_stream_upsert(
     which slots in behind this same foreachBatch without changing the
     operator's contract.
     """
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
     from nspc_etl_basic_spark.operators.merge import merge_upsert
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
-        # deliberately NOT operators.merge.dedup_last_wins: that contract
-        # keys on the reader's unique __seq (no ties possible); a stream
-        # batch has no such column, so the winner must be pinned by a
-        # CONTENT tie-break — otherwise a replayed batch after a crash
-        # between commit and checkpoint could pick a different row and
-        # break the idempotence argument above
-        src = batch_df
-        tiebreak = [
-            F.col(c).desc()
-            for c in batch_df.columns
-            if c not in pk_cols and c != dedup_order_col
-        ]
-        order = (
-            [F.col(dedup_order_col).desc()] if dedup_order_col else []
-        ) + tiebreak
-        if order:
-            w = Window.partitionBy(*pk_cols).orderBy(*order)
-            src = (
-                src.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
-                .drop("__rn")
-            )
-        else:
-            # pk-only schema: duplicate rows are identical — any pick is
-            # the same row
-            src = src.dropDuplicates(pk_cols)
+        src = _content_last_wins(batch_df, pk_cols, dedup_order_col)
         if warehouse.exists(table):
             merged = merge_upsert(warehouse.read(table), src, pk_cols)
         else:
             merged = src
         warehouse.overwrite_snapshot(merged, table)
+
+    q = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_stream_upsert_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    pk_cols: list[str],
+    checkpoint_path: str,
+    options: dict | None = None,
+    dialect: str = "ansi",
+    dedup_order_col: str | None = None,
+    batch_size: int = 1000,
+    query_name: str = "stream_upsert_jdbc",
+):
+    """Continuous keyed upsert into a JDBC target: every micro-batch runs
+    the staging-table + server-side MERGE path (sinks/jdbc_merge.py) via
+    ``foreachBatch`` — the streaming twin of the reference's poll-and-load
+    loop against its actual SQL Server deployment.
+
+    Exactly-once: the checkpoint gives at-least-once micro-batch
+    delivery, and the MERGE is idempotent under replay of the same batch
+    content (the content tie-break dedup pins WHICH row wins a duplicate
+    key deterministically), so crash-replays converge to the same table
+    state. Scale: per trigger, Spark moves only the batch (parallel
+    staging load); the server matches against its own indexes — the
+    target never transits Spark regardless of its size.
+    """
+    from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        src = _content_last_wins(batch_df, pk_cols, dedup_order_col)
+        jdbc_upsert(
+            batch_df.sparkSession, src, url, table, pk_cols,
+            options=options, dialect=dialect, batch_size=batch_size,
+        )
 
     q = (
         df.writeStream.foreachBatch(_merge_batch)

@@ -460,3 +460,57 @@ def test_stream_upsert_dedup_tiebreak_is_deterministic(spark, tmp_path):
         )
         results.append({r.pk: r.val for r in wh.read("t").collect()})
     assert results[0] == results[1] == {1: "zeta"}
+
+
+def test_stream_upsert_jdbc_merges_microbatches(spark, tmp_path):
+    """Streaming keyed upsert into a JDBC target (embedded Derby): each
+    drain stages the micro-batch and MERGEs server-side; the checkpoint
+    prevents reprocessing."""
+    from nspc_etl_basic_spark.streaming.ingest import (
+        run_stream_upsert_jdbc,
+        stream_directory,
+    )
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = stream_directory(spark, str(src), schema, fmt="parquet")
+        run_stream_upsert_jdbc(
+            stream, url, "t_sj", ["pk"], ckpt,
+            options={"driver": driver}, dedup_order_col="seq",
+        )
+
+    def read_back():
+        df = (
+            spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "t_sj")
+            .option("driver", driver).load()
+        )
+        return {r.pk: r.val for r in df.collect()}
+
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 2), (2, "b2", 3)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    drain()
+    assert read_back() == {1: "a", 2: "b2"}
+
+    spark.createDataFrame([(1, "a9", 9), (3, "c", 10)], schema).coalesce(
+        1
+    ).write.parquet(str(src), mode="append")
+    drain()
+    assert read_back() == {1: "a9", 2: "b2", 3: "c"}
+
+    # nothing new: checkpointed no-op
+    drain()
+    assert read_back() == {1: "a9", 2: "b2", 3: "c"}
