@@ -4,9 +4,14 @@ from nspc_etl_basic_spark.sinks.bucketed import (
     write_bucketed,
     write_partitioned,
 )
+from nspc_etl_basic_spark.sinks.bucketed_merge import BucketedTable
+from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert, render_merge_sql
 
 __all__ = [
     "ParquetWarehouse",
+    "BucketedTable",
+    "jdbc_upsert",
+    "render_merge_sql",
     "read_bucketed",
     "write_bucketed",
     "write_partitioned",

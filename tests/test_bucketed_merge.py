@@ -1,0 +1,135 @@
+"""Bucketed differential merge: only touched buckets are rewritten, the
+pointer flip is atomic per commit, and results match the full-snapshot
+merge semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from nspc_etl_basic_spark.sinks.bucketed_merge import (
+    BUCKET_COL,
+    MANIFEST,
+    BucketedTable,
+)
+
+
+def _manifest(path):
+    with open(os.path.join(path, MANIFEST), encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def test_init_and_read_roundtrip(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    )
+    t.init(df)
+    back = t.read()
+    assert back.count() == 100
+    assert sorted(back.columns) == ["id", "v"]
+    assert {r.id for r in back.collect()} == set(range(100))
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=16)
+    t.init(
+        spark.createDataFrame(
+            [(i, "old") for i in range(200)], "id long, v string"
+        )
+    )
+    m0 = _manifest(path)
+    v0 = set(m0["buckets"].values())
+    assert len(v0) == 1  # init: every bucket in one version
+
+    # a 2-key source touches at most 2 buckets
+    counts = t.merge(
+        spark.createDataFrame(
+            [(3, "new"), (1000, "ins")], "id long, v string"
+        )
+    )
+    assert (counts.inserted, counts.updated) == (1, 1)
+
+    m1 = _manifest(path)
+    new_versions = set(m1["buckets"].values()) - v0
+    assert len(new_versions) == 1
+    (v_new,) = new_versions
+    flipped = [b for b, v in m1["buckets"].items() if v == v_new]
+    assert 1 <= len(flipped) <= 2  # only the touched buckets moved
+    # untouched buckets still point at the original version
+    untouched = [b for b, v in m1["buckets"].items() if v != v_new]
+    assert all(m0["buckets"][b] == m1["buckets"][b] for b in untouched)
+    # the new version dir contains ONLY the touched buckets
+    vdir_buckets = [
+        d for d in os.listdir(os.path.join(path, v_new))
+        if d.startswith(f"{BUCKET_COL}=")
+    ]
+    assert len(vdir_buckets) == len(flipped)
+
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 201
+    assert got[3] == "new" and got[1000] == "ins" and got[7] == "old"
+
+
+def test_merge_matches_snapshot_merge_semantics(spark, tmp_path):
+    """The differential result must equal the full merge_upsert result."""
+    from nspc_etl_basic_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"b{i}", i * 10) for i in range(50)], "id long, name string, x long"
+    )
+    src = spark.createDataFrame(
+        [(7, "u7", 700), (13, "u13", 1300), (99, "n99", 9900)],
+        "id long, name string, x long",
+    )
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    t.init(base)
+    c = t.merge(src)
+    assert (c.inserted, c.updated) == (1, 2)
+
+    expected = {
+        (r.id, r.name, r.x) for r in merge_upsert(base, src, ["id"]).collect()
+    }
+    got = {(r.id, r.name, r.x) for r in t.read().collect()}
+    assert got == expected
+
+
+def test_merge_into_empty_table_initializes(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    c = t.merge(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    assert (c.inserted, c.updated) == (2, 0)
+    assert t.read().count() == 2
+
+
+def test_repeated_merges_and_gc(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=4, keep_versions=1)
+    t.init(spark.createDataFrame([(i, 0) for i in range(40)], "id long, v long"))
+    for step in range(1, 6):
+        t.merge(
+            spark.createDataFrame([(step, step), (40 + step, step)], "id long, v long")
+        )
+    got = {r.id: r.v for r in t.read().collect()}
+    assert len(got) == 45
+    for step in range(1, 6):
+        assert got[step] == step and got[40 + step] == step
+    # GC bounded the version count: every live version is referenced or
+    # within the keep window
+    versions = [d for d in os.listdir(path) if d.startswith("v_")]
+    referenced = set(_manifest(path)["buckets"].values())
+    assert referenced <= set(versions)
+    assert len(versions) <= len(referenced) + 2
+
+
+def test_n_buckets_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    BucketedTable(spark, path, ["id"], n_buckets=4).init(
+        spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        BucketedTable(spark, path, ["id"], n_buckets=8).merge(
+            spark.createDataFrame([(2, "b")], "id long, v string")
+        )
