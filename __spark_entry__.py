@@ -1021,6 +1021,21 @@ def text_bigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_topk(_docs_wide(spark, sf_dir), k=100)
 
 
+def text_lm_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM corpus scoring (CCNet/C4-style perplexity
+    filtering), deterministic projection: per-doc bigram count and the
+    mean corpus frequency of its bigrams/head-words (integer sums + one
+    division + floor-truncate — IEEE-deterministic, so DuckDB replays it
+    exactly). The operator's true log2 perplexity column is excluded here
+    (transcendentals are not bit-pinned cross-engine) and verified in
+    tests/test_text_ops.py against an independent recomputation."""
+    from nspc_etl_basic_spark.operators.text import bigram_lm_scores
+
+    return bigram_lm_scores(_docs_wide(spark, sf_dir)).select(
+        "doc_id", "n_bigrams", "avg_bigram_freq", "avg_unigram_freq"
+    )
+
+
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (Gopher-style quality filters).
     Entirely in-row: zip_with bigrams + array_distinct for the dup-bigram
@@ -1730,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_png": multimodal_real_png_q,
         "multimodal_real_wav": multimodal_real_wav_q,
         "text_quality_filter": text_quality_filter_q,
+        "text_lm_familiarity": text_lm_familiarity_q,
         "corpus_split": corpus_split_q,
         "corpus_stratified_sample": corpus_stratified_sample_q,
         "corpus_token_budget": corpus_token_budget_q,
@@ -2725,6 +2741,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars FROM documents
             WHERE doc_id % 97 != 0
               AND doc_id NOT IN (SELECT doc_id FROM bad)
+        """,
+        # Replays bigram_lm_scores' deterministic columns: corpus bigram /
+        # head-word counts joined back per doc, integer sums, ONE division,
+        # floor-truncate at 1e6 (identical op order to the operator; the
+        # log2 column is deliberately absent — not IEEE-pinned).
+        "text_lm_familiarity": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_sql_word_tokens('text')}) AS w
+                FROM documents
+            ),
+            uni AS (SELECT w, count(*) AS c_uni FROM toks GROUP BY w),
+            bi AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM (SELECT doc_id, {_sql_word_tokens('text')} AS t
+                      FROM documents)
+                WHERE len(t) >= 2
+            ),
+            bic AS (SELECT bg, count(*) AS c_bi FROM bi GROUP BY bg),
+            scored AS (
+                SELECT bi.doc_id,
+                       count(*) AS n_bigrams,
+                       sum(bic.c_bi) AS sum_bi,
+                       sum(uni.c_uni) AS sum_uni
+                FROM bi
+                JOIN bic USING (bg)
+                JOIN uni ON uni.w = split_part(bi.bg, ' ', 1)
+                GROUP BY bi.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(s.n_bigrams, 0) AS n_bigrams,
+                   floor(s.sum_bi / s.n_bigrams * 1000000) / 1000000
+                       AS avg_bigram_freq,
+                   floor(s.sum_uni / s.n_bigrams * 1000000) / 1000000
+                       AS avg_unigram_freq
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "text_bigrams": f"""
             SELECT bigram, count(*) AS n

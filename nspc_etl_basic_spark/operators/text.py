@@ -492,3 +492,89 @@ def tfidf_topk(
         .filter(F.col("rk") <= k)
         .select(id_col, "token", "tfidf", "rk")
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Self-trained bigram language-model scoring — the CCNet/C4-style
+    "perplexity filter" signal for corpus curation: documents whose word
+    transitions are rare in the corpus (boilerplate soup, OCR garbage,
+    wrong-language fragments) score low and get filtered/down-weighted.
+
+    Per document:
+      n_bigrams          bigram count (0 for sub-2-token docs)
+      avg_bigram_freq    mean corpus frequency of the doc's bigrams
+      avg_unigram_freq   mean corpus frequency of the bigrams' head words
+      avg_logprob        mean log2 P(w2|w1), add-k smoothed:
+                         P = (c(w1 w2) + k) / (c(w1) + k*V)
+
+    The freq columns are integer-sum / one-division / floor-truncate —
+    bit-deterministic across engines (IEEE add/div only), so they carry
+    the DuckDB oracle; ``avg_logprob`` is the real LM quantity but log2
+    is not IEEE-pinned cross-engine, so it is pytest-verified against an
+    independent recomputation instead of value-hashed.
+
+    Scale: two global count tables (bigram, unigram) built with map-side
+    combine; the per-doc explode joins them on their keys (sort-merge —
+    a 100 TB corpus's bigram vocabulary is far beyond broadcast), and V
+    enters as a 1-row broadcast scalar, not a driver collect. Training
+    and scoring are the same two passes for any corpus size.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w")
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+
+    bi = df.select(
+        F.col(id_col), F.explode(bigram_array(F.col(text_col))).alias("bg")
+    )
+    bi_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+
+    scored = (
+        bi.join(bi_counts, "bg")
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c_bi").alias("__sum_bi"),
+            F.sum("c_uni").alias("__sum_uni"),
+            F.sum(
+                F.log2(
+                    (F.col("c_bi") + F.lit(add_k))
+                    / (F.col("c_uni") + F.lit(add_k) * F.col("__v"))
+                )
+            ).alias("__sum_lp"),
+        )
+    )
+    out = scored.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.floor(F.col("__sum_bi") / F.col("n_bigrams") * 1e6).cast("double")
+        .alias("__abf_raw"),
+        F.floor(F.col("__sum_uni") / F.col("n_bigrams") * 1e6).cast("double")
+        .alias("__auf_raw"),
+        (F.col("__sum_lp") / F.col("n_bigrams")).alias("avg_logprob"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        (F.col("__abf_raw") / 1e6).alias("avg_bigram_freq"),
+        (F.col("__auf_raw") / 1e6).alias("avg_unigram_freq"),
+        "avg_logprob",
+    )
+    # docs with < 2 tokens have no bigrams: emit zero-row stats so the
+    # operator is total over the corpus (filter pipelines need every doc)
+    empty = df.join(out.select(id_col), on=id_col, how="left_anti").select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(None).cast("double").alias("avg_bigram_freq"),
+        F.lit(None).cast("double").alias("avg_unigram_freq"),
+        F.lit(None).cast("double").alias("avg_logprob"),
+    )
+    return out.unionByName(empty)

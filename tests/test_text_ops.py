@@ -139,3 +139,43 @@ def test_chunk_tokens_rejects_bad_params(spark):
         chunk_tokens(df, chunk_size=0)
     with pytest.raises(ValueError):
         chunk_tokens(df, chunk_size=4, overlap=4)
+
+
+def test_bigram_lm_logprob_matches_independent_recomputation(spark):
+    """avg_logprob (excluded from the DuckDB oracle — transcendental) is
+    checked against a from-scratch Python recomputation of the add-k
+    bigram LM on a small corpus."""
+    import math
+    import re
+    from collections import Counter
+
+    from nspc_etl_basic_spark.operators.text import bigram_lm_scores
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "a dog sat on a log"),
+        (4, "единственный"),  # 1 token -> no bigrams
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_lm_scores(df, add_k=0.5).collect()}
+
+    tok = lambda t: re.findall(r"[a-z0-9']+", t.lower())  # noqa: E731
+    docs = {i: tok(t) for i, t in rows if t}
+    uni = Counter(w for ws in docs.values() for w in ws)
+    bi = Counter(
+        (ws[i], ws[i + 1]) for ws in docs.values() for i in range(len(ws) - 1)
+    )
+    v = len(uni)
+    for i, ws in docs.items():
+        pairs = [(ws[j], ws[j + 1]) for j in range(len(ws) - 1)]
+        if not pairs:
+            assert got[i].n_bigrams == 0 and got[i].avg_logprob is None
+            continue
+        exp = sum(
+            math.log2((bi[p] + 0.5) / (uni[p[0]] + 0.5 * v)) for p in pairs
+        ) / len(pairs)
+        assert got[i].n_bigrams == len(pairs)
+        assert abs(got[i].avg_logprob - exp) < 1e-9, (i, got[i].avg_logprob, exp)
+    assert got[5].n_bigrams == 0 and got[5].avg_logprob is None
