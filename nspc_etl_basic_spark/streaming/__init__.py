@@ -5,6 +5,7 @@ from nspc_etl_basic_spark.streaming.dedup import (
 from nspc_etl_basic_spark.streaming.ingest import (
     run_available_now,
     run_stream_upsert,
+    run_stream_upsert_bucketed,
     run_stream_upsert_jdbc,
     stream_directory,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stream_directory",
     "run_available_now",
     "run_stream_upsert",
+    "run_stream_upsert_bucketed",
     "run_stream_upsert_jdbc",
     "windowed_agg",
     "sliding_window_agg",

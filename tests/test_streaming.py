@@ -514,3 +514,62 @@ def test_stream_upsert_jdbc_merges_microbatches(spark, tmp_path):
     # nothing new: checkpointed no-op
     drain()
     assert read_back() == {1: "a9", 2: "b2", 3: "c"}
+
+
+def test_stream_upsert_bucketed_touches_only_key_buckets(spark, tmp_path):
+    """Streaming upsert into a BucketedTable: micro-batches merge
+    differentially (manifest shows per-bucket flips) and the checkpoint
+    prevents reprocessing."""
+    import json
+    import os
+
+    from nspc_etl_basic_spark.sinks.bucketed_merge import MANIFEST, BucketedTable
+    from nspc_etl_basic_spark.streaming.ingest import (
+        run_stream_upsert_bucketed,
+        stream_directory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    tbl_path = str(tmp_path / "bt")
+    table = BucketedTable(spark, tbl_path, ["pk"], n_buckets=16)
+    table.init(
+        spark.createDataFrame([(i, "base", 0) for i in range(100)], schema)
+    )
+
+    def drain():
+        stream = stream_directory(spark, str(src), schema, fmt="parquet")
+        run_stream_upsert_bucketed(stream, table, ckpt, dedup_order_col="seq")
+
+    def manifest():
+        with open(os.path.join(tbl_path, MANIFEST), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    v0 = set(manifest()["buckets"].values())
+    spark.createDataFrame(
+        [(3, "u3", 1), (3, "u3b", 2), (200, "n200", 3)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    drain()
+
+    m1 = manifest()
+    new_vs = set(m1["buckets"].values()) - v0
+    assert len(new_vs) == 1  # one commit
+    flipped = [b for b, v in m1["buckets"].items() if v in new_vs]
+    assert 1 <= len(flipped) <= 2  # only the 2 keys' buckets
+
+    got = {r.pk: r.val for r in table.read().collect()}
+    assert len(got) == 101
+    assert got[3] == "u3b" and got[200] == "n200" and got[5] == "base"
+
+    # checkpointed: re-drain is a no-op (no new version)
+    vs_before = set(manifest()["buckets"].values())
+    drain()
+    assert set(manifest()["buckets"].values()) == vs_before
