@@ -344,14 +344,31 @@ def neardup_components(
     so round N's plan does not embed rounds 1..N-1.
     """
     edges_fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges_fwd.unionByName(
+    edges_raw = edges_fwd.unionByName(
         edges_fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).cache()
+    )
+
+    # Right-size the iteration to the GRAPH, not the corpus: the label
+    # table is candidate-graph-sized (orders of magnitude below the
+    # corpus), but per-round joins would otherwise shuffle it across the
+    # session's full partition count — at sf0.1 that is 32-64 tasks per
+    # round for a few thousand rows, and job-scheduling overhead dominates
+    # the whole operator. ~500k edges per partition keeps tasks meaty;
+    # big graphs still spread across the cluster. (The count scans the
+    # caller's pairs once — callers pass a cached/materialized candidate
+    # table.)
+    n_edges = edges_raw.count()
+    n_parts = max(2, min(
+        edges_raw.sparkSession.sparkContext.defaultParallelism,
+        n_edges // 500_000 + 2,
+    ))
+    edges = edges_raw.repartition(n_parts, "dst").cache()
 
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select(F.col("node"), F.col("node").alias("label"))
+        .coalesce(n_parts)
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
@@ -384,6 +401,7 @@ def neardup_components(
                 stepped["node"],
                 F.coalesce(F.col("__jl"), stepped["label"]).alias("label"),
             )
+            .coalesce(n_parts)
             .localCheckpoint(eager=True)
         )
         labels = new_labels
