@@ -940,6 +940,27 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: documents with doc_id % 10 == 0 play the
+    incoming batch, the rest the existing corpus with a persisted band
+    store (operators/dedup.build_band_store). Candidates come from the
+    broadcast batch-vs-store probe plus the within-batch self-join — the
+    corpus is never self-joined or rescanned. The oracle replays both
+    joins relationally on the same split."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        build_band_store,
+        incremental_lsh_pairs,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = build_band_store(minhash_signatures(corpus))
+    return incremental_lsh_pairs(
+        minhash_signatures(batch), store, max_bucket_size=1000
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -1746,6 +1767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_wav": multimodal_real_wav_q,
         "text_quality_filter": text_quality_filter_q,
         "text_lm_familiarity": text_lm_familiarity_q,
+        "dedup_incremental": dedup_incremental_q,
         "corpus_split": corpus_split_q,
         "corpus_stratified_sample": corpus_stratified_sample_q,
         "corpus_token_budget": corpus_token_budget_q,
@@ -1862,36 +1884,38 @@ def _sql_redact_pii() -> str:
     """
 
 
-def _sql_shingles(k: int = 8) -> str:
-    """Distinct (doc_id, shingle) over documents."""
+def _sql_shingles(k: int = 8, table: str = "documents") -> str:
+    """Distinct (doc_id, shingle) over ``table``."""
     return f"""
         SELECT DISTINCT doc_id, substr(text, i, {k}) AS shingle
         FROM (
             SELECT doc_id, text,
                    unnest(generate_series(1, greatest(length(text) - {k - 1}, 1))) AS i
-            FROM documents
+            FROM {table}
         )
     """
 
 
-def _sql_minhash_sigs(n_hashes: int = 8, k: int = 8) -> str:
+def _sql_minhash_sigs(n_hashes: int = 8, k: int = 8, table: str = "documents") -> str:
     mins = ", ".join(
         f"min(substr(h, {4 * j + 1}, 4)) AS mh_{j}" for j in range(n_hashes)
     )
     return f"""
         SELECT doc_id, {mins}
-        FROM (SELECT doc_id, md5(shingle) AS h FROM ({_sql_shingles(k)}))
+        FROM (SELECT doc_id, md5(shingle) AS h FROM ({_sql_shingles(k, table)}))
         GROUP BY doc_id
     """
 
 
-def _sql_lsh_bands(n_hashes: int = 8, band_size: int = 2) -> str:
+def _sql_lsh_bands(
+    n_hashes: int = 8, band_size: int = 2, sigs: str = "sigs"
+) -> str:
     n_bands = n_hashes // band_size
     parts = []
     for b in range(n_bands):
         key = " || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
         parts.append(
-            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM {sigs}"
         )
     return " UNION ALL ".join(parts)
 
@@ -2591,6 +2615,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _sql_minhash_sigs(),
         "dedup_lsh_pairs": _sql_lsh_pairs(),
+        # Replays incremental_lsh_pairs on the %10 batch/corpus split:
+        # batch-vs-corpus-store probe (corpus buckets capped via the
+        # store's precomputed size) + within-batch self-join, unioned.
+        "dedup_incremental": f"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+            ),
+            newb AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+            ),
+            csigs AS ({_sql_minhash_sigs(table='corpus')}),
+            nsigs AS ({_sql_minhash_sigs(table='newb')}),
+            cbands_raw AS ({_sql_lsh_bands(sigs='csigs')}),
+            cbands AS (
+                SELECT * FROM (
+                    SELECT doc_id, band_id, band_key,
+                           count(*) OVER (PARTITION BY band_id, band_key)
+                               AS bucket_size
+                    FROM cbands_raw
+                ) WHERE bucket_size <= 1000
+            ),
+            nbands_raw AS ({_sql_lsh_bands(sigs='nsigs')}),
+            nbands AS (
+                SELECT * FROM (
+                    SELECT doc_id, band_id, band_key,
+                           count(*) OVER (PARTITION BY band_id, band_key)
+                               AS bucket_size
+                    FROM nbands_raw
+                ) WHERE bucket_size <= 1000
+            )
+            SELECT n.doc_id AS id_a, c.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_bands
+            FROM nbands n JOIN cbands c
+              ON n.band_id = c.band_id AND n.band_key = c.band_key
+             AND n.doc_id != c.doc_id
+            GROUP BY n.doc_id, c.doc_id
+            UNION ALL
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared_bands
+            FROM nbands a JOIN nbands b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        """,
         # connected components as recursive reachability: labels start as
         # each node's own id and flow across (undirected) candidate edges;
         # the UNION fixpoint terminates, and min(reachable label) is the

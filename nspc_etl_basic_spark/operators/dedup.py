@@ -118,6 +118,37 @@ def minhash_signatures(
     return hashed.select(F.col(id_col), *mhs)
 
 
+def band_table(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """(id, band_id, band_key) — each signature exploded into its LSH
+    bands (band = concat of ``band_size`` consecutive minhashes). A pure
+    projection + explode; the shared first stage of the batch self-join,
+    the persisted corpus band store, and the incremental batch-vs-corpus
+    join."""
+    n_bands = n_hashes // band_size
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.concat_ws(
+                            "",
+                            *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
+                        ).alias("band_key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -146,24 +177,7 @@ def lsh_candidate_pairs(
     and a cluster that huge is better handled by exact dedup on the full
     hash. ``None`` (default) keeps exact all-pairs semantics.
     """
-    n_bands = n_hashes // band_size
-    bands = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(
-                            "",
-                            *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
-                        ).alias("band_key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    bands = band_table(signatures, id_col, n_hashes, band_size)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
         bands = (
@@ -187,6 +201,99 @@ def lsh_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
+
+
+def build_band_store(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+) -> DataFrame:
+    """Corpus band store for INCREMENTAL dedup: the band table plus a
+    precomputed per-bucket size column (``bucket_size``). Persist this
+    (ideally bucketed/partitioned on ``band_key``) once per corpus;
+    incoming batches then join against it without ever rescanning or
+    re-hashing the corpus. The stored size lets the hot-key cap filter be
+    a plain column predicate at query time instead of a window over the
+    full store. Counts go stale as batches append — refresh them at
+    compaction cadence; a slightly-stale cap only shifts WHICH mega-bucket
+    comparison is skipped."""
+    bands = band_table(signatures, id_col, n_hashes, band_size)
+    w = Window.partitionBy("band_id", "band_key")
+    return bands.withColumn("bucket_size", F.count(F.lit(1)).over(w))
+
+
+def incremental_lsh_pairs(
+    new_signatures: DataFrame,
+    band_store: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = N_MINHASHES,
+    band_size: int = 2,
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """LSH candidates for a NEW batch against an existing corpus — the
+    continuous-ingest dedup path: is each incoming document a near-dup of
+    anything already in the 100 TB corpus, or of another document in the
+    same batch?
+
+    Two joins, neither touching corpus text: (a) new-bands ⋈ band_store
+    on (band_id, band_key) — the batch side is file-sized, so Spark
+    broadcasts it and the store is probed without a corpus-wide shuffle;
+    (b) the within-batch self-join. Returns (id_a, id_b, n_shared_bands)
+    with id_a from the new batch; for batch-internal pairs id_a < id_b.
+    The corpus is never self-joined and never rescanned — per-batch cost
+    scales with |batch| x bands, not |corpus|.
+
+    ``max_bucket_size`` filters corpus mega-buckets via the store's
+    precomputed ``bucket_size`` (plain predicate — pushes down to the
+    store scan) and the within-batch buckets via a window, mirroring
+    ``lsh_candidate_pairs``."""
+    new_bands = band_table(new_signatures, id_col, n_hashes, band_size)
+    store = band_store
+    if max_bucket_size is not None:
+        if "bucket_size" in store.columns:
+            store = store.filter(F.col("bucket_size") <= max_bucket_size)
+        w = Window.partitionBy("band_id", "band_key")
+        new_bands = (
+            new_bands.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+    store = store.select(id_col, "band_id", "band_key")
+
+    nb = new_bands.alias("n")
+    cross = (
+        F.broadcast(nb)
+        .join(
+            store.alias("c"),
+            on=[
+                F.col("n.band_id") == F.col("c.band_id"),
+                F.col("n.band_key") == F.col("c.band_key"),
+                F.col(f"n.{id_col}") != F.col(f"c.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    within = (
+        nb.join(
+            new_bands.alias("m"),
+            on=[
+                F.col("n.band_id") == F.col("m.band_id"),
+                F.col("n.band_key") == F.col("m.band_key"),
+                F.col(f"n.{id_col}") < F.col(f"m.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"n.{id_col}").alias("id_a"),
+            F.col(f"m.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash(

@@ -141,3 +141,56 @@ def test_neardup_components_empty_pairs(spark):
     assert {r.doc_id: r.component_id for r in out.collect()} == {
         0: 0, 1: 1, 2: 2, 3: 3
     }
+
+
+def test_incremental_lsh_finds_corpus_and_batch_dups(spark):
+    from nspc_etl_basic_spark.operators.dedup import (
+        build_band_store,
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _corpus(
+        spark,
+        [(1, base), (2, "completely different text about spark engines"), (3, "third unrelated doc about benchmarks")],
+    )
+    batch = _corpus(
+        spark,
+        [
+            (100, base + "!"),          # near-dup of corpus doc 1
+            (101, "fresh novel content nothing matches this"),
+            (102, "fresh novel content nothing matches this!"),  # near-dup of 101
+        ],
+    )
+    store = build_band_store(minhash_signatures(corpus))
+    assert "bucket_size" in store.columns
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in incremental_lsh_pairs(minhash_signatures(batch), store).collect()
+    }
+    assert (100, 1) in pairs            # batch-vs-corpus
+    assert (101, 102) in pairs          # within-batch, id_a < id_b
+    # no corpus-vs-corpus pairs ever (store is probed, never self-joined)
+    assert all(a in (100, 101, 102) for a, _ in pairs)
+
+
+def test_incremental_lsh_cap_drops_corpus_mega_bucket(spark):
+    from nspc_etl_basic_spark.operators.dedup import (
+        build_band_store,
+        incremental_lsh_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "lorem ipsum dolor sit amet " * 3
+    corpus = _corpus(spark, [(i, boiler) for i in range(30)])
+    batch = _corpus(spark, [(100, boiler)])
+    store = build_band_store(minhash_signatures(corpus))
+    capped = incremental_lsh_pairs(
+        minhash_signatures(batch), store, max_bucket_size=10
+    )
+    assert capped.count() == 0  # mega-bucket filtered by stored size
+    uncapped = incremental_lsh_pairs(
+        minhash_signatures(batch), store, max_bucket_size=None
+    )
+    assert uncapped.count() == 30
