@@ -214,6 +214,58 @@ class BucketedTable:
         finally:
             src.unpersist()
 
+    def delete(self, keys: DataFrame) -> int:
+        """Differential key deletion — the data-removal path (takedowns,
+        right-to-be-forgotten, contaminated-document purges) a training
+        lake must run routinely. Same cost shape as ``merge``: only the
+        buckets containing the keys are rewritten; the rest of the table
+        is untouched. Returns the number of rows removed.
+
+        ``keys`` carries exactly the pk columns. Deleting keys that do
+        not exist is a no-op (idempotent under replay). A bucket whose
+        rows are ALL removed is dropped from the manifest entirely."""
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"bucketed table at {self.path} is empty")
+
+        k = keys.select(*self.pk_cols).distinct().cache()
+        try:
+            touched = [
+                r[0]
+                for r in k.select(self._bucket_expr().alias("b"))
+                .distinct()
+                .collect()
+            ]
+            live = set(m["buckets"])
+            touched_live = [b for b in touched if str(b) in live]
+            if not touched_live:
+                return 0
+
+            old = self.read(bucket_ids=touched_live)
+            removed = (
+                old.select(*self.pk_cols)
+                .join(F.broadcast(k), on=self.pk_cols, how="left_semi")
+                .count()
+            )
+            if removed == 0:
+                return 0
+            kept = old.join(F.broadcast(k), on=self.pk_cols, how="left_anti")
+
+            buckets = dict(m["buckets"])
+            version = self._write_version(kept)
+            written = set(self._version_buckets(version))
+            for b in touched_live:
+                if str(b) in written:
+                    buckets[str(b)] = version
+                else:
+                    # every row of this bucket was deleted
+                    buckets.pop(str(b), None)
+            self._write_manifest(buckets)
+            self._gc()
+            return removed
+        finally:
+            k.unpersist()
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------

@@ -133,3 +133,56 @@ def test_n_buckets_mismatch_raises(spark, tmp_path):
         BucketedTable(spark, path, ["id"], n_buckets=8).merge(
             spark.createDataFrame([(2, "b")], "id long, v string")
         )
+
+
+def test_delete_removes_keys_differentially(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=16)
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "id long, v string"
+        )
+    )
+    v0 = set(_manifest(path)["buckets"].values())
+
+    keys = spark.createDataFrame([(7,), (13,), (999,)], "id long")
+    removed = t.delete(keys)
+    assert removed == 2  # 999 never existed
+
+    got = {r.id for r in t.read().collect()}
+    assert len(got) == 98 and 7 not in got and 13 not in got
+
+    # untouched buckets kept their original version
+    m1 = _manifest(path)
+    new_vs = set(m1["buckets"].values()) - v0
+    assert len(new_vs) == 1
+    flipped = [b for b, v in m1["buckets"].items() if v in new_vs]
+    assert len(flipped) <= 3  # at most the 3 keys' buckets
+
+    # idempotent: replaying the same delete removes nothing
+    assert t.delete(keys) == 0
+    assert t.read().count() == 98
+
+
+def test_delete_entire_bucket_drops_manifest_entry(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=4)
+    df = spark.createDataFrame([(i, "x") for i in range(40)], "id long, v string")
+    t.init(df)
+    n_buckets_before = len(_manifest(path)["buckets"])
+
+    # delete EVERY key in one bucket: compute bucket membership the same
+    # way the table does
+    from pyspark.sql import functions as F
+
+    withb = df.withColumn(
+        "b", F.pmod(F.xxhash64(F.col("id")), F.lit(4)).cast("int")
+    )
+    target_bucket = withb.select("b").first().b
+    doomed = withb.filter(F.col("b") == target_bucket).select("id")
+    n_doomed = doomed.count()
+
+    assert t.delete(doomed) == n_doomed
+    m = _manifest(path)
+    assert len(m["buckets"]) == n_buckets_before - 1
+    assert t.read().count() == 40 - n_doomed
