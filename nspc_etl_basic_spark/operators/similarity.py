@@ -247,6 +247,63 @@ def ivf_centroids(
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means for the IVF coarse quantizer, DataFrame-native —
+    the recall upgrade over the deterministic ``ivf_centroids`` pick
+    (which stays the oracle tier: k-means centroid updates average
+    doubles, so they are not bit-deterministic across partitionings).
+
+    Per iteration: assignment is the same literal-codebook projection
+    ``ivf_topk`` uses (no shuffle, no join); the update is ONE
+    map-side-combined groupBy over the cell id with ``dim`` scalar
+    ``avg(vec[i])`` aggregates — partials are k x dim floats per
+    partition, so the shuffle is codebook-sized regardless of corpus
+    size, and the per-iteration driver collect is the k x dim codebook
+    itself (the same footprint any trained quantizer ships anyway).
+    Empty cells keep their previous centroid. Iterations are bounded and
+    each is a single job: cost = n_iter corpus scans, embarrassingly
+    parallel.
+    """
+    cents = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    dim = len(cents[0][1]) if cents else 0
+    if not dim:
+        return cents
+    vecs = corpus.select(
+        F.col(vec_col).alias("__v"), norm(F.col(vec_col)).alias("__n")
+    )
+    for _ in range(max(0, n_iter)):
+        assigned = vecs.select(
+            "__v",
+            F.element_at(
+                _ivf_cells_sorted(F.col("__v"), cents, F.col("__n")), 1
+            )["cent_id"].alias("__cell"),
+        )
+        updated = (
+            assigned.groupBy("__cell")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                *[
+                    F.avg(F.col("__v")[i].cast("double")).alias(f"__m{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cell = {
+            int(r["__cell"]): [float(r[f"__m{i}"]) for i in range(dim)]
+            for r in updated
+            if r["__cnt"] > 0
+        }
+        cents = [(cid, by_cell.get(cid, old)) for cid, old in cents]
+    return cents
+
+
 def _ivf_cells_sorted(
     vec: Column,
     cents: list[tuple[int, list[float]]],
@@ -303,6 +360,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are inverted-listed under
     their nearest coarse centroid; each query probes its ``n_probe``
@@ -312,9 +370,12 @@ def ivf_topk(
     closure as literals — no shuffle, no join, embarrassingly parallel
     with the scan); the only corpus-wide shuffle is the equi-join on the
     8-byte cell id; re-rank work is |corpus| * n_probe / n_cells per
-    query instead of |corpus|. Recall is tuned by n_probe/n_cells.
+    query instead of |corpus|. Recall is tuned by n_probe/n_cells — and
+    by codebook quality: pass ``centroids`` from ``train_ivf_centroids``
+    for the k-means tier (the default deterministic pick is the oracle
+    tier).
     """
-    cents = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    cents = centroids or ivf_centroids(corpus, n_cells, vec_col, id_col)
     # two-stage projection: materialize the norm once, then score cells
     # against it (norm inline in the cell array would fold n_cells times)
     c = corpus.select(

@@ -65,3 +65,41 @@ def test_cosine_topk_guard_allows_bounded_and_disabled(spark):
     disabled = cosine_topk(corpus, queries, k=2, max_queries=None).collect()
     assert sorted(map(tuple, bounded)) == sorted(map(tuple, disabled))
     assert {r.query_id for r in bounded} == {0, 1, 2, 3}
+
+
+def test_train_ivf_centroids_recovers_separated_clusters(spark):
+    """Lloyd's on three well-separated clusters must move each centroid
+    to (near) its cluster mean, and trained-codebook IVF must assign
+    members to their own cluster's cell."""
+    import numpy as np
+
+    from nspc_etl_basic_spark.operators.similarity import (
+        ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = np.array(
+        [[10.0] + [0.0] * 7, [0.0] * 4 + [10.0] + [0.0] * 3, [-10.0] + [0.0] * 7]
+    )
+    rows = []
+    vid = 0
+    for ci, c in enumerate(centers):
+        for _ in range(30):
+            rows.append((vid, (c + rng.normal(0, 0.3, 8)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    trained = train_ivf_centroids(df, n_cells=3, n_iter=6)
+    assert len(trained) == 3
+    got = np.array(sorted([c for _, c in trained], key=lambda v: v[0]))
+    exp = np.array(sorted(centers.tolist(), key=lambda v: v[0]))
+    # each trained centroid lands within the cluster noise of a true center
+    assert np.abs(got - exp).max() < 0.5, got
+
+    # and training strictly refines the naive lowest-id init (which picks
+    # 3 vectors from the SAME first cluster)
+    naive = ivf_centroids(df, n_cells=3)
+    naive_spread = np.array([c for _, c in naive]).std(axis=0).max()
+    trained_spread = got.std(axis=0).max()
+    assert trained_spread > naive_spread  # centroids actually separated
