@@ -157,15 +157,27 @@ class BucketedTable:
         paths = self._bucket_paths(bucket_ids)
         if not paths:
             raise FileNotFoundError(f"bucketed table at {self.path} is empty")
-        return self.spark.read.parquet(*paths)
+        # mergeSchema: buckets written before an additive schema evolution
+        # lack the new columns; the merged read NULL-fills them. Costs one
+        # footer read per file — bucket files are ~128-512 MB, so footers
+        # are a rounding error next to the scan.
+        return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
-    def merge(self, source: DataFrame) -> MergeCounts:
+    def merge(
+        self, source: DataFrame, allow_schema_evolution: bool = False
+    ) -> MergeCounts:
         """Differential upsert: rewrite only the buckets containing the
         source's keys. Counts are the true insert/update split.
 
         ``source`` must be key-unique (run operators.merge.dedup_last_wins
         first — the same contract as the snapshot upsert path): duplicate
-        keys would both survive the anti-join + union."""
+        keys would both survive the anti-join + union.
+
+        ``allow_schema_evolution=True`` admits ADDITIVE source columns:
+        rewritten buckets carry the new columns, untouched buckets are
+        NULL-filled at read time via mergeSchema — no table-wide rewrite
+        to add a column. Source-missing columns are always NULL-filled
+        (SQL INSERT column-list semantics)."""
         m = self._read_manifest()
         if m is None:
             n = source.count()
@@ -197,7 +209,24 @@ class BucketedTable:
                     .join(F.broadcast(src_keys), on=self.pk_cols, how="left_semi")
                     .count()
                 )
-                merged = merge_upsert(old, src.select(*old.columns), self.pk_cols)
+                aligned = src
+                extra = [c for c in src.columns if c not in old.columns]
+                if extra and not allow_schema_evolution:
+                    raise ValueError(
+                        f"source columns {extra} not in table; pass "
+                        "allow_schema_evolution=True to add them"
+                    )
+                for c in old.columns:
+                    if c not in aligned.columns:
+                        aligned = aligned.withColumn(
+                            c, F.lit(None).cast(old.schema[c].dataType)
+                        )
+                if extra:
+                    old = old.select(
+                        "*", *[F.lit(None).cast(src.schema[c].dataType).alias(c)
+                               for c in extra]
+                    )
+                merged = merge_upsert(old, aligned.select(*old.columns), self.pk_cols)
             else:
                 updated = 0
                 merged = src
@@ -213,6 +242,24 @@ class BucketedTable:
             return MergeCounts(inserted=total - updated, updated=updated)
         finally:
             src.unpersist()
+
+    def lookup(self, keys: DataFrame) -> DataFrame:
+        """Point lookups served from only the buckets the keys hash to —
+        the read-side twin of the differential merge: a K-key probe scans
+        min(K, N)/N of the table instead of all of it (plus parquet
+        row-group min/max pruning within each bucket file). ``keys``
+        carries exactly the pk columns."""
+        k = keys.select(*self.pk_cols).distinct()
+        touched = [
+            r[0] for r in k.select(self._bucket_expr().alias("b")).distinct().collect()
+        ]
+        m = self._read_manifest() or {"buckets": {}}
+        live = [b for b in touched if str(b) in m["buckets"]]
+        if not live:
+            return self.read().limit(0).join(k, on=self.pk_cols, how="left_semi")
+        return self.read(bucket_ids=live).join(
+            F.broadcast(k), on=self.pk_cols, how="left_semi"
+        )
 
     def delete(self, keys: DataFrame) -> int:
         """Differential key deletion — the data-removal path (takedowns,

@@ -186,3 +186,43 @@ def test_delete_entire_bucket_drops_manifest_entry(spark, tmp_path):
     m = _manifest(path)
     assert len(m["buckets"]) == n_buckets_before - 1
     assert t.read().count() == 40 - n_doomed
+
+
+def test_lookup_reads_only_key_buckets(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=16)
+    t.init(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "id long, v string"
+        )
+    )
+    keys = spark.createDataFrame([(3,), (77,), (5000,)], "id long")
+    got = {(r.id, r.v) for r in t.lookup(keys).collect()}
+    assert got == {(3, "v3"), (77, "v77")}
+    # the lookup plan scans at most 3 bucket paths, not all 16
+    plan = t.lookup(keys)._jdf.queryExecution().toString()
+    import re
+
+    scanned = len(set(re.findall(r"__bucket=\d+", plan)))
+    assert scanned <= 3, plan[:500]
+
+
+def test_merge_schema_evolution_additive(spark, tmp_path):
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    t.init(spark.createDataFrame([(i, "x") for i in range(50)], "id long, v string"))
+
+    src = spark.createDataFrame(
+        [(3, "upd", 99), (500, "new", 42)], "id long, v string, extra long"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="allow_schema_evolution"):
+        t.merge(src)
+
+    c = t.merge(src, allow_schema_evolution=True)
+    assert (c.inserted, c.updated) == (1, 1)
+    back = t.read()
+    assert "extra" in back.columns
+    got = {r.id: (r.v, r.extra) for r in back.collect()}
+    assert len(got) == 51
+    assert got[3] == ("upd", 99) and got[500] == ("new", 42)
+    assert got[7] == ("x", None)  # untouched bucket NULL-filled at read
