@@ -177,3 +177,20 @@ def test_composed_neardup_has_bucket_cap_filter(spark, sf_dir):
     assert cap is not None
     plan = _plan(lsh_candidate_pairs(minhash_signatures(docs), max_bucket_size=cap))
     assert "__bsz" in plan, plan
+
+
+def test_incremental_dedup_broadcasts_batch_not_store(spark, sf_dir):
+    """The batch-vs-store probe must broadcast the (file-sized) batch
+    bands — never shuffle or self-join the corpus store."""
+    plan = _plan(QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_familiarity_aggregates_map_side(spark, sf_dir):
+    """Bigram-LM scoring: count tables come from partial (map-side)
+    aggregation; the vocab scalar enters as a broadcast, not a collect."""
+    plan = _plan_simple(QUERIES["text_lm_familiarity"](spark, sf_dir))
+    assert "partial_count" in plan or "partial" in plan, plan
+    assert "BroadcastExchange" in plan, plan
