@@ -66,6 +66,15 @@ def _read_delim(spark: SparkSession, path: str, sep: str) -> DataFrame:
         # max-length stats still see the raw value
         .option("nullValue", None)
         .option("mode", "PERMISSIVE")
+        # quoted fields may contain embedded newlines (RFC 4180; the
+        # reference's pandas reader accepts them) — without multiLine,
+        # Spark splits such a record into corrupted rows. Trade: the file
+        # is parsed as one split. That matches this path's contract — the
+        # per-FILE load pipeline (reference processes file-sized drops;
+        # parallelism comes from the batch of files, and post-read
+        # transforms repartition anyway). Bulk ingest of one huge CSV
+        # should go through spark.read directly with escaping disabled.
+        .option("multiLine", True)
         .csv(path)
     )
 

@@ -109,3 +109,20 @@ def test_pipeline_loads_parquet_end_to_end(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     back = wh.read(r.table_name)
     assert back.count() == 2
+
+
+def test_csv_quoted_embedded_newline_single_row(spark, tmp_path):
+    """RFC 4180 quoted fields may contain newlines — the reference's
+    pandas reader parses them as one record; so must we."""
+    f = tmp_path / "embed.csv"
+    f.write_text('id,note\n1,"line one\nline two"\n2,simple\n')
+    df = read_any(spark, str(f))
+    rows = {r["id"]: r["note"] for r in df.collect()}
+    assert rows == {"1": "line one\nline two", "2": "simple"}
+
+
+def test_csv_utf8_bom_stripped_from_header(spark, tmp_path):
+    f = tmp_path / "bom.csv"
+    f.write_bytes("﻿id,name\n1,alice\n".encode("utf-8"))
+    df = read_any(spark, str(f))
+    assert df.columns == ["id", "name"]
