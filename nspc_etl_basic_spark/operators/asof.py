@@ -9,15 +9,16 @@ per-key loop:
   1. tag right rows 0 and left rows 1, union them aligned on
      (by-keys, event-time, tag);
   2. one window per by-key ordered by (time, tag) carries the LAST right
-     payload seen so far (right sorts before left at equal times, so
-     exact-time matches are included, pandas ``allow_exact_matches``
-     semantics);
+     payload seen so far (the tag ordering decides whether an equal-time
+     right row sorts before the left row — pandas
+     ``allow_exact_matches``);
   3. keep the left rows, now holding their as-of match.
 
-Cost at any scale: ONE shuffle on the by-keys + one per-partition sort —
-the same price as a groupBy over the same keys. No O(n·m) pair blowup,
-no driver loop, no state. Skewed by-keys are split by AQE like any other
-window/shuffle key.
+Cost at any scale: ONE shuffle on the by-keys + one per-partition sort
+per direction — the same price as a groupBy over the same keys
+(``nearest`` runs two window sorts over the one exchange). No O(n·m)
+pair blowup, no driver loop, no state. Skewed by-keys are split by AQE
+like any other window/shuffle key.
 
 The right payload is carried as a STRUCT: ``last(..., ignorenulls)``
 must skip rows, not values, so a right row whose payload fields are NULL
@@ -38,14 +39,50 @@ def asof_join(
     by: list[str] | None = None,
     right_cols: list[str] | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For every left row, attach the right row with the greatest
-    ``on`` <= left's ``on`` within the same ``by`` group (NULLs when no
-    prior right row exists). ``right_cols`` are the right columns to
-    carry (default: all except ``on``/``by``), renamed with ``suffix``.
+    """pandas ``merge_asof`` semantics, distributed.
+
+    For every left row, attach the right row within the same ``by``
+    group chosen by ``direction``:
+
+      backward  greatest right ``on`` <= left's (default);
+      forward   smallest right ``on`` >= left's;
+      nearest   whichever of the two is closer (ties -> backward,
+                matching pandas).
+
+    ``allow_exact_matches=False`` makes the comparisons strict.
+    ``tolerance`` (same units as ``on`` for numerics; SECONDS for
+    timestamp columns) null-outs matches farther than the bound.
+    ``right_cols`` are the right columns to carry (default: all except
+    ``on``/``by``), renamed with ``suffix``.
 
     The right side should be unique per (by, on) — pre-dedup if not, or
     ties resolve by union order (nondeterministic under shuffle)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+    from pyspark.sql import types as T
+
+    on_is_time = isinstance(
+        left.schema[on].dataType,
+        (T.TimestampType, T.TimestampNTZType, T.DateType),
+    )
+
+    def dist(a, b):
+        # |a-b| in the on-column's units (seconds for time columns —
+        # exact: µs integers, one division). Branch chosen at PLAN time
+        # from the column dtype, never by runtime casting.
+        if on_is_time:
+            return F.abs(
+                (
+                    F.unix_micros(a.cast("timestamp"))
+                    - F.unix_micros(b.cast("timestamp"))
+                ).cast("double")
+            ) / 1e6
+        return F.abs(a.cast("double") - b.cast("double"))
+
     by = by or []
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
@@ -71,19 +108,63 @@ def asof_join(
     r_union = r_tagged.withColumn(
         "__lp", F.lit(None).cast(l_union.schema["__lp"].dataType)
     )
+    unioned = l_union.unionByName(r_union)
 
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = (
-        l_union.unionByName(r_union)
-        .withColumn("__match", F.last("__rp", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    # side ordering encodes allow_exact_matches: right-before-left at
+    # equal times includes the exact match; left-before-right excludes it
+    side_inclusive = F.col("__side").asc()   # right (0) first
+    side_exclusive = F.col("__side").desc()  # left (1) first
+
+    def backward_match(df):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col(on).asc(),
+                side_inclusive if allow_exact_matches else side_exclusive,
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("__m_bwd", F.last("__rp", ignorenulls=True).over(w))
+
+    def forward_match(df):
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(
+                F.col(on).desc(),
+                side_inclusive if allow_exact_matches else side_exclusive,
+            )
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("__m_fwd", F.last("__rp", ignorenulls=True).over(w))
+
+    if direction == "backward":
+        matched = backward_match(unioned).withColumn("__match", F.col("__m_bwd"))
+    elif direction == "forward":
+        matched = forward_match(unioned).withColumn("__match", F.col("__m_fwd"))
+    else:
+        matched = backward_match(forward_match(unioned))
+        bwd, fwd = F.col("__m_bwd"), F.col("__m_fwd")
+        d_bwd = dist(F.col(on), bwd[on])
+        d_fwd = dist(F.col(on), fwd[on])
+        matched = matched.withColumn(
+            "__match",
+            F.when(bwd.isNull(), fwd)
+            .when(fwd.isNull(), bwd)
+            # tie -> backward (pandas nearest semantics)
+            .when(d_fwd < d_bwd, fwd)
+            .otherwise(bwd),
+        )
+
+    matched = matched.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        within = dist(F.col(on), F.col("__match")[on]) <= F.lit(float(tolerance))
+        matched = matched.withColumn(
+            "__match", F.when(within, F.col("__match"))
+        )
+
     out_cols = [F.col(f"__lp.{c}").alias(c) for c in l_cols]
     out_cols += [
         F.col(f"__match.{c}").alias(f"{c}{suffix}") for c in carry
     ]
     return matched.select(*out_cols)
+

@@ -98,3 +98,72 @@ def test_asof_matches_pandas_merge_asof(spark):
         e = expected[i]
         g = got[i]
         assert (pd.isna(e) and g is None) or e == g, (i, e, g)
+
+
+def test_asof_matches_pandas_merge_asof_all_modes(spark):
+    """pandas.merge_asof IS the semantic spec — compare every
+    direction x allow_exact_matches x tolerance combination on a grid
+    that includes exact-time collisions, gaps, and group boundaries."""
+    import pandas as pd
+
+    from nspc_etl_basic_spark.operators.asof import asof_join
+
+    left_pd = pd.DataFrame(
+        {
+            "g": ["a"] * 5 + ["b"] * 4,
+            "t": [1.0, 3.0, 5.0, 5.5, 9.0, 2.0, 4.0, 4.0, 8.0],
+            "lv": list(range(9)),
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "t": [1.0, 4.0, 5.5, 7.0, 2.0, 4.0, 6.0],
+            "rv": [10, 40, 55, 70, 20, 40, 60],
+        }
+    )
+    left_df = spark.createDataFrame(left_pd.assign(t=left_pd.t))
+    right_df = spark.createDataFrame(right_pd)
+
+    for direction in ("backward", "forward", "nearest"):
+        for exact in (True, False):
+            for tol in (None, 1.5):
+                exp = pd.merge_asof(
+                    left_pd.sort_values("t"),
+                    right_pd.sort_values("t"),
+                    on="t", by="g",
+                    direction=direction,
+                    allow_exact_matches=exact,
+                    tolerance=tol,
+                )
+                got = asof_join(
+                    left_df, right_df, on="t", by=["g"],
+                    direction=direction, allow_exact_matches=exact,
+                    tolerance=tol,
+                ).collect()
+                got_map = {(r.g, r.t, r.lv): r.rv_r for r in got}
+                exp_map = {
+                    (r.g, r.t, r.lv): (None if pd.isna(r.rv) else int(r.rv))
+                    for r in exp.itertuples()
+                }
+                assert got_map == exp_map, (direction, exact, tol, got_map, exp_map)
+
+
+def test_asof_tolerance_on_timestamps_in_seconds(spark):
+    import datetime as dt
+
+    from nspc_etl_basic_spark.operators.asof import asof_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=100))], "id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(base + dt.timedelta(seconds=40), "far"),
+         (base + dt.timedelta(seconds=95), "near")],
+        "ts timestamp, tag string",
+    )
+    hit = asof_join(left, right, on="ts", tolerance=10.0).collect()[0]
+    assert hit.tag_r == "near"
+    miss = asof_join(left, right, on="ts", tolerance=2.0).collect()[0]
+    assert miss.tag_r is None
