@@ -1673,6 +1673,33 @@ def events_asof_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with a 1-hour tolerance: each
+    purchase attached to the user's closest view in either time
+    direction (ties -> backward, pandas semantics), NULL when none is
+    within tolerance. Spark side is the union-window form (one shuffle
+    on user_id, two window sorts); the oracle replays it relationally —
+    per-user candidate join, exact µs distances, row_number pick."""
+    from nspc_etl_basic_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "value")
+    )
+    return asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        right_cols=["value"], suffix="_view",
+        direction="nearest", tolerance=3600.0,
+    )
+
+
 def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed range join (operators/interval.py): each click matched to
     the same user's error windows [error_ts, error_ts + 2 h]. The
@@ -1748,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_percentiles": events_percentiles_q,
         "events_salted_join": events_salted_join_q,
         "events_asof": events_asof_q,
+        "events_asof_nearest": events_asof_nearest_q,
         "events_range_join": events_range_join_q,
         "events_sessionize": events_sessionize,
         # -- never driver-verified: corpus/similarity/multimodal --
@@ -3185,6 +3213,40 @@ def oracle_sql() -> dict[str, str]:
                   WHERE event_type = 'purchase') p
             ASOF LEFT JOIN v
               ON p.user_id = v.user_id AND p.ts >= v.ts
+        """,
+        # Independent relational replay of nearest-with-tolerance: per-user
+        # candidate join, EXACT µs distances, ties -> backward (the <= side
+        # sorts first), NULL beyond tolerance. The naive per-user all-pairs
+        # is fine at oracle scale; the Spark side stays the one-shuffle
+        # union-window form.
+        "events_asof_nearest": """
+            WITH p AS (
+                SELECT event_id, user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            v AS (
+                SELECT user_id, ts, value
+                FROM events
+                WHERE event_type = 'view'
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+            ),
+            cand AS (
+                SELECT p.event_id, v.ts AS vts, v.value AS vval,
+                       abs(epoch_us(p.ts) - epoch_us(v.ts)) AS d,
+                       CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END AS fwd
+                FROM p JOIN v ON p.user_id = v.user_id
+                WHERE abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 3600000000
+            ),
+            best AS (
+                SELECT event_id, vts, vval
+                FROM cand
+                QUALIFY row_number() OVER (
+                    PARTITION BY event_id ORDER BY d ASC, fwd ASC) = 1
+            )
+            SELECT p.event_id, p.user_id, p.ts, p.value,
+                   b.vts AS ts_view, b.vval AS value_view
+            FROM p LEFT JOIN best b USING (event_id)
         """,
         "events_range_join": """
             SELECT c.event_id AS click_id, e.event_id AS error_id,
