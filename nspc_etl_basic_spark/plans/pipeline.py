@@ -229,20 +229,43 @@ def process_file(
         db_cfg = config.get("database", {})
         use_jdbc = db_cfg.get("type") == "jdbc" and db_cfg.get("url")
         jdbc_opts = _jdbc_options(db_cfg) if use_jdbc else {}
+        # bucketed layout: upserts go through the differential merge
+        # (sinks/bucketed_merge.py) — per-file cost proportional to the
+        # batch's buckets, not the table. The config knob for large,
+        # frequently-merged targets where the snapshot rewrite stops
+        # being runnable per file.
+        bucketed = None
+        if (
+            not use_jdbc
+            and mode == "upsert"
+            and db_cfg.get("layout") == "bucketed"
+        ):
+            from nspc_etl_basic_spark.sinks.bucketed_merge import BucketedTable
+
+            bucketed = BucketedTable(
+                spark,
+                os.path.join(warehouse.path, table_name),
+                pk_cols,
+                n_buckets=int(db_cfg.get("n_buckets", 64)),
+            )
         jdbc_struct = None
         if use_jdbc and mode in ("append", "upsert"):
             jdbc_struct = _jdbc_target_schema(
                 spark, db_cfg["url"], table_name, jdbc_opts
             )
-        existing = (
-            jdbc_struct is not None
-            if use_jdbc
-            else mode in ("append", "upsert") and warehouse.exists(table_name)
-        )
+        if use_jdbc:
+            existing = jdbc_struct is not None
+        elif bucketed is not None:
+            existing = bucketed.exists()
+        else:
+            existing = mode in ("append", "upsert") and warehouse.exists(table_name)
         if existing:
-            target_struct = (
-                jdbc_struct if use_jdbc else warehouse.read(table_name).schema
-            )
+            if use_jdbc:
+                target_struct = jdbc_struct
+            elif bucketed is not None:
+                target_struct = bucketed.read().schema
+            else:
+                target_struct = warehouse.read(table_name).schema
             file_cols = [c for c in df.columns if not c.startswith("__")]
             extra = [c for c in file_cols if c not in target_struct.names]
             if extra:
@@ -316,6 +339,14 @@ def process_file(
                     batch_size=int(loader_cfg.get("batch_size", 1000)),
                 )
                 result.rows_inserted = rows_read - invalid_count
+        elif bucketed is not None:
+            deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
+            deduped = deduped.select(
+                [c for c in deduped.columns if not c.startswith("__")]
+            )
+            counts = bucketed.merge(deduped)
+            result.rows_inserted = counts.inserted
+            result.rows_updated = counts.updated
         elif mode == "upsert":
             deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
             if warehouse.exists(table_name):

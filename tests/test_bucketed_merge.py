@@ -226,3 +226,46 @@ def test_merge_schema_evolution_additive(spark, tmp_path):
     assert len(got) == 51
     assert got[3] == ("upd", 99) and got[500] == ("new", 42)
     assert got[7] == ("x", None)  # untouched bucket NULL-filled at read
+
+
+def test_process_file_bucketed_layout(spark, tmp_path):
+    """database.layout=bucketed routes pipeline upserts through the
+    differential merge: true counts, existing-table schema authority,
+    strict rollback leaves the table untouched."""
+    from nspc_etl_basic_spark import load_config
+    from nspc_etl_basic_spark.plans.pipeline import process_file
+
+    cfg = load_config(
+        overrides={
+            "database": {
+                "warehouse_path": str(tmp_path / "wh"),
+                "layout": "bucketed",
+                "n_buckets": 8,
+            },
+            "loader": {"table_mode": "upsert", "primary_key_columns": ["id"]},
+        }
+    )
+    f1 = tmp_path / "items.csv"
+    f1.write_text("id,name,amount\n1,alpha,10.5\n2,beta,20.25\n")
+    r1 = process_file(spark, str(f1), cfg, move_files=False)
+    assert r1.status == "Completed", r1.error_message
+    assert (r1.rows_inserted, r1.rows_updated) == (2, 0)
+
+    cfg2 = dict(cfg)
+    cfg2["override_table_name"] = r1.table_name
+    f2 = tmp_path / "items2.csv"
+    f2.write_text("id,name,amount\n2,beta2,21.0\n3,gamma,30.0\n")
+    r2 = process_file(spark, str(f2), cfg2, move_files=False)
+    assert r2.status == "Completed", r2.error_message
+    assert (r2.rows_inserted, r2.rows_updated) == (1, 1)
+
+    t = BucketedTable(spark, str(tmp_path / "wh" / r1.table_name), ["id"], n_buckets=8)
+    got = {r.id for r in t.read().collect()}
+    assert got == {1, 2, 3}
+
+    # strict upsert of a bad value into the typed bucketed table -> Failed
+    f3 = tmp_path / "items3.csv"
+    f3.write_text("id,name,amount\nnotanint,x,1.0\n")
+    r3 = process_file(spark, str(f3), cfg2, move_files=False)
+    assert r3.status == "Failed"
+    assert t.read().count() == 3
