@@ -88,6 +88,13 @@ def asof_join(
         right_cols = [c for c in right.columns if c != on and c not in by]
     carry = [on, *right_cols]
 
+    # NULL on-keys: pandas merge_asof rejects them outright; here they
+    # are simply never matches. Right rows with NULL `on` must be dropped
+    # BEFORE the union — under the window sort (asc NULLS FIRST / desc
+    # NULLS LAST) they would otherwise sort to an edge and be "seen" by
+    # every left row as a phantom earliest/latest observation.
+    right = right.filter(F.col(on).isNotNull())
+
     # the right payload struct; the left side carries a typed NULL of the
     # same struct so the union lines up
     r_payload = F.struct(*[F.col(c).alias(c) for c in carry])
@@ -156,6 +163,12 @@ def asof_join(
         )
 
     matched = matched.filter(F.col("__side") == 1)
+    # a left row with NULL `on` stays unmatched (under desc NULLS LAST it
+    # would otherwise pick up the minimum right `on` as a spurious
+    # forward match)
+    matched = matched.withColumn(
+        "__match", F.when(F.col(on).isNotNull(), F.col("__match"))
+    )
     if tolerance is not None:
         within = dist(F.col(on), F.col("__match")[on]) <= F.lit(float(tolerance))
         matched = matched.withColumn(

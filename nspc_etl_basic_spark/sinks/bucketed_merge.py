@@ -51,11 +51,19 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql.types import StructType
+
 from nspc_etl_basic_spark.operators.merge import MergeCounts, merge_upsert
 
 MANIFEST = "_current_buckets"
+HISTORY_DIR = "_manifest_history"
 VERSION_PREFIX = "v_"
 BUCKET_COL = "__bucket"
+
+#: ParquetWarehouse's snapshot-manifest name — its presence means the
+#: directory is a SNAPSHOT table; operating a bucketed sink on it would
+#: orphan the snapshot rows and cross-GC the other layout's version dirs.
+_SNAPSHOT_MANIFEST = "_current"
 
 
 class BucketedTable:
@@ -66,12 +74,27 @@ class BucketedTable:
         pk_cols: list[str],
         n_buckets: int = 64,
         keep_versions: int = 2,
+        keep_history: int = 10,
     ):
         self.spark = spark
         self.path = path
         self.pk_cols = list(pk_cols)
         self.n_buckets = int(n_buckets)
         self.keep_versions = max(1, int(keep_versions))
+        #: committed manifests retained for time-travel reads; every
+        #: version dir a retained manifest references survives GC
+        self.keep_history = max(1, int(keep_history))
+        if os.path.exists(os.path.join(path, _SNAPSHOT_MANIFEST)):
+            raise ValueError(
+                f"{path} is a ParquetWarehouse snapshot table (has "
+                f"{_SNAPSHOT_MANIFEST}); refusing to run the bucketed "
+                "layout over it — existing snapshot rows would be "
+                "silently ignored and each layout's GC would delete "
+                "version dirs the other's manifest references. Point "
+                "the bucketed table at a fresh directory (or migrate "
+                "with BucketedTable.init(warehouse.read(name)) into a "
+                "new root)."
+            )
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------
@@ -89,11 +112,19 @@ class BucketedTable:
             return None
         return m if isinstance(m.get("buckets"), dict) else None
 
-    def _write_manifest(self, buckets: dict[str, str]) -> None:
+    def _write_manifest(
+        self, buckets: dict[str, str], schema_json: str | None = None
+    ) -> None:
+        prev = self._read_manifest()
+        version_id = (prev.get("version_id", -1) + 1) if prev else 0
+        if schema_json is None and prev:
+            schema_json = prev.get("schema")
         manifest = {
+            "version_id": version_id,
             "n_buckets": self.n_buckets,
             "pk_cols": self.pk_cols,
             "buckets": buckets,
+            "schema": schema_json,
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
         }
         tmp = f"{self._manifest_path()}.tmp.{uuid.uuid4().hex[:8]}"
@@ -102,6 +133,41 @@ class BucketedTable:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._manifest_path())  # the commit point
+        # history AFTER the flip: a manifest copy per commit, so
+        # read(version=k) can time-travel. Written post-commit — a crash
+        # between flip and copy loses only that version's history entry,
+        # never current-state correctness.
+        hdir = os.path.join(self.path, HISTORY_DIR)
+        os.makedirs(hdir, exist_ok=True)
+        with open(
+            os.path.join(hdir, f"m_{version_id:08d}.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(manifest, fh)
+
+    def _history_manifests(self) -> dict[int, dict]:
+        """Retained committed manifests, keyed by version_id."""
+        hdir = os.path.join(self.path, HISTORY_DIR)
+        out: dict[int, dict] = {}
+        if not os.path.isdir(hdir):
+            return out
+        for f in os.listdir(hdir):
+            if f.startswith("m_") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(hdir, f), encoding="utf-8") as fh:
+                        m = json.load(fh)
+                    out[int(m["version_id"])] = m
+                except (OSError, ValueError, KeyError):
+                    continue
+        return out
+
+    def versions(self) -> list[dict]:
+        """Time-travel catalog: retained commits, oldest first —
+        ``[{"version_id": k, "committed_at": ...}, ...]``."""
+        hist = self._history_manifests()
+        return [
+            {"version_id": k, "committed_at": hist[k].get("committed_at")}
+            for k in sorted(hist)
+        ]
 
     def exists(self) -> bool:
         return self._read_manifest() is not None
@@ -118,8 +184,8 @@ class BucketedTable:
             F.xxhash64(*[F.col(c) for c in self.pk_cols]), F.lit(self.n_buckets)
         ).cast("int")
 
-    def _bucket_paths(self, bucket_ids=None) -> list[str]:
-        m = self._read_manifest()
+    def _bucket_paths(self, bucket_ids=None, manifest: dict | None = None) -> list[str]:
+        m = manifest if manifest is not None else self._read_manifest()
         if m is None:
             return []
         items = m["buckets"].items()
@@ -150,13 +216,44 @@ class BucketedTable:
         version; the manifest points all buckets at it."""
         version = self._write_version(df)
         written = self._version_buckets(version)
-        self._write_manifest({b: version for b in written})
+        self._write_manifest({b: version for b in written}, df.schema.json())
         self._gc()
 
-    def read(self, bucket_ids=None) -> DataFrame:
-        paths = self._bucket_paths(bucket_ids)
-        if not paths:
+    def _empty_df(self, m: dict) -> DataFrame:
+        schema_json = m.get("schema")
+        if not schema_json:
+            raise FileNotFoundError(
+                f"bucketed table at {self.path} is empty and its manifest "
+                "predates schema recording"
+            )
+        return self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
+
+    def read(self, bucket_ids=None, version: int | None = None) -> DataFrame:
+        """Current-state read, or time travel with ``version=k`` — the
+        bucket map as of commit k (``versions()`` lists retained ids).
+        Historical reads cost the same as current ones: the manifest is
+        just a different set of per-bucket paths; version dirs referenced
+        by any retained manifest survive GC."""
+        if version is None:
+            m = self._read_manifest()
+        else:
+            m = self._history_manifests().get(int(version))
+            if m is None:
+                raise FileNotFoundError(
+                    f"version {version} not retained at {self.path} "
+                    f"(keep_history={self.keep_history}; see versions())"
+                )
+        if m is None:
             raise FileNotFoundError(f"bucketed table at {self.path} is empty")
+        paths = self._bucket_paths(bucket_ids, manifest=m)
+        if not paths:
+            # a manifest with an empty (or fully filtered) bucket map is a
+            # valid state — e.g. delete() removed the last bucket; readers
+            # get an empty frame with the recorded schema instead of a
+            # crash that wedges the table until re-init
+            return self._empty_df(m)
         # mergeSchema: buckets written before an additive schema evolution
         # lack the new columns; the merged read NULL-fills them. Costs one
         # footer read per file — bucket files are ~128-512 MB, so footers
@@ -237,7 +334,7 @@ class BucketedTable:
             buckets = dict(m["buckets"])
             for b in written:
                 buckets[b] = version
-            self._write_manifest(buckets)
+            self._write_manifest(buckets, merged.schema.json())
             self._gc()
             return MergeCounts(inserted=total - updated, updated=updated)
         finally:
@@ -313,6 +410,43 @@ class BucketedTable:
         finally:
             k.unpersist()
 
+    def fragmentation(self) -> dict:
+        """Layout health probe: how scattered is the table across version
+        dirs, and how many files does a full read open? Per-bucket file
+        count stays flat under trickle merges (each merge rewrites whole
+        buckets, ``repartition(BUCKET_COL)`` emits one file per bucket) —
+        what grows is the number of distinct VERSION DIRS referenced,
+        bounded by min(#buckets, retention)."""
+        m = self._read_manifest() or {"buckets": {}}
+        paths = self._bucket_paths(manifest=m)
+        n_files = 0
+        for p in paths:
+            if os.path.isdir(p):
+                n_files += sum(
+                    1 for f in os.listdir(p) if f.endswith(".parquet")
+                )
+        return {
+            "n_buckets_live": len(m["buckets"]),
+            "n_version_dirs": len(set(m["buckets"].values())),
+            "n_data_files": n_files,
+        }
+
+    def compact(self) -> dict:
+        """Collapse the table into ONE fresh version dir (same pointer-flip
+        commit as a merge — readers keep their version, a crash leaves the
+        table untouched). Run after long trickle-merge sequences: it
+        resets the referenced-version-dir count to 1, drops the
+        mergeSchema footer spread from additive evolutions by physically
+        materializing the unified schema, and lets GC release every older
+        dir once history rotates. Returns before/after fragmentation."""
+        before = self.fragmentation()
+        df = self.read()
+        version = self._write_version(df)
+        written = self._version_buckets(version)
+        self._write_manifest({b: version for b in written}, df.schema.json())
+        self._gc()
+        return {"before": before, "after": self.fragmentation()}
+
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
@@ -326,12 +460,27 @@ class BucketedTable:
         ]
 
     def _gc(self) -> None:
-        """Drop version dirs no bucket references, keeping the
-        ``keep_versions`` newest regardless (in-flight reader grace)."""
+        """Drop version dirs nothing references, keeping the
+        ``keep_versions`` newest regardless (in-flight reader grace).
+        "Referenced" spans the CURRENT manifest plus every retained
+        history manifest, so time-travel reads never dangle; history
+        manifests beyond ``keep_history`` are pruned first, which is what
+        actually releases old version dirs."""
         m = self._read_manifest()
         if m is None:
             return
+        # prune history beyond the retention window (current stays)
+        hdir = os.path.join(self.path, HISTORY_DIR)
+        hist = self._history_manifests()
+        for vid in sorted(hist)[: -self.keep_history]:
+            try:
+                os.remove(os.path.join(hdir, f"m_{vid:08d}.json"))
+            except OSError:
+                pass
+            hist.pop(vid, None)
         referenced = set(m["buckets"].values())
+        for hm in hist.values():
+            referenced.update(hm.get("buckets", {}).values())
         versions = sorted(
             d
             for d in os.listdir(self.path)

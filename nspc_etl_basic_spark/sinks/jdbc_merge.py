@@ -83,12 +83,26 @@ def render_merge_sql(
     return sql
 
 
-def _connect(spark: SparkSession, url: str, driver: str | None):
+def _connect(
+    spark: SparkSession,
+    url: str,
+    driver: str | None,
+    user: str | None = None,
+    password: str | None = None,
+):
     jvm = spark._jvm
     if driver:
         # ensure the driver registers with DriverManager even when the
         # jar was only service-loaded lazily
         jvm.java.lang.Class.forName(driver)
+    # authenticated targets: the executor-side staging load reads
+    # user/password from the Spark JDBC options, so the driver-side
+    # COUNT/MERGE connection must present the same credentials (the
+    # url-only overload would fail against any authenticated database)
+    if user is not None:
+        return jvm.java.sql.DriverManager.getConnection(
+            url, user, password or ""
+        )
     return jvm.java.sql.DriverManager.getConnection(url)
 
 
@@ -108,6 +122,54 @@ def _execute(conn, sql: str) -> None:
         st.execute(sql)
     finally:
         st.close()
+
+
+# JDBC metadata TYPE_NAME -> Spark-parseable DDL for the staging table's
+# createTableColumnTypes. Sized character types keep their length; LOB-ish
+# types fall back to STRING; unknowns are skipped (Spark default applies).
+_SIZED_CHAR = {"VARCHAR", "NVARCHAR", "CHAR", "NCHAR", "CHARACTER", "CHAR VARYING", "CHARACTER VARYING"}
+_TYPE_MAP = {
+    "INTEGER": "INT", "INT": "INT", "BIGINT": "BIGINT",
+    "SMALLINT": "SMALLINT", "TINYINT": "TINYINT",
+    "DOUBLE": "DOUBLE", "DOUBLE PRECISION": "DOUBLE", "FLOAT": "DOUBLE",
+    "REAL": "FLOAT", "BOOLEAN": "BOOLEAN", "BIT": "BOOLEAN",
+    "DATE": "DATE", "TIMESTAMP": "TIMESTAMP", "DATETIME2": "TIMESTAMP",
+    "DATETIME": "TIMESTAMP", "CLOB": "STRING", "TEXT": "STRING",
+    "LONG VARCHAR": "STRING", "NTEXT": "STRING",
+}
+
+
+def introspect_sql_types(conn, table: str) -> dict[str, str]:
+    """Read the target table's column types from JDBC DatabaseMetaData so
+    the staging table can be created with the SAME type discipline even
+    when the caller has no stored H1 DDL (the target predates this job).
+    Without this the staging table falls back to Spark's default JDBC
+    mapping (CLOB/NVARCHAR(MAX) for strings) and the server-side MERGE
+    leans on implicit casts — which stricter dialects reject and which
+    defeats index use on the join keys."""
+    md = conn.getMetaData()
+    out: dict[str, str] = {}
+    # table names go through Spark's dbtable RAW (unquoted), so
+    # case-folding databases (Derby/Oracle) store them upper-cased;
+    # column names were quoted at CREATE and keep their exact case
+    for probe in (table, table.upper(), table.lower()):
+        rs = md.getColumns(None, None, probe, None)
+        while rs.next():
+            name = rs.getString("COLUMN_NAME")
+            tname = (rs.getString("TYPE_NAME") or "").upper()
+            if tname in _SIZED_CHAR:
+                size = rs.getInt("COLUMN_SIZE")
+                out[name] = f"VARCHAR({size})" if size > 0 else "STRING"
+            elif tname in ("DECIMAL", "NUMERIC"):
+                prec = rs.getInt("COLUMN_SIZE")
+                scale = rs.getInt("DECIMAL_DIGITS")
+                out[name] = f"DECIMAL({prec},{scale})"
+            elif tname in _TYPE_MAP:
+                out[name] = _TYPE_MAP[tname]
+        rs.close()
+        if out:
+            break
+    return out
 
 
 def _table_exists(conn, table: str) -> bool:
@@ -139,13 +201,15 @@ def jdbc_upsert(
     table = _check_ident(table)
     staging = _check_ident(staging_table or f"{table}_stg")
     driver = (options or {}).get("driver")
+    user = (options or {}).get("user")
+    password = (options or {}).get("password")
 
     deduped = dedup_last_wins(df, key_cols)
     engine_cols = [c for c in deduped.columns if c.startswith("__")]
     if engine_cols:
         deduped = deduped.drop(*engine_cols)
 
-    conn = _connect(spark, url, driver)
+    conn = _connect(spark, url, driver, user, password)
     try:
         if not _table_exists(conn, table):
             jdbc_write(
@@ -155,11 +219,17 @@ def jdbc_upsert(
             return MergeCounts(inserted=deduped.count(), updated=0)
 
         # distributed bulk load of the (file-sized) staging rows; the
-        # staging table inherits the target's type discipline via the
-        # same H1 DDL so the server-side MERGE casts nothing implicitly
+        # staging table inherits the target's type discipline — from the
+        # caller's H1 DDL when given, else introspected off the live
+        # target — so the server-side MERGE casts nothing implicitly
+        staging_types = sql_types or {
+            c: t
+            for c, t in introspect_sql_types(conn, table).items()
+            if c in deduped.columns
+        } or None
         jdbc_write(
             deduped, url, staging, mode="drop_recreate",
-            sql_types=sql_types, options=options, batch_size=batch_size,
+            sql_types=staging_types, options=options, batch_size=batch_size,
         )
         on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in key_cols)
         updated = _scalar(

@@ -56,6 +56,11 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "_current"
 VERSION_PREFIX = "v_"
 
+#: BucketedTable's manifest name (sinks/bucketed_merge.py). A directory
+#: holding one is a BUCKETED table; running the snapshot sink over it
+#: would ignore its rows and cross-GC its version dirs.
+_BUCKETED_MANIFEST = "_current_buckets"
+
 
 class TableExistsError(RuntimeError):
     pass
@@ -115,6 +120,21 @@ class ParquetWarehouse:
     # ------------------------------------------------------------------
 
     @staticmethod
+    def _check_not_bucketed(table_dir: str) -> None:
+        """Refuse to run the snapshot sink over a BucketedTable root:
+        ``exists()`` would report the bucketed rows missing (no top-level
+        parquet), a snapshot commit would then shadow them, and each
+        layout's GC would delete ``v_*`` dirs the other's manifest still
+        references — silent data loss both ways."""
+        if os.path.exists(os.path.join(table_dir, _BUCKETED_MANIFEST)):
+            raise ValueError(
+                f"{table_dir} is a BucketedTable (has {_BUCKETED_MANIFEST}); "
+                "refusing snapshot-layout writes over it — flip "
+                "database.layout back to 'bucketed' for this table or "
+                "migrate it into a fresh snapshot root first."
+            )
+
+    @staticmethod
     def _strip_engine_cols(df: DataFrame) -> DataFrame:
         drop_engine_cols = [c for c in df.columns if c.startswith("__")]
         return df.drop(*drop_engine_cols) if drop_engine_cols else df
@@ -127,6 +147,7 @@ class ParquetWarehouse:
         does): the new version dir is disjoint from them, so the write
         materializes the plan before anything old is touched."""
         table_dir = self.table_path(name)
+        self._check_not_bucketed(table_dir)
         os.makedirs(table_dir, exist_ok=True)
         version = f"{VERSION_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("error").parquet(os.path.join(table_dir, version))
@@ -189,6 +210,7 @@ class ParquetWarehouse:
             # append-only tables stay plain flat-dir (new immutable files —
             # already object-store safe); appending to a VERSIONED table
             # adds files to its current version dir
+            self._check_not_bucketed(self.table_path(name))
             target = self.data_path(name)
             df.write.mode("append").parquet(target)
         elif mode == "fail":

@@ -167,3 +167,40 @@ def test_asof_tolerance_on_timestamps_in_seconds(spark):
     assert hit.tag_r == "near"
     miss = asof_join(left, right, on="ts", tolerance=2.0).collect()[0]
     assert miss.tag_r is None
+
+
+def test_asof_null_on_keys_never_match(spark):
+    """NULL in the `on` column (either side) produces no match in ANY
+    direction — under the window sort NULLs land at an edge and would
+    otherwise act as a phantom earliest/latest observation (ADVICE r3);
+    pandas merge_asof rejects NULL keys outright."""
+    from nspc_etl_basic_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], "id long, t double"
+    )
+    right = spark.createDataFrame(
+        [(5.0, "r5"), (25.0, "r25"), (None, "rnull")], "t double, tag string"
+    )
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r.id: r.tag_r
+            for r in asof_join(
+                left, right, on="t", direction=direction
+            ).collect()
+        }
+        # the NULL left row is unmatched everywhere; the NULL right row
+        # is never anyone's match
+        assert got[2] is None, (direction, got)
+        assert "rnull" not in got.values(), (direction, got)
+    # and the non-null rows still match correctly
+    fwd = {
+        r.id: r.tag_r
+        for r in asof_join(left, right, on="t", direction="forward").collect()
+    }
+    assert fwd[1] == "r25" and fwd[3] is None
+    bwd = {
+        r.id: r.tag_r
+        for r in asof_join(left, right, on="t", direction="backward").collect()
+    }
+    assert bwd[1] == "r5" and bwd[3] == "r25"

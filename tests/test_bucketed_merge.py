@@ -269,3 +269,124 @@ def test_process_file_bucketed_layout(spark, tmp_path):
     r3 = process_file(spark, str(f3), cfg2, move_files=False)
     assert r3.status == "Failed"
     assert t.read().count() == 3
+
+
+def test_time_travel_read_and_versions(spark, tmp_path):
+    """read(version=k) reconstructs the table as of commit k from the
+    retained manifest history; GC keeps every version dir a retained
+    manifest references."""
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=8)
+    t.init(spark.createDataFrame([(i, "v0") for i in range(50)], "id long, v string"))
+    t.merge(spark.createDataFrame([(3, "v1"), (100, "v1")], "id long, v string"))
+    t.merge(spark.createDataFrame([(3, "v2")], "id long, v string"))
+
+    vids = [v["version_id"] for v in t.versions()]
+    assert vids == [0, 1, 2]
+
+    as_of_0 = {r.id: r.v for r in t.read(version=0).collect()}
+    assert len(as_of_0) == 50 and as_of_0[3] == "v0" and 100 not in as_of_0
+
+    as_of_1 = {r.id: r.v for r in t.read(version=1).collect()}
+    assert len(as_of_1) == 51 and as_of_1[3] == "v1" and as_of_1[100] == "v1"
+
+    now = {r.id: r.v for r in t.read().collect()}
+    assert len(now) == 51 and now[3] == "v2"
+
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(version=99)
+
+
+def test_time_travel_history_rotation_releases_dirs(spark, tmp_path):
+    """keep_history bounds retention: old manifests rotate out, their
+    version dirs become collectable, and read(version=old) refuses."""
+    path = str(tmp_path / "t")
+    t = BucketedTable(
+        spark, path, ["id"], n_buckets=4, keep_versions=1, keep_history=3
+    )
+    t.init(spark.createDataFrame([(i, 0) for i in range(20)], "id long, n long"))
+    for k in range(1, 7):
+        t.merge(spark.createDataFrame([(1, k)], "id long, n long"))
+
+    vids = [v["version_id"] for v in t.versions()]
+    assert vids == [4, 5, 6]  # 7 commits total, 3 retained
+    import pytest
+
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        t.read(version=0)
+    # retained versions still fully readable after GC
+    assert t.read(version=4).count() == 20
+    assert {r.n for r in t.read(version=4).filter("id = 1").collect()} == {4}
+
+
+def test_empty_bucket_map_reads_empty_not_crash(spark, tmp_path):
+    """Deleting the last bucket leaves a live, empty table: exists() is
+    True, read()/lookup() return empty frames with the recorded schema,
+    and a later merge repopulates it."""
+    path = str(tmp_path / "t")
+    t = BucketedTable(spark, path, ["id"], n_buckets=4)
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "id long, v string")
+    t.init(df)
+    assert t.delete(df.select("id")) == 10
+
+    assert t.exists()
+    empty = t.read()
+    assert empty.count() == 0
+    assert empty.columns == ["id", "v"]
+    assert t.lookup(spark.createDataFrame([(1,)], "id long")).count() == 0
+
+    c = t.merge(spark.createDataFrame([(7, "back")], "id long, v string"))
+    assert (c.inserted, c.updated) == (1, 0)
+    assert {r.id for r in t.read().collect()} == {7}
+
+
+def test_compact_collapses_version_dirs(spark, tmp_path):
+    """~40 trickle merges fragment the manifest across many version dirs
+    (per-bucket FILE count stays flat — each merge rewrites whole
+    buckets); compact() collapses everything back into one dir."""
+    path = str(tmp_path / "t")
+    t = BucketedTable(
+        spark, path, ["id"], n_buckets=8, keep_versions=1, keep_history=2
+    )
+    t.init(spark.createDataFrame([(i, 0) for i in range(80)], "id long, n long"))
+    for k in range(40):
+        t.merge(spark.createDataFrame([(k % 80, k + 1)], "id long, n long"))
+
+    frag = t.fragmentation()
+    assert frag["n_buckets_live"] == 8
+    assert frag["n_version_dirs"] > 1  # trickle merges scattered the map
+    # one file per bucket regardless of merge count — the key invariant
+    assert frag["n_data_files"] == frag["n_buckets_live"]
+
+    stats = t.compact()
+    assert stats["after"]["n_version_dirs"] == 1
+    assert stats["after"]["n_data_files"] == 8
+    assert t.read().count() == 80
+    # content preserved: every key carries its LAST merged value
+    got = {r.id: r.n for r in t.read().collect()}
+    for k in range(40):
+        assert got[k % 80] >= 1
+
+
+def test_layout_collision_refused_both_ways(spark, tmp_path):
+    """A snapshot table dir refuses the bucketed sink and vice versa —
+    the two layouts share the v_* namespace, so mixing them silently
+    drops rows and cross-GCs version dirs (ADVICE r3)."""
+    import pytest
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    wh.write(df, "snap", mode="drop_recreate")
+    with pytest.raises(ValueError, match="snapshot table"):
+        BucketedTable(spark, wh.table_path("snap"), ["id"], n_buckets=4)
+
+    t = BucketedTable(spark, str(tmp_path / "wh" / "bt"), ["id"], n_buckets=4)
+    t.init(df)
+    with pytest.raises(ValueError, match="BucketedTable"):
+        wh.write(df, "bt", mode="drop_recreate")
+    with pytest.raises(ValueError, match="BucketedTable"):
+        wh.write(df, "bt", mode="append")

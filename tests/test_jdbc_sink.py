@@ -217,3 +217,65 @@ def test_process_file_routes_to_jdbc(spark, tmp_path):
     r3 = process_file(spark, str(f3), cfg2, move_files=False)
     assert r3.status == "Failed"
     assert _read_back(spark, url, r1.table_name).count() == 3
+
+
+def test_jdbc_upsert_with_credentials_options(spark, tmp_path):
+    """user/password in options flow through to the driver-side
+    DriverManager connection (ADVICE r3: url-only getConnection fails on
+    any authenticated target). Embedded Derby accepts-and-ignores
+    credentials, so this exercises the two-arg overload end to end."""
+    from nspc_etl_basic_spark.sinks.jdbc_merge import jdbc_upsert
+
+    url = _derby_url(tmp_path)
+    opts = {**_opts(), "user": "app", "password": "secret"}
+    first = spark.createDataFrame([(1, "a")], "id long, v string")
+    c1 = jdbc_upsert(spark, first.coalesce(1), url, "authed", ["id"], options=opts)
+    assert (c1.inserted, c1.updated) == (1, 0)
+    c2 = jdbc_upsert(
+        spark,
+        spark.createDataFrame([(1, "a2"), (2, "b")], "id long, v string").coalesce(1),
+        url, "authed", ["id"], options=opts,
+    )
+    assert (c2.inserted, c2.updated) == (1, 1)
+
+
+def test_introspect_sql_types_matches_target_ddl(spark, tmp_path):
+    """When the caller has no stored H1 DDL, the staging table's types
+    come from the live target's JDBC metadata — sized VARCHARs keep
+    their length instead of degrading to CLOB (ADVICE r3)."""
+    from nspc_etl_basic_spark.sinks.jdbc_merge import (
+        _connect,
+        introspect_sql_types,
+        jdbc_upsert,
+    )
+
+    url = _derby_url(tmp_path)
+    df = spark.createDataFrame(
+        [(1, "alpha", Decimal("10.5000"))],
+        "id long, name string, amount decimal(18,4)",
+    )
+    jdbc_write(
+        df, url, "typed", mode="drop_recreate",
+        sql_types={"id": "BIGINT", "name": "NVARCHAR(50)",
+                   "amount": "DECIMAL(18,4)"},
+        options=_opts(),
+    )
+    conn = _connect(spark, url, DERBY_DRIVER)
+    try:
+        types = introspect_sql_types(conn, "typed")
+    finally:
+        conn.close()
+    assert types["name"] == "VARCHAR(50)"
+    assert types["id"] == "BIGINT"
+    assert types["amount"] == "DECIMAL(18,4)"
+
+    # and jdbc_upsert uses them for staging even with sql_types=None
+    c = jdbc_upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "beta", Decimal("1.0000"))],
+            "id long, name string, amount decimal(18,4)",
+        ).coalesce(1),
+        url, "typed", ["id"], sql_types=None, options=_opts(),
+    )
+    assert (c.inserted, c.updated) == (1, 0)
