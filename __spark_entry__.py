@@ -1121,7 +1121,14 @@ def emb_quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps it oracle-exact."""
     from nspc_etl_basic_spark.operators.similarity import quantize_embeddings
 
-    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    q = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    # driver-facing shape: the harness canonicalizer sorts/hashes pandas
+    # frames and cannot hash a raw array<long> cell — serialize q_vec to
+    # its JSON text form here; library callers keep the real array from
+    # quantize_embeddings itself
+    return q.select(
+        "vec_id", "q_scale", F.to_json("q_vec").alias("q_vec"), "mae"
+    )
 
 
 def multimodal_binary_meta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,6 +1320,58 @@ def multimodal_real_png_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_real_jpeg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG decode, end-to-end oracled: each doc's first 4 UTF-8
+    bytes become the values of the four 8x8 blocks of a 16x16 grayscale
+    baseline JPEG (all-ones quant table), encoded with the vendored
+    stdlib codec inside a mapInPandas kernel, then decoded back by
+    ``image_features(require_real_decode=True)`` — a full Huffman ->
+    dequant -> IDCT pipeline on every row. Flat blocks are DC-only with
+    integer coefficients, so the lossy format round-trips EXACTLY and
+    the oracle can replay the arithmetic (mean of the 4 block bytes)
+    without touching JPEG. The decoder itself is general baseline
+    grayscale (tests cover non-flat images); the fixture is chosen flat
+    precisely so the driver check stays hash-exact."""
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from nspc_etl_basic_spark.operators.codecs import encode_jpeg_gray
+    from nspc_etl_basic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+
+    def to_jpeg(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["text"]:
+                raw = txt.encode("utf-8")[:4]
+                b = _np.zeros(4, dtype=_np.uint8)
+                b[: len(raw)] = _np.frombuffer(raw, _np.uint8)
+                px = _np.empty((16, 16), dtype=_np.uint8)
+                px[:8, :8], px[:8, 8:], px[8:, :8], px[8:, 8:] = b
+                payloads.append(encode_jpeg_gray(px))
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].to_numpy(),
+                    "payload": payloads,
+                    "meta": [
+                        {"format": "image", "width": 16, "height": 16,
+                         "n_frames": None, "sample_rate": None}
+                    ] * len(pdf),
+                }
+            )
+
+    media = docs.select("doc_id", "text").mapInPandas(to_jpeg, MEDIA_SCHEMA)
+    return image_features(media, require_real_decode=True).select(
+        "media_id", "width", "height", "mean_intensity"
+    )
+
+
 def multimodal_real_wav_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode, end-to-end oracled: each doc's first 256 UTF-8
     bytes become int16 PCM samples ((b-128)*256), encoded as a WAV with
@@ -1448,6 +1507,147 @@ def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").cast("long")).alias("sum_k"),
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
+    )
+
+
+def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distinct-user sketch per event type (operators/
+    sketches.kmv_distinct): md5-derived uniform hashes, k smallest per
+    group, (k-1)/u_k estimator — the classical KMV sketch, built so
+    every step is integer or IEEE-exact arithmetic and the DuckDB oracle
+    replays the ESTIMATE bit-for-bit (Spark's own HLL estimates are
+    implementation-defined and can only ever get rows-only checks)."""
+    from nspc_etl_basic_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)
+
+
+def events_cube_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level OLAP aggregation in ONE pass: ``ROLLUP(event_type,
+    day)`` produces (type, day), (type), and grand-total rows from a
+    single shuffle (Spark expands grouping sets map-side — no N-pass
+    re-aggregation). NULL group labels are coalesced to sentinels so the
+    three levels stay distinguishable in a hash-compared result."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    rolled = ev.rollup(F.col("event_type"), day).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+    return rolled.select(
+        F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
+        F.coalesce(F.col("day"), F.lit("1900-01-01").cast("date")).alias("day"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def text_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment on LSH candidate pairs (operators/
+    dedup.containment_on_candidates): doc-IN-doc duplication that
+    Jaccard under-scores — the boilerplate/quotation shape of web-corpus
+    duplication. Candidates come from the same banded-LSH stage as
+    dedup_jaccard; verification is broadcast-pruned in-row set algebra."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        containment_on_candidates,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    return containment_on_candidates(docs, cand)
+
+
+def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedTable time travel, end-to-end oracled: build a bucketed
+    customer table (keys ``c_custkey % 7 < 3``), differential-merge a
+    batch (inserts ``% 7 IN (3,4)``, updates ``% 7 == 0`` at +1000.00),
+    then read BOTH retained versions via ``read(version=k)`` and emit
+    per-version rowcount + balance total. The oracle replays both
+    states straight from the source parquet — any defect in the
+    manifest history, per-bucket pointer flips, or version-pinned reads
+    breaks parity. (The work dir is a driver-temp path; the table is
+    version-pinned so re-runs re-init it.)"""
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.bucketed_merge import BucketedTable
+
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    base = cust.filter(F.col("c_custkey") % 7 < 3).select(
+        "c_custkey", cents.alias("bal_cents")
+    )
+    inserts = cust.filter((F.col("c_custkey") % 7).isin(3, 4)).select(
+        "c_custkey", cents.alias("bal_cents")
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (cents + 100000).alias("bal_cents")
+    )
+
+    t = BucketedTable(
+        spark, tempfile.mkdtemp(prefix="tt_"), ["c_custkey"], n_buckets=16
+    )
+    t.init(base)
+    t.merge(inserts.unionByName(updates))
+
+    def snap(vid: int) -> DataFrame:
+        return t.read(version=vid).agg(
+            F.lit(vid).cast("int").alias("version_id"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("bal_cents").alias("sum_cents"),
+        )
+
+    return snap(0).unionByName(snap(1))
+
+
+def sim_ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against a TRAINED k-means codebook (operators/similarity.
+    train_ivf_centroids) with recall measured in-query against the exact
+    cosine top-k: one row (n_queries, avg_recall, min_recall). k-means
+    centroid updates average doubles, which is not bit-deterministic
+    across partitionings — so this is deliberately a rows-only driver
+    check (no oracle SQL); the VALUE claims (recall >= the untrained
+    codebook's) live in tests/test_similarity.py. At 100 TB the training
+    cost is n_iter corpus scans with a codebook-sized shuffle (see
+    train_ivf_centroids docstring); assignment stays a literal-codebook
+    projection."""
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivf_topk(emb, queries, k=5, n_cells=16, n_probe=4, centroids=cents)
+    exact = cosine_topk(emb, queries, k=5)
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.floor(F.avg("recall") * 1e4) / 1e4).alias("avg_recall"),
+        (F.floor(F.min("recall") * 1e4) / 1e4).alias("min_recall"),
     )
 
 
@@ -1754,64 +1954,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS run may be capped (r02
-    # checked only the first 50 entries), so never-verified and
-    # previously-red entries come FIRST; the long-stable green TPC-H rows
-    # come last.
+    # and r03 each checked only the first 50 entries), so this round's
+    # order is: the two rows red in r03 (both harness-level, fixed this
+    # round), then queries NEW this round, then the 35 entries whose last
+    # driver check was r02, then the r03-green remainder.
     return {
-        # -- red in r02 (the _events dtype bug, fixed) --
-        "type_conformance": type_conformance,
-        "b3_multiformat_dates": b3_multiformat_dates,
-        "e1_last_wins": e1_last_wins,
-        "g1_strict_validation": g1_strict_validation,
-        "g2_validity_split": g2_validity_split,
-        # -- never driver-verified: events suite --
+        # -- red in r03 (oracle HUGEINT drift / canonicalizer crash; fixed) --
         "events_json_extract": events_json_extract_q,
-        "events_funnel": events_funnel_q,
-        "events_retention": events_retention_q,
-        "events_interarrival": events_interarrival_q,
-        "events_windowed": events_windowed,
-        "events_sliding": events_sliding_q,
-        "events_rollup": events_rollup_q,
-        "events_percentiles": events_percentiles_q,
-        "events_salted_join": events_salted_join_q,
-        "events_asof": events_asof_q,
-        "events_asof_nearest": events_asof_nearest_q,
-        "events_range_join": events_range_join_q,
-        "events_sessionize": events_sessionize,
-        # -- never driver-verified: corpus/similarity/multimodal --
-        "text_redact_pii": text_redact_pii_q,
-        "corpus_decontaminate": corpus_decontaminate_q,
         "emb_quantize": emb_quantize_q,
-        "sim_topk": sim_topk_q,
-        "sim_ann_lsh": sim_ann_lsh_q,
-        "sim_ann_ivf": sim_ann_ivf_q,
-        "dedup_embedding": dedup_embedding_q,
-        "multimodal_binary_meta": multimodal_binary_meta_q,
-        "multimodal_image_features": multimodal_image_features_q,
-        "multimodal_audio_features": multimodal_audio_features_q,
-        "multimodal_resize": multimodal_resize_q,
-        "multimodal_frame_sample": multimodal_frame_sample_q,
-        "multimodal_real_png": multimodal_real_png_q,
-        "multimodal_real_wav": multimodal_real_wav_q,
-        "text_quality_filter": text_quality_filter_q,
-        "text_lm_familiarity": text_lm_familiarity_q,
-        "dedup_incremental": dedup_incremental_q,
-        "corpus_split": corpus_split_q,
-        "corpus_stratified_sample": corpus_stratified_sample_q,
-        "corpus_token_budget": corpus_token_budget_q,
-        "corpus_pack_sequences": corpus_pack_sequences_q,
-        "corpus_mixture": corpus_mixture_q,
-        # -- green in r02: ETL/dedup/text --
-        "c6_batch_rollup": c6_batch_rollup,
-        "schema_infer_stats": schema_infer_stats,
-        "b7_table_naming": b7_table_naming_q,
-        "d1_merge_upsert": d1_merge_upsert,
-        "d2_merge_counts": d2_merge_counts,
-        "d3_anti_join": d3_anti_join,
-        "d4_resume_lookup": d4_resume_lookup,
-        "dedup_exact": dedup_exact_q,
-        "dedup_minhash": dedup_minhash_q,
-        "dedup_lsh_pairs": dedup_lsh_pairs_q,
+        # -- new in r04: never driver-verified --
+        "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
+        "multimodal_real_jpeg": multimodal_real_jpeg_q,
+        "bucketed_time_travel": bucketed_time_travel_q,
+        "text_containment": text_containment_q,
+        "events_kmv_distinct": events_kmv_distinct_q,
+        "events_cube_rollup": events_cube_rollup_q,
+        # -- last driver check was r02: rotate forward for freshness --
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_components": dedup_components_q,
         "dedup_simhash": dedup_simhash_q,
@@ -1823,7 +1981,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bigrams": text_bigrams_q,
         "text_repetition": text_repetition_q,
         "text_chunk": text_chunk_q,
-        # -- green in r02: TPC-H suite --
         "q1_pricing_summary": q1_pricing_summary,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q3_order_revenue": q3_order_revenue,
@@ -1848,6 +2005,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q_corr_stats": q_corr_stats,
+        # -- green in r03 --
+        "type_conformance": type_conformance,
+        "b3_multiformat_dates": b3_multiformat_dates,
+        "e1_last_wins": e1_last_wins,
+        "g1_strict_validation": g1_strict_validation,
+        "g2_validity_split": g2_validity_split,
+        "events_funnel": events_funnel_q,
+        "events_retention": events_retention_q,
+        "events_interarrival": events_interarrival_q,
+        "events_windowed": events_windowed,
+        "events_sliding": events_sliding_q,
+        "events_rollup": events_rollup_q,
+        "events_percentiles": events_percentiles_q,
+        "events_salted_join": events_salted_join_q,
+        "events_asof": events_asof_q,
+        "events_asof_nearest": events_asof_nearest_q,
+        "events_range_join": events_range_join_q,
+        "events_sessionize": events_sessionize,
+        "text_redact_pii": text_redact_pii_q,
+        "corpus_decontaminate": corpus_decontaminate_q,
+        "sim_topk": sim_topk_q,
+        "sim_ann_lsh": sim_ann_lsh_q,
+        "sim_ann_ivf": sim_ann_ivf_q,
+        "dedup_embedding": dedup_embedding_q,
+        "multimodal_binary_meta": multimodal_binary_meta_q,
+        "multimodal_image_features": multimodal_image_features_q,
+        "multimodal_audio_features": multimodal_audio_features_q,
+        "multimodal_resize": multimodal_resize_q,
+        "multimodal_frame_sample": multimodal_frame_sample_q,
+        "multimodal_real_png": multimodal_real_png_q,
+        "multimodal_real_wav": multimodal_real_wav_q,
+        "text_quality_filter": text_quality_filter_q,
+        "text_lm_familiarity": text_lm_familiarity_q,
+        "dedup_incremental": dedup_incremental_q,
+        "corpus_split": corpus_split_q,
+        "corpus_stratified_sample": corpus_stratified_sample_q,
+        "corpus_token_budget": corpus_token_budget_q,
+        "corpus_pack_sequences": corpus_pack_sequences_q,
+        "corpus_mixture": corpus_mixture_q,
+        "c6_batch_rollup": c6_batch_rollup,
+        "schema_infer_stats": schema_infer_stats,
+        "b7_table_naming": b7_table_naming_q,
+        "d1_merge_upsert": d1_merge_upsert,
+        "d2_merge_counts": d2_merge_counts,
+        "d3_anti_join": d3_anti_join,
+        "d4_resume_lookup": d4_resume_lookup,
+        "dedup_exact": dedup_exact_q,
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_lsh_pairs": dedup_lsh_pairs_q,
     }
 
 
@@ -2513,6 +2719,29 @@ def oracle_sql() -> dict[str, str]:
                      / 256.0 / 255.0 * 1000000) / 1000000 AS mean_intensity
             FROM m
         """,
+        # Replays multimodal_real_jpeg WITHOUT touching JPEG: the Spark
+        # side round-trips four flat 8x8 blocks (values = the doc's first
+        # 4 bytes, zero-padded) through the baseline codec — flat blocks
+        # are DC-only with integer coefficients, so decode is EXACT and
+        # the mean is (64*(b0+b1+b2+b3))/256/255, same op order as the
+        # kernel (the /256 is a power-of-two division — exact).
+        "multimodal_real_jpeg": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       lower(hex(encode(text))) AS h,
+                       least(CAST(octet_length(encode(text)) AS INTEGER), 4) AS n
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(16 AS INTEGER) AS height,
+                   floor(
+                     coalesce(list_sum(list_transform(range(1, n + 1),
+                       i -> (strpos('0123456789abcdef', substr(h, 2*i-1, 1)) - 1) * 16
+                            + strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1)), 0)
+                     * 64.0 / 256.0 / 255.0 * 1000000) / 1000000 AS mean_intensity
+            FROM m
+        """,
         # Replays multimodal_real_wav: sample v = (byte - 128) * 256;
         # exact integer sum(v^2), one division + sqrt (32768^2 =
         # 1073741824), floor-truncated — same op order as the decoder.
@@ -2734,6 +2963,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = c.id_a
             JOIN sizes sb ON sb.doc_id = c.id_b
         """,
+        # same LSH-candidate CTEs as dedup_jaccard; the verdict columns
+        # are the two asymmetric containments instead of one Jaccard
+        "text_containment": f"""
+            WITH sigs AS ({_sql_minhash_sigs()}),
+            bands AS ({_sql_lsh_bands()}),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band_id = b.band_id AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            sh AS ({_sql_shingles()}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS n_inter
+                FROM cand c
+                JOIN sh a ON a.doc_id = c.id_a
+                JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT c.id_a, c.id_b,
+                   round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sa.n_sh, 6)
+                       AS containment_a,
+                   round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / sb.n_sh, 6)
+                       AS containment_b
+            FROM cand c
+            LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+            JOIN sizes sa ON sa.doc_id = c.id_a
+            JOIN sizes sb ON sb.doc_id = c.id_b
+        """,
         "dedup_simhash": _sql_simhash(),
         "text_quality": f"""
             SELECT doc_id,
@@ -2908,9 +3168,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id,
                    round(sc, 6) AS q_scale,
-                   list_transform(v, x -> CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
+                   CAST(to_json(list_transform(v,
+                       x -> CASE WHEN sc = 0 THEN CAST(0 AS BIGINT)
                        ELSE CAST(greatest(least(floor(x / sc + 0.5), 127), -127) AS BIGINT)
-                       END) AS q_vec,
+                       END)) AS VARCHAR) AS q_vec,
                    round(list_sum(list_transform(v, x ->
                        CASE WHEN sc = 0 THEN abs(x)
                        ELSE abs(x - greatest(least(floor(x / sc + 0.5), 127), -127) * sc)
@@ -3094,7 +3355,7 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": """
             SELECT event_type,
                    count(*) AS n_events,
-                   sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
                    max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
             FROM events GROUP BY event_type
@@ -3137,6 +3398,75 @@ def oracle_sql() -> dict[str, str]:
                    {_osum('value')} AS sum_value,
                    {_oavg('value')} AS avg_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
+        """,
+        # ROLLUP replayed level-for-level; sentinel coalesce in an outer
+        # select so the three grouping levels stay distinguishable
+        "events_cube_rollup": f"""
+            SELECT coalesce(event_type, '<all>') AS event_type,
+                   coalesce(day, DATE '1900-01-01') AS day,
+                   n_events, sum_value
+            FROM (
+                SELECT event_type,
+                       CAST(date_trunc('day', ts) AS DATE) AS day,
+                       count(*) AS n_events,
+                       {_osum('value')} AS sum_value
+                FROM events
+                GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+            )
+        """,
+        # KMV distinct sketch: md5-first-8-hex -> uniform in [0,1) via an
+        # exact 2^-32 scale; (k-1)/u_k with k=64 — every op integer or
+        # IEEE-exact, so the ESTIMATE itself is hash-compared
+        "events_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                            AS BIGINT) AS hv
+                FROM events
+            ),
+            ranked AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type ORDER BY hv)
+                           AS rk
+                FROM h
+            ),
+            sk AS (
+                SELECT event_type, count(*) AS n_kept, max(hv) AS h_k
+                FROM ranked WHERE rk <= 64 GROUP BY event_type
+            ),
+            ex AS (
+                SELECT event_type, count(*) AS n_exact FROM h GROUP BY event_type
+            ),
+            est AS (
+                SELECT s.event_type, e.n_exact,
+                       CASE WHEN s.n_kept < 64 THEN CAST(s.n_kept AS DOUBLE)
+                            ELSE 63.0 / (CAST(s.h_k AS DOUBLE) / 4294967296.0)
+                       END AS raw_est
+                FROM sk s JOIN ex e ON s.event_type = e.event_type
+            )
+            SELECT event_type, n_exact,
+                   floor(raw_est * 1000000) / 1000000 AS kmv_estimate,
+                   floor(abs(raw_est - CAST(n_exact AS DOUBLE))
+                         / CAST(n_exact AS DOUBLE) * 1000000) / 1000000
+                       AS rel_error
+            FROM est
+        """,
+        # replays BOTH retained BucketedTable versions straight from the
+        # source parquet: v0 = keys %7<3; v1 adds %7 IN (3,4) and bumps
+        # %7=0 balances by +1000.00 (the differential merge batch)
+        "bucketed_time_travel": """
+            SELECT CAST(0 AS INTEGER) AS version_id,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM customer WHERE c_custkey % 7 < 3
+            UNION ALL
+            SELECT CAST(1 AS INTEGER),
+                   count(*),
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)
+                            + CASE WHEN c_custkey % 7 = 0 THEN 100000 ELSE 0 END)
+                        AS BIGINT)
+            FROM customer WHERE c_custkey % 7 < 5
         """,
         # sliding 2h/1h windows on the hour grid: each event lands in
         # exactly two windows (its own hour and the previous one)

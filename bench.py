@@ -81,18 +81,28 @@ def main() -> None:
     total = round(
         sum(v for v in timings.values() if isinstance(v, float)), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "errors": len(errors),
-                "sf": sf,
-            }
-        )
-    )
+    record = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "errors": len(errors),
+        "sf": sf,
+    }
+    print(json.dumps(record))
+    # durable twin of the stdout line: BENCH_r03's captured tail truncated
+    # the JSON *head* (the total was lost); the in-repo summary survives
+    # any tail/head truncation of the capture
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_summary.json"),
+            "w", encoding="utf-8",
+        ) as fh:
+            json.dump(record, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
     spark.stop()
 
 

@@ -30,9 +30,11 @@ _CHANNELS = {0: 1, 2: 3, 6: 4}
 
 
 def sniff_media(payload: bytes) -> str | None:
-    """Identify a payload by magic bytes: 'png', 'wav', or None."""
+    """Identify a payload by magic bytes: 'png', 'jpeg', 'wav', or None."""
     if payload[:8] == PNG_MAGIC:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -140,6 +142,340 @@ def encode_png(arr: np.ndarray) -> bytes:
         + _chunk(b"IDAT", zlib.compress(raw, 6))
         + _chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, grayscale) — JPEG is the dominant real-corpus image
+# format; this closes the round-3 gap where JPEG payloads fell back to the
+# fake kernel. Full baseline pipeline: canonical Huffman (spec Annex K
+# default luminance tables), zigzag, dequantization, separable float
+# IDCT, level shift — so ANY single-component baseline JFIF decodes, not
+# just our own encoder's output. Scope: 8-bit grayscale, no restart
+# intervals, no progressive (ValueError routes the caller to its
+# fallback tier, same contract as decode_png).
+# ---------------------------------------------------------------------------
+
+#: zigzag scan: stream position -> natural (row-major) coefficient index
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: default luminance Huffman tables (JPEG spec Annex K.3.3 — public
+#: constants): (bits[1..16], symbol values)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment: symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix() -> np.ndarray:
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    c[0] /= np.sqrt(2.0)
+    return c  # F = C @ f @ C.T ; f = C.T @ F @ C
+
+
+_DCT_C = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-pad to byte edge
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category coding: value -> (size, appended bits)."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Encode an (h, w) uint8 array as a baseline grayscale JFIF.
+
+    ``quant`` is the 8x8 quantization table (natural order); default is
+    all-ones — with flat 8x8 blocks that makes the round trip EXACT
+    (DC-only blocks, integer coefficients), which is what keeps the
+    driver query's oracle SQL-expressible. Dimensions not divisible by 8
+    are edge-padded for encoding and recorded at true size in SOF0."""
+    if arr.ndim != 2 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_gray expects an (h, w) uint8 array")
+    h, w = arr.shape
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in 1..255")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    zz_q = q.reshape(64)[_ZIGZAG]
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
+            coef = _DCT_C @ block @ _DCT_C.T
+            zz = np.rint(coef.reshape(64)[_ZIGZAG] / zz_q).astype(np.int64)
+            # DC: difference from predictor
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size, bits = _magnitude(diff)
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(bits, size)
+            # AC: run-length of zeros + magnitude
+            run = 0
+            last_nz = int(np.nonzero(zz[1:])[0].max() + 1) if (zz[1:] != 0).any() else 0
+            for i in range(1, last_nz + 1):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, bits = _magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(bits, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; a real marker
+    (0xFF followed by non-zero) ends the stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise EOFError("marker reached")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol for canonical tables."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JFIF to an (h, w) uint8 array.
+
+    Handles any single-component baseline stream (arbitrary quant and
+    Huffman tables, multi-segment DQT/DHT); raises ``ValueError`` on
+    progressive/color/restart-interval inputs so callers fall back."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    pos = 2
+    quant: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    h = w = None
+    qid = dc_id = ac_id = 0
+    scan_pos = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            o = 0
+            while o < len(body):
+                prec, tid = body[o] >> 4, body[o] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, o + 1).astype(np.int64)
+                nat = np.empty(64, np.int64)
+                nat[_ZIGZAG] = zz
+                quant[tid] = nat
+                o += 65
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0xF
+                counts = list(body[o + 1 : o + 17])
+                nvals = sum(counts)
+                vals = list(body[o + 17 : o + 17 + nvals])
+                huff[(cls, tid)] = _huff_decoder(counts, vals)
+                o += 17 + nvals
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampled grayscale unsupported")
+            qid = body[8]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("non-baseline JPEG unsupported")
+        elif marker == 0xDD:  # DRI
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if body[0] != 1:
+                raise ValueError("multi-component scan unsupported")
+            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            scan_pos = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_pos is None or h is None or qid not in quant:
+        raise ValueError("truncated JPEG")
+
+    q = quant[qid]
+    dc_tab = huff[(0, dc_id)]
+    ac_tab = huff[(1, ac_id)]
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.empty((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(data, scan_pos)
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            size = _read_symbol(br, dc_tab)
+            diff = _extend(br.bits(size), size) if size else 0
+            pred += diff
+            zz[0] = pred
+            i = 1
+            while i < 64:
+                sym = _read_symbol(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0xF
+                i += run
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                zz[i] = _extend(br.bits(size), size)
+                i += 1
+            nat = np.empty(64, np.int64)
+            nat[_ZIGZAG] = zz
+            coef = (nat * q).reshape(8, 8).astype(np.float64)
+            block = _DCT_C.T @ coef @ _DCT_C + 128.0
+            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = np.clip(
+                np.rint(block), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]
 
 
 # ---------------------------------------------------------------------------

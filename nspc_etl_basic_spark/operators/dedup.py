@@ -383,6 +383,55 @@ def jaccard_on_candidates(
     )
 
 
+def containment_on_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = DEFAULT_SHINGLE_K,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment for candidate pairs:
+    ``(id_a, id_b, containment_a, containment_b)`` where
+    ``containment_a = |A ∩ B| / |A|``.
+
+    Jaccard under-scores doc-IN-doc duplication (a paragraph pasted into
+    a much longer page has tiny Jaccard but containment_a ≈ 1), which is
+    exactly the shape boilerplate/quotation/wrapper duplication takes in
+    a web-scale training corpus. Same scale contract as
+    ``jaccard_on_candidates``: broadcast LEFT SEMI prunes the corpus
+    before the shingle projection, per-pair set algebra is in-row
+    ``array_intersect``, no corpus-wide shingle shuffle."""
+    cand_ids = candidates.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.array_distinct(shingle_array(F.col(text_col), k)).alias("__sh"),
+        )
+    )
+    pairs = F.broadcast(candidates.select("id_a", "id_b"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                n_inter.cast("double") / F.size(F.col("__sh_a")), 6
+            ).alias("containment_a"),
+            F.round(
+                n_inter.cast("double") / F.size(F.col("__sh_b")), 6
+            ).alias("containment_b"),
+        )
+    )
+
+
 def near_dedup_minhash(
     df: DataFrame,
     text_col: str = "text",

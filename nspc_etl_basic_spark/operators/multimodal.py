@@ -117,8 +117,16 @@ def _decode_image(payload: bytes):
             return arr[:, :, None] if arr.ndim == 2 else arr
         except Exception:  # noqa: BLE001 — undecodable: fall through
             pass
-    if codecs.sniff_media(payload) == "png":
-        return codecs.decode_png(payload)
+    kind = codecs.sniff_media(payload)
+    try:
+        if kind == "png":
+            return codecs.decode_png(payload)
+        if kind == "jpeg":
+            return codecs.decode_jpeg_gray(payload)[:, :, None]
+    except ValueError:
+        # sniffed but out of codec scope (progressive/color JPEG, exotic
+        # PNG): undecodable at this tier — caller's fallback applies
+        return None
     return None
 
 

@@ -1,0 +1,134 @@
+"""Deterministic distinct-count sketching (KMV / k-minimum-values).
+
+Spark ships HyperLogLog (``approx_count_distinct``) and DataSketches HLL
+(``hll_sketch_agg``) — the right production tools, and
+``tests/test_sketches.py`` covers them. Their estimates are
+implementation-specific, though: no other engine reproduces them
+bit-for-bit, so they can never sit behind a value-hashed oracle check.
+
+KMV is the classical alternative (Bar-Yossef et al., "Counting distinct
+elements in a data stream", RANDOM 2002) with a fully deterministic
+construction: hash every key with md5, map the first 8 hex digits to a
+uniform value u in [0,1) (an EXACT power-of-two division — no float
+drift), keep the k smallest distinct u per group, and estimate
+
+    n̂ = (k - 1) / u_(k)        (u_(k) = k-th smallest hash)
+
+falling back to the exact kept-count when a group has fewer than k
+distinct keys (the sketch then IS the distinct set). Every step is
+integer or IEEE-exact-op arithmetic on md5 output, so DuckDB replays it
+bit-for-bit — a sketch the correctness gate can actually gate.
+
+Scale contract: one projection computes the hash; dedup + per-group
+k-smallest is one shuffle on the group key (the same price as the
+groupBy any aggregate pays). The per-group sort ranks DISTINCT hashes
+only. For very-high-cardinality groups, uniformity gives a free
+pre-filter — P(u < t) = t, so ``u < (c*k)/n_lower`` for any cardinality
+lower bound keeps the expected survivor set at c*k while never touching
+the k smallest; pass ``prefilter`` to apply it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 2^32 — the hash domain; division by it is exact in binary floating point
+_HASH_DOMAIN = float(1 << 32)
+
+
+def _uniform_hash(key) -> "F.Column":
+    """md5(key)'s first 8 hex digits as an integer in [0, 2^32)."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    prefilter: float | None = None,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate:
+    ``(*group_cols, n_exact, kmv_estimate, rel_error)``.
+
+    ``n_exact`` (the true distinct count) is emitted alongside the
+    estimate so the error is observable — a production pipeline that
+    only needs the estimate drops that aggregate and with it the only
+    full-cardinality computation. ``prefilter`` (a fraction in (0,1])
+    drops hashes above the threshold BEFORE the shuffle — sound whenever
+    every group's cardinality makes k survivors below the threshold
+    overwhelmingly likely (see module docstring)."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    # distinct (group, hash): duplicate keys collapse map-side first
+    hashed = df.select(
+        *group_cols, _uniform_hash(F.col(key_col)).alias("__h")
+    ).distinct()
+    if prefilter is None:
+        # single-pass form: rank AND per-group cardinality off the SAME
+        # window exchange (row_number needs the ordered frame anyway;
+        # count over the unbounded partition adds no exchange), so the
+        # whole sketch is distinct-shuffle -> group-shuffle -> (reused
+        # partitioning) groupBy — one scan of the input, no second
+        # aggregate branch re-reading it
+        wp = Window.partitionBy(*group_cols)
+        wo = wp.orderBy(F.col("__h").asc())
+        ranked = hashed.select(
+            *group_cols,
+            "__h",
+            F.row_number().over(wo).alias("__rk"),
+            F.count(F.lit(1)).over(wp).alias("__n_exact"),
+        ).filter(F.col("__rk") <= k)
+        sketch = ranked.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.max("__h").alias("__h_k"),
+            F.max("__n_exact").alias("n_exact"),
+        )
+    else:
+        # prefiltered form: the rank input shrinks to ~prefilter fraction
+        # BEFORE the sort; n_exact stays a property of the UNFILTERED key
+        # set, which needs its own aggregate branch (it is the
+        # demo/validation column — a production sketch-only pipeline
+        # drops it and with it the full-cardinality pass entirely)
+        kept = (
+            hashed.filter(F.col("__h") < F.lit(int(prefilter * _HASH_DOMAIN)))
+            .withColumn(
+                "__rk",
+                F.row_number().over(
+                    Window.partitionBy(*group_cols).orderBy(F.col("__h").asc())
+                ),
+            )
+            .filter(F.col("__rk") <= k)
+        )
+        sketch = kept.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("__n_kept"),
+            F.max("__h").alias("__h_k"),
+        ).join(
+            hashed.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("n_exact")
+            ),
+            list(group_cols),
+        )
+    est = F.when(
+        F.col("__n_kept") < k, F.col("__n_kept").cast("double")
+    ).otherwise(
+        # (k-1) / u_k with u_k = h_k / 2^32; both divisions IEEE-exact-op
+        F.lit(float(k - 1)) / (F.col("__h_k").cast("double") / F.lit(_HASH_DOMAIN))
+    )
+    return sketch.select(
+        *group_cols,
+        "n_exact",
+        (F.floor(est * 1e6) / 1e6).alias("kmv_estimate"),
+        (
+            F.floor(
+                F.abs(est - F.col("n_exact").cast("double"))
+                / F.col("n_exact").cast("double")
+                * 1e6
+            )
+            / 1e6
+        ).alias("rel_error"),
+    )

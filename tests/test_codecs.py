@@ -102,3 +102,108 @@ def test_resize_nearest_known_grid():
     # 4x4 -> 2x2 nearest: picks rows/cols 0 and 2
     got = resize_nearest(a, 2, 2)
     assert got[:, :, 0].tolist() == [[0, 2], [8, 10]]
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline grayscale)
+# ---------------------------------------------------------------------------
+
+def test_jpeg_flat_blocks_roundtrip_exact():
+    """Flat 8x8 blocks with the all-ones quant table are DC-only with
+    integer coefficients — the lossy format round-trips EXACTLY (this is
+    the invariant the multimodal_real_jpeg oracle relies on)."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        sniff_media,
+    )
+
+    arr = np.zeros((16, 16), np.uint8)
+    arr[:8, :8], arr[:8, 8:], arr[8:, :8], arr[8:, 8:] = 17, 200, 255, 0
+    data = encode_jpeg_gray(arr)
+    assert sniff_media(data) == "jpeg"
+    assert np.array_equal(decode_jpeg_gray(data), arr)
+
+
+def test_jpeg_general_image_near_lossless_with_unit_quant():
+    """Arbitrary content with quant=1: the only error source is IDCT
+    float rounding — at most +/-1 per pixel. Covers non-multiple-of-8
+    dims (edge padding + SOF0 crop) and DC prediction across blocks."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (24, 33), dtype=np.uint8)
+    back = decode_jpeg_gray(encode_jpeg_gray(img))
+    assert back.shape == img.shape
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_jpeg_lossy_quant_compresses_and_stays_close():
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth gradient image — lossy-compressible, bounded error
+    x = np.linspace(0, 255, 64)
+    img = np.clip(np.add.outer(x, x) / 2 + rng.normal(0, 2, (64, 64)), 0, 255).astype(np.uint8)
+    q = np.full((8, 8), 16, np.int64)
+    fine = encode_jpeg_gray(img)
+    coarse = encode_jpeg_gray(img, quant=q)
+    assert len(coarse) < len(fine)
+    back = decode_jpeg_gray(coarse)
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 40
+    assert float(np.abs(back.astype(int) - img.astype(int)).mean()) <= 8.0
+
+
+def test_jpeg_rejects_out_of_scope():
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_gray(b"\x89PNG\r\n\x1a\nnope")
+    with pytest.raises(ValueError, match="uint8"):
+        encode_jpeg_gray(np.zeros((8, 8), np.float64))
+    # progressive marker (SOF2) refused
+    good = encode_jpeg_gray(np.zeros((8, 8), np.uint8))
+    bad = bytearray(good)
+    idx = good.find(b"\xff\xc0")
+    bad[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        decode_jpeg_gray(bytes(bad))
+
+
+def test_jpeg_byte_stuffing_survives():
+    """Content tuned to emit 0xFF bytes in the entropy stream exercises
+    the stuff/unstuff path; decode must still be exact for flat blocks."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    for v in range(0, 256, 7):
+        arr = np.full((8, 8), v, np.uint8)
+        assert np.array_equal(decode_jpeg_gray(encode_jpeg_gray(arr)), arr), v
+
+
+def test_image_features_routes_jpeg_to_real_decode(spark):
+    from nspc_etl_basic_spark.operators.codecs import encode_jpeg_gray
+    from nspc_etl_basic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    arr = np.full((16, 8), 100, np.uint8)
+    rows = [(1, bytearray(encode_jpeg_gray(arr)),
+             ("image", 999, 999, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = image_features(df, require_real_decode=True).collect()[0]
+    # real decode: dims from the JPEG header, not the (wrong) metadata
+    assert (got.width, got.height) == (8, 16)
+    assert abs(got.mean_intensity - 100 / 255.0) < 1e-6

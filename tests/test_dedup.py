@@ -194,3 +194,34 @@ def test_incremental_lsh_cap_drops_corpus_mega_bucket(spark):
         minhash_signatures(batch), store, max_bucket_size=None
     )
     assert uncapped.count() == 30
+
+
+def test_containment_detects_doc_in_doc(spark):
+    """A short doc pasted inside a long one: Jaccard is low (sizes
+    differ) but containment of the short side is ~1 — the asymmetric
+    signal Jaccard-only dedup misses."""
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.dedup import (
+        containment_on_candidates,
+        jaccard_on_candidates,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_ = ("completely unrelated preamble text goes here first. " * 4
+             + short
+             + " and then a long unrelated tail continues afterwards. " * 4)
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+
+    cont = containment_on_candidates(docs, cand).collect()[0]
+    jac = jaccard_on_candidates(docs, cand).collect()[0]
+    assert cont.containment_a > 0.95          # short side fully contained
+    assert cont.containment_b < 0.5           # long side is not
+    assert jac.jaccard < 0.5                  # jaccard under-scores it
+    # identity sanity: containment of X in X is 1
+    cand_self = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
+    self_row = containment_on_candidates(docs, cand_self).collect()[0]
+    assert self_row.containment_a == 1.0 and self_row.containment_b == 1.0

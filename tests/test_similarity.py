@@ -103,3 +103,55 @@ def test_train_ivf_centroids_recovers_separated_clusters(spark):
     naive_spread = np.array([c for _, c in naive]).std(axis=0).max()
     trained_spread = got.std(axis=0).max()
     assert trained_spread > naive_spread  # centroids actually separated
+
+
+def test_trained_ivf_centroids_beat_seed_on_clustered_data(spark):
+    """On data with real cluster structure (the case IVF exists for),
+    the k-means codebook clearly beats the deterministic lowest-id seed:
+    seeded centroids all land in whichever clusters the lowest ids
+    happen to occupy, so probes miss entire clusters; Lloyd iterations
+    spread the codebook out. This is the value claim behind the
+    sim_ann_ivf_trained driver query (rows-only checked there because
+    float centroid means are not cross-engine deterministic)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    dim, n_clusters, per = 16, 8, 60
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    rows = []
+    vid = 0
+    # lowest ids all in cluster 0 -> the seed codebook collapses there
+    for c in range(n_clusters):
+        for _ in range(per):
+            v = centers[c] + rng.normal(0, 0.05, dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    n_exact = exact.count()
+
+    def recall(centroids):
+        approx = ivf_topk(
+            emb, queries, k=5, n_cells=8, n_probe=2, centroids=centroids
+        ).select("query_id", "vec_id")
+        return (
+            exact.join(approx, ["query_id", "vec_id"], "left_semi").count()
+            / n_exact
+        )
+
+    trained = train_ivf_centroids(emb, n_cells=8, n_iter=5)
+    r_trained = recall(trained)
+    r_seed = recall(None)
+    assert r_trained > r_seed, (r_trained, r_seed)
+    assert r_trained >= 0.9, r_trained

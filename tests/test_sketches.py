@@ -50,3 +50,64 @@ def test_sketches_are_mergeable_across_partitions(spark, sf_dir):
         F.approx_count_distinct("user_id", rsd=0.02)
     ).collect()[0][0]
     assert a == b
+
+
+def test_kmv_distinct_exact_passthrough(spark, sf_dir):
+    """Groups at or below k distinct keys: the sketch IS the distinct
+    set, so the estimate equals the exact count with rel_error 0."""
+    from nspc_etl_basic_spark.operators.sketches import kmv_distinct
+
+    ev = _events(spark, sf_dir)
+    rows = kmv_distinct(ev, "user_id", ["event_type"], k=1024).collect()
+    assert rows
+    for r in rows:
+        assert r.n_exact <= 1024  # premise of this test at small sf
+        assert r.kmv_estimate == float(r.n_exact)
+        assert r.rel_error == 0.0
+
+
+def test_kmv_estimator_accuracy_above_k(spark):
+    """High-cardinality group (5000 keys, k=64): the (k-1)/u_k estimator
+    actually runs and lands within 4 standard errors (~1/sqrt(k-2)) of
+    truth. Deterministic — the md5 hashes are fixed."""
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("user_id")
+    )
+    r = kmv_distinct(df, "user_id", ["grp"], k=64).collect()[0]
+    assert r.n_exact == 5000
+    assert r.kmv_estimate != 5000.0  # estimator path, not passthrough
+    assert r.rel_error <= 4.0 / (62 ** 0.5), r
+
+
+def test_kmv_prefilter_is_transparent(spark):
+    """A prefilter sized for the group's cardinality must not change the
+    estimate: it only drops hashes that were never among the k smallest
+    (P(u < t) = t, so t = 50*k/n keeps ~50x the needed survivors)."""
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.sketches import kmv_distinct
+
+    df = spark.range(5000).select(
+        F.lit("g").alias("grp"), F.col("id").alias("user_id")
+    )
+    base = kmv_distinct(df, "user_id", ["grp"], k=64).collect()[0]
+    filt = kmv_distinct(
+        df, "user_id", ["grp"], k=64, prefilter=50 * 64 / 5000
+    ).collect()[0]
+    assert base.kmv_estimate == filt.kmv_estimate
+    # and the filtered path still reports the same kept-k tail
+    assert base.rel_error == filt.rel_error
+
+
+def test_kmv_rejects_bad_k(spark):
+    import pytest
+
+    from nspc_etl_basic_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame([(1, "a")], "user_id long, event_type string")
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "user_id", ["event_type"], k=1)

@@ -573,3 +573,66 @@ def test_stream_upsert_bucketed_touches_only_key_buckets(spark, tmp_path):
     vs_before = set(manifest()["buckets"].values())
     drain()
     assert set(manifest()["buckets"].values()) == vs_before
+
+
+def test_stream_upsert_bucketed_exactly_once_across_restart(spark, tmp_path):
+    """Directory replay into a BucketedTable across a simulated restart:
+    (1) drain, (2) restart the query (fresh stream, same checkpoint)
+    with new files — only the new files process; (3) simulate a crash
+    that LOST the checkpoint — the full replay re-merges every file and
+    the table still converges to the same rows, because the content
+    tie-break + keyed merge make redelivery idempotent. Counts are
+    asserted after every phase."""
+    import shutil
+
+    from nspc_etl_basic_spark.sinks.bucketed_merge import BucketedTable
+    from nspc_etl_basic_spark.streaming.ingest import (
+        run_stream_upsert_bucketed,
+        stream_directory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("pk", T.LongType()),
+            T.StructField("val", T.StringType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = BucketedTable(spark, str(tmp_path / "bt"), ["pk"], n_buckets=8)
+    table.init(
+        spark.createDataFrame([(i, "base", 0) for i in range(50)], schema)
+    )
+
+    def drain():
+        stream = stream_directory(spark, str(src), schema, fmt="parquet")
+        run_stream_upsert_bucketed(stream, table, ckpt, dedup_order_col="seq")
+
+    def state():
+        rows = table.read().collect()
+        return len(rows), {r.pk: r.val for r in rows}
+
+    # phase 1
+    spark.createDataFrame(
+        [(1, "u1", 1), (60, "n60", 1)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    drain()
+    n, got = state()
+    assert n == 51 and got[1] == "u1" and got[60] == "n60"
+
+    # phase 2: restart with new files — only they process
+    spark.createDataFrame(
+        [(1, "u1b", 2), (61, "n61", 2)], schema
+    ).coalesce(1).write.parquet(str(src), mode="append")
+    drain()
+    n, got = state()
+    assert n == 52 and got[1] == "u1b" and got[61] == "n61"
+
+    # phase 3: checkpoint lost -> full replay; keyed merge + seq
+    # tie-break converge to the identical state, no duplicate keys
+    shutil.rmtree(ckpt)
+    drain()
+    n2, got2 = state()
+    assert (n2, got2) == (n, got)
