@@ -1524,22 +1524,79 @@ def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_cube_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-level OLAP aggregation in ONE pass: ``ROLLUP(event_type,
-    day)`` produces (type, day), (type), and grand-total rows from a
-    single shuffle (Spark expands grouping sets map-side — no N-pass
-    re-aggregation). NULL group labels are coalesced to sentinels so the
-    three levels stay distinguishable in a hash-compared result."""
+    """Full CUBE in ONE pass: ``CUBE(event_type, day)`` produces all
+    FOUR grouping sets — (type, day), (type), (day), () — from a single
+    shuffle (Spark expands grouping sets map-side; no 4-pass self-union).
+    Complements the existing ``events_rollup`` (hierarchical 3-set
+    ROLLUP): the day-only marginal is the set ROLLUP cannot produce.
+    NULL group labels are coalesced to sentinels so all four levels stay
+    distinguishable in a hash-compared result."""
     ev = _t(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
-    rolled = ev.rollup(F.col("event_type"), day).agg(
+    cubed = ev.cube(F.col("event_type"), day).agg(
         F.count(F.lit(1)).alias("n_events"),
         _dsum(F.col("value")).alias("sum_value"),
     )
-    return rolled.select(
+    return cubed.select(
         F.coalesce(F.col("event_type"), F.lit("<all>")).alias("event_type"),
         F.coalesce(F.col("day"), F.lit("1900-01-01").cast("date")).alias("day"),
         "n_events",
         "sum_value",
+    )
+
+
+def events_pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: event_type spread into per-day count columns — ONE
+    map-side-combined groupBy with conditional aggregates (Spark's
+    pivot lowers to exactly that; no per-type self-joins, no second
+    scan). The pivot value list is passed explicitly, which both skips
+    the extra values-discovery job Spark otherwise runs AND keeps the
+    output schema stable under data drift — the production contract for
+    a scheduled pivot at scale."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        ev.withColumn("day", F.to_date("ts"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
+    )
+
+
+def events_window_funcs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage in one result: lag/lead/row_number over
+    the per-user event-time order, and rank/dense_rank/percent_rank/
+    cume_dist/ntile over the per-type value order. Two window families =
+    two exchanges (different partition keys — irreducible); each family
+    shares ONE exchange+sort. All rank-family outputs are exact integer
+    arithmetic (percent_rank/cume_dist are single IEEE divisions,
+    floor-truncated), so the oracle hash-matches them."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_type = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.row_number().over(w_user).alias("user_seq"),
+        F.lag("value").over(w_user).alias("prev_value"),
+        F.lead("value").over(w_user).alias("next_value"),
+        F.rank().over(w_type).alias("value_rank"),
+        F.dense_rank().over(w_type).alias("value_dense_rank"),
+        (F.floor(F.percent_rank().over(w_type) * 1e6) / 1e6).alias("value_pct_rank"),
+        (F.floor(F.cume_dist().over(w_type) * 1e6) / 1e6).alias("value_cume_dist"),
+        F.ntile(10).over(w_type).alias("value_decile"),
     )
 
 
@@ -1969,6 +2026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_cube_rollup": events_cube_rollup_q,
+        "events_pivot": events_pivot_q,
+        "events_window_funcs": events_window_funcs_q,
         # -- last driver check was r02: rotate forward for freshness --
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_components": dedup_components_q,
@@ -3399,8 +3458,8 @@ def oracle_sql() -> dict[str, str]:
                    {_oavg('value')} AS avg_value
             FROM events GROUP BY date_trunc('hour', ts), event_type
         """,
-        # ROLLUP replayed level-for-level; sentinel coalesce in an outer
-        # select so the three grouping levels stay distinguishable
+        # CUBE replayed set-for-set (all four grouping sets); sentinel
+        # coalesce in an outer select keeps the levels distinguishable
         "events_cube_rollup": f"""
             SELECT coalesce(event_type, '<all>') AS event_type,
                    coalesce(day, DATE '1900-01-01') AS day,
@@ -3411,8 +3470,38 @@ def oracle_sql() -> dict[str, str]:
                        count(*) AS n_events,
                        {_osum('value')} AS sum_value
                 FROM events
-                GROUP BY ROLLUP (event_type, CAST(date_trunc('day', ts) AS DATE))
+                GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
             )
+        """,
+        # PIVOT replayed as conditional aggregation (what Spark lowers
+        # pivot to); explicit type list keeps the schema fixed
+        "events_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY CAST(date_trunc('day', ts) AS DATE)
+        """,
+        # the full analytic-window family; percent_rank/cume_dist are
+        # exact integer ratios (one IEEE division), floor-truncated
+        "events_window_funcs": """
+            SELECT event_id, user_id, event_type,
+                   CAST(row_number() OVER w_user AS INTEGER) AS user_seq,
+                   lag(value) OVER w_user AS prev_value,
+                   lead(value) OVER w_user AS next_value,
+                   CAST(rank() OVER w_type AS INTEGER) AS value_rank,
+                   CAST(dense_rank() OVER w_type AS INTEGER) AS value_dense_rank,
+                   floor(percent_rank() OVER w_type * 1000000) / 1000000
+                       AS value_pct_rank,
+                   floor(cume_dist() OVER w_type * 1000000) / 1000000
+                       AS value_cume_dist,
+                   CAST(ntile(10) OVER w_type AS INTEGER) AS value_decile
+            FROM events WHERE user_id % 20 = 0
+            WINDOW w_user AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   w_type AS (PARTITION BY event_type
+                              ORDER BY value DESC, event_id)
         """,
         # KMV distinct sketch: md5-first-8-hex -> uniform in [0,1) via an
         # exact 2^-32 scale; (k-1)/u_k with k=64 — every op integer or

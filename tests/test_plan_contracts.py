@@ -194,3 +194,50 @@ def test_lm_familiarity_aggregates_map_side(spark, sf_dir):
     plan = _plan_simple(QUERIES["text_lm_familiarity"](spark, sf_dir))
     assert "partial_count" in plan or "partial" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_cube_is_one_pass(spark, sf_dir):
+    """CUBE: all four grouping sets via ONE Expand over ONE scan."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_cube_rollup"](spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_pivot_is_single_aggregate_pass(spark, sf_dir):
+    """PIVOT lowers to conditional aggregation: one scan, no joins, no
+    per-type self-union."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_pivot"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Union" not in plan, plan
+
+
+def test_kmv_sketch_is_two_exchanges_one_scan(spark, sf_dir):
+    """KMV distinct sketch: rank AND per-group cardinality ride ONE
+    window exchange after the distinct — no second aggregate branch
+    re-scanning the input."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_kmv_distinct"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_window_funcs_share_exchanges_per_family(spark, sf_dir):
+    """Two window families (per-user, per-type) = exactly two exchanges;
+    every function within a family reuses its family's sort."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["events_window_funcs"](spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") == 2, plan
+
+
+def test_containment_broadcasts_and_avoids_cartesian(spark, sf_dir):
+    """Containment verify: same contract as the Jaccard verify — the
+    candidate set broadcasts, no cartesian/nested-loop pair blowup."""
+    spark.catalog.clearCache()
+    plan = _plan_simple(QUERIES["text_containment"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
