@@ -240,6 +240,61 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _check_quant(quant: np.ndarray | None) -> np.ndarray:
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in 1..255")
+    return q
+
+
+def _encode_block(
+    bw: "_BitWriter", block: np.ndarray, zz_q: np.ndarray,
+    pred: int, dc_codes: dict, ac_codes: dict,
+) -> int:
+    """Forward-DCT + quantize + entropy-code one 8x8 spatial block
+    (level-shifted float); returns the new DC predictor."""
+    coef = _DCT_C @ block @ _DCT_C.T
+    zz = np.rint(coef.reshape(64)[_ZIGZAG] / zz_q).astype(np.int64)
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    size, bits = _magnitude(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0].max() + 1) if (zz[1:] != 0).any() else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+_APP0_JFIF = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+_DHT_BODY = (
+    b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+    + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+)
+
+
 def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JFIF.
 
@@ -251,9 +306,7 @@ def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     if arr.ndim != 2 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg_gray expects an (h, w) uint8 array")
     h, w = arr.shape
-    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(quant, np.int64)
-    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
-        raise ValueError("quant must be 8x8 with entries in 1..255")
+    q = _check_quant(quant)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
     padded = np.pad(arr, ((0, ph - h), (0, pw - w)), mode="edge")
 
@@ -265,49 +318,101 @@ def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
-            coef = _DCT_C @ block @ _DCT_C.T
-            zz = np.rint(coef.reshape(64)[_ZIGZAG] / zz_q).astype(np.int64)
-            # DC: difference from predictor
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size, bits = _magnitude(diff)
-            code, ln = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(bits, size)
-            # AC: run-length of zeros + magnitude
-            run = 0
-            last_nz = int(np.nonzero(zz[1:])[0].max() + 1) if (zz[1:] != 0).any() else 0
-            for i in range(1, last_nz + 1):
-                v = int(zz[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, bits = _magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(bits, size)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            pred = _encode_block(bw, block, zz_q, pred, dc_codes, ac_codes)
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-    dht = seg(
-        0xFFC4,
-        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    dqt = _seg(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = _seg(0xFFC4, _DHT_BODY)
+    sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    app0 = _seg(0xFFE0, _APP0_JFIF)
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
     )
-    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
-    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+
+
+def encode_jpeg_color(
+    arr: np.ndarray,
+    subsampling: str = "420",
+    quant_luma: np.ndarray | None = None,
+    quant_chroma: np.ndarray | None = None,
+) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JFIF with
+    4:2:0 (default — the dominant real-corpus shape) or 4:4:4 chroma
+    subsampling. JFIF color transform; 2x2 box-mean chroma downsampling;
+    two quant tables (luma id 0, chroma id 1), one shared Huffman pair —
+    everything the decoder handles from arbitrary encoders, exercised
+    from our own."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_color expects an (h, w, 3) uint8 array")
+    if subsampling not in ("420", "444"):
+        raise ValueError("subsampling must be '420' or '444'")
+    h, w = arr.shape[:2]
+    ql = _check_quant(quant_luma)
+    qc = _check_quant(quant_chroma if quant_chroma is not None else quant_luma)
+    r = arr[:, :, 0].astype(np.float64)
+    g = arr[:, :, 1].astype(np.float64)
+    b = arr[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+    if subsampling == "420":
+        sampling = [(2, 2), (1, 1), (1, 1)]
+        mcu_w, mcu_h = 16, 16
+        # pad to MCU grid first so the 2x2 box mean never averages
+        # ragged edges
+        py, px = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
+        y, cb, cr = (
+            np.pad(p, ((0, py - h), (0, px - w)), mode="edge")
+            for p in (y, cb, cr)
+        )
+        cb = (cb[0::2, 0::2] + cb[1::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 1::2]) / 4.0
+        cr = (cr[0::2, 0::2] + cr[1::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 1::2]) / 4.0
+    else:
+        sampling = [(1, 1), (1, 1), (1, 1)]
+        mcu_w = mcu_h = 8
+        py, px = -(-h // 8) * 8, -(-w // 8) * 8
+        y, cb, cr = (
+            np.pad(p, ((0, py - h), (0, px - w)), mode="edge")
+            for p in (y, cb, cr)
+        )
+
+    planes = [y, cb, cr]
+    zz_ql = ql.reshape(64)[_ZIGZAG]
+    zz_qc = qc.reshape(64)[_ZIGZAG]
+    zz_qs = [zz_ql, zz_qc, zz_qc]
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    mcus_x, mcus_y = px // mcu_w, py // mcu_h
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (hs, vs) in enumerate(sampling):
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        preds[ci] = _encode_block(
+                            bw, block, zz_qs[ci], preds[ci], dc_codes, ac_codes
+                        )
+
+    dqt = _seg(
+        0xFFDB,
+        b"\x00" + bytes(int(v) for v in zz_ql)
+        + b"\x01" + bytes(int(v) for v in zz_qc),
+    )
+    comp_spec = b"".join(
+        bytes([cid, (hs << 4) | vs, tq])
+        for cid, (hs, vs), tq in zip([1, 2, 3], sampling, [0, 1, 1])
+    )
+    sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + comp_spec)
+    dht = _seg(0xFFC4, _DHT_BODY)
+    sos = _seg(
+        0xFFDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    )
+    app0 = _seg(0xFFE0, _APP0_JFIF)
     return (
         b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
     )
@@ -376,19 +481,53 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def decode_jpeg_gray(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JFIF to an (h, w) uint8 array.
+def _decode_block(br: _BitReader, dc_tab, ac_tab, q, pred: int):
+    """One entropy-coded 8x8 block -> (spatial float block, new DC pred)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = _read_symbol(br, dc_tab)
+    diff = _extend(br.bits(size), size) if size else 0
+    pred += diff
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        sym = _read_symbol(br, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("AC index overflow")
+        zz[i] = _extend(br.bits(size), size)
+        i += 1
+    nat = np.empty(64, np.int64)
+    nat[_ZIGZAG] = zz
+    coef = (nat * q).reshape(8, 8).astype(np.float64)
+    return _DCT_C.T @ coef @ _DCT_C + 128.0, pred
 
-    Handles any single-component baseline stream (arbitrary quant and
-    Huffman tables, multi-segment DQT/DHT); raises ``ValueError`` on
-    progressive/color/restart-interval inputs so callers fall back."""
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline JFIF: grayscale -> (h, w) uint8, YCbCr color ->
+    (h, w, 3) uint8 RGB.
+
+    Handles any 1- or 3-component baseline stream with per-component
+    sampling factors up to 2x2 — which covers the real-corpus shapes:
+    grayscale, 4:4:4, 4:2:2 and 4:2:0 chroma subsampling (chroma planes
+    upsampled by replication), arbitrary quant/Huffman tables,
+    multi-segment DQT/DHT, interleaved MCU scan with per-component DC
+    predictors. Raises ``ValueError`` on progressive, arithmetic-coded,
+    restart-interval or CMYK inputs so callers fall back to their stub
+    tier."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     pos = 2
     quant: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     h = w = None
-    qid = dc_id = ac_id = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}
     scan_pos = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -420,62 +559,88 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray:
                 o += 17 + nvals
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline supported")
-            if body[7] != 0x11:
-                raise ValueError("subsampled grayscale unsupported")
-            qid = body[8]
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1/3-component baseline supported")
+            for ci in range(ncomp):
+                cid = body[6 + ci * 3]
+                hv = body[7 + ci * 3]
+                comps.append((cid, hv >> 4, hv & 0xF, body[8 + ci * 3]))
+            if any(hs > 2 or vs > 2 or hs < 1 or vs < 1 for _, hs, vs, _ in comps):
+                raise ValueError("sampling factors above 2x2 unsupported")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
             raise ValueError("restart intervals unsupported")
         elif marker == 0xDA:  # SOS
-            if body[0] != 1:
-                raise ValueError("multi-component scan unsupported")
-            dc_id, ac_id = body[2] >> 4, body[2] & 0xF
+            ns = body[0]
+            if ns != len(comps):
+                raise ValueError("partial/multi-scan unsupported")
+            for si in range(ns):
+                scan_tabs[body[1 + si * 2]] = (
+                    body[2 + si * 2] >> 4,
+                    body[2 + si * 2] & 0xF,
+                )
             scan_pos = pos + 2 + ln
             break
         pos += 2 + ln
-    if scan_pos is None or h is None or qid not in quant:
+    if scan_pos is None or h is None or not comps:
         raise ValueError("truncated JPEG")
 
-    q = quant[qid]
-    dc_tab = huff[(0, dc_id)]
-    ac_tab = huff[(1, ac_id)]
-    bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.empty((bh * 8, bw_ * 8), dtype=np.uint8)
+    hmax = max(hs for _, hs, _, _ in comps)
+    vmax = max(vs for _, _, vs, _ in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    preds = {}
+    for cid, hs, vs, _tq in comps:
+        planes[cid] = np.empty((mcus_y * vs * 8, mcus_x * hs * 8), np.float64)
+        preds[cid] = 0
+
     br = _BitReader(data, scan_pos)
-    pred = 0
-    for byi in range(bh):
-        for bxi in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            size = _read_symbol(br, dc_tab)
-            diff = _extend(br.bits(size), size) if size else 0
-            pred += diff
-            zz[0] = pred
-            i = 1
-            while i < 64:
-                sym = _read_symbol(br, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0xF
-                i += run
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = _extend(br.bits(size), size)
-                i += 1
-            nat = np.empty(64, np.int64)
-            nat[_ZIGZAG] = zz
-            coef = (nat * q).reshape(8, 8).astype(np.float64)
-            block = _DCT_C.T @ coef @ _DCT_C + 128.0
-            out[byi * 8 : byi * 8 + 8, bxi * 8 : bxi * 8 + 8] = np.clip(
-                np.rint(block), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, hs, vs, tq in comps:
+                dc_tab = huff[(0, scan_tabs[cid][0])]
+                ac_tab = huff[(1, scan_tabs[cid][1])]
+                q = quant[tq]
+                for byi in range(vs):
+                    for bxi in range(hs):
+                        block, preds[cid] = _decode_block(
+                            br, dc_tab, ac_tab, q, preds[cid]
+                        )
+                        y0 = (my * vs + byi) * 8
+                        x0 = (mx * hs + bxi) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+
+    if len(comps) == 1:
+        plane = planes[comps[0][0]]
+        return np.clip(np.rint(plane[:h, :w]), 0, 255).astype(np.uint8)
+
+    # upsample chroma to full resolution by replication, then YCbCr->RGB
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs < hmax:
+            p = np.repeat(p, hmax // hs, axis=1)
+        if vs < vmax:
+            p = np.repeat(p, vmax // vs, axis=0)
+        full.append(p[:h, :w])
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def decode_jpeg_gray(data: bytes) -> np.ndarray:
+    """Back-compat wrapper: decode and refuse non-grayscale streams."""
+    out = decode_jpeg(data)
+    if out.ndim != 2:
+        raise ValueError("not a grayscale JPEG")
+    return out
 
 
 # ---------------------------------------------------------------------------

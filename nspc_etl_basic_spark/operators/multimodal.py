@@ -122,10 +122,11 @@ def _decode_image(payload: bytes):
         if kind == "png":
             return codecs.decode_png(payload)
         if kind == "jpeg":
-            return codecs.decode_jpeg_gray(payload)[:, :, None]
+            arr = codecs.decode_jpeg(payload)
+            return arr[:, :, None] if arr.ndim == 2 else arr
     except ValueError:
-        # sniffed but out of codec scope (progressive/color JPEG, exotic
-        # PNG): undecodable at this tier — caller's fallback applies
+        # sniffed but out of codec scope (progressive JPEG, exotic PNG):
+        # undecodable at this tier — caller's fallback applies
         return None
     return None
 

@@ -207,3 +207,63 @@ def test_image_features_routes_jpeg_to_real_decode(spark):
     # real decode: dims from the JPEG header, not the (wrong) metadata
     assert (got.width, got.height) == (8, 16)
     assert abs(got.mean_intensity - 100 / 255.0) < 1e-6
+
+
+def test_jpeg_color_444_and_420_roundtrip():
+    """3-component baseline color: 4:4:4 within DCT rounding, 4:2:0
+    within chroma-subsampling loss on gradients; odd dims crop right."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(0, 255, 48)
+    base = np.add.outer(x, x) / 2
+    img = np.stack([base, base[::-1], np.full_like(base, 100)], axis=-1)
+    img = np.clip(img + rng.normal(0, 2, img.shape), 0, 255).astype(np.uint8)
+
+    d444 = encode_jpeg_color(img, subsampling="444")
+    b444 = decode_jpeg(d444)
+    assert b444.shape == img.shape
+    assert int(np.abs(b444.astype(int) - img.astype(int)).max()) <= 4
+
+    d420 = encode_jpeg_color(img, subsampling="420")
+    b420 = decode_jpeg(d420)
+    assert len(d420) < len(d444)  # chroma subsampling actually compresses
+    assert float(np.abs(b420.astype(int) - img.astype(int)).mean()) <= 4.0
+
+    odd = img[:41, :35]
+    bodd = decode_jpeg(encode_jpeg_color(odd, subsampling="420"))
+    assert bodd.shape == odd.shape
+
+
+def test_jpeg_color_flat_is_near_exact():
+    """A flat color image: every block is DC-only in all three planes,
+    so 4:2:0 loses nothing and the only error is the YCbCr<->RGB
+    round-trip rounding (+/-1)."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg,
+        encode_jpeg_color,
+    )
+
+    img = np.empty((32, 32, 3), np.uint8)
+    img[:, :] = (200, 30, 90)
+    back = decode_jpeg(encode_jpeg_color(img, subsampling="420"))
+    assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_image_features_decodes_color_jpeg(spark):
+    from nspc_etl_basic_spark.operators.codecs import encode_jpeg_color
+    from nspc_etl_basic_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    img = np.empty((24, 16, 3), np.uint8)
+    img[:, :] = (60, 120, 180)
+    rows = [(7, bytearray(encode_jpeg_color(img)), ("image", 0, 0, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = image_features(df, require_real_decode=True).collect()[0]
+    assert (got.width, got.height) == (16, 24)
+    assert abs(got.mean_intensity - (60 + 120 + 180) / 3 / 255.0) < 0.01
