@@ -1510,6 +1510,31 @@ def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` (dynamic-gap tumbling) in batch
+    mode: per-user sessions closing after 30 idle minutes, one groupBy —
+    the same operator Structured Streaming uses for stateful sessions
+    (streaming/sessionize.py is the applyInPandasWithState twin with
+    richer per-session logic). The oracle replays it as classic
+    gaps-and-islands SQL: a new-session flag from lag(ts), a running sum
+    to number islands, then per-island aggregates — session_end is
+    last_ts + gap by session_window's definition."""
+    ev = _t(spark, sf_dir, "events")
+    sess = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.col("value")).alias("sum_value"),
+    )
+    return sess.select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic distinct-user sketch per event type (operators/
     sketches.kmv_distinct): md5-derived uniform hashes, k smallest per
@@ -2028,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
+        "events_session_window": events_session_window_q,
         # -- last driver check was r02: rotate forward for freshness --
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_components": dedup_components_q,
@@ -3472,6 +3498,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
                 GROUP BY CUBE (event_type, CAST(date_trunc('day', ts) AS DATE))
             )
+        """,
+        # native session_window replayed as gaps-and-islands: new-session
+        # flag from lag(ts), running-sum island ids, per-island aggs;
+        # end = last ts + gap per session_window's definition
+        "events_session_window": f"""
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            islands AS (
+                SELECT user_id, ts, value,
+                       sum(new_sess) OVER (PARTITION BY user_id
+                                           ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events,
+                   {_osum('value')} AS sum_value
+            FROM islands GROUP BY user_id, sid
         """,
         # PIVOT replayed as conditional aggregation (what Spark lowers
         # pivot to); explicit type list keeps the schema fixed
