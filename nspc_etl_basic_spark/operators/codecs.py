@@ -233,6 +233,14 @@ class _BitWriter:
             self.write((1 << pad) - 1, pad)  # 1-pad to byte edge
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-pad) and emit RSTm — markers go in RAW, outside
+        the stuffing discipline."""
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _magnitude(v: int) -> tuple[int, int]:
     """JPEG magnitude category coding: value -> (size, appended bits)."""
@@ -295,14 +303,22 @@ _DHT_BODY = (
 )
 
 
-def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+def encode_jpeg_gray(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
     """Encode an (h, w) uint8 array as a baseline grayscale JFIF.
 
     ``quant`` is the 8x8 quantization table (natural order); default is
     all-ones — with flat 8x8 blocks that makes the round trip EXACT
     (DC-only blocks, integer coefficients), which is what keeps the
     driver query's oracle SQL-expressible. Dimensions not divisible by 8
-    are edge-padded for encoding and recorded at true size in SOF0."""
+    are edge-padded for encoding and recorded at true size in SOF0.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what camera/webtool encoders ship for error
+    resilience — and, on a real cluster, the property that lets a
+    decoder parallelize within one image)."""
     if arr.ndim != 2 or arr.dtype != np.uint8:
         raise ValueError("encode_jpeg_gray expects an (h, w) uint8 array")
     h, w = arr.shape
@@ -315,18 +331,32 @@ def encode_jpeg_gray(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     bw = _BitWriter()
     pred = 0
     zz_q = q.reshape(64)[_ZIGZAG]
+    n_mcu = 0
+    rst = 0
+    total_mcus = (ph // 8) * (pw // 8)
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             block = padded[by : by + 8, bx : bx + 8].astype(np.float64) - 128.0
             pred = _encode_block(bw, block, zz_q, pred, dc_codes, ac_codes)
+            n_mcu += 1
+            if (
+                restart_interval
+                and n_mcu % restart_interval == 0
+                and n_mcu < total_mcus
+            ):
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                pred = 0
 
     dqt = _seg(0xFFDB, b"\x00" + bytes(int(v) for v in zz_q))
     sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
     dht = _seg(0xFFC4, _DHT_BODY)
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
     app0 = _seg(0xFFE0, _APP0_JFIF)
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+        + bw.flush() + b"\xff\xd9"
     )
 
 
@@ -335,6 +365,7 @@ def encode_jpeg_color(
     subsampling: str = "420",
     quant_luma: np.ndarray | None = None,
     quant_chroma: np.ndarray | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (h, w, 3) uint8 RGB array as a baseline YCbCr JFIF with
     4:2:0 (default — the dominant real-corpus shape) or 4:4:4 chroma
@@ -386,6 +417,9 @@ def encode_jpeg_color(
     bw = _BitWriter()
     preds = [0, 0, 0]
     mcus_x, mcus_y = px // mcu_w, py // mcu_h
+    n_mcu = 0
+    rst = 0
+    total_mcus = mcus_x * mcus_y
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for ci, (hs, vs) in enumerate(sampling):
@@ -397,6 +431,15 @@ def encode_jpeg_color(
                         preds[ci] = _encode_block(
                             bw, block, zz_qs[ci], preds[ci], dc_codes, ac_codes
                         )
+            n_mcu += 1
+            if (
+                restart_interval
+                and n_mcu % restart_interval == 0
+                and n_mcu < total_mcus
+            ):
+                bw.restart(rst)
+                rst = (rst + 1) & 7
+                preds = [0, 0, 0]
 
     dqt = _seg(
         0xFFDB,
@@ -409,12 +452,14 @@ def encode_jpeg_color(
     )
     sof = _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 3) + comp_spec)
     dht = _seg(0xFFC4, _DHT_BODY)
+    dri = _seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = _seg(
         0xFFDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
     )
     app0 = _seg(0xFFE0, _APP0_JFIF)
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+        + bw.flush() + b"\xff\xd9"
     )
 
 
@@ -452,6 +497,19 @@ class _BitReader:
         for _ in range(k):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> None:
+        """Consume an RSTn at a restart boundary: drop the pad bits
+        (their byte, if any, was already pulled into the accumulator)
+        and step over the two marker bytes."""
+        self.n = 0
+        self.acc = 0
+        b0, b1 = self.data[self.pos], self.data[self.pos + 1]
+        if b0 != 0xFF or not (0xD0 <= b1 <= 0xD7):
+            raise ValueError(
+                f"expected restart marker, found {b0:02x}{b1:02x}"
+            )
+        self.pos += 2
 
 
 def _huff_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
@@ -529,6 +587,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (cid, hs, vs, tq)
     scan_tabs: dict[int, tuple[int, int]] = {}
     scan_pos = None
+    dri = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("bad marker stream")
@@ -571,7 +630,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:  # DRI
-            raise ValueError("restart intervals unsupported")
+            (dri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != len(comps):
@@ -598,6 +657,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         preds[cid] = 0
 
     br = _BitReader(data, scan_pos)
+    n_mcu = 0
+    total_mcus = mcus_x * mcus_y
     for my in range(mcus_y):
         for mx in range(mcus_x):
             for cid, hs, vs, tq in comps:
@@ -612,6 +673,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         y0 = (my * vs + byi) * 8
                         x0 = (mx * hs + bxi) * 8
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block
+            n_mcu += 1
+            if dri and n_mcu % dri == 0 and n_mcu < total_mcus:
+                br.restart()
+                for cid in preds:
+                    preds[cid] = 0
 
     if len(comps) == 1:
         plane = planes[comps[0][0]]

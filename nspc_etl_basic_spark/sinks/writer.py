@@ -66,14 +66,30 @@ class TableExistsError(RuntimeError):
     pass
 
 
+HISTORY_DIR = "_manifest_history"
+
+
 class ParquetWarehouse:
-    def __init__(self, spark: SparkSession, path: str, keep_versions: int = 2):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keep_versions: int = 2,
+        keep_history: int = 2,
+    ):
         self.spark = spark
         self.path = path
         #: committed versions retained after each commit (>=1). 2 keeps the
         #: previous snapshot alive for readers that resolved it just before
         #: a pointer flip.
         self.keep_versions = max(1, int(keep_versions))
+        #: committed manifests retained for time-travel reads; every
+        #: version dir a retained manifest references survives GC. The
+        #: default matches keep_versions: unlike BucketedTable (whose
+        #: versions hold only touched buckets), EVERY snapshot version
+        #: is a full table copy, so deep history here is a deliberate,
+        #: storage-priced opt-in.
+        self.keep_history = max(1, int(keep_history))
         os.makedirs(path, exist_ok=True)
 
     def table_path(self, name: str) -> str:
@@ -112,8 +128,45 @@ class ParquetWarehouse:
     def exists(self, name: str) -> bool:
         return self._has_data(self.data_path(name))
 
-    def read(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.data_path(name))
+    def _history_manifests(self, name: str) -> dict[int, dict]:
+        """Retained committed manifests for ``name``, by version_id."""
+        hdir = os.path.join(self.table_path(name), HISTORY_DIR)
+        out: dict[int, dict] = {}
+        if not os.path.isdir(hdir):
+            return out
+        for f in os.listdir(hdir):
+            if f.startswith("m_") and f.endswith(".json"):
+                try:
+                    with open(os.path.join(hdir, f), encoding="utf-8") as fh:
+                        m = json.load(fh)
+                    out[int(m["version_id"])] = m
+                except (OSError, ValueError, KeyError):
+                    continue
+        return out
+
+    def versions(self, name: str) -> list[dict]:
+        """Time-travel catalog: retained commits, oldest first."""
+        hist = self._history_manifests(name)
+        return [
+            {"version_id": k, "committed_at": hist[k].get("committed_at")}
+            for k in sorted(hist)
+        ]
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Current snapshot, or the table as of commit ``version`` —
+        same scan cost either way (a historical read is just a different
+        version dir; dirs referenced by retained history survive GC)."""
+        if version is None:
+            return self.spark.read.parquet(self.data_path(name))
+        m = self._history_manifests(name).get(int(version))
+        if m is None:
+            raise FileNotFoundError(
+                f"version {version} of '{name}' not retained "
+                f"(keep_history={self.keep_history}; see versions())"
+            )
+        return self.spark.read.parquet(
+            os.path.join(self.table_path(name), m["version"])
+        )
 
     # ------------------------------------------------------------------
     # commits
@@ -152,8 +205,11 @@ class ParquetWarehouse:
         version = f"{VERSION_PREFIX}{time.time_ns():020d}_{uuid.uuid4().hex[:8]}"
         df.write.mode("error").parquet(os.path.join(table_dir, version))
 
+        prev_hist = self._history_manifests(name)
+        version_id = (max(prev_hist) + 1) if prev_hist else 0
         manifest = {
             "version": version,
+            "version_id": version_id,
             "committed_at": _dt.datetime.now(_dt.timezone.utc).isoformat(),
             "table": name,
         }
@@ -164,6 +220,15 @@ class ParquetWarehouse:
             os.fsync(fh.fileno())
         # the commit point: single small-file replace (object store: PUT)
         os.replace(tmp, self._manifest_path(name))
+        # history AFTER the flip (a crash between flip and copy loses one
+        # time-travel entry, never current-state correctness)
+        hdir = os.path.join(table_dir, HISTORY_DIR)
+        os.makedirs(hdir, exist_ok=True)
+        with open(
+            os.path.join(hdir, f"m_{version_id:08d}.json"), "w",
+            encoding="utf-8",
+        ) as fh:
+            json.dump(manifest, fh)
         self._gc(name, version)
         return version
 
@@ -178,6 +243,18 @@ class ParquetWarehouse:
         are never touched (single-writer model makes them impossible, but
         cheap paranoia)."""
         table_dir = self.table_path(name)
+        # rotate history beyond the retention window, then protect every
+        # version dir a retained manifest still references
+        hdir = os.path.join(table_dir, HISTORY_DIR)
+        hist = self._history_manifests(name)
+        for vid in sorted(hist)[: -self.keep_history]:
+            try:
+                os.remove(os.path.join(hdir, f"m_{vid:08d}.json"))
+            except OSError:
+                pass
+            hist.pop(vid, None)
+        referenced = {m["version"] for m in hist.values()}
+        referenced.add(current)
         versions = sorted(
             d
             for d in os.listdir(table_dir)
@@ -187,7 +264,8 @@ class ParquetWarehouse:
         if current in versions:
             upto = versions.index(current) + 1
             for stale in versions[: max(0, upto - self.keep_versions)]:
-                shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
+                if stale not in referenced:
+                    shutil.rmtree(os.path.join(table_dir, stale), ignore_errors=True)
         # legacy flat files from the pre-versioned layout are unreferenced
         # once a manifest exists
         for f in os.listdir(table_dir):

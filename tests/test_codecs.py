@@ -267,3 +267,31 @@ def test_image_features_decodes_color_jpeg(spark):
     got = image_features(df, require_real_decode=True).collect()[0]
     assert (got.width, got.height) == (16, 24)
     assert abs(got.mean_intensity - (60 + 120 + 180) / 3 / 255.0) < 0.01
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: byte-aligned restart markers every N MCUs with DC
+    predictor resets — what camera/webtool encoders ship. Gray and
+    color, including interval=1 (marker after every MCU)."""
+    from nspc_etl_basic_spark.operators.codecs import (
+        decode_jpeg,
+        decode_jpeg_gray,
+        encode_jpeg_color,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    for ri in (1, 3, 7):
+        data = encode_jpeg_gray(img, restart_interval=ri)
+        assert b"\xff\xdd" in data  # DRI segment present
+        back = decode_jpeg_gray(data)
+        assert int(np.abs(back.astype(int) - img.astype(int)).max()) <= 1
+
+    cimg = np.empty((32, 48, 3), np.uint8)
+    cimg[:, :] = (10, 200, 120)
+    for sub in ("444", "420"):
+        back = decode_jpeg(
+            encode_jpeg_color(cimg, subsampling=sub, restart_interval=2)
+        )
+        assert int(np.abs(back.astype(int) - cimg.astype(int)).max()) <= 1

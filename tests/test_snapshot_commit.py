@@ -164,3 +164,32 @@ def test_compact_noop_when_already_compact(spark, tmp_path):
     v = wh.current_version("t_one")
     assert wh.compact("t_one") is None
     assert wh.current_version("t_one") == v
+
+
+def test_snapshot_time_travel_read_and_rotation(spark, tmp_path):
+    """ParquetWarehouse time travel (round 4, mirroring BucketedTable):
+    read(name, version=k) serves the k-th committed snapshot; history
+    rotation releases old version dirs; GC never deletes a dir a
+    retained manifest references."""
+    import pytest
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), keep_versions=1,
+                          keep_history=3)
+    for k in range(5):
+        df = spark.createDataFrame(
+            [(i, k) for i in range(10 + k)], "id long, gen long"
+        )
+        wh.overwrite_snapshot(df, "t")
+
+    vids = [v["version_id"] for v in wh.versions("t")]
+    assert vids == [2, 3, 4]
+
+    assert wh.read("t").count() == 14  # current = gen 4
+    as_of_2 = wh.read("t", version=2)
+    assert as_of_2.count() == 12
+    assert {r.gen for r in as_of_2.collect()} == {2}
+
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        wh.read("t", version=0)
