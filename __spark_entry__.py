@@ -2026,6 +2026,109 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 additions: data-quality suite, SCD2 history, span dedup,
+# anomaly detection, embedding covariance / PCA
+# ---------------------------------------------------------------------------
+
+def dq_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint suite over lineitem — completeness /
+    uniqueness / range / pattern / mean checks, ONE aggregate pass
+    (`operators/quality.py`). Extends the reference's C1-C4 inference
+    stats (`file-to-sql-loader.py` analyze_file_structure) into
+    declarative validation."""
+    from nspc_etl_basic_spark.operators.quality import (
+        Check, completeness, compliance, maximum, mean_of, minimum,
+        run_checks, uniqueness,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return run_checks(
+        li,
+        [
+            Check("orderkey_complete", completeness("l_orderkey"), lo=1.0),
+            Check("pk_unique", uniqueness("l_orderkey", "l_linenumber"), lo=1.0),
+            Check("qty_min", minimum("l_quantity"), lo=1.0),
+            Check("qty_max", maximum("l_quantity"), hi=50.0),
+            Check("discount_max", maximum("l_discount"), hi=0.08),
+            Check("price_mean", mean_of("l_extendedprice"), lo=10000.0, hi=60000.0),
+            Check("returnflag_vals", compliance("l_returnflag", "[ANR]"), lo=1.0),
+            Check("status_complete", completeness("l_linestatus"), lo=1.0),
+        ],
+    )
+
+
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from the orders table as a change feed
+    (key = o_custkey, ordered by o_orderdate with o_orderkey tiebreak,
+    tracked attrs = status + priority). One key-shuffle, bounded windows
+    (`operators/scd.py`)."""
+    from nspc_etl_basic_spark.operators.scd import scd2_from_feed
+
+    feed = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority", "o_orderkey"
+    )
+    return scd2_from_feed(
+        feed,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderstatus", "o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+
+
+def corpus_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span dedup (RefinedWeb-style): every 5-gram
+    occurring ≥2 times corpus-wide is cut from all documents
+    (`operators/spandedup.py`). Heavy stages shuffle (hash, position)
+    pairs only."""
+    from nspc_etl_basic_spark.operators.spandedup import dedup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_spans(docs, n=5, min_count=2)
+    return out.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
+def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3) via decimal-exact
+    sufficient statistics + broadcast re-attach — no window, no
+    per-group single-task hotspot (`operators/anomaly.py`)."""
+    from nspc_etl_basic_spark.operators.anomaly import zscore_outliers
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    return zscore_outliers(ev, "event_type", "value", threshold=3.0)
+
+
+def emb_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance of the first 8 embedding dims, single
+    aggregate pass with decimal-exact moments
+    (`operators/similarity.py:embedding_covariance`)."""
+    from nspc_etl_basic_spark.operators.similarity import embedding_covariance
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dims=8)
+
+
+def emb_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the first 16 embedding dims: distributed covariance →
+    driver-side 16x16 eigh → literal-matrix projection (zero shuffle).
+    Not SQL-expressible (eigendecomposition) — rows-only oracle."""
+    from nspc_etl_basic_spark.operators.similarity import (
+        pca_components, pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    comps = pca_components(emb, "embedding", k=4, dims=16)
+    return pca_project(emb, comps, "embedding")
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2045,6 +2148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract_q,
         "emb_quantize": emb_quantize_q,
         # -- new in r04: never driver-verified --
+        "dq_profile": dq_profile_q,
+        "scd2_history": scd2_history_q,
+        "corpus_span_dedup": corpus_span_dedup_q,
+        "events_anomaly": events_anomaly_q,
+        "emb_covariance": emb_covariance_q,
+        "emb_pca_project": emb_pca_project_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,
@@ -2322,6 +2431,175 @@ def _sql_rp_signature(vec: str, n_planes: int = 8, dim: int = 64) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_dq_profile() -> str:
+    """Oracle for dq_profile: same metrics as `operators/quality.py`, one
+    aggregate CTE + UNION ALL unpivot (DuckDB has stack() only as unpivot)."""
+    checks = [
+        ("orderkey_complete",
+         "round(CAST(count(l_orderkey) AS DOUBLE) / greatest(count(*), 1), 6)",
+         "1.0", "NULL"),
+        ("pk_unique",
+         "round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)"
+         " / greatest(count(*), 1), 6)",
+         "1.0", "NULL"),
+        ("qty_min", "CAST(min(l_quantity) AS DOUBLE)", "1.0", "NULL"),
+        ("qty_max", "CAST(max(l_quantity) AS DOUBLE)", "NULL", "50.0"),
+        ("discount_max", "CAST(max(l_discount) AS DOUBLE)", "NULL", "0.08"),
+        ("price_mean",
+         "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)"
+         " / greatest(count(l_extendedprice), 1), 4)",
+         "10000.0", "60000.0"),
+        ("returnflag_vals",
+         "round(CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN"
+         " (CASE WHEN regexp_matches(l_returnflag, '^(?:[ANR])$') THEN 1 ELSE 0 END)"
+         " END) AS DOUBLE) / greatest(count(l_returnflag), 1), 6)",
+         "1.0", "NULL"),
+        ("status_complete",
+         "round(CAST(count(l_linestatus) AS DOUBLE) / greatest(count(*), 1), 6)",
+         "1.0", "NULL"),
+    ]
+    aggs = ",\n                   ".join(f"{expr} AS {name}" for name, expr, _, _ in checks)
+    unions = "\n              UNION ALL ".join(
+        f"SELECT '{name}' AS check_name, {name} AS value,"
+        f" CAST({lo} AS DOUBLE) AS lo, CAST({hi} AS DOUBLE) AS hi FROM agg"
+        for name, _, lo, hi in checks
+    )
+    return f"""
+        WITH agg AS (SELECT {aggs} FROM lineitem),
+        u AS ({unions})
+        SELECT check_name, value, lo, hi,
+               (value IS NOT NULL AND coalesce(value >= lo, TRUE)
+                AND coalesce(value <= hi, TRUE)) AS passed
+        FROM u
+    """
+
+
+def _sql_scd2_history() -> str:
+    """Oracle for scd2_history: lag-based change compression + lead-based
+    interval close, same (ts, orderkey) ordering as `operators/scd.py`."""
+    return """
+        WITH changed AS (
+            SELECT * FROM (
+                SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+                       o_orderkey,
+                       row_number() OVER w AS _rn,
+                       lag(o_orderstatus) OVER w AS _pst,
+                       lag(o_orderpriority) OVER w AS _ppr
+                FROM orders
+                WINDOW w AS (PARTITION BY o_custkey
+                             ORDER BY o_orderdate, o_orderkey)
+            )
+            WHERE _rn = 1 OR o_orderstatus <> _pst OR o_orderpriority <> _ppr
+        )
+        SELECT o_custkey, o_orderstatus, o_orderpriority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to,
+               (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        FROM changed
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+
+def _sql_span_dedup() -> str:
+    """Oracle for corpus_span_dedup: same 5-gram/min_count=2 semantics as
+    `operators/spandedup.py`, keyed by the gram STRING (the operator keys
+    by xxhash64 of the same string — equal modulo 64-bit collision)."""
+    toks = _sql_word_tokens("text")
+    return f"""
+        WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+        tokpos AS (
+            SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+            FROM toks
+        ),
+        starts AS (
+            SELECT doc_id, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+            FROM toks
+        ),
+        grams AS (
+            SELECT s.doc_id, s.i, array_to_string(t.t[s.i:s.i+4], chr(31)) AS g
+            FROM starts s JOIN toks t USING (doc_id)
+        ),
+        flagged AS (
+            SELECT doc_id, i FROM grams
+            WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)
+        ),
+        offs AS (SELECT unnest(range(0, 5)) AS o),
+        cov AS (
+            SELECT DISTINCT f.doc_id, f.i + offs.o AS p
+            FROM flagged f CROSS JOIN offs
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.p, tp.tok
+            FROM tokpos tp ANTI JOIN cov USING (doc_id, p)
+        ),
+        cleaned AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        removed AS (
+            SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(c.clean_text, '') AS clean_text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        FROM toks t
+        LEFT JOIN cleaned c USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+    """
+
+
+def _sql_events_anomaly() -> str:
+    """Oracle for events_anomaly: identical decimal-exact sufficient
+    statistics and double arithmetic as `operators/anomaly.py` (operand
+    widths chosen so both engines keep the product within precision 38)."""
+    return """
+        WITH stats AS (
+            SELECT event_type, count(value) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS s1,
+                   sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS s2
+            FROM events GROUP BY event_type
+        ),
+        st AS (
+            SELECT event_type,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   sqrt(greatest((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+            FROM stats WHERE n >= 2
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(st.mean, 4) AS mean,
+               round(st.sd, 4) AS stddev,
+               round((e.value - st.mean) / st.sd, 4) AS z
+        FROM events e JOIN st USING (event_type)
+        WHERE st.sd > 0 AND abs((e.value - st.mean) / st.sd) > 3.0
+    """
+
+
+def _sql_emb_covariance(dims: int = 8) -> str:
+    """Oracle for emb_covariance: generated from the same (i, j) loop as
+    `operators/similarity.py:embedding_covariance`."""
+    el = [f"CAST(embedding[{i+1}] AS DOUBLE)" for i in range(dims)]
+    aggs = ["count(*) AS n"]
+    aggs += [f"sum(CAST({el[i]} AS DECIMAL(28,12))) AS s_{i}" for i in range(dims)]
+    sel = []
+    for i in range(dims):
+        for j in range(i, dims):
+            aggs.append(f"sum(CAST({el[i]} * {el[j]} AS DECIMAL(28,12))) AS p_{i}_{j}")
+            sel.append(
+                f"SELECT CAST({i} AS INTEGER) AS i, CAST({j} AS INTEGER) AS j,"
+                f" round((CAST(p_{i}_{j} AS DOUBLE)"
+                f" - CAST(s_{i} AS DOUBLE) * CAST(s_{j} AS DOUBLE)"
+                f" / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 8) AS cov"
+                f" FROM a"
+            )
+    unions = "\n          UNION ALL ".join(sel)
+    return f"WITH a AS (SELECT {', '.join(aggs)} FROM embeddings)\n        {unions}"
+
+
 def oracle_sql() -> dict[str, str]:
     dt_chain = "coalesce(" + ", ".join(
         f"try_strptime(s, '{p}')" for p in _DT_PATTERNS_DUCK
@@ -2330,6 +2608,13 @@ def oracle_sql() -> dict[str, str]:
     stopwords = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
     return {
+        "dq_profile": _sql_dq_profile(),
+        "scd2_history": _sql_scd2_history(),
+        "corpus_span_dedup": _sql_span_dedup(),
+        "events_anomaly": _sql_events_anomaly(),
+        "emb_covariance": _sql_emb_covariance(8),
+        # emb_pca_project: no oracle — eigendecomposition is not
+        # SQL-expressible; the driver records the rows-only check
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_osum('l_quantity')} AS sum_qty,

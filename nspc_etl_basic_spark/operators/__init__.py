@@ -28,3 +28,32 @@ __all__ = [
     "salted_count_by_key",
     "salted_join",
 ]
+
+from nspc_etl_basic_spark.operators.quality import (
+    Check,
+    completeness,
+    compliance,
+    maximum,
+    mean_of,
+    minimum,
+    run_checks,
+    uniqueness,
+)
+from nspc_etl_basic_spark.operators.scd import scd2_apply_changes, scd2_from_feed
+from nspc_etl_basic_spark.operators.spandedup import dedup_spans
+from nspc_etl_basic_spark.operators.anomaly import zscore_outliers
+
+__all__ += [
+    "Check",
+    "completeness",
+    "compliance",
+    "maximum",
+    "mean_of",
+    "minimum",
+    "run_checks",
+    "uniqueness",
+    "scd2_apply_changes",
+    "scd2_from_feed",
+    "dedup_spans",
+    "zscore_outliers",
+]

@@ -1,0 +1,128 @@
+"""Data-quality constraint suite (Deequ-style) over arbitrary tables.
+
+Extends the reference's schema-inference statistics surface
+(`file-to-sql-loader.py` C1-C4: max length / any-null / row count /
+type-conformance flags) into a declarative constraint checker: each check
+is an aggregate expression plus an inclusive [lo, hi] bound on its value,
+and the whole suite evaluates in ONE full-scan aggregate pass.
+
+Scale: the suite compiles to a single ``df.agg(...)`` — one map-side-
+combined aggregation over the table, no joins, no window, no second scan.
+Exact ``countDistinct`` checks add an Expand over the distinct key sets
+(the standard multi-distinct plan); at 100 TB swap them for
+``approx_count_distinct`` via ``uniqueness(..., exact=False)`` and widen
+the bound by the HLL error. The long-format unpivot (``stack``) runs on
+the single 1-row aggregate result — driver-side-free and costless.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One constraint: an aggregate metric and an inclusive bound.
+
+    ``lo``/``hi`` of ``None`` mean unbounded on that side. ``name`` must be
+    a valid column identifier (it becomes the agg alias).
+    """
+
+    name: str
+    metric: Column
+    lo: Optional[float] = None
+    hi: Optional[float] = None
+
+
+def completeness(col: str) -> Column:
+    """Fraction of rows with a non-null value — 1.0 means fully populated."""
+    return F.round(
+        F.count(F.col(col)).cast("double") / F.greatest(F.count(F.lit(1)), F.lit(1)),
+        6,
+    )
+
+
+def uniqueness(*cols: str, exact: bool = True) -> Column:
+    """distinct(key) / count(*) — 1.0 means the columns form a unique key.
+
+    ``exact=False`` uses HyperLogLog++ (``approx_count_distinct``, default
+    rsd 5%) — the 100 TB form: no Expand, pure map-side sketch merge.
+    """
+    key = [F.col(c) for c in cols]
+    distinct = (
+        F.countDistinct(*key) if exact else F.approx_count_distinct(F.concat_ws("\x1f", *key))
+    )
+    return F.round(
+        distinct.cast("double") / F.greatest(F.count(F.lit(1)), F.lit(1)), 6
+    )
+
+
+def compliance(col: str, pattern: str) -> Column:
+    """Fraction of non-null values fully matching ``pattern`` (anchored)."""
+    hit = F.when(F.col(col).rlike(f"^(?:{pattern})$"), F.lit(1)).otherwise(F.lit(0))
+    return F.round(
+        F.sum(F.when(F.col(col).isNotNull(), hit)).cast("double")
+        / F.greatest(F.count(F.col(col)), F.lit(1)),
+        6,
+    )
+
+
+def minimum(col: str) -> Column:
+    return F.min(F.col(col)).cast("double")
+
+
+def maximum(col: str) -> Column:
+    return F.max(F.col(col)).cast("double")
+
+
+def mean_of(col: str, scale: int = 4) -> Column:
+    """Decimal-summed mean — exact, associative accumulation so the result
+    is independent of partitioning/merge order (bitwise-stable at any
+    parallelism; plain double sums are not)."""
+    return F.round(
+        F.sum(F.col(col).cast("decimal(18,4)")).cast("double")
+        / F.greatest(F.count(F.col(col)), F.lit(1)),
+        scale,
+    )
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate a constraint suite in one aggregate pass.
+
+    Returns a long-format DataFrame ``(check_name, value, lo, hi, passed)``
+    with one row per check, ordered by ``check_name``.
+    """
+    if not checks:
+        raise ValueError("run_checks requires at least one Check")
+    names = [c.name for c in checks]
+    if len(set(names)) != len(names):
+        raise ValueError("duplicate check names")
+
+    row = df.agg(*[c.metric.alias(c.name) for c in checks])
+
+    stack_args = ", ".join(f"'{c.name}', `{c.name}`" for c in checks)
+    long = row.selectExpr(
+        f"stack({len(checks)}, {stack_args}) AS (check_name, value)"
+    )
+
+    lo_expr = F.lit(None).cast("double")
+    hi_expr = F.lit(None).cast("double")
+    for c in checks:
+        lo_expr = F.when(F.col("check_name") == c.name, F.lit(c.lo).cast("double")).otherwise(lo_expr)
+        hi_expr = F.when(F.col("check_name") == c.name, F.lit(c.hi).cast("double")).otherwise(hi_expr)
+
+    passed = (
+        F.col("value").isNotNull()
+        & F.coalesce(F.col("value") >= F.col("lo"), F.lit(True))
+        & F.coalesce(F.col("value") <= F.col("hi"), F.lit(True))
+    )
+    return (
+        long.withColumn("lo", lo_expr)
+        .withColumn("hi", hi_expr)
+        .withColumn("passed", passed)
+        .orderBy("check_name")
+    )

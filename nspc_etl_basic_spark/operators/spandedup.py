@@ -1,0 +1,112 @@
+"""Exact-substring span deduplication (RefinedWeb / Lee et al. style).
+
+MinHash/SimHash (``operators/dedup.py``) drop whole near-duplicate
+documents; this operator instead removes *duplicated spans inside
+otherwise-unique documents* — the boilerplate headers, license blocks and
+navigation chrome that survive document-level dedup. Any n-token span
+occurring in ≥ ``min_count`` places corpus-wide is cut from every
+document (suffix-array exact-substring dedup approximated at n-gram
+granularity, which is the shuffle-friendly distributed form).
+
+Plan shape (three stages, all key-shuffles — nothing all-pairs):
+
+1. gram inventory: per doc, tokenize once and project (start, xxhash64 of
+   the n-gram) pairs — narrow, no shuffle; token bodies never leave the
+   row.
+2. global gram counts: groupBy gram hash (map-side combined), filter to
+   count ≥ min_count — the only corpus-wide shuffle, and it shuffles
+   8-byte hashes, not text.
+3. flagged starts join back on gram hash, collect per-doc start list
+   (doc_id-keyed shuffle of *positions only*), then one doc_id join
+   against the corpus re-attaches text and the covered ranges are removed
+   with in-row array algebra (``F.filter`` with positional lambda).
+
+At 100 TB the heavy stages move only (hash, position) pairs; the single
+text-carrying shuffle is the final doc_id join, which AQE can convert to
+broadcast when the flagged-doc set is small.
+
+Hash note: grams are keyed by ``xxhash64`` (8 bytes) instead of the gram
+string; a false merge needs a 64-bit collision between two distinct grams
+(~1e-9 at a billion distinct grams) — the standard trade at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import word_tokens
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every n-token span that occurs ``min_count``+ times corpus-wide.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` where
+    ``clean_text`` is the document with all covered tokens dropped
+    (remaining tokens re-joined with single spaces) and ``n_removed`` is
+    the number of tokens cut. Overlapping flagged spans union their
+    ranges. Documents shorter than ``n`` tokens pass through unchanged.
+    """
+    toks = df.select(
+        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
+    )
+
+    # stage 1: (doc, start, gram-hash) — starts are 0-based
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                # sequence() counts DOWN when start > stop, so guard the
+                # short-doc case with an explicit empty array
+                F.when(
+                    F.size("_toks") >= n, F.sequence(F.lit(0), F.size("_toks") - n)
+                ).otherwise(F.array().cast("array<int>")),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.xxhash64(
+                        F.array_join(F.slice("_toks", i + 1, n), "\x1f")
+                    ).alias("gh"),
+                ),
+            )
+        ).alias("g"),
+    ).select(id_col, F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
+
+    # stage 2: corpus-wide gram counts (hash-only shuffle, map-side combine)
+    dup_grams = (
+        grams.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
+    )
+
+    # stage 3: flagged starts per doc, then one doc-keyed join to the corpus
+    flagged = (
+        grams.join(dup_grams, "gh")
+        .groupBy(id_col)
+        .agg(F.collect_set("start").alias("_starts"))
+    )
+
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(F.col("_starts"), lambda s: F.sequence(s, s + n - 1))
+        )
+    )
+    out = (
+        toks.join(flagged, id_col, "left")
+        .withColumn("_cov", F.coalesce(covered, F.array().cast("array<int>")))
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    "_toks", lambda t, i: ~F.array_contains("_cov", i.cast("int"))
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size("_toks").alias("n_tokens"),
+            F.size("_cov").alias("n_removed"),
+        )
+    )
+    return out
