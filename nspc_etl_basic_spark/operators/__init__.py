@@ -57,3 +57,7 @@ __all__ += [
     "dedup_spans",
     "zscore_outliers",
 ]
+
+from nspc_etl_basic_spark.operators.bpe import bpe_encode, train_bpe
+
+__all__ += ["bpe_encode", "train_bpe"]
