@@ -111,3 +111,35 @@ def _read_columnar_as_strings(spark: SparkSession, path: str, fmt: str) -> DataF
             c = F.date_format(c, "yyyy-MM-dd HH:mm:ss")
         cols.append(c.cast("string").alias(f.name))
     return df.select(*cols)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Ingest a directory of opaque media files (images/audio/any blob)
+    via Spark's ``binaryFile`` source: one row per file with ``(path,
+    modificationTime, length, content: binary)``, ready for the
+    ``operators/multimodal.py`` Arrow kernels (decode / features /
+    resize run downstream on the ``content`` column).
+
+    ``glob`` filters by filename pattern (e.g. ``*.png``); ``max_bytes``
+    sets ``pathGlobFilter``-independent size guard: files larger than the
+    limit are *filtered by metadata before content is read* — the filter
+    is on the file-status ``length`` column, which the binaryFile source
+    prunes without loading payloads.
+
+    Scale: each file is one task input; Spark packs small files into
+    partitions up to ``spark.sql.files.maxPartitionBytes``. Payloads
+    stay columnar binary end-to-end — never grouped, never shuffled by
+    the downstream kernels.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= int(max_bytes))
+    return df
