@@ -16,11 +16,13 @@ from nspc_etl_basic_spark.streaming.windows import (
 from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
 from nspc_etl_basic_spark.streaming.joins import attribution_join
 from nspc_etl_basic_spark.streaming.quality import QualityGateError, run_stream_quality
+from nspc_etl_basic_spark.streaming.scd import run_stream_scd2
 
 __all__ = [
     "attribution_join",
     "QualityGateError",
     "run_stream_quality",
+    "run_stream_scd2",
     "stream_directory",
     "run_available_now",
     "run_stream_upsert",

@@ -241,3 +241,55 @@ def test_containment_broadcasts_and_avoids_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_span_dedup_no_cartesian_and_text_stays_out_of_gram_stages(spark, sf_dir):
+    """Span dedup's heavy shuffles carry (hash, position) pairs; the
+    text column re-enters only via the final doc_id join. No cartesian
+    anywhere, and the gram-count aggregate has a partial (map-side)
+    phase."""
+    plan = _plan_simple(QUERIES["corpus_span_dedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan  # map-side combine on the gram groupBy
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """Both SCD2 windows (lag compression, lead close) must reuse ONE
+    hash partitioning on the business key — a second Exchange would mean
+    the windows repartition between themselves."""
+    plan = _plan_simple(QUERIES["scd2_history"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dq_profile_is_single_pass_no_join(spark, sf_dir):
+    plan = _plan_simple(QUERIES["dq_profile"](spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    # one scan of lineitem only
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_anomaly_broadcasts_stats_no_window(spark, sf_dir):
+    plan = _plan_simple(QUERIES["events_anomaly"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_covariance_is_one_scan_one_partial_agg(spark, sf_dir):
+    plan = _plan_simple(QUERIES["emb_covariance"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial" in plan  # map-side partial aggregation of the moments
+    assert "Join" not in plan
+
+
+def test_pca_projection_zero_shuffle(spark, sf_dir):
+    """The PCA projection itself is a literal-matrix map over the scan —
+    after the one-time component fit, applying it must add no Exchange."""
+    from nspc_etl_basic_spark.operators.similarity import pca_project
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.slice("embedding", 1, 4).alias("embedding")
+    )
+    comps = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    plan = _plan_simple(pca_project(emb, comps, "embedding"))
+    assert "Exchange" not in plan
