@@ -2093,6 +2093,31 @@ def corpus_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_span_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental span dedup: documents with doc_id % 10 == 0 play the
+    incoming batch; the rest are the already-ingested corpus represented
+    ONLY by its persisted (gram-hash, count) store. A batch span is cut
+    when batch + store counts reach 2 — boilerplate shared with the lake
+    is removed without rescanning corpus text
+    (`operators/spandedup.py:incremental_dedup_spans`)."""
+    from nspc_etl_basic_spark.operators.spandedup import (
+        build_gram_store,
+        incremental_dedup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    store = build_gram_store(corpus, n=5)
+    cleaned, _counts = incremental_dedup_spans(batch, store, n=5, min_count=2)
+    return cleaned.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers (|z| > 3) via decimal-exact
     sufficient statistics + broadcast re-attach — no window, no
@@ -2199,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_profile": dq_profile_q,
         "scd2_history": scd2_history_q,
         "corpus_span_dedup": corpus_span_dedup_q,
+        "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
         "events_anomaly": events_anomaly_q,
         "emb_covariance": emb_covariance_q,
         "emb_pca_project": emb_pca_project_q,
@@ -2599,6 +2625,73 @@ def _sql_span_dedup() -> str:
     """
 
 
+def _sql_span_dedup_incr() -> str:
+    """Oracle for corpus_span_dedup_incr: batch grams vs corpus gram
+    counts, same combined-count >= 2 flag rule as
+    `operators/spandedup.py:incremental_dedup_spans`."""
+    toks = _sql_word_tokens("text")
+    return f"""
+        WITH btoks AS (
+            SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 10 = 0
+        ),
+        ctoks AS (
+            SELECT doc_id, {toks} AS t FROM documents WHERE doc_id % 10 <> 0
+        ),
+        btokpos AS (
+            SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
+            FROM btoks
+        ),
+        bstarts AS (
+            SELECT doc_id, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+            FROM btoks
+        ),
+        bgrams AS (
+            SELECT s.doc_id, s.i, array_to_string(t.t[s.i:s.i+4], chr(31)) AS g
+            FROM bstarts s JOIN btoks t USING (doc_id)
+        ),
+        cstarts AS (
+            SELECT doc_id, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+            FROM ctoks
+        ),
+        cgrams AS (
+            SELECT s.doc_id, array_to_string(t.t[s.i:s.i+4], chr(31)) AS g
+            FROM cstarts s JOIN ctoks t USING (doc_id)
+        ),
+        store AS (SELECT g, count(*) AS c FROM cgrams GROUP BY g),
+        bcounts AS (SELECT g, count(*) AS c FROM bgrams GROUP BY g),
+        dup AS (
+            SELECT b.g FROM bcounts b LEFT JOIN store s USING (g)
+            WHERE b.c + coalesce(s.c, 0) >= 2
+        ),
+        flagged AS (
+            SELECT doc_id, i FROM bgrams WHERE g IN (SELECT g FROM dup)
+        ),
+        offs AS (SELECT unnest(range(0, 5)) AS o),
+        cov AS (
+            SELECT DISTINCT f.doc_id, f.i + offs.o AS p
+            FROM flagged f CROSS JOIN offs
+        ),
+        kept AS (
+            SELECT tp.doc_id, tp.p, tp.tok
+            FROM btokpos tp ANTI JOIN cov USING (doc_id, p)
+        ),
+        cleaned AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text
+            FROM kept GROUP BY doc_id
+        ),
+        removed AS (
+            SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               coalesce(c.clean_text, '') AS clean_text,
+               CAST(len(t.t) AS BIGINT) AS n_tokens,
+               CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+        FROM btoks t
+        LEFT JOIN cleaned c USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+    """
+
+
 def _sql_events_anomaly() -> str:
     """Oracle for events_anomaly: identical decimal-exact sufficient
     statistics and double arithmetic as `operators/anomaly.py` (operand
@@ -2661,6 +2754,7 @@ def oracle_sql() -> dict[str, str]:
         "dq_profile": _sql_dq_profile(),
         "scd2_history": _sql_scd2_history(),
         "corpus_span_dedup": _sql_span_dedup(),
+        "corpus_span_dedup_incr": _sql_span_dedup_incr(),
         "events_anomaly": _sql_events_anomaly(),
         "emb_covariance": _sql_emb_covariance(8),
         # emb_pca_project: no oracle — eigendecomposition is not

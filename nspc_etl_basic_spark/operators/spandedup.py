@@ -25,6 +25,16 @@ At 100 TB the heavy stages move only (hash, position) pairs; the single
 text-carrying shuffle is the final doc_id join, which AQE can convert to
 broadcast when the flagged-doc set is small.
 
+The incremental tier (:func:`build_gram_store` /
+:func:`incremental_dedup_spans` / :func:`merge_gram_store`) makes span
+dedup a per-batch cost against a persisted (gram-hash, count) store —
+the same continuous-ingest shape as ``dedup.py``'s incremental LSH: the
+batch's grams probe the store (batch-side broadcast, the store never
+rescans the corpus text), combined counts decide the flags, and the
+store advances additively. Pair the store with the bucketed
+differential sink keyed on the gram hash so each batch rewrites only
+touched buckets.
+
 Hash note: grams are keyed by ``xxhash64`` (8 bytes) instead of the gram
 string; a false merge needs a 64-bit collision between two distinct grams
 (~1e-9 at a billion distinct grams) — the standard trade at scale.
@@ -38,27 +48,13 @@ from pyspark.sql import functions as F
 from .text import word_tokens
 
 
-def dedup_spans(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n: int = 5,
-    min_count: int = 2,
-) -> DataFrame:
-    """Remove every n-token span that occurs ``min_count``+ times corpus-wide.
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
 
-    Returns ``(id_col, clean_text, n_tokens, n_removed)`` where
-    ``clean_text`` is the document with all covered tokens dropped
-    (remaining tokens re-joined with single spaces) and ``n_removed`` is
-    the number of tokens cut. Overlapping flagged spans union their
-    ranges. Documents shorter than ``n`` tokens pass through unchanged.
-    """
-    toks = df.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks")
-    )
 
-    # stage 1: (doc, start, gram-hash) — starts are 0-based
-    grams = toks.select(
+def _gram_inventory(toks: DataFrame, id_col: str, n: int) -> DataFrame:
+    """(id, start, gh) rows — stage 1; 0-based starts, narrow projection."""
+    return toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -77,24 +73,21 @@ def dedup_spans(
         ).alias("g"),
     ).select(id_col, F.col("g.start").alias("start"), F.col("g.gh").alias("gh"))
 
-    # stage 2: corpus-wide gram counts (hash-only shuffle, map-side combine)
-    dup_grams = (
-        grams.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
-    )
 
-    # stage 3: flagged starts per doc, then one doc-keyed join to the corpus
-    flagged = (
-        grams.join(dup_grams, "gh")
-        .groupBy(id_col)
-        .agg(F.collect_set("start").alias("_starts"))
+def _remove_flagged(
+    toks: DataFrame, flagged_starts: DataFrame, id_col: str, n: int
+) -> DataFrame:
+    """Stage 3: union flagged start ranges per doc and cut the covered
+    tokens with in-row array algebra."""
+    flagged = flagged_starts.groupBy(id_col).agg(
+        F.collect_set("start").alias("_starts")
     )
-
     covered = F.array_distinct(
         F.flatten(
             F.transform(F.col("_starts"), lambda s: F.sequence(s, s + n - 1))
         )
     )
-    out = (
+    return (
         toks.join(flagged, id_col, "left")
         .withColumn("_cov", F.coalesce(covered, F.array().cast("array<int>")))
         .select(
@@ -109,4 +102,99 @@ def dedup_spans(
             F.size("_cov").alias("n_removed"),
         )
     )
-    return out
+
+
+def dedup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every n-token span that occurs ``min_count``+ times corpus-wide.
+
+    Returns ``(id_col, clean_text, n_tokens, n_removed)`` where
+    ``clean_text`` is the document with all covered tokens dropped
+    (remaining tokens re-joined with single spaces) and ``n_removed`` is
+    the number of tokens cut. Overlapping flagged spans union their
+    ranges. Documents shorter than ``n`` tokens pass through unchanged.
+    """
+    toks = _tokenized(df, text_col, id_col)
+    grams = _gram_inventory(toks, id_col, n)
+
+    # stage 2: corpus-wide gram counts (hash-only shuffle, map-side combine)
+    dup_grams = (
+        grams.groupBy("gh").count().where(F.col("count") >= min_count).select("gh")
+    )
+
+    flagged_starts = grams.join(dup_grams, "gh").select(id_col, "start")
+    return _remove_flagged(toks, flagged_starts, id_col, n)
+
+
+def build_gram_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """(gh, count) table for the already-ingested corpus — the persisted
+    state of the incremental tier. One hash-keyed aggregate; 16 bytes/row."""
+    return (
+        _gram_inventory(_tokenized(df, text_col, id_col), id_col, n)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def merge_gram_store(store: DataFrame, batch_counts: DataFrame) -> DataFrame:
+    """Advance the store by a batch's gram counts (additive union-agg).
+
+    Persisted via any keyed sink; with the bucketed differential table
+    keyed on ``gh`` only batch-touched buckets rewrite.
+    """
+    return (
+        store.unionByName(batch_counts)
+        .groupBy("gh")
+        .agg(F.sum("count").alias("count"))
+    )
+
+
+def incremental_dedup_spans(
+    batch: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_count: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Span-dedup an incoming batch against the persisted gram store.
+
+    A span is flagged when (its count within the batch) + (its stored
+    corpus count) reaches ``min_count`` — so boilerplate shared with
+    ALREADY-INGESTED documents is cut from the new batch without ever
+    rescanning the corpus text. Returns ``(cleaned_batch,
+    batch_gram_counts)``; callers advance the store with
+    :func:`merge_gram_store` (previously-written docs are not
+    retro-cleaned — run :func:`dedup_spans` offline for that).
+
+    Plan: the only store-sized work is the gram-hash join of the
+    *batch's* grams against the store — batch-side broadcastable; the
+    corpus never re-enters the plan.
+    """
+    toks = _tokenized(batch, text_col, id_col)
+    grams = _gram_inventory(toks, id_col, n)
+    batch_counts = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("count"))
+
+    combined = (
+        batch_counts.alias("b")
+        .join(store.alias("s"), "gh", "left")
+        .select(
+            "gh",
+            (
+                F.col("b.count") + F.coalesce(F.col("s.count"), F.lit(0))
+            ).alias("total"),
+        )
+    )
+    dup_grams = combined.where(F.col("total") >= min_count).select("gh")
+    flagged_starts = grams.join(dup_grams, "gh").select(id_col, "start")
+    return _remove_flagged(toks, flagged_starts, id_col, n), batch_counts

@@ -255,3 +255,61 @@ def test_pca_project_no_shuffle(spark):
     out = pca_project(df, [[1.0, 0.0], [0.0, 1.0]], "embedding")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ------------------------------------------------- incremental span dedup
+
+def test_incremental_span_dedup_flags_cross_batch_boilerplate(spark):
+    from nspc_etl_basic_spark.operators.spandedup import (
+        build_gram_store,
+        incremental_dedup_spans,
+        merge_gram_store,
+    )
+
+    boiler = "all rights reserved see license file for details"
+    corpus = spark.createDataFrame(
+        [(1, f"first ingested doc {boiler}")], ["doc_id", "text"]
+    )
+    store = build_gram_store(corpus, n=5)
+
+    batch = spark.createDataFrame(
+        [(10, f"{boiler} fresh unique content here"),
+         (11, "nothing shared at all with anything else")],
+        ["doc_id", "text"],
+    )
+    cleaned, batch_counts = incremental_dedup_spans(batch, store, n=5)
+    got = {r["doc_id"]: r for r in cleaned.collect()}
+    # boilerplate shared with the ALREADY-INGESTED corpus is cut from the
+    # batch without rescanning corpus text
+    assert got[10]["clean_text"] == "fresh unique content here"
+    assert got[10]["n_removed"] == 8
+    assert got[11]["n_removed"] == 0
+
+    # store advances additively: boiler grams now count 2
+    store2 = merge_gram_store(store, batch_counts)
+    boiler_grams = 8 - 5 + 1
+    assert store2.where("count >= 2").count() == boiler_grams
+
+    # a third batch with the boiler is cut against the advanced store
+    batch3 = spark.createDataFrame(
+        [(20, f"tail words {boiler}")], ["doc_id", "text"]
+    )
+    cleaned3, _ = incremental_dedup_spans(batch3, store2, n=5)
+    assert cleaned3.collect()[0]["clean_text"] == "tail words"
+
+
+def test_incremental_span_dedup_within_batch(spark):
+    from nspc_etl_basic_spark.operators.spandedup import (
+        incremental_dedup_spans,
+    )
+
+    shared = "one two three four five six"
+    batch = spark.createDataFrame(
+        [(1, f"{shared} alpha"), (2, f"beta {shared}")], ["doc_id", "text"]
+    )
+    empty_store = spark.createDataFrame([], "gh LONG, count LONG")
+    cleaned, counts = incremental_dedup_spans(batch, empty_store, n=5)
+    got = {r["doc_id"]: r["clean_text"] for r in cleaned.collect()}
+    assert got == {1: "alpha", 2: "beta"}
+    # batch counts ready for the store merge
+    assert counts.where("count >= 2").count() == 2  # the two shared 5-grams
