@@ -2128,6 +2128,19 @@ def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zscore_outliers(ev, "event_type", "value", threshold=3.0)
 
 
+def events_hist_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic histogram-quantile sketch per event_type: two
+    map-side-combined passes + in-row cumulative walk over ≤64 bins —
+    the oracle-gateable stand-in for percentile_approx/t-digest
+    (`operators/sketches.py:histogram_quantiles`)."""
+    from nspc_etl_basic_spark.operators.sketches import histogram_quantiles
+
+    ev = _events(spark, sf_dir).select("event_type", "value")
+    return histogram_quantiles(
+        ev, "value", "event_type", qs=(0.5, 0.9, 0.99), bins=64
+    )
+
+
 def emb_covariance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample covariance of the first 8 embedding dims, single
     aggregate pass with decimal-exact moments
@@ -2226,6 +2239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_dedup": corpus_span_dedup_q,
         "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
         "events_anomaly": events_anomaly_q,
+        "events_hist_quantiles": events_hist_quantiles_q,
         "emb_covariance": emb_covariance_q,
         "emb_pca_project": emb_pca_project_q,
         "text_bpe_train": text_bpe_train_q,
@@ -2722,6 +2736,57 @@ def _sql_events_anomaly() -> str:
     """
 
 
+def _sql_hist_quantiles(qs=(0.5, 0.9, 0.99), bins: int = 64) -> str:
+    """Oracle for events_hist_quantiles: identical fixed-order double
+    arithmetic as `operators/sketches.py:histogram_quantiles`."""
+    q_list = ", ".join(str(q) for q in qs)
+    return f"""
+        WITH stats AS (
+            SELECT event_type, min(value) AS mn, max(value) AS mx,
+                   count(value) AS n
+            FROM events GROUP BY event_type HAVING count(value) >= 1
+        ),
+        binned AS (
+            SELECT e.event_type,
+                   CAST(least(greatest(
+                       floor((e.value - s.mn) / (s.mx - s.mn) * {bins}),
+                       0), {bins - 1}) AS INTEGER) AS b
+            FROM events e JOIN stats s USING (event_type)
+            WHERE s.mx > s.mn
+        ),
+        counts AS (
+            SELECT event_type, b, count(*) AS c FROM binned GROUP BY event_type, b
+        ),
+        cum AS (
+            SELECT event_type, b, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY b) - c AS before
+            FROM counts
+        ),
+        qs AS (SELECT CAST(unnest([{q_list}]) AS DOUBLE) AS q),
+        targets AS (
+            SELECT s.event_type, q.q,
+                   CAST(floor(q.q * (s.n - 1)) AS BIGINT) + 1 AS t,
+                   s.mn, s.mx
+            FROM stats s CROSS JOIN qs q WHERE s.mx > s.mn
+        ),
+        picked AS (
+            SELECT t.event_type, t.q,
+                   round(t.mn + CAST(c.b AS DOUBLE) * ((t.mx - t.mn) / {bins}.0)
+                         + CAST(t.t - c.before AS DOUBLE) / CAST(c.c AS DOUBLE)
+                           * ((t.mx - t.mn) / {bins}.0), 6) AS est
+            FROM targets t JOIN cum c
+              ON c.event_type = t.event_type
+             AND c.before < t.t AND c.before + c.c >= t.t
+        ),
+        flat AS (
+            SELECT s.event_type, q.q, round(CAST(s.mn AS DOUBLE), 6) AS est
+            FROM stats s CROSS JOIN qs q WHERE s.mx <= s.mn
+        )
+        SELECT event_type, q, est FROM picked
+        UNION ALL SELECT event_type, q, est FROM flat
+    """
+
+
 def _sql_emb_covariance(dims: int = 8) -> str:
     """Oracle for emb_covariance: generated from the same (i, j) loop as
     `operators/similarity.py:embedding_covariance`."""
@@ -2756,6 +2821,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_span_dedup": _sql_span_dedup(),
         "corpus_span_dedup_incr": _sql_span_dedup_incr(),
         "events_anomaly": _sql_events_anomaly(),
+        "events_hist_quantiles": _sql_hist_quantiles(),
         "emb_covariance": _sql_emb_covariance(8),
         # emb_pca_project: no oracle — eigendecomposition is not
         # SQL-expressible; the driver records the rows-only check

@@ -132,3 +132,119 @@ def kmv_distinct(
             / 1e6
         ).alias("rel_error"),
     )
+
+
+def histogram_quantiles(
+    df,
+    value_col: str,
+    group_col: str,
+    qs: "Sequence[float]" = (0.5, 0.9, 0.99),
+    bins: int = 64,
+):
+    """Deterministic quantile estimation from an equi-width histogram.
+
+    Spark's ``percentile_approx`` (Greenwald-Khanna) and t-digest are the
+    production approximate-quantile tools, but — like HLL — their
+    estimates are implementation-specific, so no cross-engine oracle can
+    gate them. The equi-width histogram estimator is the classical
+    deterministic alternative: per group, (min, max, n) in one aggregate,
+    bin counts ``clamp(floor((x-min)/(max-min)*bins))`` in a second, and
+    the q-quantile read off the cumulative histogram with linear
+    interpolation inside the target bin:
+
+        t   = floor(q*(n-1)) + 1          (1-based target rank)
+        est = lo(b) + (t - cum_before(b)) / count(b) * width
+
+    Every step is plain IEEE double arithmetic in a fixed order, so
+    DuckDB replays it bit-for-bit. Error is bounded by one bin width —
+    the standard histogram-sketch trade, tunable via ``bins``.
+
+    Scale: two map-side-combined aggregate passes over the data (stats,
+    bin counts — the stats re-attach by broadcast), then the per-group
+    quantile walk is IN-ROW array algebra over ≤ ``bins`` entries
+    (sorted ``collect_list`` of (bin, count) per group — never a window
+    over data rows, never a sort of the column). Histograms are
+    mergeable: bin counts from partial scans sum.
+
+    Returns ``(group_col, q, est)`` with ``est`` rounded to 6.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.min(v).alias("__mn"),
+        F.max(v).alias("__mx"),
+        F.count(v).alias("__n"),
+    ).where(F.col("__n") >= 1)
+
+    joined = df.join(F.broadcast(stats), group_col)
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(bins))
+    bin_col = F.least(
+        F.greatest(
+            F.floor((v - F.col("__mn")) / (F.col("__mx") - F.col("__mn")) * bins),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+
+    counts = (
+        joined.where(F.col("__mx") > F.col("__mn"))
+        .groupBy(group_col, bin_col.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    hists = counts.groupBy(group_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__b"), F.col("__c")))
+        ).alias("__hist")
+    ).join(stats, group_col)
+
+    def est_for(q: float):
+        t = (F.floor(F.lit(float(q)) * (F.col("__n") - 1)) + 1).cast("long")
+        w = width
+
+        def step(acc, e):
+            before = acc.getField("cum")
+            cum2 = before + e.getField("__c")
+            hit = acc.getField("est").isNull() & (cum2 >= t)
+            est = F.when(
+                hit,
+                F.col("__mn")
+                + e.getField("__b").cast("double") * w
+                + (t - before).cast("double")
+                / e.getField("__c").cast("double")
+                * w,
+            ).otherwise(acc.getField("est"))
+            return F.struct(cum2.alias("cum"), est.alias("est"))
+
+        return F.aggregate(
+            F.col("__hist"),
+            F.struct(
+                F.lit(0).cast("long").alias("cum"),
+                F.lit(None).cast("double").alias("est"),
+            ),
+            step,
+        ).getField("est")
+
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(float(q)).alias("q"),
+                F.round(est_for(q), 6).alias("est"),
+            )
+            for q in qs
+        ]
+    )
+    with_bins = hists.select(group_col, F.explode(per_q).alias("__e")).select(
+        group_col, "__e.q", "__e.est"
+    )
+
+    # degenerate groups (all values equal, or a single value): est = min
+    flat = (
+        stats.where(F.col("__mx") <= F.col("__mn"))
+        .select(
+            group_col,
+            F.explode(
+                F.array(*[F.lit(float(q)) for q in qs])
+            ).alias("q"),
+            F.round(F.col("__mn").cast("double"), 6).alias("est"),
+        )
+    )
+    return with_bins.unionByName(flat)

@@ -111,3 +111,31 @@ def test_kmv_rejects_bad_k(spark):
     df = spark.createDataFrame([(1, "a")], "user_id long, event_type string")
     with pytest.raises(ValueError, match="k must be"):
         kmv_distinct(df, "user_id", ["event_type"], k=1)
+
+
+def test_histogram_quantiles_interpolation_and_degenerate(spark):
+    from nspc_etl_basic_spark.operators.sketches import histogram_quantiles
+
+    # group "a": uniform 0..99 -> histogram estimate within one bin width
+    rows = [("a", float(v)) for v in range(100)]
+    rows += [("flat", 7.0)] * 5  # degenerate: zero variance
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {
+        (r["g"], r["q"]): r["est"]
+        for r in histogram_quantiles(df, "v", "g", qs=(0.5, 0.9), bins=10).collect()
+    }
+    # bin width = 9.9; estimates must land within one bin of the truth
+    assert abs(out[("a", 0.5)] - 49.5) <= 9.9
+    assert abs(out[("a", 0.9)] - 89.1) <= 9.9
+    assert out[("flat", 0.5)] == 7.0 and out[("flat", 0.9)] == 7.0
+
+
+def test_histogram_quantiles_no_window_over_rows(spark):
+    from nspc_etl_basic_spark.operators.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["g", "v"])
+    plan = histogram_quantiles(df, "v", "g")._jdf.queryExecution() \
+        .executedPlan().toString()
+    # cumulative walk is in-row over the <=bins histogram array — the
+    # plan must not contain a Window (or a global Sort) over data rows
+    assert "Window" not in plan
