@@ -17,12 +17,20 @@ from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
 from nspc_etl_basic_spark.streaming.joins import attribution_join
 from nspc_etl_basic_spark.streaming.quality import QualityGateError, run_stream_quality
 from nspc_etl_basic_spark.streaming.scd import run_stream_scd2
+from nspc_etl_basic_spark.streaming.spandedup import (
+    gram_store_table,
+    read_gram_counts,
+    run_stream_span_dedup,
+)
 
 __all__ = [
     "attribution_join",
     "QualityGateError",
     "run_stream_quality",
     "run_stream_scd2",
+    "gram_store_table",
+    "read_gram_counts",
+    "run_stream_span_dedup",
     "stream_directory",
     "run_available_now",
     "run_stream_upsert",
