@@ -96,8 +96,9 @@ def test_bpe_encode_dataframe_matches_reference(spark):
         toks = [s for w in words for s in _encode_word(w, ranks)]
         assert out[i]["n_words"] == len(words)
         assert out[i]["n_bpe_tokens"] == len(toks)
+        # preview strips EOW markers and drops tokens that were pure EOW
         assert out[i]["bpe_preview"] == " ".join(
-            s.replace(EOW, "") for s in toks[:8]
+            s for s in (t.replace(EOW, "") for t in toks[:8]) if s
         )
     # merges compress: fewer BPE tokens than raw chars
     raw_chars = sum(len(w) + 1 for w in re.findall(r"[a-z0-9']+", TEXTS[0].lower()))
