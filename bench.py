@@ -56,6 +56,7 @@ def main() -> None:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
             pass
+    spark.catalog.clearCache()
 
     # best-of-N timing: single-shot runs at this scale are dominated by
     # GC/page-cache noise (observed ±2x swings on individual queries); the
@@ -77,6 +78,13 @@ def main() -> None:
             msg = f"{type(exc).__name__}: {exc}"[:300]
             timings[name] = {"err": msg}
             errors[name] = msg
+        # storage hygiene between queries: several query contracts cache
+        # intermediates they cannot unpersist (the returned DF still
+        # references them); across 100+ queries x repeats the block
+        # manager fills and later iterative queries (observed:
+        # dedup_components 5 s -> 57 s) pay eviction/GC, corrupting
+        # their timings. Repeats of ONE query still share its caches.
+        spark.catalog.clearCache()
 
     total = round(
         sum(v for v in timings.values() if isinstance(v, float)), 3
