@@ -2076,6 +2076,46 @@ def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_apply_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 apply-changes, driver-verified against the
+    full-rebuild oracle: the feed (orders deduped to one change per
+    (custkey, orderdate) — max orderkey wins, so ordering is unique) is
+    split BY TIME — changes before 1997 build the existing table, 1997+
+    apply incrementally. The time split satisfies apply-changes' CDC
+    in-order assumption (each key's batch changes postdate its history),
+    under which apply == rebuild is the operator's defining property
+    (`operators/scd.py:scd2_apply_changes`), so the oracle just rebuilds
+    from the whole feed."""
+    from nspc_etl_basic_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_from_feed,
+    )
+
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.col("o_orderkey").desc()
+    )
+    feed = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority",
+            "o_orderkey",
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    existing = scd2_from_feed(
+        feed.where(F.col("o_orderdate") < cutoff),
+        ["o_custkey"], "o_orderdate", ["o_orderstatus", "o_orderpriority"],
+    )
+    batch = feed.where(F.col("o_orderdate") >= cutoff)
+    return scd2_apply_changes(
+        existing, batch,
+        ["o_custkey"], "o_orderdate", ["o_orderstatus", "o_orderpriority"],
+    )
+
+
 def corpus_span_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span dedup (RefinedWeb-style): every 5-gram
     occurring ≥2 times corpus-wide is cut from all documents
@@ -2239,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r04: never driver-verified --
         "dq_profile": dq_profile_q,
         "scd2_history": scd2_history_q,
+        "scd2_apply": scd2_apply_q,
         "corpus_span_dedup": corpus_span_dedup_q,
         "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
         "events_anomaly": events_anomaly_q,
@@ -2593,6 +2634,39 @@ def _sql_scd2_history() -> str:
     """
 
 
+def _sql_scd2_apply() -> str:
+    """Oracle for scd2_apply: full rebuild from the deduped feed —
+    incremental apply must equal it (the operator's defining property)."""
+    return """
+        WITH feed AS (
+            SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_custkey, o_orderdate
+                    ORDER BY o_orderkey DESC) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        ),
+        changed AS (
+            SELECT * FROM (
+                SELECT o_custkey, o_orderdate, o_orderstatus, o_orderpriority,
+                       row_number() OVER w AS _rn,
+                       lag(o_orderstatus) OVER w AS _pst,
+                       lag(o_orderpriority) OVER w AS _ppr
+                FROM feed
+                WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+            )
+            WHERE _rn = 1 OR o_orderstatus <> _pst OR o_orderpriority <> _ppr
+        )
+        SELECT o_custkey, o_orderstatus, o_orderpriority,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w2 AS valid_to,
+               (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+        FROM changed
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+    """
+
+
 def _sql_span_dedup() -> str:
     """Oracle for corpus_span_dedup: same 5-gram/min_count=2 semantics as
     `operators/spandedup.py`, keyed by the gram STRING (the operator keys
@@ -2821,6 +2895,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "dq_profile": _sql_dq_profile(),
         "scd2_history": _sql_scd2_history(),
+        "scd2_apply": _sql_scd2_apply(),
         "corpus_span_dedup": _sql_span_dedup(),
         "corpus_span_dedup_incr": _sql_span_dedup_incr(),
         "events_anomaly": _sql_events_anomaly(),

@@ -88,24 +88,44 @@ def scd2_apply_changes(
     This is idempotent for replayed batches (the change compression drops
     a re-delivered identical change) — the property the streaming ingest
     relies on for exactly-once effect.
+
+    ASSUMPTION (standard CDC ordering): a batch change for key k must not
+    predate k's existing history. The SCD2 table is compressed state —
+    consecutive identical changes leave no trace — so a LATE-arriving
+    change timestamped inside an existing interval cannot re-split a run
+    the compression already collapsed, and ``apply == rebuild`` then
+    breaks. For in-order feeds (each key's new changes at or after its
+    last ``valid_from``) incremental apply equals the full rebuild
+    (`tests/test_scd_randomized.py`); out-of-order arrivals need the raw
+    change log, not the table — rebuild from it.
     """
     batch_keys = batch.select(*key_cols).dropDuplicates(list(key_cols))
 
     untouched = existing.join(F.broadcast(batch_keys), list(key_cols), "left_anti")
 
     touched_hist = existing.join(F.broadcast(batch_keys), list(key_cols), "left_semi")
-    # re-expand history rows to their opening change event
+    tb = list(tiebreak_cols or [])
+    # re-expand history rows to their opening change event; reopened rows
+    # have no original tiebreak value — null sorts first (asc NULLS
+    # FIRST), so at an equal timestamp the pre-existing change
+    # deterministically precedes the batch's
     reopened = touched_hist.select(
-        *key_cols, *attr_cols, F.col("valid_from").alias(ts_col)
+        *key_cols,
+        *attr_cols,
+        F.col("valid_from").alias(ts_col),
+        *[
+            F.lit(None).cast(batch.schema[c].dataType).alias(c)
+            for c in tb
+        ],
     )
-    new_changes = batch.select(*key_cols, *attr_cols, F.col(ts_col))
+    new_changes = batch.select(*key_cols, *attr_cols, F.col(ts_col), *tb)
     rebuilt = scd2_from_feed(
         reopened.unionByName(new_changes).dropDuplicates(
-            list(key_cols) + attr_cols + [ts_col]
+            list(key_cols) + attr_cols + [ts_col] + tb
         ),
         key_cols,
         ts_col,
         attr_cols,
-        tiebreak_cols,
-    )
+        tb or None,
+    ).select(*key_cols, *attr_cols, "valid_from", "valid_to", "is_current")
     return untouched.unionByName(rebuilt)

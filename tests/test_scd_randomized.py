@@ -92,3 +92,32 @@ def test_scd2_invariants_and_incremental_consistency(spark, seed):
         # invariant 3: consecutive intervals differ in attrs
         for a, b in zip(rs, rs[1:]):
             assert (a["status"], a["qty"]) != (b["status"], b["qty"])
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22])
+def test_scd2_apply_equals_rebuild_for_in_order_batches(spark, seed):
+    """apply == rebuild whenever the batch respects the CDC in-order
+    assumption (every batch change postdates the key's existing history)
+    — here guaranteed by a global time split."""
+    rng = np.random.default_rng(seed)
+    rows = _random_feed(rng, n_rows=80)
+    cutoff = datetime.date(2024, 1, 20)
+    head = [r for r in rows if r[1] < cutoff]
+    tail = [r for r in rows if r[1] >= cutoff]
+    schema = "k INT, ts DATE, status STRING, qty INT, tb INT"
+
+    existing = scd2_from_feed(
+        spark.createDataFrame(head, schema), ["k"], "ts",
+        ["status", "qty"], ["tb"],
+    )
+    incr = scd2_apply_changes(
+        existing, spark.createDataFrame(tail, schema),
+        ["k"], "ts", ["status", "qty"], ["tb"],
+    )
+    full = scd2_from_feed(
+        spark.createDataFrame(rows, schema), ["k"], "ts",
+        ["status", "qty"], ["tb"],
+    )
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, full.collect())
+    )
