@@ -212,7 +212,8 @@ def bpe_encode(
         for pdf in batches:
             ids, nw, nt, pv = [], [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
-                words = pat.findall(str(text).lower())
+                # null text is an empty doc, not the literal word "none"
+                words = pat.findall(text.lower()) if isinstance(text, str) else []
                 toks: list[str] = []
                 for w in words:
                     toks.extend(enc(w))

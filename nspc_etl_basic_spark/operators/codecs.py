@@ -150,9 +150,10 @@ def encode_png(arr: np.ndarray) -> bytes:
 # fake kernel. Full baseline pipeline: canonical Huffman (spec Annex K
 # default luminance tables), zigzag, dequantization, separable float
 # IDCT, level shift — so ANY single-component baseline JFIF decodes, not
-# just our own encoder's output. Scope: 8-bit grayscale, no restart
-# intervals, no progressive (ValueError routes the caller to its
-# fallback tier, same contract as decode_png).
+# just our own encoder's output. Scope (extended since): 8-bit grayscale
+# AND 3-component YCbCr (4:4:4/4:2:2/4:2:0), DRI/RSTn restart intervals;
+# still no progressive/arithmetic/CMYK (ValueError routes the caller to
+# its fallback tier, same contract as decode_png).
 # ---------------------------------------------------------------------------
 
 #: zigzag scan: stream position -> natural (row-major) coefficient index
@@ -575,9 +576,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     grayscale, 4:4:4, 4:2:2 and 4:2:0 chroma subsampling (chroma planes
     upsampled by replication), arbitrary quant/Huffman tables,
     multi-segment DQT/DHT, interleaved MCU scan with per-component DC
-    predictors. Raises ``ValueError`` on progressive, arithmetic-coded,
-    restart-interval or CMYK inputs so callers fall back to their stub
-    tier."""
+    predictors, and DRI/RSTn restart intervals (predictors reset at each
+    marker). Raises ``ValueError`` on progressive, arithmetic-coded or
+    CMYK inputs so callers fall back to their stub tier; corrupt or
+    truncated streams may surface as IndexError/EOFError/struct.error —
+    callers treating "undecodable" as a fallback signal should catch
+    broadly (see multimodal._decode_image)."""
     if data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     pos = 2

@@ -124,9 +124,13 @@ def _decode_image(payload: bytes):
         if kind == "jpeg":
             arr = codecs.decode_jpeg(payload)
             return arr[:, :, None] if arr.ndim == 2 else arr
-    except ValueError:
-        # sniffed but out of codec scope (progressive JPEG, exotic PNG):
-        # undecodable at this tier — caller's fallback applies
+    except Exception:  # noqa: BLE001 — undecodable at this tier
+        # sniffed but out of codec scope (progressive JPEG, exotic PNG)
+        # OR corrupt/truncated payload — the codec surfaces those as
+        # IndexError/EOFError/KeyError/struct.error, not just the
+        # documented ValueError, and a real corpus WILL contain them;
+        # any decode failure here means "caller's fallback applies",
+        # never a crashed Spark task
         return None
     return None
 

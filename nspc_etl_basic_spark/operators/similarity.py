@@ -602,9 +602,16 @@ def embedding_covariance(
     rounded anyway). The oracled driver query keeps ``exact=True``.
     """
     v = F.col(vec_col)
-    d = dims if dims is not None else len(
-        df.select(v).first()[0]
-    )
+    if dims is None:
+        first = df.select(v).first()
+        if first is None or first[0] is None:
+            raise ValueError(
+                "embedding_covariance: empty input (or null first vector) — "
+                "pass dims explicitly or provide data"
+            )
+        d = len(first[0])
+    else:
+        d = dims
     el = [v.getItem(i).cast("double") for i in range(d)]
 
     def acc(col):
@@ -623,10 +630,18 @@ def embedding_covariance(
     pairs = []
     for i in range(d):
         for j in range(i, d):
-            cov = (
-                F.col(f"_p_{i}_{j}").cast("double")
-                - F.col(f"_s_{i}").cast("double") * F.col(f"_s_{j}").cast("double") / n
-            ) / (n - F.lit(1.0))
+            # n > 1 guard: sample covariance divides by n-1, and ANSI
+            # mode turns that into a hard DIVIDE_BY_ZERO for a single
+            # row; null instead (pca_components raises a clear error).
+            # Arithmetic for n > 1 is unchanged (oracle parity).
+            cov = F.when(
+                n > F.lit(1.0),
+                (
+                    F.col(f"_p_{i}_{j}").cast("double")
+                    - F.col(f"_s_{i}").cast("double")
+                    * F.col(f"_s_{j}").cast("double") / n
+                ) / (n - F.lit(1.0)),
+            )
             pairs.append(
                 F.struct(
                     F.lit(i).alias("i"), F.lit(j).alias("j"),
@@ -658,6 +673,9 @@ def pca_components(
     import numpy as np
 
     rows = embedding_covariance(df, vec_col, dims, exact=exact).collect()
+    if not rows or any(r["cov"] is None for r in rows):
+        # n <= 1 makes every sample covariance null (division by n-1)
+        raise ValueError("pca_components needs at least 2 vectors")
     d = max(r["j"] for r in rows) + 1
     C = np.zeros((d, d))
     for r in rows:

@@ -104,21 +104,38 @@ def kmv_distinct(
             )
             .filter(F.col("__rk") <= k)
         )
-        sketch = kept.groupBy(*group_cols).agg(
-            F.count(F.lit(1)).alias("__n_kept"),
-            F.max("__h").alias("__h_k"),
+        # LEFT join FROM the exact side: a group whose every hash fell
+        # above the prefilter threshold must still appear (with 0
+        # survivors), not silently vanish from the output
+        sketch = hashed.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("n_exact")
         ).join(
-            hashed.groupBy(*group_cols).agg(
-                F.count(F.lit(1)).alias("n_exact")
+            kept.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).alias("__n_kept"),
+                F.max("__h").alias("__h_k"),
             ),
             list(group_cols),
+            "left",
+        ).withColumn("__n_kept", F.coalesce(F.col("__n_kept"), F.lit(0)))
+    if prefilter is None:
+        est = F.when(
+            F.col("__n_kept") < k, F.col("__n_kept").cast("double")
+        ).otherwise(
+            # (k-1) / u_k with u_k = h_k / 2^32; both divisions IEEE-exact-op
+            F.lit(float(k - 1))
+            / (F.col("__h_k").cast("double") / F.lit(_HASH_DOMAIN))
         )
-    est = F.when(
-        F.col("__n_kept") < k, F.col("__n_kept").cast("double")
-    ).otherwise(
-        # (k-1) / u_k with u_k = h_k / 2^32; both divisions IEEE-exact-op
-        F.lit(float(k - 1)) / (F.col("__h_k").cast("double") / F.lit(_HASH_DOMAIN))
-    )
+    else:
+        # under a prefilter the "< k survivors -> sketch IS the set"
+        # fallback is WRONG (the filter cut keys, so the survivor count
+        # is not the distinct count); the threshold itself acts as the
+        # k-th hash: inverse-probability scaling n_kept / prefilter is
+        # the adaptive-sampling estimator for that regime
+        est = F.when(
+            F.col("__n_kept") >= k,
+            F.lit(float(k - 1))
+            / (F.col("__h_k").cast("double") / F.lit(_HASH_DOMAIN)),
+        ).otherwise(F.col("__n_kept").cast("double") / F.lit(float(prefilter)))
     return sketch.select(
         *group_cols,
         "n_exact",
@@ -186,7 +203,10 @@ def histogram_quantiles(
     ).cast("int")
 
     counts = (
-        joined.where(F.col("__mx") > F.col("__mn"))
+        # null values are excluded from n by count(v); they must be
+        # excluded here too — a null bin would sort FIRST in the
+        # cumulative walk and shift every rank target
+        joined.where((F.col("__mx") > F.col("__mn")) & v.isNotNull())
         .groupBy(group_col, bin_col.alias("__b"))
         .agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -49,7 +49,14 @@ from .text import word_tokens
 
 
 def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    return df.select(F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+    # null text tokenizes to the EMPTY array, not null: F.size(null) is
+    # -1, which would corrupt n_tokens and clean_text for null-text docs
+    return df.select(
+        F.col(id_col),
+        F.coalesce(
+            word_tokens(F.col(text_col)), F.array().cast("array<string>")
+        ).alias("_toks"),
+    )
 
 
 def _gram_inventory(toks: DataFrame, id_col: str, n: int) -> DataFrame:

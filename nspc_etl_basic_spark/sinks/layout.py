@@ -67,7 +67,13 @@ def zorder_value(
     ).collect()[0]
     ranks = [
         _normalize(
-            F.col(c), stats[f"__lo_{c}"], stats[f"__hi_{c}"], bits
+            F.col(c),
+            # empty input / all-null column: min and max come back as
+            # None — degrade that column's rank to the constant 0
+            # (plain insertion order) instead of crashing on None - None
+            stats[f"__lo_{c}"] if stats[f"__lo_{c}"] is not None else 0.0,
+            stats[f"__hi_{c}"] if stats[f"__hi_{c}"] is not None else 0.0,
+            bits,
         )
         for c in cols
     ]

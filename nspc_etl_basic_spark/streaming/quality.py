@@ -66,5 +66,13 @@ def run_stream_quality(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except Exception as exc:  # noqa: BLE001 — unwrap the gate failure
+        # Spark wraps foreachBatch exceptions in StreamingQueryException;
+        # re-surface the gate violation as the exported type so callers'
+        # `except QualityGateError` actually works
+        if "QualityGateError" in str(exc):
+            raise QualityGateError(str(exc)) from exc
+        raise
     return q

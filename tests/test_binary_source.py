@@ -124,7 +124,7 @@ def test_stream_quality_gate_raises_and_records(spark, tmp_path):
     spark.createDataFrame([(1, -1.0)], schema).coalesce(1).write.parquet(
         str(src), mode="append"
     )
-    with pytest.raises(Exception) as exc:
+    with pytest.raises(QualityGateError) as exc:
         run_stream_quality(
             _stream(spark, src, schema), checks, metrics, ckpt,
             fail_on_violation=True,

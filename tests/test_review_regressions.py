@@ -1,0 +1,102 @@
+"""Regression tests for the round-4 code-review findings: corrupt-media
+fallback, null-value handling in sketches/span-dedup/BPE, KMV prefilter
+degeneracy, and z-order degenerate stats."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from nspc_etl_basic_spark.operators.bpe import bpe_encode
+from nspc_etl_basic_spark.operators.codecs import encode_jpeg_gray
+from nspc_etl_basic_spark.operators.multimodal import _decode_image
+from nspc_etl_basic_spark.operators.similarity import (
+    embedding_covariance,
+    pca_components,
+)
+from nspc_etl_basic_spark.operators.sketches import (
+    histogram_quantiles,
+    kmv_distinct,
+)
+from nspc_etl_basic_spark.operators.spandedup import dedup_spans
+from nspc_etl_basic_spark.sinks.layout import zorder_value
+
+
+def test_truncated_jpeg_decodes_to_none_not_crash():
+    img = np.full((16, 16), 128, dtype=np.uint8)
+    payload = encode_jpeg_gray(img)
+    for cut in (len(payload) // 2, len(payload) - 3, 8):
+        assert _decode_image(payload[:cut]) is None
+    # garbage with a JPEG magic prefix
+    assert _decode_image(b"\xff\xd8\xff" + b"\x00" * 40) is None
+
+
+def test_histogram_quantiles_ignores_nulls(spark):
+    rows = [("a", float(v)) for v in range(1, 100)]
+    rows += [("a", None)] * 50
+    df = spark.createDataFrame(rows, "g STRING, v DOUBLE")
+    out = {
+        r["q"]: r["est"]
+        for r in histogram_quantiles(df, "v", "g", qs=(0.5,), bins=10).collect()
+    }
+    # nulls excluded from n AND the bins: estimate near the true median
+    assert abs(out[0.5] - 50.0) <= 9.9
+
+
+def test_kmv_prefilter_degenerate_group_scaled_not_exactish(spark):
+    # 500 distinct keys but a 1% prefilter: far fewer than k survive —
+    # the estimate must be inverse-probability scaled, never reported as
+    # the survivor count, and the group must not vanish
+    df = spark.createDataFrame([(i, "g") for i in range(500)], ["k", "g"])
+    out = kmv_distinct(df, "k", ["g"], k=64, prefilter=0.01).collect()
+    assert len(out) == 1
+    est = out[0]["kmv_estimate"]
+    assert est > 50  # survivor count alone would be ~5
+    assert out[0]["n_exact"] == 500
+    # zero-survivor group still appears (tiny prefilter)
+    out2 = kmv_distinct(df, "k", ["g"], k=64, prefilter=1e-9).collect()
+    assert len(out2) == 1 and out2[0]["kmv_estimate"] == 0.0
+
+
+def test_dedup_spans_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real words here")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in dedup_spans(docs, n=5).collect()}
+    assert out[1]["n_tokens"] == 0
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_removed"] == 0
+
+
+def test_bpe_encode_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "some words")], "doc_id LONG, text STRING"
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(df, [("s", "o")]).collect()}
+    assert out[1]["n_words"] == 0 and out[1]["n_bpe_tokens"] == 0
+    assert out[1]["bpe_preview"] == ""
+    assert out[2]["n_words"] == 2
+
+
+def test_zorder_value_degenerate_stats(spark):
+    # all-null column and empty frame: no crash, constant rank
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a LONG, b DOUBLE"
+    )
+    zdf, zc = zorder_value(df, ["a", "b"], bits=4)
+    assert zdf.count() == 2
+    empty = spark.createDataFrame([], "a LONG, b DOUBLE")
+    zdf2, _ = zorder_value(empty, ["a", "b"], bits=4)
+    assert zdf2.count() == 0
+
+
+def test_covariance_and_pca_clear_errors(spark):
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="empty input"):
+        embedding_covariance(empty, "embedding")
+    one = spark.createDataFrame(
+        [Row(vec_id=0, embedding=[1.0, 2.0])]
+    )
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_components(one, "embedding", k=1, dims=2)
