@@ -41,7 +41,12 @@ from nspc_etl_basic_spark.operators.quality import (
 )
 from nspc_etl_basic_spark.operators.scd import scd2_apply_changes, scd2_from_feed
 from nspc_etl_basic_spark.operators.spandedup import dedup_spans
-from nspc_etl_basic_spark.operators.anomaly import zscore_outliers
+from nspc_etl_basic_spark.operators.anomaly import (
+    moments,
+    sufficient_stats,
+    zscore_against,
+    zscore_outliers,
+)
 
 __all__ += [
     "Check",
@@ -55,6 +60,9 @@ __all__ += [
     "scd2_apply_changes",
     "scd2_from_feed",
     "dedup_spans",
+    "moments",
+    "sufficient_stats",
+    "zscore_against",
     "zscore_outliers",
 ]
 

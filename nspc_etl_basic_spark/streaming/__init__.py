@@ -17,6 +17,7 @@ from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
 from nspc_etl_basic_spark.streaming.joins import attribution_join
 from nspc_etl_basic_spark.streaming.quality import QualityGateError, run_stream_quality
 from nspc_etl_basic_spark.streaming.scd import run_stream_scd2
+from nspc_etl_basic_spark.streaming.anomaly import run_stream_anomaly, stats_store_table
 from nspc_etl_basic_spark.streaming.spandedup import (
     gram_store_table,
     read_gram_counts,
@@ -28,6 +29,8 @@ __all__ = [
     "QualityGateError",
     "run_stream_quality",
     "run_stream_scd2",
+    "run_stream_anomaly",
+    "stats_store_table",
     "gram_store_table",
     "read_gram_counts",
     "run_stream_span_dedup",
