@@ -89,6 +89,13 @@ def scd2_apply_changes(
     a re-delivered identical change) — the property the streaming ingest
     relies on for exactly-once effect.
 
+    ASSUMPTION (uniqueness): changes must be unique per (key, ts_col) —
+    dedupe upstream (last-wins on a source sequence) before applying.
+    Reopened history intervals carry a NULL tiebreak (the original
+    tiebreak of a compressed change is not recoverable from the table),
+    so two same-timestamp changes for one key would order
+    nondeterministically.
+
     ASSUMPTION (standard CDC ordering): a batch change for key k must not
     predate k's existing history. The SCD2 table is compressed state —
     consecutive identical changes leave no trace — so a LATE-arriving

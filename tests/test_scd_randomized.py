@@ -100,7 +100,15 @@ def test_scd2_apply_equals_rebuild_for_in_order_batches(spark, seed):
     assumption (every batch change postdates the key's existing history)
     — here guaranteed by a global time split."""
     rng = np.random.default_rng(seed)
-    rows = _random_feed(rng, n_rows=80)
+    raw = _random_feed(rng, n_rows=80)
+    # apply-changes requires one change per (key, ts): the table cannot
+    # preserve tiebreaks of compressed history. Last-wins on tb.
+    by_kts = {}
+    for r in raw:
+        k_ts = (r[0], r[1])
+        if k_ts not in by_kts or r[4] > by_kts[k_ts][4]:
+            by_kts[k_ts] = r
+    rows = list(by_kts.values())
     cutoff = datetime.date(2024, 1, 20)
     head = [r for r in rows if r[1] < cutoff]
     tail = [r for r in rows if r[1] >= cutoff]
