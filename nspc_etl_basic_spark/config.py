@@ -60,6 +60,17 @@ DEFAULT_CONFIG: dict[str, Any] = {
         "batch_table_name": "EtlBatchJobStatistics",
     },
     "tables": {},
+    # round-4 extension: declarative data-quality constraint suite run on
+    # the VALID (cast) rows before the sink. Each check: {name, type,
+    # column | columns, lo?, hi?, pattern?, exact?}; type in completeness/
+    # uniqueness/min/max/mean/compliance. action 'log' records results;
+    # 'fail' also fails the file load on any violation (strict-rollback
+    # semantics: the target is untouched).
+    "quality": {
+        "checks": [],
+        "action": "log",
+        "table_name": "EtlQualityCheck",
+    },
     # per-file log artifacts (logs/process_<stem>_<jobid>.log and
     # failed-row logs/<stem>_<jobid>.txt, reference loader.py:69-101, 1049)
     "logging": {"enabled": True},

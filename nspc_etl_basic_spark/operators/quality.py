@@ -126,3 +126,33 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         .withColumn("passed", passed)
         .orderBy("check_name")
     )
+
+
+def checks_from_config(specs: Sequence[dict]) -> list[Check]:
+    """Build a Check list from config dicts (the pipeline's ``quality.
+    checks`` YAML section). Each spec: ``{name, type, column | columns,
+    lo?, hi?, pattern?, exact?}`` with type one of completeness /
+    uniqueness / min / max / mean / compliance."""
+    out: list[Check] = []
+    for spec in specs:
+        name = spec["name"]
+        kind = spec["type"]
+        lo = spec.get("lo")
+        hi = spec.get("hi")
+        if kind == "completeness":
+            metric = completeness(spec["column"])
+        elif kind == "uniqueness":
+            cols = spec.get("columns") or [spec["column"]]
+            metric = uniqueness(*cols, exact=bool(spec.get("exact", True)))
+        elif kind == "min":
+            metric = minimum(spec["column"])
+        elif kind == "max":
+            metric = maximum(spec["column"])
+        elif kind == "mean":
+            metric = mean_of(spec["column"])
+        elif kind == "compliance":
+            metric = compliance(spec["column"], spec["pattern"])
+        else:
+            raise ValueError(f"unknown quality check type: {kind!r}")
+        out.append(Check(name, metric, lo=lo, hi=hi))
+    return out

@@ -310,6 +310,36 @@ def process_file(
                 if txt:
                     logger.info("failed-row detail written to %s", txt)
 
+        # declarative quality gate (quality.checks): one aggregate pass
+        # over the VALID rows; results always recorded, action 'fail'
+        # aborts before the sink (target untouched — strict-rollback
+        # semantics match the cast-validation path above)
+        q_cfg = config.get("quality", {}) or {}
+        q_specs = q_cfg.get("checks") or []
+        if q_specs:
+            from nspc_etl_basic_spark.operators.quality import (
+                checks_from_config,
+                run_checks,
+            )
+
+            q_rows = [
+                r.asDict()
+                for r in run_checks(valid, checks_from_config(q_specs)).collect()
+            ]
+            meta.write_quality_results(q_rows, job_run_id, table_name)
+            failed_checks = [r["check_name"] for r in q_rows if not r["passed"]]
+            result.details["quality"] = {
+                r["check_name"]: r["value"] for r in q_rows
+            }
+            if failed_checks:
+                logger.warning(
+                    "quality checks failed for %s: %s", table_name, failed_checks
+                )
+                if q_cfg.get("action", "log") == "fail":
+                    raise ValueError(
+                        f"quality gate: checks failed: {failed_checks}"
+                    )
+
         if use_jdbc:
             # reference deployment shape: data lands in the database; the
             # metadata/statistics tables stay in the parquet warehouse

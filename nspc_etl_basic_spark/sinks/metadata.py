@@ -70,6 +70,20 @@ BATCH_STATS_SCHEMA = T.StructType(
 )
 
 
+QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("JobRunID", T.StringType(), False),
+        T.StructField("TableName", T.StringType(), True),
+        T.StructField("CheckName", T.StringType(), False),
+        T.StructField("Value", T.DoubleType(), True),
+        T.StructField("Lo", T.DoubleType(), True),
+        T.StructField("Hi", T.DoubleType(), True),
+        T.StructField("Passed", T.BooleanType(), True),
+        T.StructField("CheckTimestamp", T.TimestampType(), True),
+    ]
+)
+
+
 class MetadataStore:
     def __init__(self, warehouse: ParquetWarehouse, config: dict | None = None):
         self.wh = warehouse
@@ -78,6 +92,9 @@ class MetadataStore:
         self.error_table = cfg.get("error_logging", {}).get("table_name", "EtlJobError")
         self.batch_table = cfg.get("batch_processing", {}).get(
             "batch_table_name", "EtlBatchJobStatistics"
+        )
+        self.quality_table = cfg.get("quality", {}).get(
+            "table_name", "EtlQualityCheck"
         )
 
     # ---- H8: job statistics
@@ -140,6 +157,32 @@ class MetadataStore:
         if not self.wh.exists(self.error_table):
             return self.wh.spark.createDataFrame([], schema=ERROR_LOG_SCHEMA)
         return self.wh.read(self.error_table)
+
+    # ---- quality-check results (round-4 extension; same append-only shape)
+    def write_quality_results(
+        self, results: list[dict], job_run_id: str, table_name: str
+    ) -> None:
+        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        rows = [
+            {
+                "JobRunID": job_run_id,
+                "TableName": table_name,
+                "CheckName": r["check_name"],
+                "Value": r["value"],
+                "Lo": r["lo"],
+                "Hi": r["hi"],
+                "Passed": r["passed"],
+                "CheckTimestamp": now,
+            }
+            for r in results
+        ]
+        df = self.wh.spark.createDataFrame(rows, schema=QUALITY_SCHEMA)
+        df.write.mode("append").parquet(self.wh.table_path(self.quality_table))
+
+    def read_quality_results(self) -> DataFrame:
+        if not self.wh.exists(self.quality_table):
+            return self.wh.spark.createDataFrame([], schema=QUALITY_SCHEMA)
+        return self.wh.read(self.quality_table)
 
     # ---- H10: batch statistics (append-only, last EventSeq wins)
     def append_batch_event(self, event: dict) -> None:
