@@ -258,7 +258,9 @@ def process_file(
         elif bucketed is not None:
             existing = bucketed.exists()
         else:
-            existing = mode in ("append", "upsert") and warehouse.exists(table_name)
+            existing = mode in ("append", "upsert", "scd2") and warehouse.exists(
+                table_name
+            )
         if existing:
             if use_jdbc:
                 target_struct = jdbc_struct
@@ -266,6 +268,28 @@ def process_file(
                 target_struct = bucketed.read().schema
             else:
                 target_struct = warehouse.read(table_name).schema
+            if mode == "scd2":
+                # the stored table carries interval columns instead of the
+                # feed's ts column: schema authority for the feed is the
+                # attr columns plus valid_from RENAMED back to ts_column
+                from pyspark.sql import types as _T
+
+                scd2_ts = (loader_cfg.get("scd2", {}) or {}).get("ts_column")
+                fields = []
+                for f in target_struct.fields:
+                    if f.name in ("valid_to", "is_current"):
+                        continue
+                    if f.name == "valid_from":
+                        if not scd2_ts:
+                            raise ValueError(
+                                "scd2 mode requires loader.scd2.ts_column"
+                            )
+                        fields.append(
+                            _T.StructField(scd2_ts, f.dataType, f.nullable)
+                        )
+                    else:
+                        fields.append(f)
+                target_struct = _T.StructType(fields)
             file_cols = [c for c in df.columns if not c.startswith("__")]
             extra = [c for c in file_cols if c not in target_struct.names]
             if extra:
@@ -377,6 +401,40 @@ def process_file(
             counts = bucketed.merge(deduped)
             result.rows_inserted = counts.inserted
             result.rows_updated = counts.updated
+        elif mode == "scd2":
+            # fifth table mode (round-4 extension): the file is a CDC
+            # change feed; the target is a Type-2 dimension history.
+            # (key, ts) uniqueness comes from last-wins dedup on input
+            # order — the same E1 rule the upsert path applies.
+            from nspc_etl_basic_spark.operators.scd import (
+                scd2_apply_changes,
+                scd2_from_feed,
+            )
+
+            scfg = loader_cfg.get("scd2", {}) or {}
+            ts_col = scfg.get("ts_column")
+            if not ts_col:
+                raise ValueError("scd2 mode requires loader.scd2.ts_column")
+            attr_cols = list(scfg.get("attr_columns") or [
+                c for c in valid.columns
+                if not c.startswith("__") and c not in pk_cols and c != ts_col
+            ])
+            feed = dedup_last_wins(
+                valid, pk_cols + [ts_col], order_col=SEQ_COL
+            ).select(*pk_cols, ts_col, *attr_cols, SEQ_COL)
+            if warehouse.exists(table_name):
+                out = scd2_apply_changes(
+                    warehouse.read(table_name),
+                    feed,
+                    pk_cols, ts_col, attr_cols,
+                    tiebreak_cols=[SEQ_COL],
+                )
+            else:
+                out = scd2_from_feed(
+                    feed, pk_cols, ts_col, attr_cols, tiebreak_cols=[SEQ_COL]
+                )
+            warehouse.overwrite_snapshot(out, table_name)
+            result.rows_inserted = feed.count()
         elif mode == "upsert":
             deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
             if warehouse.exists(table_name):
