@@ -2278,11 +2278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS run may be capped (r02
     # and r03 each checked only the first 50 entries), so this round's
     # order is: the two rows red in r03 (both harness-level, fixed in
-    # round 4), then the 19 queries NEW in round 4 (never
+    # round 4), then the 20 queries NEW in round 4 (never
     # driver-verified), then the entries whose last driver check was r02
-    # — all inside the 50-entry cap except q19-q22/q_top/q_corr
-    # (unchanged TPC-H plans, green in r02) — then the r03-green
-    # remainder.
+    # — the cap's tail cuts only unchanged TPC-H plans green in r02 —
+    # then the r03-green remainder.
     return {
         # -- red in r03 (oracle HUGEINT drift / canonicalizer crash; fixed) --
         "events_json_extract": events_json_extract_q,
