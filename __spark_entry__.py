@@ -1676,17 +1676,35 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", (cents + 100000).alias("bal_cents")
     )
 
+    # fingerprint the SOURCE data (mtime+size), not just its path:
+    # regenerated testdata must invalidate the cached table or the oracle
+    # (which replays the new parquet) would red a correct engine
+    try:
+        st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+        fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = sf_dir
     work = os.path.join(
         tempfile.gettempdir(),
-        f"nspc_tt_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"nspc_tt_{hashlib.md5(fp.encode()).hexdigest()[:12]}",
     )
     t = BucketedTable(spark, work, ["c_custkey"], n_buckets=16)
     if not (t.exists() and len(t.versions()) >= 2):
-        # absent or half-built (crashed earlier run): rebuild from scratch
-        shutil.rmtree(work, ignore_errors=True)
+        # absent or half-built: build privately, then atomically rename
+        # into place — a concurrent builder cannot half-overwrite the
+        # table another reader is using (loser of the race keeps its
+        # private dir; relative bucket paths make the rename safe)
+        build = tempfile.mkdtemp(prefix="nspc_tt_build_")
+        os.rmdir(build)
+        tb = BucketedTable(spark, build, ["c_custkey"], n_buckets=16)
+        tb.init(base)
+        tb.merge(inserts.unionByName(updates))
+        try:
+            shutil.rmtree(work, ignore_errors=True)
+            os.rename(build, work)
+        except OSError:
+            work = build  # lost the rename race: use the private copy
         t = BucketedTable(spark, work, ["c_custkey"], n_buckets=16)
-        t.init(base)
-        t.merge(inserts.unionByName(updates))
 
     def snap(vid: int) -> DataFrame:
         return t.read(version=vid).agg(

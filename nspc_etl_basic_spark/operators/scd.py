@@ -89,12 +89,12 @@ def scd2_apply_changes(
     a re-delivered identical change) — the property the streaming ingest
     relies on for exactly-once effect.
 
-    ASSUMPTION (uniqueness): changes must be unique per (key, ts_col) —
-    dedupe upstream (last-wins on a source sequence) before applying.
-    Reopened history intervals carry a NULL tiebreak (the original
-    tiebreak of a compressed change is not recoverable from the table),
-    so two same-timestamp changes for one key would order
-    nondeterministically.
+    Same-(key, ts) collisions resolve as: a batch change REPLACES the
+    same-timestamp history row (correction semantics — matches a rebuild
+    over the last-wins-deduped raw change log); within a batch the
+    highest ``tiebreak_cols`` value wins. Two same-(key, ts) batch rows
+    WITHOUT a tiebreak order nondeterministically — dedupe upstream
+    (the pipeline's scd2 mode last-wins on input order first).
 
     ASSUMPTION (standard CDC ordering): a batch change for key k must not
     predate k's existing history. The SCD2 table is compressed state —
@@ -124,12 +124,28 @@ def scd2_apply_changes(
             F.lit(None).cast(batch.schema[c].dataType).alias(c)
             for c in tb
         ],
+    ).withColumn("_prio", F.lit(0))
+    new_changes = batch.select(
+        *key_cols, *attr_cols, F.col(ts_col), *tb
+    ).withColumn("_prio", F.lit(1))
+
+    # one change per (key, ts): the BATCH row wins a timestamp collision
+    # with reopened history (correction semantics — matches a rebuild
+    # over the last-wins-deduped raw change log; keeping both would emit
+    # a phantom zero-length interval), and re-delivered identical
+    # changes collapse the same way.
+    w = Window.partitionBy(*[F.col(k) for k in key_cols], F.col(ts_col)).orderBy(
+        F.col("_prio").desc(),
+        *[F.col(c).desc_nulls_last() for c in tb],
     )
-    new_changes = batch.select(*key_cols, *attr_cols, F.col(ts_col), *tb)
+    feed = (
+        reopened.unionByName(new_changes)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
     rebuilt = scd2_from_feed(
-        reopened.unionByName(new_changes).dropDuplicates(
-            list(key_cols) + attr_cols + [ts_col] + tb
-        ),
+        feed,
         key_cols,
         ts_col,
         attr_cols,

@@ -228,6 +228,13 @@ def process_file(
         # JDBC table itself (the reference's actual deployment shape).
         db_cfg = config.get("database", {})
         use_jdbc = db_cfg.get("type") == "jdbc" and db_cfg.get("url")
+        if use_jdbc and mode == "scd2":
+            # fail up front with a clear message instead of a KeyError
+            # deep in the jdbc writer after the full read/cast work
+            raise ValueError(
+                "table_mode 'scd2' is not supported with database.type "
+                "'jdbc' — the SCD2 fold targets the parquet warehouse"
+            )
         jdbc_opts = _jdbc_options(db_cfg) if use_jdbc else {}
         # bucketed layout: upserts go through the differential merge
         # (sinks/bucketed_merge.py) — per-file cost proportional to the
@@ -422,9 +429,12 @@ def process_file(
             feed = dedup_last_wins(
                 valid, pk_cols + [ts_col], order_col=SEQ_COL
             ).select(*pk_cols, ts_col, *attr_cols, SEQ_COL)
+            prev_rows = 0
             if warehouse.exists(table_name):
+                target = warehouse.read(table_name)
+                prev_rows = target.count()
                 out = scd2_apply_changes(
-                    warehouse.read(table_name),
+                    target,
                     feed,
                     pk_cols, ts_col, attr_cols,
                     tiebreak_cols=[SEQ_COL],
@@ -434,7 +444,11 @@ def process_file(
                     feed, pk_cols, ts_col, attr_cols, tiebreak_cols=[SEQ_COL]
                 )
             warehouse.overwrite_snapshot(out, table_name)
-            result.rows_inserted = feed.count()
+            # history rows actually ADDED (a replayed file nets 0), not
+            # the feed size — the job-statistics contract everywhere else
+            result.rows_inserted = max(
+                warehouse.read(table_name).count() - prev_rows, 0
+            )
         elif mode == "upsert":
             deduped = dedup_last_wins(valid, pk_cols, order_col=SEQ_COL)
             if warehouse.exists(table_name):

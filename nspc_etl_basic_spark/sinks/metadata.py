@@ -93,7 +93,7 @@ class MetadataStore:
         self.batch_table = cfg.get("batch_processing", {}).get(
             "batch_table_name", "EtlBatchJobStatistics"
         )
-        self.quality_table = cfg.get("quality", {}).get(
+        self.quality_table = (cfg.get("quality") or {}).get(
             "table_name", "EtlQualityCheck"
         )
 

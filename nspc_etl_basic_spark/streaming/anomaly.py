@@ -79,7 +79,12 @@ def run_stream_anomaly(
         outliers = zscore_against(
             batch_df, moments(combined, group_col), group_col, value_col,
             threshold,
-        )
+        ).withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+        # at-least-once window: a crash between this append and the
+        # checkpoint commit re-appends the SAME rows on replay (scoring
+        # is identical — the store read excludes this batch_id). The
+        # batch_id column makes downstream dedup a keyed drop; or land
+        # out_path in a keyed sink
         outliers.write.mode("append").parquet(out_path)
 
         keyed = batch_stats.select(
@@ -87,10 +92,7 @@ def run_stream_anomaly(
             F.lit(int(batch_id)).cast("long").alias("batch_id"),
             "_n", "_s1", "_s2",
         )
-        if store.exists():
-            store.merge(keyed)
-        else:
-            store.init(keyed)
+        store.merge(keyed)  # initializes the table when absent
 
     q = (
         df.writeStream.foreachBatch(_score_batch)

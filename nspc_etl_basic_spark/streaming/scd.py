@@ -31,14 +31,35 @@ def run_stream_scd2(
     ts_col: str,
     attr_cols: Sequence[str],
     checkpoint_path: str,
+    dedup_order_col: str | None = None,
     query_name: str = "stream_scd2",
 ):
-    """Drain an AvailableNow change stream into an SCD2 snapshot table."""
+    """Drain an AvailableNow change stream into an SCD2 snapshot table.
+
+    ``dedup_order_col`` names a source-sequence column: each micro-batch
+    is last-wins deduped per (key, ts) on it BEFORE the fold, satisfying
+    apply-changes' uniqueness requirement deterministically (same E1
+    rule as the batch pipeline). Without it, same-(key, ts) duplicate
+    changes inside one micro-batch pick a partition-order-dependent
+    winner — pass one whenever the source can collide.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
 
     def _apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        src = batch_df.select(*key_cols, ts_col, *attr_cols)
+        src = batch_df
+        if dedup_order_col is not None:
+            w = Window.partitionBy(
+                *[F.col(k) for k in key_cols], F.col(ts_col)
+            ).orderBy(F.col(dedup_order_col).desc())
+            src = (
+                src.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        src = src.select(*key_cols, ts_col, *attr_cols)
         if warehouse.exists(table):
             out = scd2_apply_changes(
                 warehouse.read(table), src, key_cols, ts_col, attr_cols

@@ -86,10 +86,7 @@ def run_stream_span_dedup(
         keyed = batch_counts.select(
             "gh", F.lit(int(batch_id)).cast("long").alias("batch_id"), "count"
         )
-        if store.exists():
-            store.merge(keyed)
-        else:
-            store.init(keyed)
+        store.merge(keyed)  # initializes the table when absent
 
     q = (
         df.writeStream.foreachBatch(_dedup_batch)

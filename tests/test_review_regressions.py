@@ -100,3 +100,53 @@ def test_covariance_and_pca_clear_errors(spark):
     )
     with pytest.raises(ValueError, match="at least 2"):
         pca_components(one, "embedding", k=1, dims=2)
+
+
+def test_scd2_apply_same_ts_correction_replaces_not_phantom(spark):
+    """A batch change at a timestamp already in history REPLACES that
+    row (correction), leaving no zero-length phantom interval."""
+    import datetime
+
+    from nspc_etl_basic_spark.operators.scd import (
+        scd2_apply_changes,
+        scd2_from_feed,
+    )
+
+    d = datetime.date
+    existing = scd2_from_feed(
+        spark.createDataFrame([(1, d(2024, 1, 1), "A")], "k INT, ts DATE, st STRING"),
+        ["k"], "ts", ["st"],
+    )
+    batch = spark.createDataFrame(
+        [(1, d(2024, 1, 1), "B")], "k INT, ts DATE, st STRING"
+    )
+    out = scd2_apply_changes(existing, batch, ["k"], "ts", ["st"]).collect()
+    assert len(out) == 1
+    assert out[0]["st"] == "B" and out[0]["is_current"] is True
+    assert out[0]["valid_to"] is None  # no zero-length phantom
+
+
+def test_scd2_mode_rejects_jdbc(spark, tmp_path):
+    import nspc_etl_basic_spark as eng
+    from nspc_etl_basic_spark.plans.pipeline import process_file
+
+    p = tmp_path / "f.csv"
+    p.write_text("id,ts,status\n1,2024-01-01,A\n")
+    cfg = eng.load_config(overrides={
+        "database": {"type": "jdbc", "url": "jdbc:derby:memory:x;create=true",
+                     "warehouse_path": str(tmp_path / "wh")},
+        "loader": {"table_mode": "scd2", "primary_key_columns": ["id"],
+                   "scd2": {"ts_column": "ts"}},
+    })
+    r = process_file(spark, str(p), cfg, move_files=False)
+    assert r.status == "Failed"
+    assert "scd2" in r.error_message and "jdbc" in r.error_message
+
+
+def test_metadata_store_tolerates_null_quality_section(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.metadata import MetadataStore
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    m = MetadataStore(wh, {"quality": None})  # bare `quality:` in YAML
+    assert m.quality_table == "EtlQualityCheck"
