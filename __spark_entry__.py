@@ -2187,6 +2187,22 @@ def corpus_span_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture rebalancing (alpha=0.5) over documents
+    by language: per-stratum md5-bucket thresholds derived from
+    sqrt-weighted counts (`operators/sampling.py:temperature_sample`).
+    sqrt is correctly-rounded IEEE, so the oracle replays the exact
+    thresholds."""
+    from nspc_etl_basic_spark.operators.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_sample(
+        docs, key="doc_id", strata_col="lang", alpha=0.5,
+        target_rows=None, salt="temp",
+    )
+    return out.select("doc_id", "lang", "source")
+
+
 def events_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outliers (|z| > 3) via decimal-exact
     sufficient statistics + broadcast re-attach — no window, no
@@ -2310,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_apply": scd2_apply_q,
         "corpus_span_dedup": corpus_span_dedup_q,
         "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
+        "corpus_temperature_sample": corpus_temperature_sample_q,
         "events_anomaly": events_anomaly_q,
         "events_hist_quantiles": events_hist_quantiles_q,
         "emb_covariance": emb_covariance_q,
@@ -2816,6 +2833,38 @@ def _sql_span_dedup_incr() -> str:
     """
 
 
+def _sql_temperature_sample() -> str:
+    """Oracle for corpus_temperature_sample: identical double arithmetic
+    (sqrt weights, floor thresholds, md5-bucket filter) as
+    `operators/sampling.py:temperature_sample` with alpha=0.5/salt
+    'temp'."""
+    return """
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        t AS (
+            -- list_sum over an ORDER BY lang list = left-to-right
+            -- summation in stratum order, matching the operator's
+            -- canonical wsum accumulation (float adds don't commute)
+            SELECT sum(n) AS total,
+                   list_sum(list(sqrt(CAST(n AS DOUBLE)) ORDER BY lang)) AS wsum
+            FROM c
+        ),
+        f AS (
+            SELECT c.lang,
+                   CAST(floor(
+                       least(1.0,
+                             (CAST(t.total AS DOUBLE)
+                              * sqrt(CAST(c.n AS DOUBLE)) / t.wsum)
+                             / CAST(c.n AS DOUBLE)) * 10000
+                   ) AS BIGINT) AS thr
+            FROM c CROSS JOIN t
+        )
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN f USING (lang)
+        WHERE CAST('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10000 < f.thr
+    """
+
+
 def _sql_events_anomaly() -> str:
     """Oracle for events_anomaly: identical decimal-exact sufficient
     statistics and double arithmetic as `operators/anomaly.py` (operand
@@ -2931,6 +2980,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_apply": _sql_scd2_apply(),
         "corpus_span_dedup": _sql_span_dedup(),
         "corpus_span_dedup_incr": _sql_span_dedup_incr(),
+        "corpus_temperature_sample": _sql_temperature_sample(),
         "events_anomaly": _sql_events_anomaly(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         "emb_covariance": _sql_emb_covariance(8),

@@ -11,6 +11,7 @@ from nspc_etl_basic_spark.operators.sampling import (
     pack_sequences,
     stratified_sample,
     take_until_budget,
+    temperature_sample,
 )
 from nspc_etl_basic_spark.operators.skew import salted_count_by_key, salted_join
 
@@ -25,6 +26,7 @@ __all__ = [
     "pack_sequences",
     "stratified_sample",
     "take_until_budget",
+    "temperature_sample",
     "salted_count_by_key",
     "salted_join",
 ]

@@ -274,3 +274,53 @@ def mixture_order(
             F.round((F.col("mix_rank") - 0.5) / w_expr, 6),
         )
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing (the standard multilingual
+    mixture rule): stratum g gets sampling weight n_g^alpha / Σ n^alpha,
+    so alpha=1 preserves natural proportions, alpha=0 makes strata
+    uniform, and alpha≈0.5 lifts low-resource strata without drowning
+    high-resource ones. Per-stratum keep fraction is
+    ``min(1, target_rows * w_g / n_g)`` (default target: the corpus
+    size), applied as the same deterministic md5-bucket filter as
+    :func:`hash_sample` — one projection + filter, no shuffle of data.
+
+    The only driver-side work is the per-stratum count collect (bounded
+    by the number of strata). Thresholds use ``floor`` (not round) so
+    any engine replaying the identical double arithmetic lands on the
+    same bucket cutoff; with alpha=0.5 the power is ``sqrt`` (correctly
+    rounded IEEE, bit-identical across engines) — other alphas depend on
+    the platform ``pow`` and may drift one bucket at the edge.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df
+    total = sum(counts.values())
+    target = total if target_rows is None else int(target_rows)
+    # canonical left-to-right summation in stratum order: float addition
+    # is order-dependent in the last ulp, and the threshold floor must be
+    # replayable by an oracle summing in the same declared order
+    wsum = 0.0
+    for value in sorted(counts, key=str):
+        wsum += math.pow(counts[value], alpha)
+    bucket = hash_bucket(F.col(key), salt)
+    threshold = F.lit(-1)
+    for value, n in sorted(counts.items(), key=lambda kv: str(kv[0])):
+        frac = min(1.0, (target * math.pow(n, alpha) / wsum) / n)
+        threshold = F.when(
+            F.col(strata_col) == value,
+            F.lit(int(math.floor(frac * _BUCKETS))),
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)

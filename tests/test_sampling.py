@@ -238,3 +238,37 @@ def test_take_until_budget_handles_null_weights(spark):
     kept = {r.doc_id: r.cum_weight for r in got.collect()}
     assert kept[0] == 10
     assert 2 not in kept
+
+
+def test_temperature_sample_rebalances(spark):
+    from nspc_etl_basic_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "big") for i in range(900)] + [(1000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = temperature_sample(df, "id", "g", alpha=0.5, target_rows=500)
+    got = {r["g"]: r["n"] for r in out.groupBy("g").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    # sqrt weighting: big keeps ~500*0.75/900=0.42, small ~500*0.25/100=1.25->all
+    assert got["small"] == 100  # fraction clamped at 1
+    assert 300 < got["big"] < 450  # ~0.416 of 900 with hash-bucket noise
+    # deterministic: re-run identical
+    out2 = temperature_sample(df, "id", "g", alpha=0.5, target_rows=500)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, out2.collect()))
+
+
+def test_temperature_sample_alpha_extremes(spark):
+    from nspc_etl_basic_spark.operators.sampling import temperature_sample
+
+    rows = [(i, "a") for i in range(400)] + [(1000 + i, "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    # alpha=1: natural proportions -> keep everything at target=total
+    all_kept = temperature_sample(df, "id", "g", alpha=1.0)
+    assert all_kept.count() == 500
+    # alpha=0: uniform weights -> equal per-stratum targets
+    uni = temperature_sample(df, "id", "g", alpha=0.0, target_rows=200)
+    got = {r["g"]: r["n"] for r in uni.groupBy("g").agg(
+        __import__("pyspark.sql.functions", fromlist=["count"]).count("*").alias("n")
+    ).collect()}
+    assert got["b"] == 100  # clamped (target 100 >= stratum size 100)
+    assert 70 < got["a"] < 130  # ~100/400 of 400
