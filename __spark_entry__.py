@@ -1548,6 +1548,21 @@ def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)
 
 
+def events_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters via the two-phase frequent-items pattern
+    (operators/sketches.heavy_hitters): phase 1 is Spark's JVM-side
+    bounded-memory Karp-Shenker-Papadimitriou pass (``stat.freqItems``,
+    guaranteed superset of keys above the support), phase 2 counts ONLY
+    the candidates — the isin literal reaches the scan as a pushed
+    filter, so the groupBy shuffle carries the head keys, not the 100 TB
+    tail. Superset + exact count = deterministic, so a plain GROUP BY ..
+    HAVING oracle replays it value-for-value."""
+    from nspc_etl_basic_spark.operators.sketches import heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters(ev, key_col="user_id", threshold_frac=0.005)
+
+
 def events_cube_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full CUBE in ONE pass: ``CUBE(event_type, day)`` produces all
     FOUR grouping sets — (type, day), (type), (day), () — from a single
@@ -2338,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_time_travel": bucketed_time_travel_q,
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
+        "events_heavy_hitters": events_heavy_hitters_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -4248,6 +4264,17 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_exact AS DOUBLE) * 1000000) / 1000000
                        AS rel_error
             FROM est
+        """,
+        # two-phase heavy hitters is EXACT by construction (superset
+        # candidates, exact counts), so the oracle is the naive GROUP
+        # BY .. HAVING; share replays floor(cnt*1e6/N)/1e6 IEEE-exactly
+        "events_heavy_hitters": """
+            WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+            c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+            SELECT c.user_id, c.cnt,
+                   floor(c.cnt * 1000000.0 / t.n) / 1000000.0 AS share
+            FROM c CROSS JOIN tot t
+            WHERE c.cnt >= CAST(ceil(0.005 * t.n) AS BIGINT)
         """,
         # replays BOTH retained BucketedTable versions straight from the
         # source parquet: v0 = keys %7<3; v1 adds %7 IN (3,4) and bumps

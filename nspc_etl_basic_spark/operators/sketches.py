@@ -30,6 +30,8 @@ the k smallest; pass ``prefilter`` to apply it.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -148,6 +150,79 @@ def kmv_distinct(
             )
             / 1e6
         ).alias("rel_error"),
+    )
+
+
+#: above this many candidates the exact-count phase joins a broadcast
+#: candidate DataFrame instead of inlining an ``isin`` literal list
+_ISIN_LITERAL_CAP = 1000
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold_frac: float,
+    support: float | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters via the two-phase frequent-items pattern:
+    ``(key_col, cnt, share)`` for every key whose frequency is at least
+    ``ceil(threshold_frac * N)``.
+
+    The naive plan — groupBy the key, count, filter — shuffles every row
+    of the table to count a tail that is then thrown away. The classical
+    streaming fix (Karp-Shenker-Papadimitriou / Misra-Gries counters) is
+    a single bounded-memory pass that yields a SUPERSET of all keys with
+    frequency > support; Spark ships it JVM-side as
+    ``DataFrame.stat.freqItems``. Phase 2 then counts ONLY the candidate
+    keys exactly: the candidate filter sits before the shuffle (as an
+    ``isin`` literal it reaches the parquet scan as a pushed filter), so
+    the groupBy exchange carries candidate rows only — at 100 TB with a
+    Zipfian key the shuffle shrinks from the full table to the head.
+
+    Because phase 1 is guaranteed-superset and phase 2 is exact, the
+    output is deterministic and engine-independent — a plain GROUP BY ..
+    HAVING replays it, so it sits behind the value-hashed oracle gate
+    (unlike the sketch-internal counters, which are never exposed).
+
+    ``support`` defaults to ``threshold_frac / 2`` (a safety margin; the
+    freqItems contract only guarantees keys with frequency > support,
+    and candidate memory is O(1/support)).
+    """
+    if not 0.0 < threshold_frac <= 1.0:
+        raise ValueError("threshold_frac must be in (0, 1]")
+    if support is None:
+        support = threshold_frac / 2.0
+    if support > threshold_frac:
+        raise ValueError("support must be <= threshold_frac (superset guarantee)")
+    # phase 1: one JVM-side pass; candidate count is bounded by 1/support
+    row = df.stat.freqItems([key_col], support).head()
+    candidates = [c for c in row[0] if c is not None]
+    total = df.count()
+    min_cnt = max(1, math.ceil(threshold_frac * total)) if total else 1
+
+    if not candidates:
+        pruned = df.where(F.lit(False))
+    elif len(candidates) <= _ISIN_LITERAL_CAP:
+        pruned = df.where(F.col(key_col).isin(candidates))
+    else:
+        cand_df = df.sparkSession.createDataFrame(
+            [(c,) for c in candidates], df.select(key_col).schema
+        )
+        pruned = df.join(F.broadcast(cand_df), key_col, "left_semi")
+    return (
+        pruned.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_cnt)
+        .select(
+            key_col,
+            "cnt",
+            # cnt * 1e6 / N, floored: IEEE-exact op order a SQL oracle
+            # replays as floor(cnt * 1000000.0 / N) / 1000000.0
+            (
+                F.floor(F.col("cnt") * F.lit(1e6) / F.lit(float(total)))
+                / F.lit(1e6)
+            ).alias("share"),
+        )
     )
 
 

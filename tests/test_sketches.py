@@ -139,3 +139,60 @@ def test_histogram_quantiles_no_window_over_rows(spark):
     # cumulative walk is in-row over the <=bins histogram array — the
     # plan must not contain a Window (or a global Sort) over data rows
     assert "Window" not in plan
+
+
+def test_heavy_hitters_matches_exact_group_by(spark, sf_dir):
+    """Two-phase frequent-items output == plain groupBy/HAVING (the
+    superset-then-exact-count construction is exact by design)."""
+    from nspc_etl_basic_spark.operators.sketches import heavy_hitters
+
+    ev = _events(spark, sf_dir)
+    frac = 0.005
+    got = {
+        (r["user_id"], r["cnt"])
+        for r in heavy_hitters(ev, "user_id", frac).collect()
+    }
+    import math
+
+    n = ev.count()
+    want = {
+        (r["user_id"], r["cnt"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= max(1, math.ceil(frac * n)))
+        .collect()
+    }
+    assert got == want and want  # non-vacuous
+
+
+def test_heavy_hitters_skewed_key(spark):
+    """A Zipf-ish synthetic: one dominant key, a long uniform tail —
+    only the head survives the threshold."""
+    from nspc_etl_basic_spark.operators.sketches import heavy_hitters
+
+    rows = [("hot",)] * 500 + [("warm",)] * 60 + [
+        (f"cold{i}",) for i in range(440)
+    ]
+    df = spark.createDataFrame(rows, ["k"]).repartition(8)
+    out = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 0.05).collect()}
+    assert out == {"hot": 500, "warm": 60}
+    # share is floor(cnt*1e6/N)/1e6
+    shares = {
+        r["k"]: r["share"] for r in heavy_hitters(df, "k", 0.05).collect()
+    }
+    assert shares["hot"] == 0.5
+
+
+def test_heavy_hitters_empty_and_validation(spark):
+    from nspc_etl_basic_spark.operators.sketches import heavy_hitters
+    import pytest as _pt
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    # all keys unique, threshold 10%: nothing qualifies, schema intact
+    out = heavy_hitters(df, "k", 0.1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "cnt", "share"]
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "k", 0.0)
+    with _pt.raises(ValueError):
+        heavy_hitters(df, "k", 0.01, support=0.5)
