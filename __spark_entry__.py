@@ -1731,6 +1731,62 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap(0).unionByName(snap(1))
 
 
+def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side file pruning end-to-end (sinks/stats_index.py):
+    commit customer range-partitioned on c_custkey into a snapshot
+    table (8 files, disjoint key ranges), ``analyze`` the file-level
+    min/max index, then ``read_pruned`` a narrow key range — the driver
+    drops non-intersecting files before Spark plans the scan (the
+    Delta/Iceberg manifest-pruning pattern; at 100 TB the win is not
+    bytes but per-file scheduling). The oracle replays the range filter
+    straight off the source parquet, so a pruning bug that drops a
+    matching file reds the row. Work dir is deterministic per source
+    fingerprint and reused (same scheme as bucketed_time_travel_q)."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.stats_index import load_stats_index
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    cust = _t(spark, sf_dir, "customer")
+    try:
+        st = os.stat(os.path.join(sf_dir, "customer.parquet"))
+        fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        fp = sf_dir
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"nspc_fp_{hashlib.md5(fp.encode()).hexdigest()[:12]}",
+    )
+    wh = ParquetWarehouse(spark, work)
+    if not (
+        wh.exists("customer")
+        and load_stats_index(wh.data_path("customer")) is not None
+    ):
+        build = tempfile.mkdtemp(prefix="nspc_fp_build_")
+        bwh = ParquetWarehouse(spark, build)
+        bwh.write(
+            cust.repartitionByRange(8, "c_custkey").sortWithinPartitions(
+                "c_custkey"
+            ),
+            "customer",
+        )
+        bwh.analyze("customer", ["c_custkey"])
+        try:
+            shutil.rmtree(work, ignore_errors=True)
+            os.rename(build, work)
+        except OSError:
+            work = build
+        wh = ParquetWarehouse(spark, work)
+    return wh.read_pruned("customer", "c_custkey", 50, 120).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+
+
 def sim_ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against a TRAINED k-means codebook (operators/similarity.
     train_ivf_centroids) with recall measured in-query against the exact
@@ -2351,6 +2407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,
+        "warehouse_file_prune": warehouse_file_prune_q,
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_heavy_hitters": events_heavy_hitters_q,
@@ -4264,6 +4321,13 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_exact AS DOUBLE) * 1000000) / 1000000
                        AS rel_error
             FROM est
+        """,
+        # the pruned read must return exactly the source rows in range —
+        # a file wrongly dropped by the min/max intersection reds this
+        "warehouse_file_prune": """
+            SELECT c_custkey, c_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer WHERE c_custkey BETWEEN 50 AND 120
         """,
         # two-phase heavy hitters is EXACT by construction (superset
         # candidates, exact counts), so the oracle is the naive GROUP

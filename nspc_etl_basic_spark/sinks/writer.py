@@ -330,6 +330,24 @@ class ParquetWarehouse:
         df = self.read(name).coalesce(int(target))
         return self._commit_version(df, name)
 
+    def analyze(self, name: str, cols: list[str]) -> dict:
+        """Build the file-level min/max stats index for the CURRENT
+        version (sinks/stats_index.py) — one column-pruned pass; the
+        sidecar lives inside the version dir, so it is immutable with
+        the data, GC'd with it, and consistent under time travel."""
+        from .stats_index import build_stats_index
+
+        return build_stats_index(self.spark, self.data_path(name), cols)
+
+    def read_pruned(self, name: str, col: str, lo=None, hi=None) -> DataFrame:
+        """Range read ``lo <= col <= hi`` that drops non-matching files
+        on the DRIVER before the scan is planned (Delta/Iceberg-style
+        manifest pruning). Correct with or without an index — the
+        predicate is re-applied to whatever is read."""
+        from .stats_index import pruned_scan
+
+        return pruned_scan(self.spark, self.data_path(name), col, lo, hi)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 
