@@ -1731,6 +1731,25 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap(0).unionByName(snap(1))
 
 
+def emb_pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode on the ORACLE tier (operators/pq.py):
+    deterministic seed codebooks (the 16 lowest-id vectors' subvectors,
+    m=8 subspaces of width 8), argmin-L2 code per subspace as a pure
+    codegen'd projection — round-6 boundaries, sequential-fold dots, so
+    DuckDB replays every code and the integer-exact quantization error
+    bit-for-bit. Trained-codebook PQ + ADC search are the pytest-
+    covered recall tier (tests/test_pq.py), mirroring the
+    ivf_centroids / train_ivf_centroids split."""
+    from nspc_etl_basic_spark.operators.pq import pq_encode, pq_seed_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_seed_codebooks(emb, m=8, k=16)
+    out = pq_encode(emb, books, err_col="err_micro")
+    return out.select(
+        "vec_id", F.to_json("pq_code").alias("code_json"), "err_micro"
+    )
+
+
 def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side file pruning end-to-end (sinks/stats_index.py):
     commit customer range-partitioned on c_custkey into a snapshot
@@ -2408,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,
         "warehouse_file_prune": warehouse_file_prune_q,
+        "emb_pq_encode": emb_pq_encode_q,
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_heavy_hitters": events_heavy_hitters_q,
@@ -4321,6 +4341,44 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_exact AS DOUBLE) * 1000000) / 1000000
                        AS rel_error
             FROM est
+        """,
+        # PQ seed-codebook encode: k=16 lowest-id vectors sliced into
+        # m=8 subspaces; per-subspace argmin of round-6 squared L2 via
+        # the dot identity (three sequential-fold dot products — the
+        # exact op order the Spark side computes); err is integer-summed
+        # micro-units so addition order cannot drift the hash
+        "emb_pq_encode": """
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+                       embedding::DOUBLE[] AS cvec
+                FROM embeddings ORDER BY vec_id LIMIT 16
+            ),
+            js AS (SELECT unnest(range(8)) AS j),
+            csub AS (
+                SELECT j, cidx, list_slice(cvec, j*8 + 1, j*8 + 8) AS cs
+                FROM seeds CROSS JOIN js
+            ),
+            esub AS (
+                SELECT vec_id, j,
+                       list_slice(embedding::DOUBLE[], j*8 + 1, j*8 + 8) AS es
+                FROM embeddings CROSS JOIN js
+            ),
+            assign AS (
+                SELECT e.vec_id, e.j, c.cidx,
+                       round(list_dot_product(es, es)
+                             - 2 * list_dot_product(es, cs)
+                             + list_dot_product(cs, cs), 6) AS d
+                FROM esub e JOIN csub c ON e.j = c.j
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id, e.j
+                    ORDER BY d ASC, c.cidx ASC) = 1
+            )
+            SELECT vec_id,
+                   '[' || string_agg(CAST(cidx AS VARCHAR), ','
+                                     ORDER BY j) || ']' AS code_json,
+                   CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS BIGINT)
+                       AS err_micro
+            FROM assign GROUP BY vec_id
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this

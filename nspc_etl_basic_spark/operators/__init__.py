@@ -71,3 +71,27 @@ __all__ += [
 from nspc_etl_basic_spark.operators.bpe import bpe_encode, train_bpe
 
 __all__ += ["bpe_encode", "train_bpe"]
+
+from nspc_etl_basic_spark.operators.pq import (
+    pq_encode,
+    pq_encode_kernel,
+    pq_seed_codebooks,
+    pq_topk,
+    train_pq_codebooks,
+)
+from nspc_etl_basic_spark.operators.sketches import (
+    heavy_hitters,
+    histogram_quantiles,
+    kmv_distinct,
+)
+
+__all__ += [
+    "pq_encode",
+    "pq_encode_kernel",
+    "pq_seed_codebooks",
+    "pq_topk",
+    "train_pq_codebooks",
+    "heavy_hitters",
+    "histogram_quantiles",
+    "kmv_distinct",
+]

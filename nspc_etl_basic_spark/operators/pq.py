@@ -1,0 +1,346 @@
+"""Product quantization (PQ): compressed-domain ANN for embedding columns.
+
+The third ANN tier next to RP-LSH (similarity.rp_lsh_topk) and IVF
+(similarity.ivf_topk), and the one that changes the STORAGE economics:
+PQ replaces each d-dim float vector with m one-byte-ish subspace codes
+(Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011). A 64-dim float32 embedding (256 B) becomes m=8
+codes (8 B) — a 100 TB embedding store becomes ~3 TB of codes that fit
+the page cache, and distance evaluation becomes m table lookups instead
+of d multiplies.
+
+Construction:
+  - the vector is split into ``m`` contiguous subvectors of width d/m;
+  - each subspace gets its own k-centroid codebook (k <= 256 keeps one
+    code in a byte);
+  - a vector's code is the per-subspace argmin-L2 centroid index;
+  - asymmetric distance (ADC): for a query q, precompute the m x k
+    table T[j][c] = ||q_j - C[j][c]||^2 once, then every corpus
+    distance is sum_j T[j][code_j] — no decompression.
+
+Spark mapping:
+  - codebooks are plan literals (k*d doubles — the same codebook-as-
+    literals contract as similarity._ivf_cells_sorted), so ENCODING is
+    a pure codegen'd projection: no shuffle, no UDF on the default
+    path; a numpy ``mapInPandas`` kernel (``pq_encode_kernel``) covers
+    production-size codebooks exactly like train_ivf_centroids does
+    for IVF training;
+  - TRAINING is Lloyd's per subspace, all m subspaces in ONE Arrow
+    pass per iteration: the kernel emits per-(subspace, cell) partial
+    (count, sum) rows — <= m*k rows per batch, the treeAggregate
+    shape; no shuffle at all (same scheme as train_ivf_centroids,
+    similarity.py:250);
+  - ADC search joins nothing: the per-query tables are literals and
+    the scan stays a projection + top-k (window per query id).
+
+Determinism contract: ``pq_seed_codebooks`` (the k lowest-id vectors'
+subvectors — the same deterministic-seed rule as similarity.
+ivf_centroids) + ``pq_encode`` use only sequential-fold dot products
+and round-6 boundaries, so a SQL oracle replays codes bit-for-bit.
+Trained codebooks average floats (not bit-portable) and get the
+recall-measured tier instead — the exact split the IVF pair uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import dot
+
+
+def _subvec(vec: Column, j: int, width: int) -> Column:
+    """j-th (0-based) contiguous subvector as a 1-based slice."""
+    return F.slice(vec, j * width + 1, width)
+
+
+def pq_seed_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: the k lowest-id vectors, sliced into m
+    subvectors — ``codebooks[j][c]`` is subspace j's c-th centroid.
+    Bounded collect (k rows), the oracle-replayable tier."""
+    rows = (
+        corpus.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        return []
+    dim = len(rows[0]["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    w = dim // m
+    return [
+        [list(r["v"][j * w : (j + 1) * w]) for r in rows] for j in range(m)
+    ]
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Lloyd's k-means independently per subspace, all m subspaces in
+    one Arrow pass per iteration (see module docstring). Empty cells
+    keep their previous centroid. Returns ``codebooks[j][c]``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    books = pq_seed_codebooks(corpus, m, k, vec_col, id_col)
+    if not books:
+        return books
+    w = len(books[0][0])
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    partial_schema = T.StructType(
+        [
+            T.StructField("sub", T.IntegerType()),
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("cnt", T.LongType()),
+            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    for _ in range(max(0, n_iter)):
+        cb = np.array(books, dtype=np.float64)  # (m, k, w)
+
+        def partials(batches, _cb=cb, _m=m, _w=w):
+            for pdf in batches:
+                mat = np.array(list(pdf["__v"]), dtype=np.float64)
+                if mat.size == 0:
+                    continue
+                rows = []
+                for j in range(_m):
+                    sub = mat[:, j * _w : (j + 1) * _w]  # (n, w)
+                    # ||x - c||^2 argmin == argmin(-2 x.c + ||c||^2);
+                    # np.argmin takes the FIRST min -> ties to lowest
+                    # cell index, matching the encode-side struct sort
+                    d = (
+                        -2.0 * sub @ _cb[j].T
+                        + (_cb[j] ** 2).sum(axis=1)[None, :]
+                    )
+                    cell = np.argmin(d, axis=1)
+                    for ci in np.unique(cell):
+                        sel = sub[cell == ci]
+                        rows.append(
+                            (j, int(ci), len(sel), sel.sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "cell", "cnt", "vsum"]
+                )
+
+        got = vecs.mapInPandas(partials, partial_schema).collect()
+        acc_cnt = np.zeros((m, k), dtype=np.int64)
+        acc_sum = np.zeros((m, k, w), dtype=np.float64)
+        for r in got:
+            acc_cnt[r["sub"], r["cell"]] += r["cnt"]
+            acc_sum[r["sub"], r["cell"]] += np.array(r["vsum"])
+        books = [
+            [
+                (acc_sum[j, c] / acc_cnt[j, c]).tolist()
+                if acc_cnt[j, c] > 0
+                else books[j][c]
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+    return books
+
+
+def _sub_dist(sub: Column, cent: list[float]) -> Column:
+    """round-6 squared L2 via the dot identity — the exact op order a
+    DuckDB oracle replays with three list_dot_products."""
+    lit_c = F.array(*[F.lit(float(x)) for x in cent])
+    cc = 0.0
+    for x in cent:
+        cc += float(x) * float(x)  # sequential, same as list_dot_product
+    return F.round(
+        dot(sub, sub) - F.lit(2.0) * dot(sub, lit_c) + F.lit(cc), 6
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_code",
+    err_col: str | None = None,
+) -> DataFrame:
+    """Literal-codebook encode: ``out_col`` = array of m argmin-L2
+    centroid indices (ties -> lowest index via lexicographic struct
+    sort). Pure projection — m*k subvector distances, codegen'd, no
+    shuffle. ``err_col`` (optional) adds the integer-exact total
+    quantization error sum_j round(d_j, 6) * 1e6 as a long (integer
+    addition is order-independent, so it hash-compares across engines).
+
+    For codebooks too large to compile as literals use
+    :func:`pq_encode_kernel` — same output contract.
+    """
+    m = len(codebooks)
+    vec = F.col(vec_col).cast("array<double>")
+    w = len(codebooks[0][0])
+    codes, errs = [], []
+    for j in range(m):
+        sub = _subvec(vec, j, w)
+        scored = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _sub_dist(sub, codebooks[j][c]).alias("d"),
+                        F.lit(c).cast("int").alias("c"),
+                    )
+                    for c in range(len(codebooks[j]))
+                ]
+            )
+        )
+        codes.append(scored[0]["c"])
+        errs.append(F.round(scored[0]["d"] * 1e6).cast("long"))
+    out = df.withColumn(out_col, F.array(*codes))
+    if err_col:
+        total = errs[0]
+        for e in errs[1:]:
+            total = total + e
+        out = out.withColumn(err_col, total)
+    return out
+
+
+def pq_encode_kernel(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pq_code",
+) -> DataFrame:
+    """Arrow ``mapInPandas`` encode for production-size codebooks
+    (thousands of centroids x hundreds of dims never compile as plan
+    literals): numpy argmin per subspace, first-min tie rule — the
+    same code the literal path produces. Returns (id_col, out_col)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    m, _k, w = cb.shape
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField(out_col, T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+    def kernel(batches, _cb=cb, _m=m, _w=w):
+        for pdf in batches:
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.size == 0:
+                continue
+            cols = []
+            for j in range(_m):
+                sub = mat[:, j * _w : (j + 1) * _w]
+                d = (
+                    -2.0 * sub @ _cb[j].T
+                    + (_cb[j] ** 2).sum(axis=1)[None, :]
+                )
+                cols.append(np.argmin(d, axis=1))
+            codes = np.stack(cols, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(codes.tolist())}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    code_col: str = "pq_code",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_queries: int = 1000,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: per query, the m x k distance
+    table is computed ONCE on the driver (numpy, microseconds) and
+    baked into the plan as literals; each corpus row's distance is then
+    m ``element_at`` lookups + an integer-free fold — no join, no
+    decompression, one window top-k per query. Returns
+    ``(query_id, id, adc_dist, rank)`` with adc_dist rounded to 6.
+
+    The scan cost is O(|corpus| * m) lookups — the PQ trade: exactness
+    is surrendered to the codebook resolution, so recall is measured
+    against the exact tier (see tests / the driver query), never
+    assumed."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk: query side exceeds max_queries={max_queries}; "
+            "batch the queries or raise the bound explicitly"
+        )
+    from pyspark.sql.window import Window
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    m, _kc, w = cb.shape
+    per_query = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        table = [
+            ((cb[j] - qv[j * w : (j + 1) * w]) ** 2).sum(axis=1).tolist()
+            for j in range(m)
+        ]
+        per_query.append((r[query_id_col], table))
+    # one literal array of (qid, table) structs -> explode: the corpus
+    # is scanned ONCE for all queries, not once per query
+    qlit = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("qid"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in row])
+                        for row in table
+                    ]
+                ).alias("tbl"),
+            )
+            for qid, table in per_query
+        ]
+    )
+    scored = (
+        codes.select(id_col, code_col)
+        .withColumn("__q", F.explode(qlit))
+        .select(
+            F.col("__q.qid").alias(query_id_col),
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(code_col),
+                        F.col("__q.tbl"),
+                        lambda c, row: F.element_at(row, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    wdw = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wdw))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "adc_dist", F.col("__rk").alias("rank"))
+    )
