@@ -465,6 +465,19 @@ def process_file(
             warehouse.write(valid, table_name, mode=mode)
             result.rows_inserted = rows_read - invalid_count
 
+        # optional file-level min/max stats maintenance (sinks/
+        # stats_index.py): database.stats_columns lists the predicate
+        # columns; the index is rebuilt after every commit so pruned
+        # reads stay consistent with the current version (the sidecar
+        # lives inside the version dir)
+        stats_cols = db_cfg.get("stats_columns") or []
+        if stats_cols and not use_jdbc and bucketed is None:
+            have = set(warehouse.read(table_name).columns)
+            cols = [c for c in stats_cols if c in have]
+            if cols:
+                warehouse.analyze(table_name, cols)
+                result.details["stats_index"] = cols
+
         result.status = "Completed"
         logger.info(
             "completed %s: %d read, %d inserted, %d updated, %d failed",

@@ -108,3 +108,52 @@ def test_warehouse_integration_and_version_consistency(spark, sf_dir, tmp_path):
     got2 = wh.read_pruned("cust", "c_custkey", 1, 25).count()
     want2 = cust.where(F.col("c_custkey").between(11, 25)).count()
     assert got2 == want2
+
+
+def test_pipeline_maintains_stats_index(spark, tmp_path):
+    """database.stats_columns: every pipeline commit rebuilds the
+    file-level index for the new current version."""
+    import nspc_etl_basic_spark as eng
+    from nspc_etl_basic_spark.plans.pipeline import process_file
+
+    src = tmp_path / "measurements.csv"
+    src.write_text(
+        "id,reading\n" + "\n".join(f"{i},{i * 2}" for i in range(1, 51)) + "\n"
+    )
+    cfg = eng.load_config(
+        overrides={
+            "database": {
+                "warehouse_path": str(tmp_path / "wh"),
+                "stats_columns": ["id", "reading"],
+            },
+            "loader": {"table_mode": "upsert", "primary_key_columns": ["id"]},
+        }
+    )
+    r = process_file(spark, str(src), cfg, move_files=False)
+    assert r.status == "Completed", r.error_message
+    assert r.details.get("stats_index") == ["id", "reading"]
+    tname = r.table_name
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    assert load_stats_index(wh.data_path(tname)) is not None
+    got = wh.read_pruned(tname, "id", 10, 20).count()
+    assert got == 11
+    # a second commit (upsert) re-analyzes the NEW version
+    src2 = tmp_path / "measurements2.csv"
+    src2.write_text("id,reading\n60,120\n")
+    cfg2 = eng.load_config(
+        overrides={
+            "database": {
+                "warehouse_path": str(tmp_path / "wh"),
+                "stats_columns": ["id"],
+            },
+            "loader": {
+                "table_mode": "upsert",
+                "primary_key_columns": ["id"],
+                "override_table_name": tname,
+            },
+        }
+    )
+    r2 = process_file(spark, str(src2), cfg2, move_files=False)
+    assert r2.status == "Completed", r2.error_message
+    assert load_stats_index(wh.data_path(tname)) is not None
+    assert wh.read_pruned(tname, "id", 55, 70).count() == 1
