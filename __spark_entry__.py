@@ -940,6 +940,33 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP step after clustering (operators/dedup.
+    keep_best_representative): per near-dup component, retain the
+    longest member (n_chars desc, doc_id asc tiebreak) and report
+    cluster size — the survivor list a curation pipeline actually
+    writes out. One id join + one component-keyed exchange shared by
+    the rank and the member count. Oracle replays the full chain:
+    LSH pairs -> recursive-CTE components -> QUALIFY argmax."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        keep_best_representative,
+        neardup_components,
+    )
+
+    docs = _docs_wide(spark, sf_dir)
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    comp = neardup_components(_t(spark, sf_dir, "documents"), cand)
+    cand.unpersist()
+    return keep_best_representative(
+        comp,
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        quality_col="n_chars",
+    )
+
+
 def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: documents with doc_id % 10 == 0 play the
     incoming batch, the rest the existing corpus with a persisted band
@@ -2431,6 +2458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_heavy_hitters": events_heavy_hitters_q,
+        "dedup_keep_best": dedup_keep_best_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3769,6 +3797,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
             FROM reach GROUP BY node
+        """,
+        # keep-best: the components fixpoint (same CTE as
+        # dedup_components) joined to per-doc quality; QUALIFY picks the
+        # argmax (n_chars desc, doc_id asc) per cluster
+        "dedup_keep_best": f"""
+            WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+                FROM reach GROUP BY node
+            ),
+            j AS (
+                SELECT c.component_id, d.doc_id, d.n_chars
+                FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+            ),
+            m AS (
+                SELECT component_id, count(*) AS n_members
+                FROM j GROUP BY component_id
+            )
+            SELECT j.component_id, j.doc_id AS kept_doc_id, j.n_chars,
+                   m.n_members
+            FROM j JOIN m ON j.component_id = m.component_id
+            QUALIFY row_number() OVER (
+                PARTITION BY j.component_id
+                ORDER BY j.n_chars DESC, j.doc_id ASC) = 1
         """,
         "dedup_jaccard": f"""
             WITH sigs AS ({_sql_minhash_sigs()}),

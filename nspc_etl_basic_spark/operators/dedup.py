@@ -576,3 +576,49 @@ def neardup_components(
         labels.unionByName(singletons)
         .select(F.col("node").alias(id_col), F.col("label").alias("component_id"))
     )
+
+
+def keep_best_representative(
+    components: DataFrame,
+    quality: DataFrame,
+    quality_col: str,
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+) -> DataFrame:
+    """The KEEP step of a dedup pipeline: per duplicate cluster, retain
+    the highest-``quality_col`` member (ties -> lowest ``id_col``) and
+    report cluster size — i.e. turn ``neardup_components`` output plus a
+    per-document quality table into the final survivor list. Returns
+    ``(component_col, kept_<id_col>, <quality_col>, n_members)``.
+
+    Shape: one equi-join on the id (quality never needs to be wider than
+    (id, score)) and one component-keyed shuffle shared by the window
+    rank AND the member count — Spark reuses the hash partitioning, so
+    the argmax and the size are one exchange, not two. At 100 TB the
+    cluster table is corpus-sized but narrow (3 columns); nothing here
+    touches document bodies."""
+    from pyspark.sql.window import Window
+
+    j = components.select(id_col, component_col).join(
+        quality.select(id_col, quality_col), id_col
+    )
+    w = Window.partitionBy(component_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col).asc()
+    )
+    wp = Window.partitionBy(component_col)
+    return (
+        j.select(
+            component_col,
+            id_col,
+            quality_col,
+            F.row_number().over(w).alias("__rk"),
+            F.count(F.lit(1)).over(wp).alias("n_members"),
+        )
+        .filter(F.col("__rk") == 1)
+        .select(
+            component_col,
+            F.col(id_col).alias(f"kept_{id_col}"),
+            quality_col,
+            "n_members",
+        )
+    )

@@ -225,3 +225,26 @@ def test_containment_detects_doc_in_doc(spark):
     cand_self = spark.createDataFrame([(1, 1)], "id_a long, id_b long")
     self_row = containment_on_candidates(docs, cand_self).collect()[0]
     assert self_row.containment_a == 1.0 and self_row.containment_b == 1.0
+
+
+def test_keep_best_representative(spark):
+    """Per cluster: argmax quality, lowest-id tiebreak, member count."""
+    from nspc_etl_basic_spark.operators.dedup import keep_best_representative
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        ["doc_id", "component_id"],
+    )
+    qual = spark.createDataFrame(
+        [(1, 10), (2, 30), (3, 30), (4, 7), (5, 2), (6, 2)],
+        ["doc_id", "n_chars"],
+    )
+    out = {
+        r["component_id"]: (r["kept_doc_id"], r["n_chars"], r["n_members"])
+        for r in keep_best_representative(comp, qual, "n_chars").collect()
+    }
+    assert out == {
+        1: (2, 30, 3),  # tie 2 vs 3 at 30 -> lowest id
+        4: (4, 7, 1),  # singleton keeps itself
+        5: (5, 2, 2),
+    }
