@@ -940,6 +940,23 @@ def dedup_components_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def corpus_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (operators/sampling.cap_per_group): at
+    most 15 docs per source, chosen by deterministic md5 order — the
+    C4/Dolma "cap pages per domain" curation step, as ONE group-keyed
+    exchange; survivor choice is a property of the data (stable under
+    repartition, replayable in DuckDB), not of arrival order."""
+    from nspc_etl_basic_spark.operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return cap_per_group(
+        docs.select("doc_id", "source", "lang", "n_chars"),
+        key="doc_id",
+        group_col="source",
+        max_rows=15,
+    )
+
+
 def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KEEP step after clustering (operators/dedup.
     keep_best_representative): per near-dup component, retain the
@@ -2459,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_heavy_hitters": events_heavy_hitters_q,
         "dedup_keep_best": dedup_keep_best_q,
+        "corpus_source_cap": corpus_source_cap_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3797,6 +3815,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
             FROM reach GROUP BY node
+        """,
+        # per-source cap: row_number over the same md5-bucket order the
+        # Spark window uses (bucket asc, full md5 asc, key asc)
+        "corpus_source_cap": """
+            SELECT doc_id, source, lang, n_chars FROM (
+                SELECT doc_id, source, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source ORDER BY
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                               1, 8) AS BIGINT) % 10000 ASC,
+                           md5(CAST(doc_id AS VARCHAR)) ASC,
+                           doc_id ASC) AS rk
+                FROM documents
+            ) WHERE rk <= 15
         """,
         # keep-best: the components fixpoint (same CTE as
         # dedup_components) joined to per-doc quality; QUALIFY picks the

@@ -324,3 +324,41 @@ def temperature_sample(
             F.lit(int(math.floor(frac * _BUCKETS))),
         ).otherwise(threshold)
     return df.filter(bucket < threshold)
+
+
+def cap_per_group(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    max_rows: int,
+    salt: str = "",
+) -> DataFrame:
+    """At most ``max_rows`` rows per group, chosen by the deterministic
+    md5 hash order (ties by key) — the per-domain document cap every
+    web-corpus recipe applies (C4/Dolma cap pages per registered
+    domain) so no single source dominates the training mixture.
+
+    Hash order rather than "first N": which rows survive is a property
+    of the DATA (replayable in any engine, stable under repartition),
+    not of arrival order — and it is an unbiased draw within the group,
+    where newest-N or longest-N would skew the corpus.
+
+    One group-keyed exchange (row_number's sort is within partitions of
+    that exchange); groups at or under the cap pass through unchanged.
+    Skew note: the window sorts each group's rows in ONE task — fine
+    for per-domain caps (even the fattest domain is task-sized); for
+    groups of billions switch to ``hash_sample`` with per-group
+    fractions (see ``temperature_sample``), which needs no sort at all.
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(key), salt).asc(),
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))).asc(),
+        F.col(key).asc(),
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )

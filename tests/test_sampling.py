@@ -272,3 +272,24 @@ def test_temperature_sample_alpha_extremes(spark):
     ).collect()}
     assert got["b"] == 100  # clamped (target 100 >= stratum size 100)
     assert 70 < got["a"] < 130  # ~100/400 of 400
+
+
+def test_cap_per_group_deterministic_and_bounded(spark):
+    from nspc_etl_basic_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, ["k", "g"])
+    out = cap_per_group(df, "k", "g", 10)
+    sizes = {r["g"]: r["cnt"] for r in out.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(v == 10 for v in sizes.values())
+    # stable under repartition: identical survivor set
+    a = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in cap_per_group(df.repartition(13), "k", "g", 10).collect()}
+    assert a == b
+    # under-cap groups pass through whole
+    small = cap_per_group(df.where(F.col("k") < 6), "k", "g", 10)
+    assert small.count() == 6
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        cap_per_group(df, "k", "g", 0)
