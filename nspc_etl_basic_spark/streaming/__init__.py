@@ -45,3 +45,15 @@ __all__ = [
     "stream_dedup_exact",
     "stream_dedup_keys",
 ]
+
+from nspc_etl_basic_spark.streaming.freq import (
+    count_store_table,
+    heavy_hitters_from_store,
+    run_stream_heavy_hitters,
+)
+
+__all__ += [
+    "count_store_table",
+    "heavy_hitters_from_store",
+    "run_stream_heavy_hitters",
+]
