@@ -327,8 +327,16 @@ class ParquetWarehouse:
         target = max(1, -(-total // (target_file_mb * 1024 * 1024)))
         if len(files) <= target:
             return None
+        # carry the stats index across compaction: a pruned-read user
+        # shouldn't silently lose file skipping because maintenance ran
+        from .stats_index import load_stats_index
+
+        prev_index = load_stats_index(data)
         df = self.read(name).coalesce(int(target))
-        return self._commit_version(df, name)
+        version = self._commit_version(df, name)
+        if prev_index and prev_index.get("columns"):
+            self.analyze(name, prev_index["columns"])
+        return version
 
     def analyze(self, name: str, cols: list[str]) -> dict:
         """Build the file-level min/max stats index for the CURRENT

@@ -157,3 +157,17 @@ def test_pipeline_maintains_stats_index(spark, tmp_path):
     assert r2.status == "Completed", r2.error_message
     assert load_stats_index(wh.data_path(tname)) is not None
     assert wh.read_pruned(tname, "id", 55, 70).count() == 1
+
+
+def test_compact_carries_stats_index(spark, sf_dir, tmp_path):
+    """Maintenance must not silently strip file skipping: compact()
+    rebuilds the index for the columns the old version tracked."""
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    wh.write(cust.repartition(24), "cust")
+    wh.analyze("cust", ["c_custkey"])
+    assert wh.compact("cust", target_file_mb=256) is not None
+    idx = load_stats_index(wh.data_path("cust"))
+    assert idx is not None and idx["columns"] == ["c_custkey"]
+    got = wh.read_pruned("cust", "c_custkey", 1, 30).count()
+    assert got == cust.where(F.col("c_custkey").between(1, 30)).count()
