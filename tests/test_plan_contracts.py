@@ -293,3 +293,42 @@ def test_pca_projection_zero_shuffle(spark, sf_dir):
     comps = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
     plan = _plan_simple(pca_project(emb, comps, "embedding"))
     assert "Exchange" not in plan
+
+
+def test_heavy_hitters_pushes_candidate_filter_to_scan(spark, sf_dir):
+    """The two-phase contract: phase 2's candidate filter must reach the
+    parquet scan (In/isin pushdown), so the groupBy exchange carries the
+    head keys only."""
+    plan = _plan(QUERIES["events_heavy_hitters"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters:" in ln]
+    assert any("In(user_id" in ln for ln in pushed), pushed
+
+
+def test_pq_encode_is_projection_no_exchange(spark, sf_dir):
+    """PQ encode is a pure literal-codebook projection — any Exchange
+    is a scale regression."""
+    plan = _plan_simple(QUERIES["emb_pq_encode"](spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_source_cap_is_single_group_exchange(spark, sf_dir):
+    """cap_per_group: exactly one hash exchange (on the group key) for
+    the rank window."""
+    plan = _plan_simple(QUERIES["corpus_source_cap"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_keep_best_shares_component_exchange(spark, sf_dir):
+    """The rank window and the member count both partition by
+    component_id — Catalyst must not add a second component exchange
+    for the count."""
+    from nspc_etl_basic_spark.operators.dedup import keep_best_representative
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], ["doc_id", "component_id"]
+    )
+    qual = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 2)], ["doc_id", "n_chars"]
+    )
+    plan = _plan_simple(keep_best_representative(comp, qual, "n_chars"))
+    assert plan.count("hashpartitioning(component_id") <= 1
