@@ -1794,6 +1794,81 @@ def emb_pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ ADC search with recall measured in-query: Lloyd-
+    trained codebooks (operators/pq.train_pq_codebooks — one Arrow
+    pass per iteration, no shuffle), literal-codebook encode, per-query
+    ADC shortlists, and the exact-L2 top-5 computed side-by-side; one
+    row (n_queries, avg_recall, min_recall) for recall@25 of the exact
+    top-5. k-means means are not cross-engine bit-deterministic, so —
+    like sim_ann_ivf_trained — this is a rows-only driver check; the
+    recall floor itself is asserted in tests/test_pq.py."""
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators.pq import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_pq_codebooks(emb, m=16, k=16, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = pq_topk(pq_encode(emb, books), queries, books, k=25)
+
+    # exact L2 top-5 (same dot-identity algebra as the encode path)
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("__qv")
+    )
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    )
+    from nspc_etl_basic_spark.operators.similarity import dot as _dot
+
+    dist = (
+        _dot(F.col("__qv"), F.col("__qv"))
+        - F.lit(2.0) * _dot(F.col("__qv"), F.col("__cv"))
+        + _dot(F.col("__cv"), F.col("__cv"))
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", F.round(dist, 6).alias("__d"))
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("vec_id").asc()
+    )
+    exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= 5
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        (F.floor(F.avg("recall") * 1e4) / 1e4).alias("avg_recall"),
+        (F.floor(F.min("recall") * 1e4) / 1e4).alias("min_recall"),
+    )
+
+
 def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side file pruning end-to-end (sinks/stats_index.py):
     commit customer range-partitioned on c_custkey into a snapshot
@@ -2446,10 +2521,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver's CORRECTNESS run may be capped (r02
     # and r03 each checked only the first 50 entries), so this round's
     # order is: the two rows red in r03 (both harness-level, fixed in
-    # round 4), then the 20 queries NEW in round 4 (never
-    # driver-verified), then the entries whose last driver check was r02
-    # — the cap's tail cuts only unchanged TPC-H plans green in r02 —
-    # then the r03-green remainder.
+    # round 4), then every query NEW in round 4 (never driver-verified),
+    # then the entries whose last driver check was r02 — the cap's tail
+    # cuts only unchanged TPC-H plans green in r02 — then the r03-green
+    # remainder.
     return {
         # -- red in r03 (oracle HUGEINT drift / canonicalizer crash; fixed) --
         "events_json_extract": events_json_extract_q,
@@ -2472,6 +2547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_time_travel": bucketed_time_travel_q,
         "warehouse_file_prune": warehouse_file_prune_q,
         "emb_pq_encode": emb_pq_encode_q,
+        "sim_ann_pq_trained": sim_ann_pq_trained_q,
         "text_containment": text_containment_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "events_heavy_hitters": events_heavy_hitters_q,
