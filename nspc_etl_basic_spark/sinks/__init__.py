@@ -16,3 +16,11 @@ __all__ = [
     "write_bucketed",
     "write_partitioned",
 ]
+
+from nspc_etl_basic_spark.sinks.stats_index import (
+    build_stats_index,
+    load_stats_index,
+    pruned_scan,
+)
+
+__all__ += ["build_stats_index", "load_stats_index", "pruned_scan"]
