@@ -1806,7 +1806,7 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as _W
 
     from nspc_etl_basic_spark.operators.pq import (
-        pq_encode,
+        pq_encode_kernel,
         pq_topk,
         train_pq_codebooks,
     )
@@ -1816,21 +1816,27 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    approx = pq_topk(pq_encode(emb, books), queries, books, k=25)
+    # TRAINED codebooks route through the Arrow kernel encode — the
+    # production path for codebooks past literal size (measured: the
+    # m=16 literal encode spends ~4 s in codegen for a 0.3 s kernel
+    # pass); the literal tier stays driver-verified via emb_pq_encode
+    approx = pq_topk(pq_encode_kernel(emb, books), queries, books, k=25)
 
-    # exact L2 top-5 (same dot-identity algebra as the encode path)
-    q = queries.select(
-        "query_id", F.col("embedding").cast("array<double>").alias("__qv")
-    )
-    c = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
-    )
+    # exact L2 top-5 (dot identity); <q,q>/<c,c> hoisted per SIDE so the
+    # O(|q| x |c|) loop pays one fold per pair, not three
     from nspc_etl_basic_spark.operators.similarity import dot as _dot
 
+    q = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    ).withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    ).withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
     dist = (
-        _dot(F.col("__qv"), F.col("__qv"))
+        F.col("__qq")
         - F.lit(2.0) * _dot(F.col("__qv"), F.col("__cv"))
-        + _dot(F.col("__cv"), F.col("__cv"))
+        + F.col("__cc")
     )
     pairs = (
         q.crossJoin(c)

@@ -197,9 +197,10 @@ def pq_encode(
     codes, errs = [], []
     for j in range(m):
         book = codebooks[j]
-        lit_book = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in book]
-        )
+        # ONE Literal node per codebook (F.lit on the nested list), not
+        # k*w CreateArray/Literal expression nodes — at m=16, k=16 this
+        # is the difference between a seconds-long and a flat analysis
+        lit_book = F.lit([[float(x) for x in c] for c in book])
         # <c,c> per centroid, summed sequentially in python (same order
         # as list_dot_product over the same doubles)
         ccs = []
@@ -208,7 +209,7 @@ def pq_encode(
             for x in c:
                 acc += float(x) * float(x)
             ccs.append(acc)
-        lit_cc = F.array(*[F.lit(v) for v in ccs])
+        lit_cc = F.lit(ccs)
         sub = F.col(f"__pqs_{j}")
         ss = F.col(f"__pqss_{j}")
         def _score(_sub, _ss, _cc):
@@ -327,16 +328,15 @@ def pq_topk(
         per_query.append((r[query_id_col], table))
     # one literal array of (qid, table) structs -> explode: the corpus
     # is scanned ONCE for all queries, not once per query
+    # each query's m x k table is ONE nested-list Literal (not m*k
+    # expression nodes) — plan size stays flat in the query count
     qlit = F.array(
         *[
             F.struct(
                 F.lit(qid).alias("qid"),
-                F.array(
-                    *[
-                        F.array(*[F.lit(float(x)) for x in row])
-                        for row in table
-                    ]
-                ).alias("tbl"),
+                F.lit([[float(x) for x in row] for row in table]).alias(
+                    "tbl"
+                ),
             )
             for qid, table in per_query
         ]

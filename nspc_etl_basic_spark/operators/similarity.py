@@ -360,7 +360,10 @@ def _ivf_cells_sorted(
                         F.aggregate(
                             F.zip_with(
                                 vec,
-                                F.array(*[F.lit(w) for w in cvec]),
+                                # ONE Literal node (nested-list F.lit),
+                                # not dim CreateArray children — keeps
+                                # analysis flat in n_cells * dim
+                                F.lit([float(w) for w in cvec]),
                                 lambda x, w: x.cast("double") * w,
                             ),
                             F.lit(0.0),
