@@ -1592,6 +1592,22 @@ def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)
 
 
+def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour resample with forward fill (operators/resample.
+    resample_ffill) — pandas' ``resample('6h').last().ffill()`` as two
+    key-keyed exchanges and an output-proportional grid explode; all
+    bucket/tie arithmetic is exact integer micros, so DuckDB replays
+    every filled value (arg-max by (epoch_us, value), generate_series
+    grid, last_value IGNORE NULLS)."""
+    from nspc_etl_basic_spark.operators.resample import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_ffill(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=21600,
+    )
+
+
 def events_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via the two-phase frequent-items pattern
     (operators/sketches.heavy_hitters): phase 1 is Spark's JVM-side
@@ -2559,6 +2575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_heavy_hitters": events_heavy_hitters_q,
         "dedup_keep_best": dedup_keep_best_q,
         "corpus_source_cap": corpus_source_cap_q,
+        "events_resample": events_resample_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3897,6 +3914,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
             FROM reach GROUP BY node
+        """,
+        # 6h resample+ffill: bucket-last by arg-max (epoch_us, value),
+        # per-user grid via range(), last_value IGNORE NULLS carries
+        # observations forward — every step exact integer arithmetic
+        "events_resample": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST((epoch_us(ts) - epoch_us(ts) % 21600000000)
+                            / 1000000 AS BIGINT) AS bk,
+                       epoch_us(ts) AS s, value AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            bucket_last AS (
+                SELECT user_id, bk, v FROM obs
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, bk ORDER BY s DESC, v DESC) = 1
+            ),
+            spans AS (
+                SELECT user_id, min(bk) AS b0, max(bk) AS b1
+                FROM obs GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, unnest(range(b0, b1 + 1, 21600)) AS bk
+                FROM spans
+            ),
+            j AS (
+                SELECT g.user_id, g.bk, bl.v
+                FROM grid g LEFT JOIN bucket_last bl
+                  ON g.user_id = bl.user_id AND g.bk = bl.bk
+            )
+            SELECT user_id, bk AS grid_epoch,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   v IS NOT NULL AS is_observed
+            FROM j
         """,
         # per-source cap: row_number over the same md5-bucket order the
         # Spark window uses (bucket asc, full md5 asc, key asc)

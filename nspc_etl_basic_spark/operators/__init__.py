@@ -95,3 +95,7 @@ __all__ += [
     "histogram_quantiles",
     "kmv_distinct",
 ]
+
+from nspc_etl_basic_spark.operators.resample import resample_ffill
+
+__all__ += ["resample_ffill"]

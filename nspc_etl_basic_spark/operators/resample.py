@@ -1,0 +1,94 @@
+"""Time-series resampling: regular per-key grids with forward fill.
+
+Spark has windowed AGGREGATION (`F.window`, session_window) but no
+resample: pandas' ``df.resample('6h').last().ffill()`` — snap
+observations to a regular grid and carry the last observation across
+empty buckets — has no built-in equivalent, yet it is the standard
+feature-engineering step before any ML on irregular event streams
+(sensor readings, account balances, metric gauges).
+
+DataFrame construction, all deterministic integer arithmetic:
+
+  1. bucket = ``(unix_micros(ts) - unix_micros(ts) % step_us) / 1e6``
+     — a pure projection; exact (the subtraction yields a multiple of
+     the step, and every intermediate fits a double's 2^53 integer
+     range for any real epoch);
+  2. last observation per (key, bucket): ``max(struct(us, value))`` —
+     one map-side-combined aggregate, ties broken by value, no window
+     over raw events;
+  3. the grid: per-key (min, max) bucket from the SAME aggregate pass
+     shape, exploded with ``F.sequence`` — output-proportional, no
+     driver loop;
+  4. forward fill: ``last(value, ignorenulls=True)`` over the
+     key-partitioned grid ordered by bucket — the window runs on the
+     GRID (span/step rows per key), never on the raw events.
+
+Scale: two key-keyed exchanges (bucket-last aggregate, grid window) —
+the same price as any per-key rollup; the explode is grid-sized. A
+key observed over a huge span with a tiny step produces a huge grid —
+that is a property of the ASK (span/step rows must exist in the
+output), not of the plan. NULL observations are dropped before
+bucketing (an explicit NULL reading is "no observation", matching
+pandas ``last()`` + ``ffill`` semantics).
+
+The whole construction is replayable in ANSI SQL (epoch_us, arg-max
+by (us, value), generate_series, last_value IGNORE NULLS) — see the
+``events_resample`` oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    grid_col: str = "grid_epoch",
+    observed_col: str = "is_observed",
+) -> DataFrame:
+    """Per ``key_col``, a regular grid every ``step_seconds`` from the
+    key's first to last observation bucket, with ``value_col`` =
+    last-observation-carried-forward. Returns
+    ``(key_col, grid_col [epoch seconds, long], value_col,
+    observed_col)``. See module docstring for semantics and cost."""
+    if step_seconds < 1:
+        raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
+    step_us = step_seconds * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bk = ((us - us % F.lit(step_us)) / F.lit(1_000_000)).cast("long")
+
+    obs = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        bk.alias("__bk"),
+        F.struct(us.alias("s"), F.col(value_col).alias("v")).alias("__o"),
+    )
+    bucket_last = obs.groupBy(key_col, "__bk").agg(F.max("__o").alias("__o"))
+    spans = obs.groupBy(key_col).agg(
+        F.min("__bk").alias("__b0"), F.max("__bk").alias("__b1")
+    )
+    grid = spans.select(
+        key_col,
+        F.explode(
+            F.sequence(
+                F.col("__b0"), F.col("__b1"), F.lit(int(step_seconds))
+            )
+        ).alias("__bk"),
+    )
+    j = grid.join(bucket_last, [key_col, "__bk"], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        key_col,
+        F.col("__bk").alias(grid_col),
+        F.last(F.col("__o.v"), ignorenulls=True).over(w).alias(value_col),
+        F.col("__o").isNotNull().alias(observed_col),
+    )
