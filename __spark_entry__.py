@@ -1608,6 +1608,20 @@ def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_resample_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample (operators/resample.
+    resample_interpolate): same grid as events_resample, but empty
+    buckets take v_prev + (v_next - v_prev) * dt/dT in a pinned IEEE
+    order — the oracle replays every interpolated value."""
+    from nspc_etl_basic_spark.operators.resample import resample_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_interpolate(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        step_seconds=21600,
+    )
+
+
 def events_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via the two-phase frequent-items pattern
     (operators/sketches.heavy_hitters): phase 1 is Spark's JVM-side
@@ -2576,6 +2590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best_q,
         "corpus_source_cap": corpus_source_cap_q,
         "events_resample": events_resample_q,
+        "events_resample_interp": events_resample_interp_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3951,6 +3966,66 @@ def oracle_sql() -> dict[str, str]:
                    ) AS value,
                    v IS NOT NULL AS is_observed
             FROM j
+        """,
+        # linear interpolation on the same grid: prev/next observation
+        # carried by IGNORE-NULLS windows, then
+        # pv + (nv - pv) * dt / dT in the pinned IEEE order, round 6
+        "events_resample_interp": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST((epoch_us(ts) - epoch_us(ts) % 21600000000)
+                            / 1000000 AS BIGINT) AS bk,
+                       epoch_us(ts) AS s, value AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            bucket_last AS (
+                SELECT user_id, bk, v FROM obs
+                QUALIFY row_number() OVER (
+                    PARTITION BY user_id, bk ORDER BY s DESC, v DESC) = 1
+            ),
+            spans AS (
+                SELECT user_id, min(bk) AS b0, max(bk) AS b1
+                FROM obs GROUP BY user_id
+            ),
+            grid AS (
+                SELECT user_id, unnest(range(b0, b1 + 1, 21600)) AS bk
+                FROM spans
+            ),
+            j AS (
+                SELECT g.user_id, g.bk, bl.v
+                FROM grid g LEFT JOIN bucket_last bl
+                  ON g.user_id = bl.user_id AND g.bk = bl.bk
+            ),
+            c AS (
+                SELECT user_id, bk, v IS NOT NULL AS is_observed,
+                       last_value(CASE WHEN v IS NOT NULL THEN bk END
+                                  IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS pb,
+                       last_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bk
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS pv,
+                       first_value(CASE WHEN v IS NOT NULL THEN bk END
+                                   IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bk
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS nb,
+                       first_value(v IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY bk
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                       ) AS nv
+                FROM j
+            )
+            SELECT user_id, bk AS grid_epoch,
+                   CASE WHEN nb = pb THEN pv
+                        ELSE round(pv + (nv - pv)
+                                   * CAST(bk - pb AS DOUBLE)
+                                   / CAST(nb - pb AS DOUBLE), 6)
+                   END AS value,
+                   is_observed
+            FROM c
         """,
         # per-source cap: row_number over the same md5-bucket order the
         # Spark window uses (bucket asc, full md5 asc, key asc)

@@ -96,6 +96,9 @@ __all__ += [
     "kmv_distinct",
 ]
 
-from nspc_etl_basic_spark.operators.resample import resample_ffill
+from nspc_etl_basic_spark.operators.resample import (
+    resample_ffill,
+    resample_interpolate,
+)
 
-__all__ += ["resample_ffill"]
+__all__ += ["resample_ffill", "resample_interpolate"]

@@ -43,20 +43,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def resample_ffill(
+def _grid_joined(
     df: DataFrame,
     key_col: str,
     ts_col: str,
     value_col: str,
-    step_seconds: int = 3600,
-    grid_col: str = "grid_epoch",
-    observed_col: str = "is_observed",
+    step_seconds: int,
 ) -> DataFrame:
-    """Per ``key_col``, a regular grid every ``step_seconds`` from the
-    key's first to last observation bucket, with ``value_col`` =
-    last-observation-carried-forward. Returns
-    ``(key_col, grid_col [epoch seconds, long], value_col,
-    observed_col)``. See module docstring for semantics and cost."""
+    """Shared stages 1-3: bucket, per-bucket arg-max observation,
+    per-key grid, left-joined — ``(key_col, __bk, __o{s,v} | null)``."""
     if step_seconds < 1:
         raise ValueError(f"step_seconds must be >= 1, got {step_seconds}")
     step_us = step_seconds * 1_000_000
@@ -80,7 +75,24 @@ def resample_ffill(
             )
         ).alias("__bk"),
     )
-    j = grid.join(bucket_last, [key_col, "__bk"], "left")
+    return grid.join(bucket_last, [key_col, "__bk"], "left")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    grid_col: str = "grid_epoch",
+    observed_col: str = "is_observed",
+) -> DataFrame:
+    """Per ``key_col``, a regular grid every ``step_seconds`` from the
+    key's first to last observation bucket, with ``value_col`` =
+    last-observation-carried-forward. Returns
+    ``(key_col, grid_col [epoch seconds, long], value_col,
+    observed_col)``. See module docstring for semantics and cost."""
+    j = _grid_joined(df, key_col, ts_col, value_col, step_seconds)
     w = (
         Window.partitionBy(key_col)
         .orderBy("__bk")
@@ -91,4 +103,71 @@ def resample_ffill(
         F.col("__bk").alias(grid_col),
         F.last(F.col("__o.v"), ignorenulls=True).over(w).alias(value_col),
         F.col("__o").isNotNull().alias(observed_col),
+    )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    step_seconds: int = 3600,
+    grid_col: str = "grid_epoch",
+    observed_col: str = "is_observed",
+) -> DataFrame:
+    """Like :func:`resample_ffill` but LINEARLY interpolating between
+    the surrounding observations (pandas ``.interpolate('linear')`` on
+    the resampled series). The grid is bounded by observation buckets,
+    so every grid point has both a preceding and a following
+    observation — no edge extrapolation cases. Two grid windows (the
+    backward last + forward first carry struct(bucket, value), same
+    exchange) and one projection:
+
+        v = v_prev + (v_next - v_prev) * (t - t_prev) / (t_next - t_prev)
+
+    computed in that exact IEEE order (round-6), so a SQL oracle
+    replays the interpolated values bit-for-bit."""
+    j = _grid_joined(df, key_col, ts_col, value_col, step_seconds)
+    carried = j.select(
+        key_col,
+        "__bk",
+        F.col("__o").isNotNull().alias(observed_col),
+        F.when(
+            F.col("__o").isNotNull(),
+            F.struct(F.col("__bk").alias("b"), F.col("__o.v").alias("v")),
+        ).alias("__ob"),
+    )
+    wb = (
+        Window.partitionBy(key_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy("__bk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    both = carried.select(
+        key_col,
+        "__bk",
+        observed_col,
+        F.last("__ob", ignorenulls=True).over(wb).alias("__p"),
+        F.first("__ob", ignorenulls=True).over(wf).alias("__n"),
+    )
+    p_v, n_v = F.col("__p.v"), F.col("__n.v")
+    p_b, n_b = F.col("__p.b"), F.col("__n.b")
+    interp = F.when(n_b == p_b, p_v).otherwise(
+        F.round(
+            p_v
+            + (n_v - p_v)
+            * (F.col("__bk") - p_b).cast("double")
+            / (n_b - p_b).cast("double"),
+            6,
+        )
+    )
+    return both.select(
+        key_col,
+        F.col("__bk").alias(grid_col),
+        interp.alias(value_col),
+        observed_col,
     )

@@ -75,3 +75,53 @@ def test_validation(spark):
     )
     with pytest.raises(ValueError):
         resample_ffill(df, "k", "ts", "v", step_seconds=0)
+
+
+def test_interpolate_known_scenario(spark):
+    from nspc_etl_basic_spark.operators.resample import resample_interpolate
+
+    rows = [
+        ("a", _ts(0, 30), 10.0),  # bucket 00
+        ("a", _ts(4, 10), 2.0),   # bucket 04; 01-03 interpolate 8,6,4
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", step_seconds=3600)
+    base = int(_ts(0).replace(tzinfo=dt.timezone.utc).timestamp())
+    got = {r["grid_epoch"]: (r["v"], r["is_observed"]) for r in out.collect()}
+    assert got == {
+        base: (10.0, True),
+        base + 3600: (8.0, False),
+        base + 7200: (6.0, False),
+        base + 10800: (4.0, False),
+        base + 14400: (2.0, True),
+    }
+
+
+def test_interpolate_matches_pandas(spark):
+    import numpy as np
+
+    from nspc_etl_basic_spark.operators.resample import resample_interpolate
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for k in ("x", "y"):
+        t = dt.datetime(2024, 5, 1)
+        for _ in range(30):
+            t = t + dt.timedelta(minutes=int(rng.randint(30, 60 * 18)))
+            rows.append((k, t, float(rng.randn())))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    out = resample_interpolate(df, "k", "ts", "v", step_seconds=21600)
+    got = {(r["k"], r["grid_epoch"]): r["v"] for r in out.collect()}
+
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    want = {}
+    for k, g in pdf.groupby("k"):
+        r = (
+            g.set_index("ts")["v"].resample("6h").last()
+            .interpolate("linear")
+        )
+        for t, v in r.items():
+            want[(k, int(t.replace(tzinfo=dt.timezone.utc).timestamp()))] = v
+    assert got.keys() == want.keys()
+    for key in want:
+        assert got[key] == pytest.approx(want[key], abs=1e-6), key
