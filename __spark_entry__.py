@@ -1622,6 +1622,21 @@ def events_resample_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators/resample.ewma_by_key,
+    alpha=0.3, pandas adjust=False semantics): the sequential
+    recurrence as an in-row fold over the time-sorted series — one
+    map-side-combined collect per key, no window over raw events; the
+    pinned (acc*(1-a)) + (v*a) step is replayed by DuckDB's
+    list_reduce, so the EWMA value itself is hash-checked."""
+    from nspc_etl_basic_spark.operators.resample import ewma_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return ewma_by_key(
+        ev, key_col="user_id", ts_col="ts", value_col="value", alpha=0.3
+    )
+
+
 def events_heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT heavy hitters via the two-phase frequent-items pattern
     (operators/sketches.heavy_hitters): phase 1 is Spark's JVM-side
@@ -2591,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_source_cap": corpus_source_cap_q,
         "events_resample": events_resample_q,
         "events_resample_interp": events_resample_interp_q,
+        "events_ewma": events_ewma_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3966,6 +3982,26 @@ def oracle_sql() -> dict[str, str]:
                    ) AS value,
                    v IS NOT NULL AS is_observed
             FROM j
+        """,
+        # EWMA: list(v ORDER BY epoch_us, v) then list_reduce with the
+        # same (acc*(1-a)) + (v*a) step — DOUBLE casts force double
+        # arithmetic (bare 0.7 literals are DECIMAL in DuckDB)
+        "events_ewma": """
+            WITH obs AS (
+                SELECT user_id, epoch_us(ts) AS s, value AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            ser AS (
+                SELECT user_id,
+                       list(v ORDER BY s, v) AS vs,
+                       count(*) AS n_obs
+                FROM obs GROUP BY user_id
+            )
+            SELECT user_id, n_obs,
+                   round(list_reduce(vs,
+                       (acc, x) -> acc * CAST(0.7 AS DOUBLE)
+                                   + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+            FROM ser
         """,
         # linear interpolation on the same grid: prev/next observation
         # carried by IGNORE-NULLS windows, then

@@ -97,8 +97,9 @@ __all__ += [
 ]
 
 from nspc_etl_basic_spark.operators.resample import (
+    ewma_by_key,
     resample_ffill,
     resample_interpolate,
 )
 
-__all__ += ["resample_ffill", "resample_interpolate"]
+__all__ += ["ewma_by_key", "resample_ffill", "resample_interpolate"]

@@ -106,6 +106,57 @@ def resample_ffill(
     )
 
 
+def ewma_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average over the
+    time-ordered observations (pandas ``ewm(alpha, adjust=False)
+    .mean()``'s final value): ``y_0 = v_0; y_t = y_{t-1}*(1-a) + v_t*a``.
+    Returns one row per key: ``(key_col, n_obs, out_col)``.
+
+    The recurrence is inherently sequential, so it runs as an IN-ROW
+    fold: one map-side-combined ``collect_list(struct(us, v))`` per key
+    (ties ordered by value — deterministic), ``sort_array``, then
+    ``F.aggregate`` with the pinned step ``(acc * (1-a)) + (v * a)`` —
+    the exact op order DuckDB's ``list_reduce`` replays, so the EWMA
+    itself sits behind the value-hashed oracle (round 6).
+
+    Contract: the per-key series materializes in one row — right for
+    bounded histories (a user's events, a sensor's day). For unbounded
+    series, resample first (``resample_ffill`` downsamples the series
+    to span/step points) or maintain the EWMA incrementally per batch
+    (the recurrence folds left-to-right, so a stored (y, n) advances
+    with each micro-batch exactly)."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    us = F.unix_micros(F.col(ts_col))
+    obs = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.struct(
+            us.alias("s"), F.col(value_col).cast("double").alias("v")
+        ).alias("__o"),
+    )
+    ser = obs.groupBy(key_col).agg(
+        F.sort_array(F.collect_list("__o")).alias("__ser"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    vs = F.transform(F.col("__ser"), lambda o: o["v"])
+    a, b = float(alpha), 1.0 - float(alpha)
+    fold = F.aggregate(
+        vs,
+        F.lit(None).cast("double"),
+        lambda acc, v: F.when(acc.isNull(), v).otherwise(
+            acc * F.lit(b) + v * F.lit(a)
+        ),
+    )
+    return ser.select(key_col, "n_obs", F.round(fold, 6).alias(out_col))
+
+
 def resample_interpolate(
     df: DataFrame,
     key_col: str,

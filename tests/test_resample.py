@@ -125,3 +125,43 @@ def test_interpolate_matches_pandas(spark):
     assert got.keys() == want.keys()
     for key in want:
         assert got[key] == pytest.approx(want[key], abs=1e-6), key
+
+
+def test_ewma_matches_pandas(spark):
+    import numpy as np
+
+    from nspc_etl_basic_spark.operators.resample import ewma_by_key
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in ("x", "y"):
+        t = dt.datetime(2024, 5, 1)
+        for _ in range(25):
+            t = t + dt.timedelta(minutes=int(rng.randint(5, 500)))
+            rows.append((k, t, float(rng.randn())))
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    got = {
+        r["k"]: (r["n_obs"], r["ewma"])
+        for r in ewma_by_key(df, "k", "ts", "v", alpha=0.3).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    for k, g in pdf.groupby("k"):
+        want = (
+            g.sort_values("ts")["v"].ewm(alpha=0.3, adjust=False).mean()
+            .iloc[-1]
+        )
+        n, ew = got[k]
+        assert n == len(g)
+        assert ew == pytest.approx(want, abs=1e-6), k
+
+
+def test_ewma_validation_and_single_obs(spark):
+    from nspc_etl_basic_spark.operators.resample import ewma_by_key
+
+    df = spark.createDataFrame(
+        [("a", _ts(1), 5.0)], "k string, ts timestamp, v double"
+    )
+    out = ewma_by_key(df, "k", "ts", "v").collect()
+    assert out[0]["ewma"] == 5.0 and out[0]["n_obs"] == 1
+    with pytest.raises(ValueError):
+        ewma_by_key(df, "k", "ts", "v", alpha=0.0)
