@@ -57,3 +57,11 @@ __all__ += [
     "heavy_hitters_from_store",
     "run_stream_heavy_hitters",
 ]
+
+from nspc_etl_basic_spark.streaming.ewma import (
+    ewma_from_store,
+    ewma_store_table,
+    run_stream_ewma,
+)
+
+__all__ += ["ewma_from_store", "ewma_store_table", "run_stream_ewma"]
