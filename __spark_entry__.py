@@ -1622,6 +1622,32 @@ def events_resample_interp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup CHAIN: the daily table is aggregated
+    FROM THE HOURLY ROLLUP, never from raw events — at 100 TB each
+    coarser grain scans the next-finer rollup (24x smaller), which is
+    how rollup hierarchies are actually maintained. Correctness hinges
+    on keeping the intermediate sums in the exact DECIMAL domain
+    (associative — sum-of-sums == sum) and counting counts; rounding
+    happens once, at the final grain. The oracle aggregates the SAME
+    daily answer straight from raw events, so any chain defect
+    (premature rounding, double drift, grain misalignment) reds it."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", F.col("h")).cast("date").alias("day"),
+        "event_type",
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.sum("sv"), 2).cast("double").alias("sum_value"),
+    )
+
+
 def events_ewma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user EWMA of event values (operators/resample.ewma_by_key,
     alpha=0.3, pandas adjust=False semantics): the sequential
@@ -2607,6 +2633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": events_resample_q,
         "events_resample_interp": events_resample_interp_q,
         "events_ewma": events_ewma_q,
+        "events_rollup_chain": events_rollup_chain_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -3982,6 +4009,14 @@ def oracle_sql() -> dict[str, str]:
                    ) AS value,
                    v IS NOT NULL AS is_observed
             FROM j
+        """,
+        # rollup chain: the oracle computes the DAILY answer straight
+        # from raw events; the Spark side must reach the identical
+        # values via the hourly intermediate (decimal sums associative)
+        "events_rollup_chain": f"""
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+                   count(*) AS n_events, {_osum('value')} AS sum_value
+            FROM events GROUP BY 1, 2
         """,
         # EWMA: list(v ORDER BY epoch_us, v) then list_reduce with the
         # same (acc*(1-a)) + (v*a) step — DOUBLE casts force double
