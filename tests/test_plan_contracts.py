@@ -332,3 +332,30 @@ def test_keep_best_shares_component_exchange(spark, sf_dir):
     )
     plan = _plan_simple(keep_best_representative(comp, qual, "n_chars"))
     assert plan.count("hashpartitioning(component_id") <= 1
+
+
+def test_resample_windows_run_on_grid_not_events(spark, sf_dir):
+    """resample/interp: two key-keyed exchanges feed the grid; the
+    ffill/interp windows sort the GRID (span/step rows), and no
+    cartesian appears anywhere."""
+    for qid in ("events_resample", "events_resample_interp"):
+        plan = _plan_simple(QUERIES[qid](spark, sf_dir))
+        assert "CartesianProduct" not in plan, qid
+        assert "BroadcastNestedLoopJoin" not in plan, qid
+
+
+def test_ewma_is_single_aggregate_no_window(spark, sf_dir):
+    """EWMA folds in-row: one hash aggregate over the key, no Window
+    node, no second exchange."""
+    plan = _plan_simple(QUERIES["events_ewma"](spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_chain_reuses_hour_partitioning(spark, sf_dir):
+    """Daily-from-hourly: the hourly exchange on (hour, type) must be
+    the only data-wide shuffle; the daily regroup exchanges only the
+    hourly rollup rows (a second, rollup-sized exchange is expected —
+    but never a third)."""
+    plan = _plan_simple(QUERIES["events_rollup_chain"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
