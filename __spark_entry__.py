@@ -957,6 +957,29 @@ def corpus_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/sampling.
+    leakage_safe_split): membership hashes the near-dup CLUSTER id, so
+    a test document's near-copy can never sit in train. Oracle replays
+    the components fixpoint then the same md5-bucket CASE on
+    component_id."""
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+    from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
+
+    docs = _docs_wide(spark, sf_dir)
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    comp = neardup_components(_t(spark, sf_dir, "documents"), cand)
+    cand.unpersist()
+    return leakage_safe_split(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        comp,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KEEP step after clustering (operators/dedup.
     keep_best_representative): per near-dup component, retain the
@@ -2634,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_interp": events_resample_interp_q,
         "events_ewma": events_ewma_q,
         "events_rollup_chain": events_rollup_chain_q,
+        "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -4111,6 +4135,35 @@ def oracle_sql() -> dict[str, str]:
                            doc_id ASC) AS rk
                 FROM documents
             ) WHERE rk <= 15
+        """,
+        # leakage-safe split: components fixpoint, then the standard
+        # md5('split'||key) bucket CASE — keyed on component_id
+        "corpus_leakage_safe_split": f"""
+            WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+                FROM reach GROUP BY node
+            )
+            SELECT d.doc_id, c.component_id,
+                   CASE WHEN CAST('0x' || substr(
+                                 md5('split' || CAST(c.component_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 10000 < 1000 THEN 'test'
+                        WHEN CAST('0x' || substr(
+                                 md5('split' || CAST(c.component_id AS VARCHAR)),
+                                 1, 8) AS BIGINT) % 10000 < 9000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM documents d JOIN comp c ON d.doc_id = c.doc_id
         """,
         # keep-best: the components fixpoint (same CTE as
         # dedup_components) joined to per-doc quality; QUALIFY picks the

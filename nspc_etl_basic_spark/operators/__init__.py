@@ -6,7 +6,9 @@ from nspc_etl_basic_spark.operators.schema_inference import (
 from nspc_etl_basic_spark.operators.cast import cast_and_split
 from nspc_etl_basic_spark.operators.sampling import (
     assign_split,
+    cap_per_group,
     hash_sample,
+    leakage_safe_split,
     mixture_order,
     pack_sequences,
     stratified_sample,
@@ -21,7 +23,9 @@ __all__ = [
     "infer_schema",
     "cast_and_split",
     "assign_split",
+    "cap_per_group",
     "hash_sample",
+    "leakage_safe_split",
     "mixture_order",
     "pack_sequences",
     "stratified_sample",

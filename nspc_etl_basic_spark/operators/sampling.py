@@ -362,3 +362,25 @@ def cap_per_group(
         .filter(F.col("__rk") <= max_rows)
         .drop("__rk")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    component_col: str = "component_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that can never leak near-duplicates across
+    the boundary: membership hashes the DUPLICATE-CLUSTER id
+    (``neardup_components`` output), not the document id, so every
+    member of a cluster lands on the same side — the contamination
+    mode a doc-id split silently permits (a test document's near-copy
+    in train) is structurally impossible. One equi-join on the id plus
+    the same pure-projection bucket rule as ``assign_split``; splits
+    stay stable under corpus growth for unchanged clusters (a cluster
+    MERGE, however, re-keys to the new minimum id — re-split after
+    large dedup refreshes, which a curation pipeline does anyway)."""
+    j = df.join(components.select(id_col, component_col), id_col)
+    return assign_split(j, component_col, weights, salt)

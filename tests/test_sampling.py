@@ -293,3 +293,21 @@ def test_cap_per_group_deterministic_and_bounded(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         cap_per_group(df, "k", "g", 0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
+
+    comp = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], ["doc_id", "component_id"]
+    )
+    docs = spark.createDataFrame([(i,) for i in range(70)], ["doc_id"])
+    out = leakage_safe_split(
+        docs, comp, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # every member of a component shares its split
+    per = out.groupBy("component_id").agg(
+        F.count_distinct("split").alias("n")
+    ).collect()
+    assert all(r["n"] == 1 for r in per)
+    assert out.count() == 70
