@@ -957,6 +957,46 @@ def corpus_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline as one driver-verified query:
+    C4-style quality gate -> MinHash/LSH candidate pairs OVER THE
+    SURVIVING SUBSET -> connected components -> keep-best
+    representative -> leakage-safe split keyed on the cluster id.
+    Output: one row per retained document
+    (component_id, kept_doc_id, n_chars, n_members, split). The oracle
+    is composed from the SAME SQL fragments the per-stage oracles use,
+    so a drift in any stage's semantics — or in how stages hand off —
+    reds this row even if every stage passes alone."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        keep_best_representative,
+        neardup_components,
+    )
+    from nspc_etl_basic_spark.operators.sampling import assign_split
+    from nspc_etl_basic_spark.operators.text import quality_filter
+
+    docs_all = _t(spark, sf_dir, "documents")
+    good_ids = quality_filter(
+        docs_all,
+        min_chars=100, max_chars=20000, min_tokens=20,
+        max_punct_ratio=0.1, min_stopword_ratio=0.02, lang="en",
+    ).select("doc_id")
+    good = docs_all.join(good_ids, "doc_id", "left_semi").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    sigs = minhash_signatures(good).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    comp = neardup_components(good.select("doc_id"), cand)
+    cand.unpersist()
+    keep = keep_best_representative(
+        comp, good.select("doc_id", "n_chars"), quality_col="n_chars"
+    )
+    return assign_split(
+        keep, "component_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
 def corpus_leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (operators/sampling.
     leakage_safe_split): membership hashes the near-dup CLUSTER id, so
@@ -2658,6 +2698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": events_ewma_q,
         "events_rollup_chain": events_rollup_chain_q,
         "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
+        "corpus_end_to_end": corpus_end_to_end_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -2847,9 +2888,9 @@ def _sql_lsh_bands(
     return " UNION ALL ".join(parts)
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(table: str = "documents") -> str:
     return f"""
-        WITH sigs AS ({_sql_minhash_sigs()}),
+        WITH sigs AS ({_sql_minhash_sigs(table=table)}),
         bands AS ({_sql_lsh_bands()})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS n_shared_bands
@@ -3294,7 +3335,7 @@ def oracle_sql() -> dict[str, str]:
     quality_words = _sql_word_tokens("text")
     stopwords = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
-    return {
+    sqls = {
         "dq_profile": _sql_dq_profile(),
         "scd2_history": _sql_scd2_history(),
         "scd2_apply": _sql_scd2_apply(),
@@ -4983,3 +5024,58 @@ def oracle_sql() -> dict[str, str]:
             FROM seq GROUP BY user_id
         """,
     }
+
+    # end-to-end curation pipeline: compose the quality-filter subset,
+    # the LSH->components fixpoint OVER THAT SUBSET, keep-best, and the
+    # cluster-keyed split from the same fragments the stage oracles use
+    sqls["corpus_end_to_end"] = f"""
+        WITH RECURSIVE good AS (
+            SELECT doc_id FROM ({sqls["text_quality_filter"]})
+        ),
+        gdocs AS (
+            SELECT d.doc_id, d.text, d.n_chars
+            FROM documents d JOIN good ON d.doc_id = good.doc_id
+        ),
+        pairs AS ({_sql_lsh_pairs(table="gdocs")}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM gdocs
+            UNION
+            SELECT e.src, r.label
+            FROM reach r JOIN edges e ON r.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+            FROM reach GROUP BY node
+        ),
+        j AS (
+            SELECT c.component_id, g.doc_id, g.n_chars
+            FROM comp c JOIN gdocs g ON c.doc_id = g.doc_id
+        ),
+        m AS (
+            SELECT component_id, count(*) AS n_members
+            FROM j GROUP BY component_id
+        ),
+        keep AS (
+            SELECT j.component_id, j.doc_id AS kept_doc_id, j.n_chars,
+                   m.n_members
+            FROM j JOIN m ON j.component_id = m.component_id
+            QUALIFY row_number() OVER (
+                PARTITION BY j.component_id
+                ORDER BY j.n_chars DESC, j.doc_id ASC) = 1
+        )
+        SELECT component_id, kept_doc_id, n_chars, n_members,
+               CASE WHEN CAST('0x' || substr(
+                             md5('split' || CAST(component_id AS VARCHAR)),
+                             1, 8) AS BIGINT) % 10000 < 1000 THEN 'test'
+                    WHEN CAST('0x' || substr(
+                             md5('split' || CAST(component_id AS VARCHAR)),
+                             1, 8) AS BIGINT) % 10000 < 9000 THEN 'train'
+                    ELSE 'val' END AS split
+        FROM keep
+    """
+    return sqls
