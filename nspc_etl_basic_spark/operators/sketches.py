@@ -191,9 +191,18 @@ def heavy_hitters(
     if not 0.0 < threshold_frac <= 1.0:
         raise ValueError("threshold_frac must be in (0, 1]")
     if support is None:
-        support = threshold_frac / 2.0
+        # freqItems enforces a 1e-4 floor (candidate memory would
+        # otherwise be unbounded); stay above it while preserving the
+        # superset guarantee (support <= threshold)
+        support = max(threshold_frac / 2.0, 1e-4)
     if support > threshold_frac:
         raise ValueError("support must be <= threshold_frac (superset guarantee)")
+    if support < 1e-4:
+        raise ValueError(
+            "freqItems requires support >= 1e-4; thresholds below that "
+            "need the plain groupBy/HAVING path (the head IS the table "
+            "at that selectivity)"
+        )
     # phase 1: one JVM-side pass; candidate count is bounded by 1/support
     row = df.stat.freqItems([key_col], support).head()
     candidates = [c for c in row[0] if c is not None]

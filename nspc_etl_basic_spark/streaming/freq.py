@@ -63,8 +63,10 @@ def run_stream_heavy_hitters(
 ):
     """Drain an AvailableNow stream into the count store (see module
     docstring). Report with :func:`heavy_hitters_from_store`."""
-    if not 0.0 < support < 1.0:
-        raise ValueError("support must be in (0, 1)")
+    if not 1e-4 <= support < 1.0:
+        raise ValueError(
+            "support must be in [1e-4, 1) — freqItems enforces the floor"
+        )
 
     def _track_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

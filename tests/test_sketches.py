@@ -196,3 +196,17 @@ def test_heavy_hitters_empty_and_validation(spark):
         heavy_hitters(df, "k", 0.0)
     with _pt.raises(ValueError):
         heavy_hitters(df, "k", 0.01, support=0.5)
+
+
+def test_heavy_hitters_tiny_threshold_handling(spark):
+    from nspc_etl_basic_spark.operators.sketches import heavy_hitters
+    import pytest as _pt
+
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, ["k"])
+    # threshold below freqItems' 2e-4 default-support floor still works
+    # (support clamps to 1e-4, superset guarantee intact)
+    out = {r["k"]: r["cnt"] for r in heavy_hitters(df, "k", 2e-4).collect()}
+    assert out == {"a": 50, "b": 50}
+    # explicit sub-floor support: clear error, not a JVM exception
+    with _pt.raises(ValueError, match="1e-4"):
+        heavy_hitters(df, "k", 0.5, support=1e-5)
