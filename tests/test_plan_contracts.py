@@ -359,3 +359,11 @@ def test_rollup_chain_reuses_hour_partitioning(spark, sf_dir):
     but never a third)."""
     plan = _plan_simple(QUERIES["events_rollup_chain"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_end_to_end_pipeline_no_cartesian(spark, sf_dir):
+    """The composed curation pipeline: no cartesian/nested-loop join
+    anywhere in the quality->LSH->components->keep->split chain."""
+    plan = _plan_simple(QUERIES["corpus_end_to_end"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
