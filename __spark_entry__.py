@@ -957,6 +957,20 @@ def corpus_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators/sampling.
+    hash_ring_negatives): md5 ring cells, min-(hash, key) cell
+    representatives, anchor paired with the next-k cells'
+    representatives — one map-side aggregate + a broadcast join, the
+    corpus never shuffles. Pure data function -> full value oracle."""
+    from nspc_etl_basic_spark.operators.sampling import hash_ring_negatives
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_ring_negatives(
+        docs.select("doc_id"), key="doc_id", k=3, n_buckets=64
+    )
+
+
 def corpus_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPOSED curation pipeline as one driver-verified query:
     C4-style quality gate -> MinHash/LSH candidate pairs OVER THE
@@ -2699,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_chain": events_rollup_chain_q,
         "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
         "corpus_end_to_end": corpus_end_to_end_q,
+        "corpus_negatives": corpus_negatives_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -4176,6 +4191,32 @@ def oracle_sql() -> dict[str, str]:
                            doc_id ASC) AS rk
                 FROM documents
             ) WHERE rk <= 15
+        """,
+        # hash-ring negatives: md5 ring cell per doc, min-(hash, id)
+        # representative per cell, anchor joined to cells +1..+3
+        "corpus_negatives": """
+            WITH cells AS (
+                SELECT doc_id,
+                       md5('neg' || CAST(doc_id AS VARCHAR)) AS h,
+                       CAST('0x' || substr(md5('neg' || CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT) % 64 AS cell
+                FROM documents
+            ),
+            reps AS (
+                SELECT cell, doc_id AS neg_doc_id FROM cells
+                QUALIFY row_number() OVER (
+                    PARTITION BY cell ORDER BY h ASC, doc_id ASC) = 1
+            ),
+            anchors AS (
+                SELECT c.doc_id, j.neg_rank, c.cell
+                FROM cells c CROSS JOIN (
+                    SELECT unnest([1, 2, 3]) AS neg_rank) j
+            )
+            SELECT a.doc_id, CAST(a.neg_rank AS INTEGER) AS neg_rank,
+                   r.neg_doc_id
+            FROM anchors a JOIN reps r
+              ON (a.cell + a.neg_rank) % 64 = r.cell
+            WHERE a.doc_id != r.neg_doc_id
         """,
         # leakage-safe split: components fixpoint, then the standard
         # md5('split'||key) bucket CASE — keyed on component_id

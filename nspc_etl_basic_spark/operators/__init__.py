@@ -7,6 +7,7 @@ from nspc_etl_basic_spark.operators.cast import cast_and_split
 from nspc_etl_basic_spark.operators.sampling import (
     assign_split,
     cap_per_group,
+    hash_ring_negatives,
     hash_sample,
     leakage_safe_split,
     mixture_order,
@@ -24,6 +25,7 @@ __all__ = [
     "cast_and_split",
     "assign_split",
     "cap_per_group",
+    "hash_ring_negatives",
     "hash_sample",
     "leakage_safe_split",
     "mixture_order",

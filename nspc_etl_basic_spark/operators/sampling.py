@@ -384,3 +384,62 @@ def leakage_safe_split(
     large dedup refreshes, which a curation pipeline does anyway)."""
     j = df.join(components.select(id_col, component_col), id_col)
     return assign_split(j, component_col, weights, salt)
+
+
+def hash_ring_negatives(
+    df: DataFrame,
+    key: str,
+    k: int = 4,
+    n_buckets: int = 256,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row gets up to ``k`` pseudo-random negatives —
+    ``(key, neg_rank, neg_<key>)`` — without any global sort or
+    per-anchor randomness bookkeeping.
+
+    Construction: every key hashes onto a ring of ``n_buckets`` cells
+    (md5, like all sampling in this module); each cell's REPRESENTATIVE
+    is its min-(hash, key) member (deterministic); anchor a's j-th
+    negative is the representative of cell ``(cell(a) + j) % n_buckets``.
+    Hash placement makes the pairing pseudo-random w.r.t. any data
+    attribute while staying a pure function of the data — replayable
+    cross-engine, stable under repartition and corpus append (an
+    append only changes pairings whose cells' representative changed).
+
+    Scale: the representative table is ``n_buckets`` short rows — a
+    broadcast — so the whole operator is one map-side-combined
+    aggregate + a projection (explode k) + a broadcast equi-join; the
+    corpus never shuffles. Empty cells (or the anchor's own cell as
+    representative) drop that (anchor, j) pair — "up to k", the usual
+    contrastive-batch contract."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    cell = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    reps = (
+        df.select(
+            cell.alias("__cell"),
+            F.struct(h.alias("h"), F.col(key).alias("k")).alias("__m"),
+        )
+        .groupBy("__cell")
+        .agg(F.min("__m").alias("__m"))
+        .select("__cell", F.col("__m.k").alias(f"neg_{key}"))
+    )
+    anchors = df.select(F.col(key), cell.alias("__acell")).select(
+        key,
+        F.explode(
+            F.array(*[F.lit(j) for j in range(1, k + 1)])
+        ).alias("neg_rank"),
+        "__acell",
+    )
+    paired = anchors.join(
+        F.broadcast(reps),
+        ((F.col("__acell") + F.col("neg_rank")) % n_buckets)
+        == F.col("__cell"),
+    )
+    return paired.where(F.col(key) != F.col(f"neg_{key}")).select(
+        key, "neg_rank", f"neg_{key}"
+    )

@@ -311,3 +311,27 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     ).collect()
     assert all(r["n"] == 1 for r in per)
     assert out.count() == 70
+
+
+def test_hash_ring_negatives_properties(spark):
+    from nspc_etl_basic_spark.operators.sampling import hash_ring_negatives
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], ["doc_id"])
+    out = hash_ring_negatives(docs, "doc_id", k=3, n_buckets=32)
+    rows = out.collect()
+    # no self-negatives; ranks in 1..3; at most k per anchor
+    assert all(r["doc_id"] != r["neg_doc_id"] for r in rows)
+    assert {r["neg_rank"] for r in rows} <= {1, 2, 3}
+    per = out.groupBy("doc_id").count().collect()
+    assert max(r["count"] for r in per) <= 3
+    # deterministic and repartition-stable
+    a = sorted(tuple(r) for r in rows)
+    b = sorted(
+        tuple(r)
+        for r in hash_ring_negatives(
+            docs.repartition(7), "doc_id", k=3, n_buckets=32
+        ).collect()
+    )
+    assert a == b
+    # near-complete coverage: nearly every anchor got all 3 negatives
+    assert sum(r["count"] for r in per) >= 3 * 200 * 0.9
