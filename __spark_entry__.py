@@ -957,6 +957,39 @@ def corpus_source_cap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dataset_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card statistics: per (source, lang) document counts,
+    total characters, and the quality-gate pass rate — the summary
+    table a corpus release ships. One quality-filter pass reused as a
+    left-semi flag plus one map-side-combined aggregate; the oracle
+    composes the SAME quality fragment, so the reported pass rates are
+    value-checked, not eyeballed."""
+    from nspc_etl_basic_spark.operators.text import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    good = quality_filter(
+        docs,
+        min_chars=100, max_chars=20000, min_tokens=20,
+        max_punct_ratio=0.1, min_stopword_ratio=0.02, lang="en",
+    ).select("doc_id", F.lit(1).alias("__pass"))
+    flagged = docs.join(good, "doc_id", "left")
+    return flagged.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("__pass"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_quality_pass"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.floor(
+                F.sum(F.coalesce(F.col("__pass"), F.lit(0)))
+                * F.lit(1e6)
+                / F.count(F.lit(1))
+            )
+            / F.lit(1e6)
+        ).alias("pass_rate"),
+    )
+
+
 def corpus_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negatives (operators/sampling.
     hash_ring_negatives): md5 ring cells, min-(hash, key) cell
@@ -2714,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
         "corpus_end_to_end": corpus_end_to_end_q,
         "corpus_negatives": corpus_negatives_q,
+        "corpus_dataset_card": corpus_dataset_card_q,
         "events_cube_rollup": events_cube_rollup_q,
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
@@ -5065,6 +5099,22 @@ def oracle_sql() -> dict[str, str]:
             FROM seq GROUP BY user_id
         """,
     }
+
+    # dataset card: LEFT JOIN the quality subset as a pass flag, then
+    # one grouped aggregate; pass_rate = floor(npass*1e6/n)/1e6
+    sqls["corpus_dataset_card"] = f"""
+        WITH good AS (
+            SELECT doc_id FROM ({sqls["text_quality_filter"]})
+        )
+        SELECT d.source, d.lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quality_pass,
+               CAST(sum(d.n_chars) AS BIGINT) AS total_chars,
+               floor(sum(CASE WHEN g.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1000000.0 / count(*)) / 1000000.0 AS pass_rate
+        FROM documents d LEFT JOIN good g ON d.doc_id = g.doc_id
+        GROUP BY d.source, d.lang
+    """
 
     # end-to-end curation pipeline: compose the quality-filter subset,
     # the LSH->components fixpoint OVER THAT SUBSET, keep-best, and the
