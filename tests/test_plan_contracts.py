@@ -367,3 +367,15 @@ def test_end_to_end_pipeline_no_cartesian(spark, sf_dir):
     plan = _plan_simple(QUERIES["corpus_end_to_end"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_plan_summary_signals(spark, sf_dir):
+    """plans/audit.plan_summary: known signals on known queries."""
+    from nspc_etl_basic_spark.plans.audit import plan_summary
+
+    s = plan_summary(QUERIES["q6_filter_pushdown"](spark, sf_dir))
+    assert s["pushed_filter_scans"] >= 1 and s["cartesian"] == 0
+    s2 = plan_summary(QUERIES["dedup_minhash"](spark, sf_dir))
+    assert s2["exchanges"] == 0  # projection-only signature
+    s3 = plan_summary(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert s3["take_ordered"] >= 1
