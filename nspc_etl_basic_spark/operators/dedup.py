@@ -86,36 +86,68 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = DEFAULT_SHINGLE_K,
     n_hashes: int = N_MINHASHES,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signature per document: (id, mh_0..mh_{n-1}).
 
-    hash_j(shingle) = md5(shingle)[4j+1 : 4j+4] (hex slice); the minimum
-    over a document's shingles under ANY total order is a valid MinHash —
-    lexicographic hex order serves, no numeric conversion needed. min over
-    the shingle multiset equals min over its set, so no dedup pass either.
+    Two hash tiers, identical plan shape:
+
+    - ``hash_fn="md5"`` (default — the ORACLE tier): hash_j(shingle) =
+      md5(shingle)[4j+1 : 4j+4] (hex slice); DuckDB replays it
+      byte-for-byte, which is what the driver correctness gate checks.
+    - ``hash_fn="xxhash64"`` (the PRODUCTION tier): n seeded JVM
+      xxhash64 digests per shingle (``xxhash64(lit(j), shingle)`` —
+      the seed argument gives n independent hash functions; multiply-
+      mix of one hash would be cheaper still but long-overflow
+      multiplication throws under ANSI mode). md5 is a cryptographic
+      digest and dominates the dedup pipeline's CPU at scale — see
+      SCALE.md for the measured 500 k-doc end-to-end comparison;
+      nothing downstream (banding, bucket join, Jaccard verify)
+      changes, signatures are just longs instead of hex strings.
+
+    The minimum over a document's shingles under ANY total order is a
+    valid MinHash — lexicographic hex order (md5) and signed-long
+    order (xxhash64) both serve; min over the shingle multiset equals
+    min over its set, so no dedup pass either.
 
     PROJECTION-ONLY: the signature is ``array_min`` over an in-row hashed
-    shingle array — one md5 per shingle, ZERO shuffles. (The naive plan —
-    explode shingles, groupBy(doc) with n mins — shuffles every shingle of
-    every document; at 100 TB that shuffle is the whole job. This plan
-    keeps signature computation embarrassingly parallel with the scan.)
+    shingle array — one digest per shingle, ZERO shuffles. (The naive
+    plan — explode shingles, groupBy(doc) with n mins — shuffles every
+    shingle of every document; at 100 TB that shuffle is the whole job.
+    This plan keeps signature computation embarrassingly parallel with
+    the scan.)
 
     Null-text documents are dropped (they have no shingles — same row set
     as the exploded formulation).
     """
-    hashed = df.filter(F.col(text_col).isNotNull()).select(
+    if hash_fn == "md5":
+        hashed = df.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col),
+            F.transform(shingle_array(F.col(text_col), k), F.md5).alias("__h"),
+        )
+        mhs = [
+            F.array_min(
+                F.transform(F.col("__h"), lambda h: F.substring(h, 4 * j + 1, 4))
+            ).alias(f"mh_{j}")
+            # safe w.r.t. closure late-binding: F.transform consumes the
+            # lambda eagerly (expression built while j is current)
+            for j in range(n_hashes)
+        ]
+        return hashed.select(F.col(id_col), *mhs)
+    if hash_fn != "xxhash64":
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64', got {hash_fn!r}")
+    shingles = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
-        F.transform(shingle_array(F.col(text_col), k), F.md5).alias("__h"),
+        shingle_array(F.col(text_col), k).alias("__sh"),
     )
-    mhs = [
-        F.array_min(
-            F.transform(F.col("__h"), lambda h: F.substring(h, 4 * j + 1, 4))
+
+    def _minhash_j(j: int):
+        return F.array_min(
+            # eager-consumed lambda (expression built while j is current)
+            F.transform(F.col("__sh"), lambda sh: F.xxhash64(F.lit(j), sh))
         ).alias(f"mh_{j}")
-        # safe w.r.t. closure late-binding: F.transform consumes the lambda
-        # eagerly (expression built during this iteration, while j is current)
-        for j in range(n_hashes)
-    ]
-    return hashed.select(F.col(id_col), *mhs)
+
+    return shingles.select(F.col(id_col), *[_minhash_j(j) for j in range(n_hashes)])
 
 
 def band_table(

@@ -248,3 +248,48 @@ def test_keep_best_representative(spark):
         4: (4, 7, 1),  # singleton keeps itself
         5: (5, 2, 2),
     }
+
+
+def test_minhash_xxhash64_tier(spark):
+    """Production-hash tier: long signatures, same plan shape, finds
+    the same exact-duplicate structure LSH-banding-wise as md5."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    base = [
+        (i, f"the quick brown fox jumps over dog number {i} " * 4)
+        for i in range(40)
+    ]
+    dups = [(100 + i, t) for i, t in [(i, t) for i, t in base[:10]]]
+    df = spark.createDataFrame(base + dups, ["doc_id", "text"])
+    sigs = minhash_signatures(df, hash_fn="xxhash64")
+    # long-typed signatures, deterministic under repartition
+    assert all(f.dataType.simpleString() == "bigint"
+               for f in sigs.schema.fields if f.name.startswith("mh_"))
+    a = sorted(tuple(r) for r in sigs.collect())
+    b = sorted(
+        tuple(r)
+        for r in minhash_signatures(
+            df.repartition(5), hash_fn="xxhash64"
+        ).collect()
+    )
+    assert a == b
+    # every exact duplicate pair collides in all bands for BOTH tiers
+    pairs_x = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(sigs).collect()
+        if r["n_shared_bands"] == 4
+    }
+    pairs_m = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(df)).collect()
+        if r["n_shared_bands"] == 4
+    }
+    expected = {(i, 100 + i) for i in range(10)}
+    assert expected <= pairs_x and expected <= pairs_m
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        minhash_signatures(df, hash_fn="sha1")
