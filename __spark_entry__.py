@@ -2930,7 +2930,8 @@ def _sql_lsh_bands(
     n_bands = n_hashes // band_size
     parts = []
     for b in range(n_bands):
-        key = " || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
+        # '|' separator mirrors the Spark band_table (ambiguity guard)
+        key = " || '|' || ".join(f"mh_{b * band_size + j}" for j in range(band_size))
         parts.append(
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM {sigs}"
         )

@@ -169,8 +169,13 @@ def band_table(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
+                        # '|' separator: the xxhash64 tier yields
+                        # variable-width signed longs, so an unseparated
+                        # concat is ambiguous ((12,345) vs (123,45)) and
+                        # would create spurious LSH candidates / false
+                        # cluster merges at corpus scale.
                         F.concat_ws(
-                            "",
+                            "|",
                             *[F.col(f"mh_{b * band_size + j}") for j in range(band_size)],
                         ).alias("band_key"),
                     )

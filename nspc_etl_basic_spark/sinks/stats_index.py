@@ -124,6 +124,11 @@ def prune_files(
     column is not indexed."""
     if index is None or col not in index.get("columns", []):
         return None
+    if lo is None and hi is None:
+        # No bound: nothing to prune on. Returning a file list here would
+        # silently drop all-null files while pruned_scan applies no
+        # predicate — pruning must never be the correctness carrier.
+        return None
     lo_k = _key(_jsonable(lo)) if lo is not None else None
     hi_k = _key(_jsonable(hi)) if hi is not None else None
     keep = []

@@ -40,6 +40,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from nspc_etl_basic_spark.operators.sketches import _ISIN_LITERAL_CAP
 from nspc_etl_basic_spark.sinks.bucketed_merge import BucketedTable
 
 #: sentinel key row carrying each batch's TOTAL row count (needed for
@@ -90,14 +91,27 @@ def run_stream_heavy_hitters(
             }
         total = keys.count()
         spark = batch_df.sparkSession
-        if cands:
+        if not cands:
+            counted = spark.createDataFrame([], "key string, cnt long")
+        elif len(cands) <= _ISIN_LITERAL_CAP:
             counted = (
                 keys.where(F.col("key").isin(list(cands)))
                 .groupBy("key")
                 .agg(F.count(F.lit(1)).alias("cnt"))
             )
         else:
-            counted = spark.createDataFrame([], "key string, cnt long")
+            # The tracked-key set grows monotonically across batches; an
+            # isin literal over it would eventually hit the plan-size
+            # cliff. Same guard as the batch operator: broadcast
+            # semi-join past the cap.
+            cand_df = spark.createDataFrame(
+                [(c,) for c in cands], "key string"
+            )
+            counted = (
+                keys.join(F.broadcast(cand_df), "key", "left_semi")
+                .groupBy("key")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
         rows = counted.select(
             "key",
             F.lit(int(batch_id)).cast("long").alias("batch_id"),
@@ -128,7 +142,19 @@ def heavy_hitters_from_store(
     ``(key, cnt, share, max_undercount)``. Guaranteed superset of the
     truly threshold-heavy keys; each cnt is exact from the key's first
     candidacy, undercounting by less than ``support * N`` (emitted as
-    ``max_undercount`` so the bound travels with the answer)."""
+    ``max_undercount`` so the bound travels with the answer).
+
+    The superset guarantee only holds when ``support <= threshold_frac``
+    (a threshold-heavy key is only guaranteed to enter candidacy when
+    some batch gives it share > support); a larger support silently
+    voids it, so it is rejected — matching
+    :func:`operators.sketches.heavy_hitters`'s validation."""
+    if support > threshold_frac:
+        raise ValueError(
+            "support must be <= threshold_frac: the lossy-counting "
+            f"superset guarantee needs it (got support={support}, "
+            f"threshold_frac={threshold_frac})"
+        )
     rows = store.read()
     totals = rows.where(F.col("key") == TOTAL_KEY).agg(
         F.sum("cnt").alias("__n")

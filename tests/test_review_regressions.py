@@ -150,3 +150,51 @@ def test_metadata_store_tolerates_null_quality_section(spark, tmp_path):
     wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
     m = MetadataStore(wh, {"quality": None})  # bare `quality:` in YAML
     assert m.quality_table == "EtlQualityCheck"
+
+
+def test_band_key_separator_disambiguates(spark):
+    """Round-5 ADVICE: xxhash64 signatures are variable-width longs, so
+    the band key must carry a separator — (12, 345) and (123, 45) are
+    distinct bands and must not collide."""
+    from nspc_etl_basic_spark.operators.dedup import band_table
+
+    sigs = spark.createDataFrame(
+        [("a", 12, 345), ("b", 123, 45)],
+        "doc_id string, mh_0 long, mh_1 long",
+    )
+    keys = {
+        r["doc_id"]: r["band_key"]
+        for r in band_table(sigs, n_hashes=2, band_size=2).collect()
+    }
+    assert keys["a"] != keys["b"]
+    assert keys["a"] == "12|345"
+
+
+def test_prune_files_unbounded_returns_none(spark, tmp_path):
+    """Round-5 ADVICE: with no bounds there is nothing to prune on;
+    returning a file list would silently drop all-null files while the
+    scan applies no predicate."""
+    from nspc_etl_basic_spark.sinks import stats_index as si
+
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None), (2, None)], "k int, v int"
+    ).coalesce(1).write.parquet(d)
+    idx = si.build_stats_index(spark, d, ["v"])
+    assert si.prune_files(idx, d, "v") is None  # lo=hi=None: no pruning
+    assert si.prune_files(idx, d, "v", lo=1) == []  # all-null: prunable
+
+
+def test_heavy_hitters_from_store_validates_support(spark, tmp_path):
+    """Round-5 ADVICE: support > threshold_frac voids the superset
+    guarantee and must be rejected, matching the batch operator."""
+    import pytest as _pytest
+
+    from nspc_etl_basic_spark.streaming.freq import (
+        count_store_table,
+        heavy_hitters_from_store,
+    )
+
+    store = count_store_table(spark, str(tmp_path / "store"))
+    with _pytest.raises(ValueError, match="support"):
+        heavy_hitters_from_store(store, threshold_frac=0.01, support=0.05)
