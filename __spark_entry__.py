@@ -2043,16 +2043,19 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "query_id",
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact")
-            ).alias("recall"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
         )
+        # integer ppm (truncating div — nonnegative, so trunc == floor
+        # and DuckDB's // replays it): no float summation order anywhere
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
     )
     return per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        (F.floor(F.avg("recall") * 1e4) / 1e4).alias("avg_recall"),
-        (F.floor(F.min("recall") * 1e4) / 1e4).alias("min_recall"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("(1000000 * sum(n_hit)) div sum(n_exact)")
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
     )
 
 
@@ -2115,13 +2118,18 @@ def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against a TRAINED k-means codebook (operators/similarity.
     train_ivf_centroids) with recall measured in-query against the exact
-    cosine top-k: one row (n_queries, avg_recall, min_recall). k-means
-    centroid updates average doubles, which is not bit-deterministic
-    across partitionings — so this is deliberately a rows-only driver
-    check (no oracle SQL); the VALUE claims (recall >= the untrained
-    codebook's) live in tests/test_similarity.py. At 100 TB the training
-    cost is n_iter corpus scans with a codebook-sized shuffle (see
-    train_ivf_centroids docstring); assignment stays a literal-codebook
+    cosine top-k: one row (n_queries, micro_recall_ppm, min_recall_ppm).
+
+    Round 5: fully oracled. Training runs in the fixed-point integer
+    domain (see train_ivf_centroids' determinism contract), so the
+    DuckDB oracle replays the THREE Lloyd iterations exactly
+    (_sql_ivf_kmeans_ctes unrolls them over BIGINT list algebra) and
+    the trained codebook is bit-identical cross-engine; inference and
+    the exact tier reuse the already-green sim_ann_ivf / sim_topk SQL
+    shapes, and the recall aggregate is pure integer arithmetic
+    (ppm via truncating div), so the whole row value-hashes. At 100 TB
+    the training cost is n_iter shuffle-free corpus scans with a
+    codebook-sized collect; assignment stays a literal-codebook
     projection."""
     from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
 
@@ -2145,16 +2153,19 @@ def sim_ann_ivf_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "query_id",
-            (
-                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
-                / F.col("n_exact")
-            ).alias("recall"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
         )
+        # integer ppm (truncating div — nonnegative, so trunc == floor
+        # and DuckDB's // replays it): no float summation order anywhere
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
     )
     return per_q.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        (F.floor(F.avg("recall") * 1e4) / 1e4).alias("avg_recall"),
-        (F.floor(F.min("recall") * 1e4) / 1e4).alias("min_recall"),
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("(1000000 * sum(n_hit)) div sum(n_exact)")
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
     )
 
 
@@ -3019,6 +3030,72 @@ def _sql_rp_signature(vec: str, n_planes: int = 8, dim: int = 64) -> str:
             f"THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_floor_div(a: str, b: str) -> str:
+    """Exact floor division for b > 0: subtracting the non-negative mod
+    makes the numerator exactly divisible, so DuckDB's truncating ``//``
+    equals Python's flooring ``//`` (operators/similarity._floor_div)."""
+    return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
+
+
+def _sql_ivf_kmeans_ctes(
+    n_cells: int = 16, n_iter: int = 3, dim: int = 64, scale: int = 1_000_000
+) -> str:
+    """CTE chain (no WITH keyword) replaying train_ivf_centroids'
+    fixed-point Lloyd iterations exactly: quantize to integer micros,
+    assign by double(dot)/sqrt(double(cc)) with ties to the lowest cell
+    (dots of integer-micro vectors are exact < 2^53, so engine
+    summation order is irrelevant), update by round-half-up integer
+    floor-div. Ends in ``ivf_cents(cent_id, cvec)`` — the bit-identical
+    twin of the Spark-trained codebook."""
+    parts = [
+        f"""__vq AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS v
+            FROM embeddings
+        )""",
+        f"""__dims AS (SELECT unnest(generate_series(1, {dim})) AS d)""",
+        f"""__cb0 AS (
+            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                   v AS c
+            FROM (SELECT vec_id, v FROM __vq ORDER BY vec_id LIMIT {n_cells})
+        )""",
+    ]
+    score = (
+        "CASE WHEN list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]) = 0 THEN -1e308 "
+        "ELSE list_dot_product(q.v::DOUBLE[], b.c::DOUBLE[]) / "
+        "sqrt(list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[])) END"
+    )
+    for t in range(n_iter):
+        parts.append(f"""__asg{t} AS (
+            SELECT q.vec_id, q.v, b.cell
+            FROM __vq q CROSS JOIN __cb{t} b
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id ORDER BY {score} DESC, b.cell ASC) = 1
+        )""")
+        parts.append(f"""__sum{t} AS (
+            SELECT a.cell, dm.d, CAST(SUM(a.v[dm.d]) AS BIGINT) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM __asg{t} a CROSS JOIN __dims dm
+            GROUP BY a.cell, dm.d
+        )""")
+        upd = _sql_floor_div("2 * s.sq + s.cnt", "2 * s.cnt")
+        parts.append(f"""__cb{t + 1} AS (
+            SELECT b.cell,
+                   list(CASE WHEN s.cnt IS NULL THEN b.c[dm.d]
+                             ELSE CAST({upd} AS BIGINT) END ORDER BY dm.d) AS c
+            FROM __cb{t} b CROSS JOIN __dims dm
+            LEFT JOIN __sum{t} s ON s.cell = b.cell AND s.d = dm.d
+            GROUP BY b.cell
+        )""")
+    parts.append(f"""ivf_cents AS (
+        SELECT cell AS cent_id,
+               list_transform(c, x -> CAST(x AS DOUBLE) / {scale}.0) AS cvec
+        FROM __cb{n_iter}
+    )""")
+    return ",\n".join(parts)
 
 
 def _sql_dq_profile() -> str:
@@ -4627,6 +4704,65 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rank
             FROM sim
             QUALIFY rank <= 5
+        """,
+        # trained-IVF recall: the k-means CTEs replay training bit-exactly
+        # (fixed-point domain), inference reuses the green sim_ann_ivf
+        # shape with the trained cents, recall is integer ppm arithmetic
+        "sim_ann_ivf_trained": f"""
+            WITH {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            q_assign AS (
+                SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 50 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) <= 4
+            ),
+            approx AS (
+                SELECT q.query_id, c.vec_id,
+                       {_sql_cosine('q.qv', 'c.cv')} AS cos_sim
+                FROM q_assign q JOIN c_assign c ON q.cent_id = c.cent_id
+                WHERE q.query_id != c.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY q.query_id
+                    ORDER BY cos_sim DESC, c.vec_id ASC) <= 5
+            ),
+            qx AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            cx AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            exact AS (
+                SELECT query_id, vec_id,
+                       {_sql_cosine('qv', 'cv')} AS cos_sim
+                FROM qx CROSS JOIN cx WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, vec_id ASC) <= 5
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_exact,
+                       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+                       AS micro_recall_ppm,
+                   CAST(MIN((1000000 * n_hit) // n_exact) AS BIGINT)
+                       AS min_recall_ppm
+            FROM perq
         """,
         # hash-bucket membership replayed exactly: md5 of salt||key, first
         # 8 hex chars as a 32-bit int, mod 10000. CASE order mirrors the

@@ -25,6 +25,7 @@ collisions are re-ranked. Brute force remains as the per-bucket kernel.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -247,91 +248,138 @@ def ivf_centroids(
     return [(r[0], [float(x) for x in r[1]]) for r in rows]
 
 
+#: fixed-point scale for deterministic k-means training: vectors are
+#: quantized to integer micros, so every dot product / sum is an exact
+#: integer (representable in float64 up to 2^53) and the trained
+#: codebook is bit-identical regardless of partitioning OR engine
+KMEANS_SCALE = 1_000_000
+
+
+def _floor_div(a: int, b: int) -> int:
+    """Exact floor division (b > 0) via the divisible-numerator form —
+    the same expression the SQL oracle uses (DuckDB ``//`` truncates
+    while Python ``//`` floors; subtracting the non-negative mod first
+    makes the numerator exactly divisible, so both agree)."""
+    return (a - ((a % b) + b) % b) // b
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
 ) -> list[tuple[int, list[float]]]:
     """Lloyd's k-means for the IVF coarse quantizer — the recall upgrade
-    over the deterministic ``ivf_centroids`` pick (which stays the
-    oracle tier: k-means centroid updates average doubles, so they are
-    not bit-deterministic across partitionings).
+    over the deterministic ``ivf_centroids`` pick.
 
-    The TRAINING loop deliberately does NOT use the literal-codebook
-    expression the inference path (``ivf_topk``) compiles: that
-    expression is rebuilt with fresh literals every iteration, so
-    Catalyst re-analyzes and re-codegens a k x dim tree per pass —
-    measured 4-5 s/iteration at k=16, dim=64 regardless of data size,
-    and a production codebook (thousands of cells x hundreds of dims)
-    would never compile as literals at all. Instead each iteration is
-    one Arrow ``mapInPandas`` pass whose kernel BLAS-multiplies the
-    batch against the broadcast codebook and emits per-cell partial
-    (count, sum-vector) rows — ≤ k rows per Arrow batch, the classical
-    treeAggregate shape. The driver reduces partials (bounded:
-    batches x k rows) and recomputes means in numpy. Cost = n_iter
-    embarrassingly-parallel corpus scans with a codebook-sized
-    collect — no shuffle at all, and a few-ms plan per iteration.
-    Assignment is cosine argmax with ties to the lowest cell id, the
-    same rule ``_ivf_cells_sorted`` applies at inference. Empty cells
-    keep their previous centroid.
+    DETERMINISM CONTRACT (round 5): training runs entirely in a
+    fixed-point integer domain, so the trained codebook is
+    bit-identical regardless of partitioning, executor count, or
+    engine — a DuckDB oracle replays it exactly:
+
+    - vectors are quantized once per pass: ``vq = floor(v*scale + 0.5)``
+      (IEEE ops, identical everywhere);
+    - assignment score is ``double(dot(vq, cq)) / sqrt(double(cq·cq))``
+      — dot products of integer-micro vectors are exact integers below
+      2^53, so they are order-independent (BLAS, sequential fold, and
+      SQL all produce the same number), and the float division/sqrt of
+      exact integers is correctly rounded hence identical; ties take
+      the lowest cell index (numpy first-max == SQL ORDER BY score
+      DESC, cell ASC);
+    - the centroid update accumulates exact integer (count, sum)
+      per cell — integer addition commutes, so partition order is
+      irrelevant — and re-quantizes to the micro grid with
+      round-half-up: ``cq = floor_div(2*sum + cnt, 2*cnt)``;
+    - empty cells keep their previous centroid.
+
+    Magnitude bounds (dim<=512, |v|<=4): |vq| <= 4e6, |dot| <=
+    512*1.6e13 ≈ 8e15 — hmm, at those extremes use a larger float or a
+    smaller scale; for the shipped dim=64, |v|<1 corpora the bound is
+    64*(1e6)^2 = 6.4e13, three orders inside 2^53. Per-cell integer
+    sums are Python ints on the driver (arbitrary precision): at
+    lake scale (1e12 rows) they exceed int64 — the partial rows carry
+    per-BATCH sums (bounded by batch size * scale, always in-range)
+    and only the driver reduce goes big.
+
+    The plan shape is unchanged from the float version: each iteration
+    is one Arrow ``mapInPandas`` pass emitting <= k per-cell partial
+    (count, sum-vector) rows per batch (the treeAggregate shape), with
+    a codebook-sized driver reduce — n_iter embarrassingly-parallel
+    corpus scans, no shuffle at all. The matmul stays BLAS float64:
+    exactness comes from the integer-valued inputs, not from the
+    summation order.
     """
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    cents = ivf_centroids(corpus, n_cells, vec_col, id_col)
-    if not cents:
-        return cents
-    dim = len(cents[0][1])
-    cids = [cid for cid, _ in cents]
+    seeds = ivf_centroids(corpus, n_cells, vec_col, id_col)
+    if not seeds:
+        return seeds
+    dim = len(seeds[0][1])
+    cids = [cid for cid, _ in seeds]
+    # quantized integer codebook, seeded from the quantized seed vectors
+    cq = [
+        [int(math.floor(x * scale + 0.5)) for x in vec] for _, vec in seeds
+    ]
     vecs = corpus.select(F.col(vec_col).alias("__v"))
     partial_schema = T.StructType(
         [
             T.StructField("cell", T.IntegerType()),
             T.StructField("cnt", T.LongType()),
-            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("vsum", T.ArrayType(T.LongType())),
         ]
     )
     for _ in range(max(0, n_iter)):
-        codebook = np.array([c for _, c in cents], dtype=np.float64)
-        cnorm = np.linalg.norm(codebook, axis=1)
-        cnorm[cnorm == 0] = 1.0
+        codebook = np.array(cq, dtype=np.float64)  # integer-valued
+        cc = (codebook * codebook).sum(axis=1)  # exact ints < 2^53
+        # cc == 0 (all-zero centroid) scores -inf so it never wins
+        denom = np.sqrt(np.where(cc == 0, 1.0, cc))
+        penalty = np.where(cc == 0, -np.inf, 0.0)
 
-        def partials(batches, _cb=codebook, _cn=cnorm):
+        def partials(batches, _cb=codebook, _dn=denom, _pen=penalty, _s=scale):
             for pdf in batches:
                 mat = np.array(list(pdf["__v"]), dtype=np.float64)
                 if mat.size == 0:
                     continue
-                vn = np.linalg.norm(mat, axis=1)
-                vn[vn == 0] = 1.0
-                # cosine scores: (batch x dim) @ (dim x k); argmax takes
-                # the FIRST max -> ties resolve to the lowest cell index,
-                # matching the inference-side struct sort
-                cell = np.argmax((mat / vn[:, None]) @ (_cb / _cn[:, None]).T, axis=1)
+                vq = np.floor(mat * _s + 0.5)  # integer-valued float64
+                # dot of integer-valued float64 is EXACT (< 2^53), so
+                # BLAS order doesn't matter; argmax takes the FIRST
+                # max -> ties resolve to the lowest cell index
+                score = (vq @ _cb.T) / _dn[None, :] + _pen[None, :]
+                cell = np.argmax(score, axis=1)
                 rows = []
                 for ci in np.unique(cell):
-                    sel = mat[cell == ci]
-                    rows.append((int(ci), len(sel), sel.sum(axis=0).tolist()))
+                    sel = vq[cell == ci]
+                    rows.append(
+                        (
+                            int(ci),
+                            len(sel),
+                            [int(x) for x in sel.sum(axis=0)],
+                        )
+                    )
                 yield pd.DataFrame(rows, columns=["cell", "cnt", "vsum"])
 
         got = vecs.mapInPandas(partials, partial_schema).collect()
-        acc_cnt = np.zeros(len(cids), dtype=np.int64)
-        acc_sum = np.zeros((len(cids), dim), dtype=np.float64)
+        acc_cnt = [0] * len(cids)
+        acc_sum = [[0] * dim for _ in cids]  # Python ints: no overflow
         for r in got:
             acc_cnt[r["cell"]] += r["cnt"]
-            acc_sum[r["cell"]] += np.array(r["vsum"])
-        cents = [
-            (
-                cid,
-                (acc_sum[i] / acc_cnt[i]).tolist()
-                if acc_cnt[i] > 0
-                else old,
-            )
-            for i, (cid, old) in enumerate(zip(cids, [c for _, c in cents]))
+            row = acc_sum[r["cell"]]
+            for i, x in enumerate(r["vsum"]):
+                row[i] += x
+        cq = [
+            [
+                _floor_div(2 * acc_sum[i][d] + acc_cnt[i], 2 * acc_cnt[i])
+                for d in range(dim)
+            ]
+            if acc_cnt[i] > 0
+            else old
+            for i, old in enumerate(cq)
         ]
-    return cents
+    return [(cid, [c / scale for c in row]) for cid, row in zip(cids, cq)]
 
 
 def _ivf_cells_sorted(
