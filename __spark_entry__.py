@@ -1978,12 +1978,17 @@ def emb_pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-PQ ADC search with recall measured in-query: Lloyd-
     trained codebooks (operators/pq.train_pq_codebooks — one Arrow
-    pass per iteration, no shuffle), literal-codebook encode, per-query
-    ADC shortlists, and the exact-L2 top-5 computed side-by-side; one
-    row (n_queries, avg_recall, min_recall) for recall@25 of the exact
-    top-5. k-means means are not cross-engine bit-deterministic, so —
-    like sim_ann_ivf_trained — this is a rows-only driver check; the
-    recall floor itself is asserted in tests/test_pq.py."""
+    pass per iteration, no shuffle), Arrow-kernel encode, per-query
+    ADC shortlists (k=25), and the exact-L2 top-5 computed
+    side-by-side; one row (n_queries, micro_recall_ppm,
+    min_recall_ppm).
+
+    Round 5: fully oracled. Training, encode, and ADC all run in the
+    fixed-point integer-micros domain (quantize_scale), so every
+    distance is an exact integer and _sql_pq_trained_ctes replays the
+    whole chain in DuckDB bit-for-bit; the exact tier keeps the
+    round-6 double contract the green sim_topk uses, and the recall
+    aggregate is pure integer ppm arithmetic."""
     from pyspark.sql.window import Window as _W
 
     from nspc_etl_basic_spark.operators.pq import (
@@ -1991,6 +1996,7 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_topk,
         train_pq_codebooks,
     )
+    from nspc_etl_basic_spark.operators.similarity import KMEANS_SCALE
 
     emb = _t(spark, sf_dir, "embeddings")
     books = train_pq_codebooks(emb, m=16, k=16, n_iter=3)
@@ -2000,8 +2006,15 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TRAINED codebooks route through the Arrow kernel encode — the
     # production path for codebooks past literal size (measured: the
     # m=16 literal encode spends ~4 s in codegen for a 0.3 s kernel
-    # pass); the literal tier stays driver-verified via emb_pq_encode
-    approx = pq_topk(pq_encode_kernel(emb, books), queries, books, k=25)
+    # pass); the literal tier stays driver-verified via emb_pq_encode.
+    # quantize_scale keeps encode + ADC in the integer-exact domain.
+    approx = pq_topk(
+        pq_encode_kernel(emb, books, quantize_scale=KMEANS_SCALE),
+        queries,
+        books,
+        k=25,
+        quantize_scale=KMEANS_SCALE,
+    )
 
     # exact L2 top-5 (dot identity); <q,q>/<c,c> hoisted per SIDE so the
     # O(|q| x |c|) loop pays one fold per pair, not three
@@ -3094,6 +3107,83 @@ def _sql_ivf_kmeans_ctes(
         SELECT cell AS cent_id,
                list_transform(c, x -> CAST(x AS DOUBLE) / {scale}.0) AS cvec
         FROM __cb{n_iter}
+    )""")
+    return ",\n".join(parts)
+
+
+def _sql_pq_trained_ctes(
+    m: int = 16,
+    k: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> str:
+    """CTE chain replaying pq.train_pq_codebooks + quantized encode +
+    quantized ADC (operators/pq.py, quantize_scale tier) exactly: all
+    distances are integer-micro L2 (exact < 2^53), assignment ties to
+    the lowest cell, updates are round-half-up integer floor-div. Ends
+    in ``pq_enc(vec_id, sub, code)`` and ``pq_books(sub, cell, c)``."""
+    w = dim // m
+    d2 = (
+        "list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[]) "
+        "- 2 * list_dot_product(s.sv::DOUBLE[], b.c::DOUBLE[]) "
+        "+ list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[])"
+    )
+    parts = [
+        f"""__vq AS (
+            SELECT vec_id,
+                   list_transform(embedding::DOUBLE[],
+                       x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS v
+            FROM embeddings
+        )""",
+        f"""__psubs AS (
+            SELECT vec_id, CAST(j.j AS INTEGER) AS sub,
+                   list_slice(v, j.j * {w} + 1, j.j * {w} + {w}) AS sv
+            FROM __vq CROSS JOIN
+                 (SELECT unnest(generate_series(0, {m - 1})) AS j) j
+        )""",
+        f"""__pdims AS (SELECT unnest(generate_series(1, {w})) AS d)""",
+        f"""__pcb0 AS (
+            SELECT sub,
+                   CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
+                        AS INTEGER) AS cell,
+                   sv AS c
+            FROM __psubs
+            WHERE vec_id IN
+                  (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+        )""",
+    ]
+    for t in range(n_iter):
+        parts.append(f"""__pasg{t} AS (
+            SELECT s.vec_id, s.sub, s.sv, b.cell
+            FROM __psubs s JOIN __pcb{t} b ON b.sub = s.sub
+            QUALIFY row_number() OVER (
+                PARTITION BY s.vec_id, s.sub
+                ORDER BY {d2} ASC, b.cell ASC) = 1
+        )""")
+        parts.append(f"""__psum{t} AS (
+            SELECT a.sub, a.cell, dm.d, CAST(SUM(a.sv[dm.d]) AS BIGINT) AS sq,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM __pasg{t} a CROSS JOIN __pdims dm
+            GROUP BY a.sub, a.cell, dm.d
+        )""")
+        upd = _sql_floor_div("2 * s.sq + s.cnt", "2 * s.cnt")
+        parts.append(f"""__pcb{t + 1} AS (
+            SELECT b.sub, b.cell,
+                   list(CASE WHEN s.cnt IS NULL THEN b.c[dm.d]
+                             ELSE CAST({upd} AS BIGINT) END ORDER BY dm.d) AS c
+            FROM __pcb{t} b CROSS JOIN __pdims dm
+            LEFT JOIN __psum{t} s
+              ON s.sub = b.sub AND s.cell = b.cell AND s.d = dm.d
+            GROUP BY b.sub, b.cell
+        )""")
+    parts.append(f"pq_books AS (SELECT sub, cell, c FROM __pcb{n_iter})")
+    parts.append(f"""pq_enc AS (
+        SELECT s.vec_id, s.sub, b.cell AS code
+        FROM __psubs s JOIN pq_books b ON b.sub = s.sub
+        QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, s.sub
+            ORDER BY {d2} ASC, b.cell ASC) = 1
     )""")
     return ",\n".join(parts)
 
@@ -4748,6 +4838,58 @@ def oracle_sql() -> dict[str, str]:
                 QUALIFY row_number() OVER (
                     PARTITION BY query_id
                     ORDER BY cos_sim DESC, vec_id ASC) <= 5
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_exact,
+                       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+                       AS micro_recall_ppm,
+                   CAST(MIN((1000000 * n_hit) // n_exact) AS BIGINT)
+                       AS min_recall_ppm
+            FROM perq
+        """,
+        # trained-PQ recall: train/encode/ADC replayed in the integer-
+        # micros domain (every distance an exact integer), exact tier on
+        # round-6 doubles, recall in integer ppm
+        "sim_ann_pq_trained": f"""
+            WITH {_sql_pq_trained_ctes(m=16, k=16, n_iter=3)},
+            __qtab AS (
+                SELECT s.vec_id AS query_id, s.sub, b.cell,
+                       list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+                       - 2 * list_dot_product(s.sv::DOUBLE[], b.c::DOUBLE[])
+                       + list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]) AS d
+                FROM __psubs s JOIN pq_books b ON b.sub = s.sub
+                WHERE s.vec_id % 50 = 0
+            ),
+            approx AS (
+                SELECT t.query_id, e.vec_id
+                FROM pq_enc e
+                JOIN __qtab t ON t.sub = e.sub AND t.cell = e.code
+                WHERE t.query_id != e.vec_id
+                GROUP BY t.query_id, e.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY t.query_id
+                    ORDER BY SUM(t.d) ASC, e.vec_id ASC) <= 25
+            ),
+            qx AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            cx AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            exact AS (
+                SELECT query_id, vec_id,
+                       round(list_dot_product(qv, qv)
+                             - 2 * list_dot_product(qv, cv)
+                             + list_dot_product(cv, cv), 6) AS d
+                FROM qx CROSS JOIN cx WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id ORDER BY d ASC, vec_id ASC) <= 5
             ),
             perq AS (
                 SELECT e.query_id,

@@ -37,16 +37,20 @@ Determinism contract: ``pq_seed_codebooks`` (the k lowest-id vectors'
 subvectors — the same deterministic-seed rule as similarity.
 ivf_centroids) + ``pq_encode`` use only sequential-fold dot products
 and round-6 boundaries, so a SQL oracle replays codes bit-for-bit.
-Trained codebooks average floats (not bit-portable) and get the
-recall-measured tier instead — the exact split the IVF pair uses.
+Trained codebooks (round 5) run Lloyd's in a fixed-point integer
+domain — see ``train_pq_codebooks`` — so they are ALSO bit-portable:
+with ``quantize_scale`` set on the encode kernel and ADC search, the
+full trained chain is replayed by a generated DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import dot
+from .similarity import KMEANS_SCALE, _floor_div, dot
 
 
 def _subvec(vec: Column, j: int, width: int) -> Column:
@@ -88,10 +92,23 @@ def train_pq_codebooks(
     n_iter: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
 ) -> list[list[list[float]]]:
     """Lloyd's k-means independently per subspace, all m subspaces in
     one Arrow pass per iteration (see module docstring). Empty cells
-    keep their previous centroid. Returns ``codebooks[j][c]``."""
+    keep their previous centroid. Returns ``codebooks[j][c]``.
+
+    DETERMINISM CONTRACT (round 5, same scheme as
+    similarity.train_ivf_centroids): training runs in the fixed-point
+    integer-micros domain — subvectors quantize to
+    ``floor(x*scale + 0.5)``, the argmin-L2 assignment compares exact
+    integer distances (all below 2^53, so BLAS/SQL summation order is
+    irrelevant; ties to the lowest cell), and the centroid update is
+    exact integer (count, sum) accumulation + round-half-up integer
+    floor-div back onto the micro grid. The resulting codebooks (micros
+    divided by ``scale``) are bit-identical across partitionings AND
+    engines, so a DuckDB oracle replays the full train → encode → ADC
+    chain (see __spark_entry__._sql_pq_trained_ctes)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -100,59 +117,79 @@ def train_pq_codebooks(
     if not books:
         return books
     w = len(books[0][0])
+    # integer-micro codebooks, seeded from the quantized seed subvectors
+    bq = [
+        [[int(math.floor(x * scale + 0.5)) for x in c] for c in books[j]]
+        for j in range(m)
+    ]
     vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("__v"))
     partial_schema = T.StructType(
         [
             T.StructField("sub", T.IntegerType()),
             T.StructField("cell", T.IntegerType()),
             T.StructField("cnt", T.LongType()),
-            T.StructField("vsum", T.ArrayType(T.DoubleType())),
+            T.StructField("vsum", T.ArrayType(T.LongType())),
         ]
     )
     for _ in range(max(0, n_iter)):
-        cb = np.array(books, dtype=np.float64)  # (m, k, w)
+        cb = np.array(bq, dtype=np.float64)  # (m, k, w) integer-valued
 
-        def partials(batches, _cb=cb, _m=m, _w=w):
+        def partials(batches, _cb=cb, _m=m, _w=w, _s=scale):
             for pdf in batches:
                 mat = np.array(list(pdf["__v"]), dtype=np.float64)
                 if mat.size == 0:
                     continue
+                vq = np.floor(mat * _s + 0.5)  # integer-valued float64
                 rows = []
                 for j in range(_m):
-                    sub = mat[:, j * _w : (j + 1) * _w]  # (n, w)
-                    # ||x - c||^2 argmin == argmin(-2 x.c + ||c||^2);
+                    sub = vq[:, j * _w : (j + 1) * _w]  # (n, w)
+                    # exact integer L2 (ss - 2 s.c + cc, all < 2^53);
                     # np.argmin takes the FIRST min -> ties to lowest
-                    # cell index, matching the encode-side struct sort
+                    # cell index, matching the SQL ORDER BY d, cell
                     d = (
-                        -2.0 * sub @ _cb[j].T
-                        + (_cb[j] ** 2).sum(axis=1)[None, :]
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * sub @ _cb[j].T
+                        + (_cb[j] * _cb[j]).sum(axis=1)[None, :]
                     )
                     cell = np.argmin(d, axis=1)
                     for ci in np.unique(cell):
                         sel = sub[cell == ci]
                         rows.append(
-                            (j, int(ci), len(sel), sel.sum(axis=0).tolist())
+                            (
+                                j,
+                                int(ci),
+                                len(sel),
+                                [int(x) for x in sel.sum(axis=0)],
+                            )
                         )
                 yield pd.DataFrame(
                     rows, columns=["sub", "cell", "cnt", "vsum"]
                 )
 
         got = vecs.mapInPandas(partials, partial_schema).collect()
-        acc_cnt = np.zeros((m, k), dtype=np.int64)
-        acc_sum = np.zeros((m, k, w), dtype=np.float64)
+        acc_cnt = [[0] * k for _ in range(m)]
+        acc_sum = [[[0] * w for _ in range(k)] for _ in range(m)]
         for r in got:
-            acc_cnt[r["sub"], r["cell"]] += r["cnt"]
-            acc_sum[r["sub"], r["cell"]] += np.array(r["vsum"])
-        books = [
+            acc_cnt[r["sub"]][r["cell"]] += r["cnt"]
+            row = acc_sum[r["sub"]][r["cell"]]
+            for i, x in enumerate(r["vsum"]):
+                row[i] += x
+        bq = [
             [
-                (acc_sum[j, c] / acc_cnt[j, c]).tolist()
-                if acc_cnt[j, c] > 0
-                else books[j][c]
+                [
+                    _floor_div(
+                        2 * acc_sum[j][c][d] + acc_cnt[j][c],
+                        2 * acc_cnt[j][c],
+                    )
+                    for d in range(w)
+                ]
+                if acc_cnt[j][c] > 0
+                else bq[j][c]
                 for c in range(k)
             ]
             for j in range(m)
         ]
-    return books
+    return [[[x / scale for x in c] for c in bq[j]] for j in range(m)]
 
 
 def pq_encode(
@@ -245,16 +282,27 @@ def pq_encode_kernel(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     out_col: str = "pq_code",
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Arrow ``mapInPandas`` encode for production-size codebooks
     (thousands of centroids x hundreds of dims never compile as plan
     literals): numpy argmin per subspace, first-min tie rule — the
-    same code the literal path produces. Returns (id_col, out_col)."""
+    same code the literal path produces. Returns (id_col, out_col).
+
+    With ``quantize_scale`` set (pair it with ``train_pq_codebooks``'s
+    scale), the argmin runs in the fixed-point integer domain: both the
+    vector and the codebook are quantized to integer micros, so every
+    distance is an exact integer and the codes are deterministic across
+    engines — the oracle-replayable tier for TRAINED codebooks."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    if quantize_scale:
+        # codebook entries are micros/scale; this recovers the exact
+        # integer micros (product error << 0.5)
+        cb = np.floor(cb * quantize_scale + 0.5)
     m, _k, w = cb.shape
     schema = T.StructType(
         [
@@ -263,17 +311,20 @@ def pq_encode_kernel(
         ]
     )
 
-    def kernel(batches, _cb=cb, _m=m, _w=w):
+    def kernel(batches, _cb=cb, _m=m, _w=w, _s=quantize_scale):
         for pdf in batches:
             mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             if mat.size == 0:
                 continue
+            if _s:
+                mat = np.floor(mat * _s + 0.5)
             cols = []
             for j in range(_m):
                 sub = mat[:, j * _w : (j + 1) * _w]
                 d = (
-                    -2.0 * sub @ _cb[j].T
-                    + (_cb[j] ** 2).sum(axis=1)[None, :]
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ _cb[j].T
+                    + (_cb[j] * _cb[j]).sum(axis=1)[None, :]
                 )
                 cols.append(np.argmin(d, axis=1))
             codes = np.stack(cols, axis=1)
@@ -294,6 +345,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     max_queries: int = 1000,
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: per query, the m x k distance
     table is computed ONCE on the driver (numpy, microseconds) and
@@ -305,7 +357,13 @@ def pq_topk(
     The scan cost is O(|corpus| * m) lookups — the PQ trade: exactness
     is surrendered to the codebook resolution, so recall is measured
     against the exact tier (see tests / the driver query), never
-    assumed."""
+    assumed.
+
+    With ``quantize_scale`` set, query vectors and codebooks quantize
+    to integer micros before the table is built: every table entry and
+    every ADC sum is an exact integer (< 2^53), so the shortlist is
+    deterministic across engines — pair with the quantized encode for
+    the oracle-replayable trained tier."""
     import numpy as np
 
     q_rows = queries.select(query_id_col, vec_col).limit(max_queries + 1).collect()
@@ -317,10 +375,14 @@ def pq_topk(
     from pyspark.sql.window import Window
 
     cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    if quantize_scale:
+        cb = np.floor(cb * quantize_scale + 0.5)
     m, _kc, w = cb.shape
     per_query = []
     for r in q_rows:
         qv = np.array(r[vec_col], dtype=np.float64)
+        if quantize_scale:
+            qv = np.floor(qv * quantize_scale + 0.5)
         table = [
             ((cb[j] - qv[j * w : (j + 1) * w]) ** 2).sum(axis=1).tolist()
             for j in range(m)
