@@ -2663,19 +2663,28 @@ _PCA_CACHE: dict[str, list] = {}
 
 
 def emb_pca_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA over the first 16 embedding dims: distributed covariance
-    (double fast path — rows-only check tolerates float-sum drift) →
-    driver-side 16x16 eigh → literal-matrix projection (zero shuffle).
-    Not SQL-expressible (eigendecomposition) — rows-only oracle."""
+    """PCA over the first 8 embedding dims: decimal-exact distributed
+    covariance (the already-oracled emb_covariance values) →
+    deterministic power iteration with repeated squaring + MGS
+    deflation (pca_components_power — a fixed IEEE op sequence, so the
+    components are bit-identical cross-engine) → literal-matrix
+    projection (zero shuffle).
+
+    Round 5: fully oracled — _sql_pca_power_ctes replays the component
+    extraction bit-for-bit and the projection as left-assoc multiply-
+    add chains matching Spark's sequential fold. (The LAPACK-eigh
+    production tier, pca_components, stays pytest-covered.)"""
     from nspc_etl_basic_spark.operators.similarity import (
-        pca_components, pca_project,
+        pca_components_power, pca_project,
     )
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+        "vec_id", F.slice("embedding", 1, 8).alias("embedding")
     )
     if sf_dir not in _PCA_CACHE:
-        _PCA_CACHE[sf_dir] = pca_components(emb, "embedding", k=4, dims=16)
+        _PCA_CACHE[sf_dir] = pca_components_power(
+            emb, "embedding", k=4, dims=8
+        )
     return pca_project(emb, _PCA_CACHE[sf_dir], "embedding")
 
 
@@ -3188,6 +3197,149 @@ def _sql_pq_trained_ctes(
     return ",\n".join(parts)
 
 
+def _sql_pca_power_ctes(
+    dims: int = 8, k: int = 4, n_squarings: int = 8
+) -> str:
+    """CTE chain replaying similarity.pca_components_power bit-for-bit:
+    decimal-exact covariance (the emb_covariance contract, round 8),
+    then per component — repeated matrix squaring with max-|entry|
+    rescale (max is associative, so order-free), all-ones start vector,
+    modified Gram-Schmidt against prior components, normalize, Rayleigh
+    quotient, first-nonzero-positive sign, Hotelling deflation. Every
+    sum is a left-assoc ``(a + b + ...)`` chain matching the Python
+    mirror's sequential fold. Ends in ``__pc{c}_out(v_0.., lam)`` per
+    component."""
+    d = dims
+    el = [f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(d)]
+    aggs = ["count(*) AS n"]
+    aggs += [
+        f"sum(CAST({el[i]} AS DECIMAL(28,12))) AS s_{i}" for i in range(d)
+    ]
+    cov_cells = []
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                f"sum(CAST({el[i]} * {el[j]} AS DECIMAL(28,12))) AS p_{i}_{j}"
+            )
+    for i in range(d):
+        for j in range(d):
+            a, b = (i, j) if i <= j else (j, i)
+            cov_cells.append(
+                f"round((CAST(p_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+                f" / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0), 8)"
+                f" AS m_{i}_{j}"
+            )
+    parts = [
+        f"__pcagg AS (SELECT {', '.join(aggs)} FROM embeddings)",
+        f"__pcm0 AS (SELECT {', '.join(cov_cells)} FROM __pcagg)",
+    ]
+    mcols = ", ".join(f"m_{i}_{j}" for i in range(d) for j in range(d))
+
+    def chain(terms):
+        return "(" + " + ".join(terms) + ")"
+
+    for c in range(k):
+        pv = ", ".join(
+            f"p{p}.v_{i} AS pv_{p}_{i}" for p in range(c) for i in range(d)
+        )
+        pvc = ", ".join(
+            f"pv_{p}_{i}" for p in range(c) for i in range(d)
+        )
+        joins = " ".join(f"CROSS JOIN __pc{p}_out p{p}" for p in range(c))
+        carry = mcols + (f", {pvc}" if pvc else "")
+        sel_pv = f", {pv}" if pv else ""
+        binit = ", ".join(
+            f"m.m_{i}_{j} AS b_{i}_{j}" for i in range(d) for j in range(d)
+        )
+        parts.append(
+            f"__pc{c}_b AS (SELECT {binit}, m.*{sel_pv} "
+            f"FROM __pcm{c} m {joins})"
+        )
+        prev = f"__pc{c}_b"
+        gmax = "greatest(" + ", ".join(
+            f"abs(b_{i}_{j})" for i in range(d) for j in range(d)
+        ) + ")"
+        for t in range(n_squarings + 1):
+            scaled = ", ".join(
+                f"b_{i}_{j} / (CASE WHEN __g = 0.0 THEN 1.0 ELSE __g END)"
+                f" AS b_{i}_{j}"
+                for i in range(d)
+                for j in range(d)
+            )
+            parts.append(
+                f"__pc{c}_sc{t} AS (SELECT {scaled}, {carry} FROM "
+                f"(SELECT *, {gmax} AS __g FROM {prev}))"
+            )
+            prev = f"__pc{c}_sc{t}"
+            if t < n_squarings:
+                sq = ", ".join(
+                    chain([f"b_{i}_{l} * b_{l}_{j}" for l in range(d)])
+                    + f" AS b_{i}_{j}"
+                    for i in range(d)
+                    for j in range(d)
+                )
+                parts.append(
+                    f"__pc{c}_sq{t} AS (SELECT {sq}, {carry} FROM {prev})"
+                )
+                prev = f"__pc{c}_sq{t}"
+        ys = ", ".join(
+            chain([f"b_{i}_{j}" for j in range(d)]) + f" AS y_{i}"
+            for i in range(d)
+        )
+        parts.append(f"__pc{c}_y AS (SELECT {ys}, {carry} FROM {prev})")
+        prev = f"__pc{c}_y"
+        for p in range(c):
+            pr = chain([f"y_{j} * pv_{p}_{j}" for j in range(d)])
+            gs = ", ".join(
+                f"y_{i} - {pr} * pv_{p}_{i} AS y_{i}" for i in range(d)
+            )
+            parts.append(
+                f"__pc{c}_gs{p} AS (SELECT {gs}, {carry} FROM {prev})"
+            )
+            prev = f"__pc{c}_gs{p}"
+        nrm = "sqrt(" + chain([f"y_{i} * y_{i}" for i in range(d)])[1:]
+        vs = ", ".join(f"y_{i} / {nrm} AS v_{i}" for i in range(d))
+        parts.append(f"__pc{c}_v AS (SELECT {vs}, {carry} FROM {prev})")
+        lam = chain(
+            [
+                "v_{i} * ".format(i=i)
+                + chain([f"m_{i}_{j} * v_{j}" for j in range(d)])
+                for i in range(d)
+            ]
+        )
+        sgn = (
+            "CASE "
+            + " ".join(
+                f"WHEN v_{i} != 0.0 THEN "
+                f"CASE WHEN v_{i} < 0.0 THEN -1.0 ELSE 1.0 END"
+                for i in range(d)
+            )
+            + " ELSE 1.0 END"
+        )
+        parts.append(
+            f"__pc{c}_r AS (SELECT {lam} AS lam, {sgn} AS sgn, "
+            + ", ".join(f"v_{i}" for i in range(d))
+            + f", {mcols} FROM __pc{c}_v)"
+        )
+        signed = ", ".join(f"sgn * v_{i} AS v_{i}" for i in range(d))
+        parts.append(
+            f"__pc{c}_f AS (SELECT lam, {signed}, {mcols} FROM __pc{c}_r)"
+        )
+        parts.append(
+            f"__pc{c}_out AS (SELECT "
+            + ", ".join(f"v_{i}" for i in range(d))
+            + f", lam FROM __pc{c}_f)"
+        )
+        defl = ", ".join(
+            f"m_{i}_{j} - lam * v_{i} * v_{j} AS m_{i}_{j}"
+            for i in range(d)
+            for j in range(d)
+        )
+        parts.append(f"__pcm{c + 1} AS (SELECT {defl} FROM __pc{c}_f)")
+    return ",\n".join(parts)
+
+
 def _sql_dq_profile() -> str:
     """Oracle for dq_profile: same metrics as `operators/quality.py`, one
     aggregate CTE + UNION ALL unpivot (DuckDB has stack() only as unpivot)."""
@@ -3562,8 +3714,24 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _sql_events_anomaly(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         "emb_covariance": _sql_emb_covariance(8),
-        # emb_pca_project: no oracle — eigendecomposition is not
-        # SQL-expressible; the driver records the rows-only check
+        # PCA projection: power-iteration components replayed bit-exactly
+        # (fixed IEEE op sequence over the rounded covariance), then the
+        # projection as left-assoc multiply-add chains matching Spark's
+        # sequential fold
+        "emb_pca_project": "WITH "
+        + _sql_pca_power_ctes(8, 4, 8)
+        + "\nSELECT e.vec_id, "
+        + ", ".join(
+            "round(("
+            + " + ".join(
+                f"CAST(e.embedding[{i + 1}] AS DOUBLE) * p{c}.v_{i}"
+                for i in range(8)
+            )
+            + f"), 6) AS pc{c}"
+            for c in range(4)
+        )
+        + "\nFROM embeddings e "
+        + " ".join(f"CROSS JOIN __pc{c}_out p{c}" for c in range(4)),
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    {_osum('l_quantity')} AS sum_qty,

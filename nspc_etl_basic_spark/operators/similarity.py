@@ -742,6 +742,103 @@ def pca_components(
     return comps
 
 
+def _seq_sum(xs) -> float:
+    """Left-to-right float sum — the exact op order a generated SQL
+    ``(a + b + c ...)`` chain evaluates, so both engines get the same
+    IEEE result bit-for-bit."""
+    acc = 0.0
+    for x in xs:
+        acc = acc + x
+    return acc
+
+
+def pca_components_power(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    dims: int | None = None,
+    n_squarings: int = 8,
+) -> list[list[float]]:
+    """Top-k principal components via DETERMINISTIC power iteration —
+    the oracle-replayable alternative to :func:`pca_components` (whose
+    LAPACK ``eigh`` is not SQL-expressible).
+
+    Per component: raise the (deflated) covariance matrix to the
+    2^n_squarings power by repeated squaring — rescaling by the max
+    |entry| after each squaring so magnitudes stay O(1) (max is truly
+    associative, so the rescale factor is order-independent) — apply it
+    to the all-ones start vector, modified-Gram-Schmidt against the
+    previously extracted components (orthogonality to machine
+    precision), normalize, take the Rayleigh quotient as the variance
+    estimate, fix the sign (first nonzero entry positive), and deflate
+    ``M -= lam * v vᵀ``.
+
+    Every step is a fixed sequence of IEEE double ops on the ROUNDED
+    covariance entries (embedding_covariance exact=True, round 8 — the
+    already-oracled values), with all sums evaluated left-to-right —
+    so a generated SQL chain (__spark_entry__._sql_pca_power_ctes)
+    replays the components bit-for-bit, and the result is independent
+    of partitioning by construction (the only distributed stage is the
+    decimal-exact covariance pass).
+
+    Honesty note on near-isotropic data: when eigenvalues are nearly
+    degenerate (as in the synthetic corpus: all ~0.017), individual
+    eigen-DIRECTIONS are ill-conditioned for any algorithm; this
+    method still returns an orthonormal basis whose Rayleigh quotients
+    are within ~2% of the true eigenvalues, which is the quantity a
+    variance-capture consumer cares about. M^256 gives a
+    (lam2/lam1)^256 contamination factor — well converged whenever a
+    spectral gap exists at all.
+
+    Scale: identical to pca_components — one covariance scan, O(dims^2)
+    driver floats; the power iteration itself touches no data.
+    """
+    rows = embedding_covariance(df, vec_col, dims, exact=True).collect()
+    if not rows or any(r["cov"] is None for r in rows):
+        raise ValueError("pca_components_power needs at least 2 vectors")
+    d = max(r["j"] for r in rows) + 1
+    M = [[0.0] * d for _ in range(d)]
+    for r in rows:
+        M[r["i"]][r["j"]] = M[r["j"]][r["i"]] = float(r["cov"])
+
+    comps: list[list[float]] = []
+    for _ in range(k):
+        B = [row[:] for row in M]
+        for _sq in range(n_squarings):
+            g = max(abs(x) for row in B for x in row)
+            scale = g if g != 0.0 else 1.0
+            B = [[x / scale for x in row] for row in B]
+            B = [
+                [
+                    _seq_sum(B[i][l] * B[l][j] for l in range(d))
+                    for j in range(d)
+                ]
+                for i in range(d)
+            ]
+        g = max(abs(x) for row in B for x in row)
+        scale = g if g != 0.0 else 1.0
+        B = [[x / scale for x in row] for row in B]
+        y = [_seq_sum(B[i][j] for j in range(d)) for i in range(d)]
+        for p in comps:
+            pr = _seq_sum(y[j] * p[j] for j in range(d))
+            y = [y[i] - pr * p[i] for i in range(d)]
+        nrm = math.sqrt(_seq_sum(x * x for x in y))
+        v = [x / nrm for x in y]
+        my = [_seq_sum(M[i][j] * v[j] for j in range(d)) for i in range(d)]
+        lam = _seq_sum(v[i] * my[i] for i in range(d))
+        sgn = 1.0
+        for x in v:
+            if x != 0.0:
+                sgn = -1.0 if x < 0.0 else 1.0
+                break
+        v = [sgn * x for x in v]
+        comps.append(v)
+        M = [
+            [M[i][j] - lam * v[i] * v[j] for j in range(d)] for i in range(d)
+        ]
+    return comps
+
+
 def pca_project(
     df: DataFrame,
     components: list[list[float]],

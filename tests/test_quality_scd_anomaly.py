@@ -313,3 +313,42 @@ def test_incremental_span_dedup_within_batch(spark):
     assert got == {1: "alpha", 2: "beta"}
     # batch counts ready for the store merge
     assert counts.where("count >= 2").count() == 2  # the two shared 5-grams
+
+
+def test_pca_power_orthonormal_and_deterministic(spark):
+    """pca_components_power: bit-identical across partitionings,
+    orthonormal to machine precision, Rayleigh close to eigh's
+    eigenvalues on a spectrally well-separated fixture."""
+    import numpy as np
+
+    from nspc_etl_basic_spark.operators.similarity import (
+        embedding_covariance,
+        pca_components_power,
+    )
+
+    rng = np.random.RandomState(7)
+    # strong planted directions -> clear spectral gaps
+    base = rng.randn(400, 6) * np.array([8.0, 4.0, 2.0, 0.5, 0.3, 0.1])
+    q, _ = np.linalg.qr(rng.randn(6, 6))
+    data = (base @ q.T).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(data)],
+        "vec_id long, embedding array<double>",
+    )
+    comps = pca_components_power(df, "embedding", k=3, dims=6)
+    comps2 = pca_components_power(
+        df.repartition(13), "embedding", k=3, dims=6
+    )
+    assert comps == comps2  # bit-identical across partitionings
+
+    A = np.array(comps)
+    assert np.abs(A @ A.T - np.eye(3)).max() < 1e-9
+
+    rows = embedding_covariance(df, "embedding", dims=6).collect()
+    C = np.zeros((6, 6))
+    for r in rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    vals = np.sort(np.linalg.eigvalsh(C))[::-1]
+    for c in range(3):
+        ray = float(A[c] @ C @ A[c])
+        assert abs(ray - vals[c]) / vals[c] < 1e-6
