@@ -2707,9 +2707,11 @@ def _bpe_merges(spark: SparkSession, sf_dir: str, num_merges: int = 8) -> list:
 def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE training (Sennrich-style) on the documents corpus:
     8 merge rounds over the word-frequency table, 1-row collect per round
-    (`operators/bpe.py:train_bpe`). Iterative argmax — not
-    SQL-expressible; rows-only oracle (pytest proves parity against a
-    pure-Python reference trainer)."""
+    (`operators/bpe.py:train_bpe`). Round 5: fully oracled —
+    _sql_bpe_train_ctes unrolls the 8 rounds in DuckDB (pair counts are
+    integer, the argmax tiebreak is lexicographic, and the delimited-
+    string replace() is exactly the trainer's non-overlapping
+    left-to-right merge fold)."""
     merges = _bpe_merges(spark, sf_dir)
     return spark.createDataFrame(
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
@@ -2720,8 +2722,11 @@ def text_bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy BPE encode of the corpus with the trained merge ranks —
     Arrow-batched mapInPandas kernel, per-batch word memoization
-    (`operators/bpe.py:bpe_encode`). Rows-only oracle (data-dependent
-    inner loop; pytest proves parity against the reference encoder)."""
+    (`operators/bpe.py:bpe_encode`). Round 5: fully oracled — the
+    data-dependent greedy loop unrolls to a fixed depth over the
+    DISTINCT-word table (each round a no-op once a word is fully
+    merged; depth exceeds the max word length, so the fixpoint is
+    reached), then re-joins the ordered per-doc word sequence."""
     from nspc_etl_basic_spark.operators.bpe import bpe_encode
 
     docs = _t(spark, sf_dir, "documents")
@@ -3340,6 +3345,148 @@ def _sql_pca_power_ctes(
     return ",\n".join(parts)
 
 
+def _sql_bpe_train_ctes(num_merges: int = 8, table: str = "documents") -> str:
+    """CTE chain replaying operators/bpe.train_bpe exactly. Each word's
+    symbol array is encoded as a string with every symbol wrapped
+    chr(1)||sym||chr(2): the wrapped form makes DuckDB ``replace()``
+    EXACTLY the trainer's left-to-right non-overlapping pair merge
+    (adjacent matches cannot share delimiter characters, so replace's
+    scan order equals the fold's). Per round: adjacent-pair counts
+    weighted by word freq, argmax with (count desc, a, b) tiebreak and
+    the min_pair_count=2 floor, then the merge applied to every word.
+    Ends in ``__btop{t}(a, b)`` per round and ``__bwf(w, freq)``."""
+    wt = _sql_word_tokens("text")
+    parts = [
+        f"""__bwf AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({wt}) AS w FROM {table})
+            GROUP BY w
+        )""",
+        """__bw0 AS (
+            SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+                   || chr(1) || '</w>' || chr(2) AS s, freq
+            FROM __bwf
+        )""",
+    ]
+    for t in range(num_merges):
+        parts.append(f"""__bl{t} AS (
+            SELECT string_split(trim(s, chr(1) || chr(2)),
+                                chr(2) || chr(1)) AS l, freq
+            FROM __bw{t}
+        )""")
+        parts.append(f"""__bpc{t} AS (
+            SELECT l[i.i] AS a, l[i.i + 1] AS b, SUM(freq) AS n
+            FROM __bl{t}, unnest(generate_series(1, len(l) - 1)) i(i)
+            GROUP BY a, b
+        )""")
+        parts.append(f"""__btop{t} AS (
+            SELECT a, b FROM __bpc{t} WHERE n >= 2
+            ORDER BY n DESC, a ASC, b ASC LIMIT 1
+        )""")
+        parts.append(f"""__bw{t + 1} AS (
+            SELECT replace(w.s,
+                           chr(1) || t.a || chr(2) || chr(1) || t.b || chr(2),
+                           chr(1) || t.a || t.b || chr(2)) AS s, w.freq
+            FROM __bw{t} w CROSS JOIN __btop{t} t
+        )""")
+    return ",\n".join(parts)
+
+
+def _sql_bpe_encode(
+    num_merges: int = 8, unroll: int = 16, table: str = "documents"
+) -> str:
+    """Oracle for text_bpe_encode: replays the greedy encode loop
+    (operators/bpe._encode_word — lowest-rank applicable pair, ALL
+    non-overlapping occurrences per step) as ``unroll`` fixed rounds
+    over the DISTINCT-word table, each a no-op once the word is fully
+    merged. Each round strictly shrinks a still-active word's symbol
+    count, so unroll >= max word length + 1 guarantees convergence —
+    the shipped corpora max out at 8-char tokens (pytest parity guards
+    the end state). Then the per-doc aggregation joins the ordered doc
+    word sequence back to the encoded words."""
+    parts = [_sql_bpe_train_ctes(num_merges, table)]
+    joins = " ".join(f"CROSS JOIN __btop{r} t{r}" for r in range(num_merges))
+    patcols = ", ".join(
+        f"(chr(1) || t{r}.a || chr(2) || chr(1) || t{r}.b || chr(2)) AS pat_{r}, "
+        f"(chr(1) || t{r}.a || t{r}.b || chr(2)) AS rep_{r}"
+        for r in range(num_merges)
+    )
+    parts.append(f"""__be0 AS (
+        SELECT f.w,
+               regexp_replace(f.w, '(.)', chr(1) || '\\1' || chr(2), 'g')
+               || chr(1) || '</w>' || chr(2) AS s,
+               {patcols}
+        FROM __bwf f {joins}
+    )""")
+    carry = ", ".join(f"pat_{r}, rep_{r}" for r in range(num_merges))
+    best = (
+        "CASE "
+        + " ".join(
+            f"WHEN contains(s, pat_{r}) THEN {r}" for r in range(num_merges)
+        )
+        + " ELSE -1 END"
+    )
+    news = (
+        "CASE __best "
+        + " ".join(
+            f"WHEN {r} THEN replace(s, pat_{r}, rep_{r})"
+            for r in range(num_merges)
+        )
+        + " ELSE s END"
+    )
+    for t in range(unroll):
+        parts.append(f"""__be{t + 1} AS (
+            SELECT w, {news} AS s, {carry}
+            FROM (SELECT *, {best} AS __best FROM __be{t})
+        )""")
+    wt = _sql_word_tokens("text")
+    parts.append(f"""__btoks AS (
+        SELECT w, string_split(trim(s, chr(1) || chr(2)),
+                               chr(2) || chr(1)) AS tl
+        FROM __be{unroll}
+    )""")
+    parts.append(f"""__bdw AS (
+        SELECT doc_id, i.i AS wpos, ws[i.i] AS w
+        FROM (SELECT doc_id, COALESCE({wt}, []) AS ws FROM {table}),
+             unnest(generate_series(1, len(ws))) i(i)
+    )""")
+    parts.append("""__bagg AS (
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(len(t.tl)) AS BIGINT) AS n_bpe_tokens
+        FROM __bdw d JOIN __btoks t USING (w)
+        GROUP BY d.doc_id
+    )""")
+    parts.append("""__bflat AS (
+        SELECT d.doc_id, d.wpos, j.j AS tpos, t.tl[j.j] AS tok
+        FROM __bdw d JOIN __btoks t USING (w),
+             unnest(generate_series(1, len(t.tl))) j(j)
+    )""")
+    parts.append("""__bprev AS (
+        SELECT doc_id, string_agg(ptok, ' ' ORDER BY wpos, tpos) AS bpe_preview
+        FROM (
+            SELECT doc_id, wpos, tpos, replace(tok, '</w>', '') AS ptok,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY wpos, tpos) AS rn
+            FROM __bflat
+        )
+        WHERE rn <= 8 AND ptok != ''
+        GROUP BY doc_id
+    )""")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT doc.doc_id,
+               COALESCE(a.n_words, 0) AS n_words,
+               COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+               COALESCE(p.bpe_preview, '') AS bpe_preview
+        FROM {table} doc
+        LEFT JOIN __bagg a ON a.doc_id = doc.doc_id
+        LEFT JOIN __bprev p ON p.doc_id = doc.doc_id
+    """
+    )
+
+
 def _sql_dq_profile() -> str:
     """Oracle for dq_profile: same metrics as `operators/quality.py`, one
     aggregate CTE + UNION ALL unpivot (DuckDB has stack() only as unpivot)."""
@@ -3714,6 +3861,18 @@ def oracle_sql() -> dict[str, str]:
         "events_anomaly": _sql_events_anomaly(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         "emb_covariance": _sql_emb_covariance(8),
+        # BPE: the 8 Sennrich merge rounds unrolled over the word-freq
+        # table (delimited-string merge == the trainer's fold), and the
+        # greedy encode loop unrolled to a fixed no-op-padded depth
+        "text_bpe_train": "WITH "
+        + _sql_bpe_train_ctes(8)
+        + " "
+        + " UNION ALL ".join(
+            f'SELECT CAST({t} AS INTEGER) AS rank, a AS "left", '
+            f'b AS "right", a || b AS merged FROM __btop{t}'
+            for t in range(8)
+        ),
+        "text_bpe_encode": _sql_bpe_encode(8),
         # PCA projection: power-iteration components replayed bit-exactly
         # (fixed IEEE op sequence over the rounded covariance), then the
         # projection as left-assoc multiply-add chains matching Spark's
