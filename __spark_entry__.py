@@ -2743,67 +2743,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver's CORRECTNESS run may be capped (r02
-    # and r03 each checked only the first 50 entries), so this round's
-    # order is: the two rows red in r03 (both harness-level, fixed in
-    # round 4), then every query NEW in round 4 (never driver-verified),
-    # then the entries whose last driver check was r02 — the cap's tail
-    # cuts only unchanged TPC-H plans green in r02 — then the r03-green
-    # remainder.
+    # Dict order matters: the driver checks the FIRST 50 entries each
+    # round. Round-5 order: (1) every query whose plan or oracle changed
+    # this round — the five newly-oracled trained/iterative rows
+    # (trained IVF/PQ, BPE train/encode, power-iteration PCA), then the
+    # whole LSH chain (band_key separator fix touches minhash -> pairs
+    # -> verify -> components -> keep-best -> split -> end-to-end) and
+    # the stats-index/streaming-adjacent rows; (2) rows the round-4
+    # verdict flagged stale: text_quality_filter (restaged e729b93) and
+    # the TPC-H block last rowed in r02; (3) the stalest r03-green rows.
+    # The r04-green remainder (freshest signal) sits past the cap.
     return {
-        # -- red in r03 (oracle HUGEINT drift / canonicalizer crash; fixed) --
-        "events_json_extract": events_json_extract_q,
-        "emb_quantize": emb_quantize_q,
-        # -- new in r04: never driver-verified --
-        "dq_profile": dq_profile_q,
-        "scd2_history": scd2_history_q,
-        "scd2_apply": scd2_apply_q,
-        "corpus_span_dedup": corpus_span_dedup_q,
-        "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
-        "corpus_temperature_sample": corpus_temperature_sample_q,
-        "events_anomaly": events_anomaly_q,
-        "events_hist_quantiles": events_hist_quantiles_q,
-        "emb_covariance": emb_covariance_q,
+        # -- (1) changed in round 5 --
+        "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
+        "sim_ann_pq_trained": sim_ann_pq_trained_q,
         "emb_pca_project": emb_pca_project_q,
         "text_bpe_train": text_bpe_train_q,
         "text_bpe_encode": text_bpe_encode_q,
-        "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
-        "multimodal_real_jpeg": multimodal_real_jpeg_q,
-        "bucketed_time_travel": bucketed_time_travel_q,
-        "warehouse_file_prune": warehouse_file_prune_q,
-        "emb_pq_encode": emb_pq_encode_q,
-        "sim_ann_pq_trained": sim_ann_pq_trained_q,
-        "text_containment": text_containment_q,
-        "events_kmv_distinct": events_kmv_distinct_q,
-        "events_heavy_hitters": events_heavy_hitters_q,
-        "dedup_keep_best": dedup_keep_best_q,
-        "corpus_source_cap": corpus_source_cap_q,
-        "events_resample": events_resample_q,
-        "events_resample_interp": events_resample_interp_q,
-        "events_ewma": events_ewma_q,
-        "events_rollup_chain": events_rollup_chain_q,
-        "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
-        "corpus_end_to_end": corpus_end_to_end_q,
-        "corpus_negatives": corpus_negatives_q,
-        "corpus_dataset_card": corpus_dataset_card_q,
-        "events_cube_rollup": events_cube_rollup_q,
-        "events_pivot": events_pivot_q,
-        "events_window_funcs": events_window_funcs_q,
-        "events_session_window": events_session_window_q,
-        # -- last driver check was r02: rotate forward for freshness --
+        "dedup_minhash": dedup_minhash_q,
+        "dedup_lsh_pairs": dedup_lsh_pairs_q,
+        "dedup_incremental": dedup_incremental_q,
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_components": dedup_components_q,
-        "dedup_simhash": dedup_simhash_q,
-        "text_quality": text_quality_q,
-        "text_lang_id": text_lang_id_q,
-        "text_fingerprint": text_fingerprint_q,
-        "text_token_stats": text_token_stats_q,
-        "text_vocab_topk": text_vocab_topk_q,
-        "text_bigrams": text_bigrams_q,
-        "text_repetition": text_repetition_q,
-        "text_chunk": text_chunk_q,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "dedup_keep_best": dedup_keep_best_q,
+        "text_containment": text_containment_q,
+        "corpus_leakage_safe_split": corpus_leakage_safe_split_q,
+        "corpus_end_to_end": corpus_end_to_end_q,
+        "warehouse_file_prune": warehouse_file_prune_q,
+        "events_heavy_hitters": events_heavy_hitters_q,
+        # -- (2) verdict-flagged stale rows --
+        "text_quality_filter": text_quality_filter_q,
         "q3_order_revenue": q3_order_revenue,
         "q4_order_priority": q4_order_priority,
         "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -2826,7 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "q_top_orders_per_customer": q_top_orders_per_customer,
         "q_corr_stats": q_corr_stats,
-        # -- green in r03 --
+        # -- (3) stalest r03-green rows --
         "type_conformance": type_conformance,
         "b3_multiformat_dates": b3_multiformat_dates,
         "e1_last_wins": e1_last_wins,
@@ -2838,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": events_windowed,
         "events_sliding": events_sliding_q,
         "events_rollup": events_rollup_q,
+        # ---------------- past the 50-row cap from here ----------------
         "events_percentiles": events_percentiles_q,
         "events_salted_join": events_salted_join_q,
         "events_asof": events_asof_q,
@@ -2857,9 +2827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample_q,
         "multimodal_real_png": multimodal_real_png_q,
         "multimodal_real_wav": multimodal_real_wav_q,
-        "text_quality_filter": text_quality_filter_q,
         "text_lm_familiarity": text_lm_familiarity_q,
-        "dedup_incremental": dedup_incremental_q,
         "corpus_split": corpus_split_q,
         "corpus_stratified_sample": corpus_stratified_sample_q,
         "corpus_token_budget": corpus_token_budget_q,
@@ -2873,8 +2841,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_anti_join": d3_anti_join,
         "d4_resume_lookup": d4_resume_lookup,
         "dedup_exact": dedup_exact_q,
-        "dedup_minhash": dedup_minhash_q,
-        "dedup_lsh_pairs": dedup_lsh_pairs_q,
+        "dedup_simhash": dedup_simhash_q,
+        "text_quality": text_quality_q,
+        "text_lang_id": text_lang_id_q,
+        "text_fingerprint": text_fingerprint_q,
+        "text_token_stats": text_token_stats_q,
+        "text_vocab_topk": text_vocab_topk_q,
+        "text_bigrams": text_bigrams_q,
+        "text_repetition": text_repetition_q,
+        "text_chunk": text_chunk_q,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "events_json_extract": events_json_extract_q,
+        "emb_quantize": emb_quantize_q,
+        "dq_profile": dq_profile_q,
+        "scd2_history": scd2_history_q,
+        "scd2_apply": scd2_apply_q,
+        "corpus_span_dedup": corpus_span_dedup_q,
+        "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
+        "corpus_temperature_sample": corpus_temperature_sample_q,
+        "events_anomaly": events_anomaly_q,
+        "events_hist_quantiles": events_hist_quantiles_q,
+        "emb_covariance": emb_covariance_q,
+        "multimodal_real_jpeg": multimodal_real_jpeg_q,
+        "bucketed_time_travel": bucketed_time_travel_q,
+        "emb_pq_encode": emb_pq_encode_q,
+        "events_kmv_distinct": events_kmv_distinct_q,
+        "corpus_source_cap": corpus_source_cap_q,
+        "events_resample": events_resample_q,
+        "events_resample_interp": events_resample_interp_q,
+        "events_ewma": events_ewma_q,
+        "events_rollup_chain": events_rollup_chain_q,
+        "corpus_negatives": corpus_negatives_q,
+        "corpus_dataset_card": corpus_dataset_card_q,
+        "events_cube_rollup": events_cube_rollup_q,
+        "events_pivot": events_pivot_q,
+        "events_window_funcs": events_window_funcs_q,
+        "events_session_window": events_session_window_q,
     }
 
 
