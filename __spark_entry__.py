@@ -1645,6 +1645,54 @@ def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "mix_rank", "mix_priority")
 
 
+def orders_bloom_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning (operators/bloom.py): a 2^16-bit
+    filter built from the BUILDING-segment customers rides the plan as
+    one literal word array, so the orders scan drops non-members with
+    ZERO shuffle and zero join; the exact broadcast semi-join then runs
+    only on survivors. Output per order priority: bloom survivors vs
+    true members — the false-positive overhead is visible in the gap.
+    md5 bit positions = the oracle-replayable tier (xxhash64 is the
+    production tier, pytest-covered)."""
+    from nspc_etl_basic_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    words = build_bloom(cust, "c_custkey")
+    passed = orders.where(
+        bloom_might_contain(words, F.col("o_custkey"))
+    ).cache()
+    keys = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    exact = passed.join(F.broadcast(keys), "o_custkey", "left_semi")
+    a = passed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pass_bloom")
+    )
+    b = exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    return a.join(b, "o_orderpriority", "left").select(
+        "o_orderpriority",
+        "n_pass_bloom",
+        F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+    )
+
+
+def events_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/skew.skew_report): per hot
+    key, count, ppm share, skew multiple, and the salt fan-out a caller
+    passes to salted_join — one map-side-combined groupBy over 8-byte
+    key rows + a top-k, never a full-table sort. Integer outputs, fully
+    oracled."""
+    from nspc_etl_basic_spark.operators.skew import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "user_id", top_n=20)
+
+
 def events_json_extract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured projection: the ``props`` JSON column parsed with
     an explicit schema (``from_json`` — JVM-side, codegen'd; never a
@@ -2754,6 +2802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the TPC-H block last rowed in r02; (3) the stalest r03-green rows.
     # The r04-green remainder (freshest signal) sits past the cap.
     return {
+        # -- (0) NEW in round 5: never driver-verified --
+        "orders_bloom_prune": orders_bloom_prune_q,
+        "events_skew_report": events_skew_report_q,
         # -- (1) changed in round 5 --
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -3863,6 +3914,74 @@ def oracle_sql() -> dict[str, str]:
         "corpus_temperature_sample": _sql_temperature_sample(),
         "events_anomaly": _sql_events_anomaly(),
         "events_hist_quantiles": _sql_hist_quantiles(),
+        # Bloom semi-join pruning: filter build (bit_or over md5-derived
+        # 32-bit-word positions), membership (all k probes set), and the
+        # exact re-verify replayed end to end
+        "orders_bloom_prune": """
+            WITH dimk AS (
+                SELECT DISTINCT c_custkey AS key FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+            ),
+            js AS (SELECT unnest(generate_series(0, 4)) AS j),
+            bprobes AS (
+                SELECT CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_'
+                           || CAST(d.key AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 65536 AS pos
+                FROM dimk d CROSS JOIN js j
+            ),
+            words AS (
+                SELECT pos // 32 AS w,
+                       bit_or(CAST(1 AS BIGINT)
+                              << CAST(pos % 32 AS INTEGER)) AS word
+                FROM bprobes GROUP BY pos // 32
+            ),
+            fkeys AS (SELECT DISTINCT o_custkey AS key FROM orders),
+            fprob AS (
+                SELECT f.key,
+                       CAST('0x' || substr(md5(CAST(j.j AS VARCHAR) || '_'
+                           || CAST(f.key AS VARCHAR)), 1, 15) AS BIGINT)
+                       % 65536 AS pos
+                FROM fkeys f CROSS JOIN js j
+            ),
+            fhits AS (
+                SELECT p.key,
+                       SUM(CASE WHEN w.word IS NOT NULL
+                                 AND ((w.word >> CAST(p.pos % 32 AS INTEGER))
+                                      & 1) = 1
+                                THEN 1 ELSE 0 END) AS hits
+                FROM fprob p LEFT JOIN words w ON w.w = p.pos // 32
+                GROUP BY p.key
+            ),
+            pass AS (SELECT key FROM fhits WHERE hits = 5),
+            po AS (SELECT o.* FROM orders o JOIN pass p ON p.key = o.o_custkey)
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_pass_bloom,
+                   CAST(SUM(CASE WHEN o_custkey IN (SELECT key FROM dimk)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+            FROM po GROUP BY o_orderpriority
+        """,
+        # skew diagnosis: pure integer arithmetic over a counted top-k
+        "events_skew_report": """
+            WITH counts AS (
+                SELECT user_id AS key, CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ),
+            t AS (
+                SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                       CAST(COUNT(*) AS BIGINT) AS n_keys
+                FROM counts
+            ),
+            top AS (
+                SELECT key, cnt FROM counts
+                ORDER BY cnt DESC, key ASC LIMIT 20
+            )
+            SELECT key, cnt,
+                   CAST((1000000 * cnt) // total AS BIGINT) AS share_ppm,
+                   CAST((cnt * n_keys) // total AS BIGINT) AS skew_x,
+                   CAST(least((cnt * n_keys + total - 1) // total, 256)
+                        AS BIGINT) AS salt_factor
+            FROM top CROSS JOIN t
+        """,
         "emb_covariance": _sql_emb_covariance(8),
         # BPE: the 8 Sennrich merge rounds unrolled over the word-freq
         # table (delimited-string merge == the trainer's fold), and the

@@ -105,3 +105,50 @@ def salted_count_by_key(
         partial.groupBy(*keys)
         .agg(F.sum("_partial").cast("long").alias("n"))
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Join-key skew diagnosis: the measurement that decides WHETHER to
+    salt and BY HOW MUCH, as one aggregate + one top-k.
+
+    Per top-``top_n`` hot key: ``(key, cnt, share_ppm, skew_x,
+    salt_factor)`` where ``skew_x`` = how many times the mean per-key
+    count this key holds (floored int), and ``salt_factor`` = the
+    suggested salting fan-out ``ceil(cnt / mean_cnt)`` capped at 256 —
+    the number a caller passes straight to :func:`salted_join`. A key
+    at skew_x=1 is uniform; a key holding 30% of a 100 TB shuffle is
+    the single straggler task that decides the job's wall clock, and
+    this report finds it with one map-side-combined groupBy over the
+    key (8-byte rows), never a sort of the full table.
+
+    All outputs are integer arithmetic (ppm via truncating div on
+    non-negative counts), so the report value-hashes across engines.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    totals = counts.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(top_n)
+    return (
+        top.crossJoin(F.broadcast(totals))  # 1-row scalar broadcast
+        .select(
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.expr("(1000000 * cnt) div total").cast("long").alias("share_ppm"),
+            # mean per-key count = total/n_keys; skew_x = cnt/mean,
+            # computed as exact integer (cnt*n_keys) div total
+            F.expr("(cnt * n_keys) div total").cast("long").alias("skew_x"),
+            F.least(
+                # ceil(cnt*n_keys/total) in pure integers
+                F.expr("(cnt * n_keys + total - 1) div total"),
+                F.lit(256).cast("long"),
+            ).cast("long").alias("salt_factor"),
+        )
+    )
