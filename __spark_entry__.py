@@ -2782,6 +2782,229 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming replay driver queries
+#
+# The streaming twins (streaming/scd.py, streaming/ewma.py,
+# streaming/anomaly.py) were pytest-only until round 5; these queries put
+# their END STATE behind the driver's DuckDB oracle. Each builds a real
+# Structured Streaming replay — the source table split into three
+# contiguous TIME slices, appended to a file-source dir one slice at a
+# time with an AvailableNow drain after each append, so the stream
+# processes three genuine micro-batches in event-time order through the
+# SAME foreachBatch path production uses (checkpointed, replay-safe
+# keyed stores). The final state is then read back and compared:
+#
+#   * stream_scd2_replay — time-sliced CDC satisfies apply-changes'
+#     in-order assumption, under which fold(batches) == rebuild(feed);
+#     oracle = the batch scd2_apply full-rebuild SQL, verbatim.
+#   * stream_ewma_replay — the EWMA recurrence is sequentially
+#     composable, and contiguous time slices concatenate to the fully
+#     sorted series, so the streamed fold is bit-identical to the batch
+#     in-row fold; oracle = the batch events_ewma SQL, verbatim.
+#   * stream_anomaly_replay — each micro-batch scores against the
+#     corpus-to-date moments (decimal-exact mergeable sufficient stats),
+#     which is NOT the batch operator's whole-corpus answer; the oracle
+#     replays the per-slice cumulative scoring with a window sum.
+#
+# Work dirs are deterministic per (source fingerprint, tag) and reused
+# when a completed build is present (same rationale as
+# bucketed_time_travel_q: repeated bench/correctness runs measure the
+# end-state read, and /tmp doesn't grow per invocation). A missing
+# _DONE marker means a half-built tree: it is removed and rebuilt.
+# ---------------------------------------------------------------------------
+
+_REPLAY_SLICES = 3
+
+
+def _replay_work_dir(sf_dir: str, tag: str, table: str) -> tuple[str, str]:
+    """Deterministic work dir for a streaming replay build, keyed on the
+    SOURCE parquet's identity (mtime+size — regenerated testdata must
+    invalidate stale state) plus a code-version token so a semantics
+    change in the replay invalidates old trees."""
+    import hashlib
+    import os
+    import tempfile
+
+    try:
+        st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+        fp = f"{sf_dir}|{table}|{st.st_mtime_ns}|{st.st_size}|{tag}|v1"
+    except OSError:
+        fp = f"{sf_dir}|{table}|{tag}|v1"
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"nspc_replay_{tag}_{hashlib.md5(fp.encode()).hexdigest()[:12]}",
+    )
+    return work, os.path.join(work, "_DONE")
+
+
+def _time_tercile_bounds(df: DataFrame, ts_col: str) -> tuple[int, int]:
+    """Two integer-µs cut points splitting [min, max] into three
+    contiguous ranges: b1 = lo + span//3, b2 = lo + 2*(span//3) with
+    span = hi - lo + 1. Pure integer arithmetic so the oracle recomputes
+    the identical cuts from the same table. The timestamp cast admits
+    TIMESTAMP_NTZ parquet columns; the session tz is pinned UTC, so it
+    is value-preserving and matches DuckDB's tz-free epoch_us."""
+    row = df.agg(
+        F.min(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col).cast("timestamp"))).alias("hi"),
+    ).first()
+    lo, hi = int(row["lo"]), int(row["hi"])
+    third = (hi - lo + 1) // 3
+    return lo + third, lo + 2 * third
+
+
+def _replay_slices(df: DataFrame, ts_col: str) -> list[DataFrame]:
+    b1, b2 = _time_tercile_bounds(df, ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return [df.where(us < b1), df.where((us >= b1) & (us < b2)),
+            df.where(us >= b2)]
+
+
+def _drain_slices(spark, slices, src: str, run_one) -> None:
+    """Append each time slice to the file-source dir, draining the
+    stream (AvailableNow) after each append — one micro-batch per
+    slice, in event-time order."""
+    schema = slices[0].schema
+    for sl in slices:
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        run_one(stream)
+
+
+def stream_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 fold (streaming/scd.py:run_stream_scd2), driver-
+    oracled end-to-end: the orders change feed replays as three
+    time-ordered micro-batches, each folded into the snapshot warehouse
+    via scd2_apply_changes (per-batch last-wins dedup on o_orderkey —
+    the same one-change-per-(key, ts) rule as the batch scd2_apply
+    query; a (key, ts) pair never spans time slices, so per-batch dedup
+    equals global dedup). Time slicing satisfies apply-changes' CDC
+    in-order assumption, under which the streamed fold equals the full
+    rebuild — the oracle IS the batch scd2_apply rebuild SQL."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming.scd import run_stream_scd2
+
+    feed = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority",
+        "o_orderkey",
+    )
+    work, done = _replay_work_dir(sf_dir, "scd2", "orders")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+        _drain_slices(
+            spark,
+            _replay_slices(feed, "o_orderdate"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_scd2(
+                stream, wh, "dim_customer_orders",
+                key_cols=["o_custkey"], ts_col="o_orderdate",
+                attr_cols=["o_orderstatus", "o_orderpriority"],
+                checkpoint_path=os.path.join(work, "ckpt"),
+                dedup_order_col="o_orderkey",
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+    return wh.read("dim_customer_orders").select(
+        "o_custkey", "o_orderstatus", "o_orderpriority",
+        "valid_from", "valid_to", "is_current",
+    )
+
+
+def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
+    driver-oracled: events replay as three time-ordered micro-batches,
+    each advancing the keyed (y, n) state store exactly one batch. The
+    recurrence folds left-to-right in both tiers and contiguous time
+    slices concatenate to the fully sorted series (per-batch sort_array
+    over struct(ts, v) — equal-ts ties land in one slice, so the
+    tie-break matches too), so the streamed end state is bit-identical
+    to the batch in-row fold and the oracle is the batch events_ewma
+    list_reduce SQL, verbatim."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.streaming.ewma import (
+        ewma_from_store,
+        ewma_store_table,
+        run_stream_ewma,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    work, done = _replay_work_dir(sf_dir, "ewma", "events")
+    store_path = os.path.join(work, "store")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        store = ewma_store_table(spark, store_path, "user_id", n_buckets=8)
+        _drain_slices(
+            spark,
+            _replay_slices(ev, "ts"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_ewma(
+                stream, store, os.path.join(work, "ckpt"),
+                key_col="user_id", ts_col="ts", value_col="value",
+                alpha=0.3,
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    store = ewma_store_table(spark, store_path, "user_id", n_buckets=8)
+    return ewma_from_store(store, "user_id")
+
+
+def stream_anomaly_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming z-score anomaly (streaming/anomaly.py:
+    run_stream_anomaly), driver-oracled: three time-ordered micro-
+    batches, each scored against the corpus-TO-DATE moments (prior
+    batches' decimal-exact sufficient stats from the keyed store, plus
+    the batch's own). That is deliberately NOT the batch operator's
+    whole-corpus answer — early batches see fewer data — so the oracle
+    replays the per-slice cumulative scoring: per-(event_type, slice)
+    decimal stats, a window sum over slice order, and the identical
+    double-domain mean/sd/z arithmetic as the already-oracled
+    events_anomaly."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.streaming.anomaly import (
+        run_stream_anomaly,
+        stats_store_table,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    work, done = _replay_work_dir(sf_dir, "anomaly", "events")
+    out_path = os.path.join(work, "out")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        store = stats_store_table(
+            spark, os.path.join(work, "store"), "event_type", n_buckets=4
+        )
+        _drain_slices(
+            spark,
+            _replay_slices(ev, "ts"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_anomaly(
+                stream, store, out_path,
+                checkpoint_path=os.path.join(work, "ckpt"),
+                group_col="event_type", value_col="value", threshold=3.0,
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(out_path).select(
+        "event_id", "event_type", "value", "mean", "stddev", "z", "batch_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2805,6 +3028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) NEW in round 5: never driver-verified --
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
+        "stream_scd2_replay": stream_scd2_replay_q,
+        "stream_ewma_replay": stream_ewma_replay_q,
+        "stream_anomaly_replay": stream_anomaly_replay_q,
         # -- (1) changed in round 5 --
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -3796,6 +4022,86 @@ def _sql_temperature_sample() -> str:
     """
 
 
+#: Oracle for events_ewma AND stream_ewma_replay (the streamed fold over
+#: contiguous time slices is bit-identical to the batch in-row fold —
+#: see stream_ewma_replay_q): per-key time-ordered list_reduce of the
+#: pinned (acc*0.7 + x*0.3) step.
+_SQL_EVENTS_EWMA = """
+    WITH obs AS (
+        SELECT user_id, epoch_us(ts) AS s, value AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    ser AS (
+        SELECT user_id,
+               list(v ORDER BY s, v) AS vs,
+               count(*) AS n_obs
+        FROM obs GROUP BY user_id
+    )
+    SELECT user_id, n_obs,
+           round(list_reduce(vs,
+               (acc, x) -> acc * CAST(0.7 AS DOUBLE)
+                           + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
+    FROM ser
+"""
+
+
+def _sql_stream_anomaly_replay() -> str:
+    """Oracle for stream_anomaly_replay: per-slice CUMULATIVE z-score
+    scoring. Slices recompute the same integer-µs tercile cuts the
+    replay used (pure integer arithmetic on epoch_us min/max), stats
+    accumulate per (event_type, slice) in the identical DECIMAL(18,6)
+    domain as `operators/anomaly.py:sufficient_stats`, a window sum
+    folds them cumulatively (decimal sums are exact, so order is
+    irrelevant), and the mean/sd/z double arithmetic matches
+    _sql_events_anomaly operand for operand."""
+    return """
+        WITH bounds AS (
+            SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+            FROM events
+        ),
+        ev AS (
+            SELECT e.*,
+                   CASE WHEN epoch_us(e.ts)
+                             < b.lo + (b.hi - b.lo + 1) // 3 THEN 0
+                        WHEN epoch_us(e.ts)
+                             < b.lo + 2 * ((b.hi - b.lo + 1) // 3) THEN 1
+                        ELSE 2 END AS b
+            FROM events e CROSS JOIN bounds b
+        ),
+        bstats AS (
+            SELECT event_type, b, count(value) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS s1,
+                   sum(CAST(value AS DECIMAL(18,6))
+                       * CAST(value AS DECIMAL(18,6))) AS s2
+            FROM ev GROUP BY event_type, b
+        ),
+        cum AS (
+            SELECT event_type, b,
+                   sum(n)  OVER w AS n,
+                   sum(s1) OVER w AS s1,
+                   sum(s2) OVER w AS s2
+            FROM bstats
+            WINDOW w AS (PARTITION BY event_type ORDER BY b)
+        ),
+        mom AS (
+            SELECT event_type, b,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   sqrt(greatest((CAST(s2 AS DOUBLE)
+                                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                                    / CAST(n AS DOUBLE))
+                                 / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+            FROM cum WHERE n >= 2
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(m.mean, 4) AS mean,
+               round(m.sd, 4) AS stddev,
+               round((e.value - m.mean) / m.sd, 4) AS z,
+               CAST(e.b AS BIGINT) AS batch_id
+        FROM ev e JOIN mom m ON m.event_type = e.event_type AND m.b = e.b
+        WHERE m.sd > 0 AND abs((e.value - m.mean) / m.sd) > 3.0
+    """
+
+
 def _sql_events_anomaly() -> str:
     """Oracle for events_anomaly: identical decimal-exact sufficient
     statistics and double arithmetic as `operators/anomaly.py` (operand
@@ -3913,6 +4219,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_span_dedup_incr": _sql_span_dedup_incr(),
         "corpus_temperature_sample": _sql_temperature_sample(),
         "events_anomaly": _sql_events_anomaly(),
+        # streaming replays: end state behind the batch oracles (fold ==
+        # rebuild for time-sliced CDC; EWMA sequentially composable);
+        # anomaly replays the per-slice cumulative scoring
+        "stream_scd2_replay": _sql_scd2_apply(),
+        "stream_ewma_replay": _SQL_EVENTS_EWMA,
+        "stream_anomaly_replay": _sql_stream_anomaly_replay(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         # Bloom semi-join pruning: filter build (bit_or over md5-derived
         # 32-bit-word positions), membership (all k probes set), and the
@@ -4752,23 +5064,7 @@ def oracle_sql() -> dict[str, str]:
         # EWMA: list(v ORDER BY epoch_us, v) then list_reduce with the
         # same (acc*(1-a)) + (v*a) step — DOUBLE casts force double
         # arithmetic (bare 0.7 literals are DECIMAL in DuckDB)
-        "events_ewma": """
-            WITH obs AS (
-                SELECT user_id, epoch_us(ts) AS s, value AS v
-                FROM events WHERE value IS NOT NULL
-            ),
-            ser AS (
-                SELECT user_id,
-                       list(v ORDER BY s, v) AS vs,
-                       count(*) AS n_obs
-                FROM obs GROUP BY user_id
-            )
-            SELECT user_id, n_obs,
-                   round(list_reduce(vs,
-                       (acc, x) -> acc * CAST(0.7 AS DOUBLE)
-                                   + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
-            FROM ser
-        """,
+        "events_ewma": _SQL_EVENTS_EWMA,
         # linear interpolation on the same grid: prev/next observation
         # carried by IGNORE-NULLS windows, then
         # pv + (nv - pv) * dt / dT in the pinned IEEE order, round 6
