@@ -510,6 +510,7 @@ def neardup_components(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 20,
+    hot_degree_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: every document mapped
     to a ``component_id`` (the minimum id in its connected component of
@@ -535,6 +536,21 @@ def neardup_components(
     round is one equi-join + one map-side-combined groupBy keyed by the
     8-byte id, and ``localCheckpoint`` cuts the iterative plan's lineage
     so round N's plan does not embed rounds 1..N-1.
+
+    Skew: the per-round neighbor join is keyed on ``dst``, so a
+    pathological high-degree node (one boilerplate gram in 10% of docs
+    surviving the bucket cap) would land its whole edge list on ONE
+    task every round. Nodes whose degree is >= ``hot_degree_threshold``
+    therefore take a broadcast path: their edges are split out ONCE
+    (degrees are static across rounds) and each round joins them
+    against a BROADCAST of just the hot nodes' label rows — tiny by
+    construction, at most n_edges/threshold rows — while cold edges
+    keep the shuffled equi-join. ``min`` over the unioned neighbor rows
+    is the same set either way, so the result is bit-identical to the
+    single-path plan (pinned by tests/test_dedup.py's star-graph case);
+    the groupBy after the union still map-side-combines both branches,
+    so the hub's aggregate never concentrates either. Off by setting
+    the threshold above the max plausible degree.
     """
     edges_fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges_raw = edges_fwd.unionByName(
@@ -557,8 +573,35 @@ def neardup_components(
     ))
     edges = edges_raw.repartition(n_parts, "dst").cache()
 
+    # static degree pass (one map-side-combined groupBy over the cached
+    # edges): split out hot-dst edges once; see the docstring's skew note
+    hot_nodes = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .where(F.col("__deg") >= int(hot_degree_threshold))
+        .select(F.col("dst").alias("node"))
+        .cache()
+    )
+    n_hot = hot_nodes.count()
+    if n_hot > 0:
+        cold_edges = edges.join(
+            F.broadcast(hot_nodes.select(F.col("node").alias("dst"))),
+            "dst", "left_anti",
+        ).repartition(n_parts, "dst").cache()
+        hot_edges = edges.join(
+            F.broadcast(hot_nodes.select(F.col("node").alias("dst"))),
+            "dst", "semi",
+        ).cache()
+        cold_edges.count(), hot_edges.count()
+        edges.unpersist()
+    else:
+        cold_edges, hot_edges = edges, None
+        hot_nodes.unpersist()
+
     labels = (
-        edges.select(F.col("src").alias("node"))
+        (edges if hot_edges is None else cold_edges.select("src").unionByName(
+            hot_edges.select("src")))
+        .select(F.col("src").alias("node"))
         .distinct()
         .select(F.col("node"), F.col("node").alias("label"))
         .coalesce(n_parts)
@@ -567,10 +610,23 @@ def neardup_components(
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nb_label"))
+        cold_nb = cold_edges.join(
+            labels, cold_edges["dst"] == labels["node"]
+        ).select("src", "label")
+        if hot_edges is not None:
+            # hot-node labels: one row per hot node — broadcast, no
+            # dst-keyed shuffle, the hub's edges stay spread across
+            # whatever partitions they arrived in
+            hot_labels = labels.join(hot_nodes, "node", "semi")
+            hot_nb = hot_edges.join(
+                F.broadcast(hot_labels),
+                hot_edges["dst"] == hot_labels["node"],
+            ).select("src", "label")
+            all_nb = cold_nb.unionByName(hot_nb)
+        else:
+            all_nb = cold_nb
+        neighbor_min = all_nb.groupBy("src").agg(
+            F.min("label").alias("nb_label")
         )
         stepped = labels.join(
             neighbor_min, labels["node"] == neighbor_min["src"], "left"
@@ -602,7 +658,10 @@ def neardup_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    edges.unpersist()
+    cold_edges.unpersist()
+    if hot_edges is not None:
+        hot_edges.unpersist()
+        hot_nodes.unpersist()
 
     singletons = (
         nodes.select(F.col(id_col).alias("node"))

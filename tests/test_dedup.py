@@ -132,6 +132,43 @@ def test_neardup_components_merges_via_bridge(spark):
     assert {r.component_id for r in out.collect()} == {0}
 
 
+def test_neardup_components_star_graph_hot_path(spark):
+    """High-degree hub: with the threshold low enough to trigger the
+    broadcast hot path, the result is identical to the shuffled
+    single-path plan (threshold above max degree) — the skew handling
+    is a physical rewrite only."""
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    n = 60
+    nodes = spark.createDataFrame([(i,) for i in range(n + 3)], "doc_id long")
+    # star: hub 7 <- every other node in [0, 60) except itself, plus a
+    # separate chain {60, 61, 62} that must stay untouched by the split
+    pairs = spark.createDataFrame(
+        [(7, i) for i in range(n) if i != 7] + [(60, 61), (61, 62)],
+        "id_a long, id_b long",
+    )
+    hot = neardup_components(nodes, pairs, hot_degree_threshold=8)
+    cold = neardup_components(nodes, pairs, hot_degree_threshold=10**9)
+    got_hot = {r.doc_id: r.component_id for r in hot.collect()}
+    got_cold = {r.doc_id: r.component_id for r in cold.collect()}
+    assert got_hot == got_cold
+    assert all(got_hot[i] == 0 for i in range(n))
+    assert got_hot[60] == got_hot[61] == got_hot[62] == 60
+
+
+def test_neardup_components_hub_is_min_label(spark):
+    """Star whose hub IS the minimum id — the hot-path broadcast must
+    propagate the hub's own label outward, not just fold spokes in."""
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 20)], "id_a long, id_b long"
+    )
+    out = neardup_components(nodes, pairs, hot_degree_threshold=5)
+    assert {r.component_id for r in out.collect()} == {0}
+
+
 def test_neardup_components_empty_pairs(spark):
     from nspc_etl_basic_spark.operators.dedup import neardup_components
 
