@@ -3004,6 +3004,23 @@ def stream_anomaly_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout planning report (sinks/layout.py:
+    zorder_layout_report): simulates Morton-curve vs plain-sort file
+    layouts for events on (user_id, value) as fixed z-range cells,
+    records each cell's min/max exactly as the file-level stats index
+    would, and marks which cells a two-sided range predicate must scan
+    under interval-overlap pruning — the decision tool behind
+    `zorder_write` (Delta/Iceberg OPTIMIZE ZORDER analog). The whole
+    chain (min-max normalize → floor → clamp → bit interleave →
+    top-bits cell id) is pinned IEEE/integer arithmetic, replayed
+    term-for-term by the generated oracle."""
+    from nspc_etl_basic_spark.sinks.layout import zorder_layout_report
+
+    ev = _t(spark, sf_dir, "events")
+    return zorder_layout_report(ev, "user_id", "value")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -3031,6 +3048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_scd2_replay": stream_scd2_replay_q,
         "stream_ewma_replay": stream_ewma_replay_q,
         "stream_anomaly_replay": stream_anomaly_replay_q,
+        "events_zorder_layout": events_zorder_layout_q,
         # -- (1) changed in round 5 --
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -4045,6 +4063,85 @@ _SQL_EVENTS_EWMA = """
 """
 
 
+def _sql_zorder_layout(
+    bits: int = 8,
+    file_bits: int = 4,
+    box_x: tuple = (0.25, 0.375),
+    box_y: tuple = (0.5, 0.625),
+) -> str:
+    """Oracle for events_zorder_layout, GENERATED from the same
+    parameters as `sinks/layout.py:zorder_layout_report`: the rank
+    normalization (CASE-guarded span, the pinned ((v-lo)/span)*m
+    double sequence, floor, bigint clamp — Spark's greatest/least and
+    DuckDB's both skip NULLs, so null coordinates clamp to rank 0 on
+    both engines), the Morton interleave unrolled to its 2*bits
+    shift/or terms, the top-``file_bits`` cell id, and the
+    interval-overlap hit test against the fraction-of-span box."""
+    def rank(col_d: str, lo: str, hi: str, nbits: int) -> str:
+        mm = (1 << nbits) - 1
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+            f"least(greatest(CAST(floor((({col_d}) - {lo}) / ({hi} - {lo})"
+            f" * {mm}.0) AS BIGINT), 0), {mm}) ELSE 0 END"
+        )
+
+    ru = rank("CAST(user_id AS DOUBLE)", "b.lo_x", "b.hi_x", bits)
+    rv = rank("CAST(value AS DOUBLE)", "b.lo_y", "b.hi_y", bits)
+    lf = rank("CAST(user_id AS DOUBLE)", "b.lo_x", "b.hi_x", file_bits)
+    z_terms = " | ".join(
+        f"(((r{axis} >> {b}) & 1) << {b * 2 + ci})"
+        for b in range(bits)
+        for ci, axis in enumerate(("u", "v"))
+    )
+    return f"""
+        WITH bounds AS (
+            SELECT min(CAST(user_id AS DOUBLE)) AS lo_x,
+                   max(CAST(user_id AS DOUBLE)) AS hi_x,
+                   min(CAST(value   AS DOUBLE)) AS lo_y,
+                   max(CAST(value   AS DOUBLE)) AS hi_y
+            FROM events
+        ),
+        boxb AS (
+            SELECT lo_x + {box_x[0]} * (hi_x - lo_x) AS bx0,
+                   lo_x + {box_x[1]} * (hi_x - lo_x) AS bx1,
+                   lo_y + {box_y[0]} * (hi_y - lo_y) AS by0,
+                   lo_y + {box_y[1]} * (hi_y - lo_y) AS by1
+            FROM bounds
+        ),
+        ranked AS (
+            SELECT e.user_id, e.value,
+                   {ru} AS ru, {rv} AS rv, {lf} AS lf
+            FROM events e CROSS JOIN bounds b
+        ),
+        zed AS (
+            SELECT user_id, value,
+                   ({z_terms}) >> {2 * bits - file_bits} AS zf, lf
+            FROM ranked
+        ),
+        cells AS (
+            SELECT 'zorder' AS layout, zf AS file_id, user_id, value
+            FROM zed
+            UNION ALL
+            SELECT 'linear_x' AS layout, lf AS file_id, user_id, value
+            FROM zed
+        ),
+        stats AS (
+            SELECT layout, file_id, count(*) AS n_rows,
+                   min(user_id) AS min_x, max(user_id) AS max_x,
+                   min(value) AS min_y, max(value) AS max_y
+            FROM cells GROUP BY layout, file_id
+        )
+        SELECT s.layout, s.file_id, s.n_rows,
+               s.min_x, s.max_x, s.min_y, s.max_y,
+               coalesce(CAST(s.min_x AS DOUBLE) <= x.bx1
+                        AND CAST(s.max_x AS DOUBLE) >= x.bx0
+                        AND CAST(s.min_y AS DOUBLE) <= x.by1
+                        AND CAST(s.max_y AS DOUBLE) >= x.by0,
+                        false) AS hit
+        FROM stats s CROSS JOIN boxb x
+    """
+
+
 def _sql_stream_anomaly_replay() -> str:
     """Oracle for stream_anomaly_replay: per-slice CUMULATIVE z-score
     scoring. Slices recompute the same integer-µs tercile cuts the
@@ -4225,6 +4322,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        "events_zorder_layout": _sql_zorder_layout(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         # Bloom semi-join pruning: filter build (bit_or over md5-derived
         # 32-bit-word positions), membership (all k probes set), and the

@@ -49,6 +49,38 @@ def _normalize(col: Column, lo: float, hi: float, bits: int) -> Column:
     )
 
 
+def _interleave(ranks: list[Column], bits: int) -> Column:
+    """Morton interleave: bit ``b`` of rank ``ci`` lands at z-bit
+    ``b * n + ci`` — ``bits * n`` shift/or terms of column algebra."""
+    z = F.lit(0).cast("long")
+    n = len(ranks)
+    for b in range(bits):
+        for ci, r in enumerate(ranks):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(r, b).bitwiseAND(F.lit(1)),
+                    b * n + ci,
+                )
+            )
+    return z
+
+
+def _col_bounds(df: DataFrame, cols: list[str]) -> dict[str, tuple[float, float]]:
+    """One scalar aggregate: (lo, hi) per column as doubles; empty input
+    / all-null columns degrade to (0.0, 0.0) — constant-0 rank."""
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    return {
+        c: (
+            stats[f"__lo_{c}"] if stats[f"__lo_{c}"] is not None else 0.0,
+            stats[f"__hi_{c}"] if stats[f"__hi_{c}"] is not None else 0.0,
+        )
+        for c in cols
+    }
+
+
 def zorder_value(
     df: DataFrame, cols: list[str], bits: int = 16
 ) -> tuple[DataFrame, str]:
@@ -61,34 +93,92 @@ def zorder_value(
         raise ValueError("z-order needs 2-4 columns")
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a long")
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],
-    ).collect()[0]
+    bounds = _col_bounds(df, cols)
     ranks = [
-        _normalize(
-            F.col(c),
-            # empty input / all-null column: min and max come back as
-            # None — degrade that column's rank to the constant 0
-            # (plain insertion order) instead of crashing on None - None
-            stats[f"__lo_{c}"] if stats[f"__lo_{c}"] is not None else 0.0,
-            stats[f"__hi_{c}"] if stats[f"__hi_{c}"] is not None else 0.0,
-            bits,
-        )
-        for c in cols
+        _normalize(F.col(c), bounds[c][0], bounds[c][1], bits) for c in cols
     ]
-    z = F.lit(0).cast("long")
-    n = len(cols)
-    for b in range(bits):
-        for ci, r in enumerate(ranks):
-            z = z.bitwiseOR(
-                F.shiftleft(
-                    F.shiftright(r, b).bitwiseAND(F.lit(1)),
-                    b * n + ci,
-                )
-            )
     name = "__z"
-    return df.withColumn(name, z), name
+    return df.withColumn(name, _interleave(ranks, bits)), name
+
+
+def zorder_layout_report(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    bits: int = 8,
+    file_bits: int = 4,
+    box_x: tuple[float, float] = (0.25, 0.375),
+    box_y: tuple[float, float] = (0.5, 0.625),
+) -> DataFrame:
+    """The layout-planning report behind the z-order decision: WOULD
+    z-ordering this table on (col_x, col_y) beat a plain col_x sort for
+    a two-sided range predicate? Simulates both layouts as fixed z-range
+    cells (``file_id`` = the z-value's top ``file_bits`` — deterministic,
+    no range-partitioner sampling), computes each cell's min/max exactly
+    as a file-level stats index would record them, and marks which cells
+    a [box_x × box_y] predicate (fractions of each column's span) must
+    scan under interval-overlap pruning. One narrow aggregate over the
+    table — the same price as building the stats index itself.
+
+    Output: one row per (layout, file_id) with ``n_rows``, per-column
+    min/max, and ``hit``; sum(n_rows WHERE hit) / sum(n_rows) is the
+    scan fraction each layout pays. All arithmetic is the pinned
+    IEEE/integer sequence (normalize → floor → clamp → interleave), so
+    the whole report is DuckDB-replayable (`events_zorder_layout`).
+
+    Null handling: Spark's ``greatest``/``least`` skip nulls, so a null
+    coordinate clamps to rank 0 (DuckDB's Postgres-style greatest/least
+    agree); the null row lands in a real cell, counts toward n_rows,
+    and is excluded from that cell's min/max — matching what a real
+    file layout does with null rows. A cell whose min/max are all-null
+    for a predicate column is never hit (range predicates don't match
+    NULL), mirroring `sinks/stats_index.py` interval semantics."""
+    box_fracs = (*box_x, *box_y)
+    if not all(0.0 <= f <= 1.0 for f in box_fracs):
+        raise ValueError("box fractions must lie in [0, 1]")
+    bounds = _col_bounds(df, [col_x, col_y])
+    (lo_x, hi_x), (lo_y, hi_y) = bounds[col_x], bounds[col_y]
+    bx0, bx1 = (lo_x + box_x[0] * (hi_x - lo_x), lo_x + box_x[1] * (hi_x - lo_x))
+    by0, by1 = (lo_y + box_y[0] * (hi_y - lo_y), lo_y + box_y[1] * (hi_y - lo_y))
+
+    rx = _normalize(F.col(col_x), lo_x, hi_x, bits)
+    ry = _normalize(F.col(col_y), lo_y, hi_y, bits)
+    z = _interleave([rx, ry], bits)
+    z_file = F.shiftright(z, 2 * bits - file_bits)
+    linear_file = _normalize(F.col(col_x), lo_x, hi_x, file_bits)
+
+    cells = df.select(
+        F.col(col_x), F.col(col_y), z_file.alias("__zf"),
+        linear_file.alias("__lf"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"),
+                         F.col("__zf").alias("file_id")),
+                F.struct(F.lit("linear_x").alias("layout"),
+                         F.col("__lf").alias("file_id")),
+            )
+        ).alias("__cell"),
+        col_x, col_y,
+    ).select("__cell.layout", "__cell.file_id", col_x, col_y)
+
+    stats = cells.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(col_x).alias("min_x"),
+        F.max(col_x).alias("max_x"),
+        F.min(col_y).alias("min_y"),
+        F.max(col_y).alias("max_y"),
+    )
+    overlap = (
+        (F.col("min_x").cast("double") <= F.lit(bx1))
+        & (F.col("max_x").cast("double") >= F.lit(bx0))
+        & (F.col("min_y").cast("double") <= F.lit(by1))
+        & (F.col("max_y").cast("double") >= F.lit(by0))
+    )
+    return stats.select(
+        "layout", "file_id", "n_rows", "min_x", "max_x", "min_y", "max_y",
+        F.coalesce(overlap, F.lit(False)).alias("hit"),
+    )
 
 
 def zorder_write(

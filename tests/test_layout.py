@@ -118,6 +118,44 @@ def test_zorder_value_is_projection(spark):
     assert vals == [0, (1 << 16) - 1]
 
 
+def test_zorder_layout_report_prefers_zorder_for_box(spark):
+    """On a uniform 2-D grid, the report must show the z-order layout
+    scanning FEWER rows than the plain col_x sort for a predicate box
+    that is selective on the y axis (a linear-x cell spans all of y)."""
+    from nspc_etl_basic_spark.sinks.layout import zorder_layout_report
+
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rep = zorder_layout_report(
+        df, "x", "y", bits=6, file_bits=4,
+        box_x=(0.25, 0.375), box_y=(0.5, 0.625),
+    ).collect()
+    scanned = {"zorder": 0, "linear_x": 0}
+    totals = {"zorder": 0, "linear_x": 0}
+    for r in rep:
+        totals[r.layout] += r.n_rows
+        if r.hit:
+            scanned[r.layout] += r.n_rows
+    assert totals["zorder"] == totals["linear_x"] == 64 * 64
+    # linear-x cells span the full y domain -> every x-admitted cell hit;
+    # z-cells bound both axes -> strictly less scanned
+    assert scanned["zorder"] < scanned["linear_x"], (scanned, totals)
+
+
+def test_zorder_layout_report_null_rows_counted(spark):
+    """Null coordinates clamp to rank 0 (greatest/least skip nulls):
+    the row lands in a real cell, counts toward n_rows, and stays out
+    of the cell's min/max."""
+    from nspc_etl_basic_spark.sinks.layout import zorder_layout_report
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (100, 90.0)], "x long, y double"
+    )
+    rep = zorder_layout_report(df, "x", "y", bits=4, file_bits=2)
+    assert sum(r.n_rows for r in rep.collect() if r.layout == "zorder") == 3
+
+
 def test_zorder_rejects_bad_args(spark):
     df = spark.range(10).select(F.col("id").alias("a"), F.col("id").alias("b"))
     with pytest.raises(ValueError, match="2-4 columns"):
