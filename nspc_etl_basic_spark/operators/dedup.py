@@ -574,15 +574,21 @@ def neardup_components(
     edges = edges_raw.repartition(n_parts, "dst").cache()
 
     # static degree pass (one map-side-combined groupBy over the cached
-    # edges): split out hot-dst edges once; see the docstring's skew note
-    hot_nodes = (
-        edges.groupBy("dst")
-        .agg(F.count(F.lit(1)).alias("__deg"))
-        .where(F.col("__deg") >= int(hot_degree_threshold))
-        .select(F.col("dst").alias("node"))
-        .cache()
-    )
-    n_hot = hot_nodes.count()
+    # edges): split out hot-dst edges once; see the docstring's skew
+    # note. A graph with fewer TOTAL edges than the threshold cannot
+    # contain a hot node — skip the pass outright, so small candidate
+    # graphs (and every toy-scale run) keep the original plan shape.
+    if n_edges >= int(hot_degree_threshold):
+        hot_nodes = (
+            edges.groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= int(hot_degree_threshold))
+            .select(F.col("dst").alias("node"))
+            .cache()
+        )
+        n_hot = hot_nodes.count()
+    else:
+        hot_nodes, n_hot = None, 0
     if n_hot > 0:
         cold_edges = edges.join(
             F.broadcast(hot_nodes.select(F.col("node").alias("dst"))),
@@ -596,7 +602,8 @@ def neardup_components(
         edges.unpersist()
     else:
         cold_edges, hot_edges = edges, None
-        hot_nodes.unpersist()
+        if hot_nodes is not None:
+            hot_nodes.unpersist()
 
     labels = (
         (edges if hot_edges is None else cold_edges.select("src").unionByName(
