@@ -1211,6 +1211,19 @@ def text_lm_familiarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 keywords by smoothed TF-IDF (keyword
+    extraction / relevance weighting). Three bounded-key shuffles —
+    (doc,token) TF, token DF, doc top-k window — with N entering as a
+    1-row broadcast. ln() is transcendental but both engines take
+    correctly-rounded-libm ln of the SAME small rational set
+    ((N+1)/(df+1)); the 6-decimal round absorbs any 1-ulp divergence
+    (parity verified exactly at sf0.01 before wiring)."""
+    from nspc_etl_basic_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
+
+
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (Gopher-style quality filters).
     Entirely in-row: zip_with bigrams + array_distinct for the dup-bigram
@@ -3043,6 +3056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The r04-green remainder (freshest signal) sits past the cap.
     return {
         # -- (0) NEW in round 5: never driver-verified --
+        "text_tfidf_topk": text_tfidf_topk_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5525,6 +5539,32 @@ def oracle_sql() -> dict[str, str]:
                    floor(s.sum_uni / s.n_bigrams * 1000000) / 1000000
                        AS avg_unigram_freq
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "text_tfidf_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, count(*) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token,
+                       round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0))
+                                      + 1.0), 6) AS tfidf
+                FROM tf JOIN dfreq USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, token, tfidf,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token ASC) AS rk
+                FROM scored
+            )
+            SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 5
         """,
         "text_bigrams": f"""
             SELECT bigram, count(*) AS n

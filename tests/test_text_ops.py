@@ -179,3 +179,41 @@ def test_bigram_lm_logprob_matches_independent_recomputation(spark):
         assert got[i].n_bigrams == len(pairs)
         assert abs(got[i].avg_logprob - exp) < 1e-9, (i, got[i].avg_logprob, exp)
     assert got[5].n_bigrams == 0 and got[5].avg_logprob is None
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """TF-IDF ranks corpus-rare terms above ubiquitous ones; ties on the
+    rounded score break token-ascending."""
+    import math
+
+    from nspc_etl_basic_spark.operators.text import tfidf_topk
+
+    rows = [
+        (1, "common rare common"),   # 'common' tf=2 but appears everywhere
+        (2, "common zebra"),
+        (3, "common apple"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rk): r for r in tfidf_topk(df, k=2).collect()
+    }
+
+    n = 3
+    w = lambda tf, dfreq: round(tf * (math.log((n + 1) / (dfreq + 1)) + 1), 6)  # noqa: E731
+    # doc 1: common tf=2 df=3 -> 2*1.0 = 2.0 ; rare tf=1 df=1 -> ln(2)+1
+    assert got[(1, 1)].token == "common"
+    assert got[(1, 1)].tfidf == pytest.approx(w(2, 3), abs=1e-9)
+    assert got[(1, 2)].token == "rare"
+    assert got[(1, 2)].tfidf == pytest.approx(w(1, 1), abs=1e-9)
+    # docs 2/3: the unique word (higher idf) outranks 'common'
+    assert got[(2, 1)].token == "zebra" and got[(3, 1)].token == "apple"
+    assert got[(2, 2)].token == "common" and got[(3, 2)].token == "common"
+
+
+def test_tfidf_topk_tie_breaks_token_ascending(spark):
+    from nspc_etl_basic_spark.operators.text import tfidf_topk
+
+    # both tokens unique to the doc with tf=1 -> identical rounded score
+    df = spark.createDataFrame([(1, "beta alpha")], "doc_id long, text string")
+    got = tfidf_topk(df, k=2).orderBy("rk").collect()
+    assert [r.token for r in got] == ["alpha", "beta"]
