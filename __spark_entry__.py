@@ -1224,6 +1224,49 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
 
 
+# per-doc normalization mess injected by text_normalize_q (the synthetic
+# corpus is clean ASCII, so the query adds NFC-composable accents,
+# zero-width chars, duplicate whitespace, and a control char keyed on
+# doc_id % 5 — the oracle replays the SAME suffixes via chr() codepoints)
+_NORM_AUG_SUFFIXES = [
+    " cafe" + chr(0x0301),                                # NFC composes é
+    chr(0x200B) + "zero" + chr(0x200B) + "width",         # zero-width strip
+    "  double  spaced",                                   # ws collapse
+    "\tmix" + chr(0x07) + "ctl",                          # tab + C0 control
+    "",                                                   # untouched
+]
+_NORM_AUG_SQL = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN ' cafe' || chr(769)"
+    " WHEN 1 THEN chr(8203) || 'zero' || chr(8203) || 'width'"
+    " WHEN 2 THEN '  double  spaced'"
+    " WHEN 3 THEN chr(9) || 'mix' || chr(7) || 'ctl'"
+    " ELSE '' END"
+)
+
+
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode ingest normalization (NFC + control/zero-width strip +
+    whitespace collapse + trim) over the corpus, with deterministic
+    per-doc mess injected so every stage fires. Pure projection — the
+    NFC kernel is Arrow-batched ``mapInPandas`` fused into the scan
+    task, all later stages JVM codegen regex; zero shuffle."""
+    from nspc_etl_basic_spark.operators.text import normalize_text
+
+    docs = _docs_wide(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.element_at(
+                F.lit(_NORM_AUG_SUFFIXES),
+                (F.col("doc_id") % 5 + 1).cast("int"),
+            ),
+        ).alias("text"),
+    )
+    return normalize_text(aug)
+
+
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (Gopher-style quality filters).
     Entirely in-row: zip_with bigrams + array_distinct for the dup-bigram
@@ -3057,6 +3100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (0) NEW in round 5: never driver-verified --
         "text_tfidf_topk": text_tfidf_topk_q,
+        "text_normalize": text_normalize_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -3216,6 +3260,13 @@ def _oavg(expr: str, scale: int = 6) -> str:
 
 def _sql_word_tokens(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '[a-z0-9'']+')"
+
+
+def _norm_strip_re() -> str:
+    """normalize_text's strip pattern, SQL-quoted for the DuckDB oracle."""
+    from nspc_etl_basic_spark.operators.text import STRIP_CHARS_RE
+
+    return STRIP_CHARS_RE.replace("'", "''")
 
 
 def _sql_redact_pii() -> str:
@@ -5539,6 +5590,31 @@ def oracle_sql() -> dict[str, str]:
                    floor(s.sum_uni / s.n_bigrams * 1000000) / 1000000
                        AS avg_unigram_freq
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        # the strip pattern is the operator's own constant (Java-regex /
+        # RE2 shared \\x{{...}} subset), so the two sides cannot drift
+        "text_normalize": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       coalesce(text, '') || {_NORM_AUG_SQL} AS raw
+                FROM documents
+            ),
+            nfc AS (
+                SELECT doc_id, raw, nfc_normalize(raw) AS t FROM aug
+            ),
+            norm AS (
+                SELECT doc_id, raw,
+                       trim(regexp_replace(regexp_replace(regexp_replace(
+                           t, '{_norm_strip_re()}', '', 'g'),
+                           '\\r\\n?', chr(10), 'g'),
+                           '[ \\t]+', ' ', 'g')) AS text_norm
+                FROM nfc
+            )
+            SELECT doc_id, text_norm,
+                   length(raw) AS n_chars_raw,
+                   length(text_norm) AS n_chars_norm,
+                   text_norm <> raw AS changed
+            FROM norm
         """,
         "text_tfidf_topk": f"""
             WITH toks AS (

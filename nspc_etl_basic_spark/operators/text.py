@@ -12,8 +12,11 @@ through 100 TB as pure scan work.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # small, deterministic per-language stopword marker sets for the n-gram/
 # stopword language-ID heuristic. Public-knowledge function words.
@@ -600,3 +603,84 @@ def bigram_lm_scores(
         F.lit(None).cast("double").alias("avg_logprob"),
     )
     return out.unionByName(empty)
+
+
+# Characters a curation pipeline strips outright: C0 controls (minus
+# \t \n \r, which the whitespace pass handles), DEL, soft hyphen, and
+# the zero-width family (ZWSP/ZWNJ/ZWJ/BOM). Written with \x{...}
+# escapes — the Java-regex / RE2 shared subset — so the DuckDB oracle
+# can apply the IDENTICAL pattern string (no raw control bytes that
+# would corrupt SQL text).
+STRIP_CHARS_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F"
+    r"\x{00AD}\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-normalize a text column the way a training-data ingest
+    pass does: NFC composition, control/zero-width strip, horizontal-
+    whitespace collapse, trim.
+
+    Returns ``(id_col, text_norm, n_chars_raw, n_chars_norm, changed)``.
+
+    Stages, in order (order matters — NFC can *create* precomposed
+    chars the strip pass must still see past):
+      1. NFC composition (``unicodedata.normalize``) — the one stage the
+         JVM lacks, run as an Arrow-batched ``mapInPandas`` kernel that
+         carries the raw text through for the final ``changed`` compare.
+      2. strip ``STRIP_CHARS_RE`` (JVM ``regexp_replace``, codegen'd).
+      3. collapse runs of spaces/tabs to one space; normalize CRLF/CR
+         to LF.
+      4. ``trim``.
+
+    Scale: a pure projection — zero shuffle, zero join; the NFC kernel
+    is fused into the scan task and Arrow-batched, every later stage is
+    whole-stage-codegen JVM regex. Streams through 100 TB as scan work.
+    The kernel ships raw+NFC text once per row (2x text transfer); at
+    production scale text dominates the row anyway and the transfer is
+    task-local.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("_id", T.LongType()),
+            T.StructField("_raw", T.StringType()),
+            T.StructField("_nfc", T.StringType()),
+        ]
+    )
+
+    def kernel(batches: Iterator) -> Iterator:
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids, raws, nfcs = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                raw = text if isinstance(text, str) else ""
+                ids.append(did)
+                raws.append(raw)
+                nfcs.append(unicodedata.normalize("NFC", raw))
+            yield pd.DataFrame({"_id": ids, "_raw": raws, "_nfc": nfcs})
+
+    nfc = df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("_nfc"), STRIP_CHARS_RE, ""),
+                "\r\n?",
+                "\n",
+            ),
+            "[ \t]+",
+            " ",
+        )
+    )
+    return nfc.select(
+        F.col("_id").alias(id_col),
+        cleaned.alias("text_norm"),
+        F.length("_raw").alias("n_chars_raw"),
+        F.length(cleaned).alias("n_chars_norm"),
+        (cleaned != F.col("_raw")).alias("changed"),
+    )

@@ -217,3 +217,29 @@ def test_tfidf_topk_tie_breaks_token_ascending(spark):
     df = spark.createDataFrame([(1, "beta alpha")], "doc_id long, text string")
     got = tfidf_topk(df, k=2).orderBy("rk").collect()
     assert [r.token for r in got] == ["alpha", "beta"]
+
+
+def test_normalize_text_stages(spark):
+    from nspc_etl_basic_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "café"),            # NFC composes to café (5 -> 4 chars)
+        (2, "a​b­c"),       # zero-width + soft hyphen stripped
+        (3, "  x \t y  "),            # collapse + trim
+        (4, "line1\r\nline2\rline3"),  # CRLF/CR -> LF (kept, not collapsed)
+        (5, None),                    # null -> empty, changed=False
+        (6, "clean"),                 # untouched
+        (7, "bell\x07\x00end"),       # C0 controls stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in normalize_text(df).collect()}
+
+    assert got[1].text_norm == "café"
+    assert (got[1].n_chars_raw, got[1].n_chars_norm) == (5, 4)
+    assert got[1].changed is True
+    assert got[2].text_norm == "abc"
+    assert got[3].text_norm == "x y"
+    assert got[4].text_norm == "line1\nline2\nline3"
+    assert got[5].text_norm == "" and got[5].changed is False
+    assert got[6].text_norm == "clean" and got[6].changed is False
+    assert got[7].text_norm == "bellend" and got[7].n_chars_norm == 7
