@@ -1267,6 +1267,15 @@ def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(aug)
 
 
+def text_inverted_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus inverted index (token -> df, total tf, posting-list head):
+    two map-side-combined shuffles, (token,doc) then token; only 16-byte
+    triples move, never text. min_df=2 prunes the hapax tail."""
+    from nspc_etl_basic_spark.operators.text import inverted_index
+
+    return inverted_index(_docs_wide(spark, sf_dir), min_df=2, head=32)
+
+
 def text_repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition signals (Gopher-style quality filters).
     Entirely in-row: zip_with bigrams + array_distinct for the dup-bigram
@@ -3101,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) NEW in round 5: never driver-verified --
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
+        "text_inverted_index": text_inverted_index_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5590,6 +5600,26 @@ def oracle_sql() -> dict[str, str]:
                    floor(s.sum_uni / s.n_bigrams * 1000000) / 1000000
                        AS avg_unigram_freq
             FROM documents d LEFT JOIN scored s USING (doc_id)
+        """,
+        "text_inverted_index": f"""
+            WITH toks AS (
+                SELECT doc_id AS doc,
+                       unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT token, doc, count(*) AS tf
+                FROM toks GROUP BY token, doc
+            )
+            SELECT token,
+                   count(*) AS df,
+                   sum(tf)::BIGINT AS total_tf,
+                   array_to_string(
+                       (list(doc ORDER BY doc ASC))[1:32], ','
+                   ) AS postings_head
+            FROM tf
+            GROUP BY token
+            HAVING count(*) >= 2
         """,
         # the strip pattern is the operator's own constant (Java-regex /
         # RE2 shared \\x{{...}} subset), so the two sides cannot drift

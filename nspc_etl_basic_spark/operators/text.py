@@ -684,3 +684,51 @@ def normalize_text(
         F.length(cleaned).alias("n_chars_norm"),
         (cleaned != F.col("_raw")).alias("changed"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    head: int = 32,
+) -> DataFrame:
+    """Corpus inverted index: per token its document frequency, total
+    term frequency, and the posting-list head (first ``head`` doc ids,
+    ascending, comma-joined — a string so the driver's canonicalizer
+    can hash it).
+
+    Two shuffles, both map-side-combined: (token, doc) for the TF table,
+    then token for the posting aggregation. ``min_df`` prunes hapax
+    tokens (the long tail that dominates vocabulary size but never
+    serves a lookup).
+
+    100 TB stance: the posting list is the OUTPUT payload, so the
+    aggregation shuffle is irreducible — what matters is that nothing
+    else moves (doc text never leaves the scan stage; only (token,
+    doc_id, tf) triples shuffle). Stopword-grade tokens produce
+    million-entry lists that would hot-key a single reducer holding the
+    whole list in memory; the production layout is two-level — segment
+    postings by ``(token, doc_id div segment_size)`` so each reducer
+    materializes a bounded segment, writers emit segments sorted for
+    delta-encoding, and readers union segments per token. This summary
+    query head-caps instead (the segmented layout changes the sink, not
+    the statistics computed here).
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("token", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc")), 1, head),
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -243,3 +243,26 @@ def test_normalize_text_stages(spark):
     assert got[5].text_norm == "" and got[5].changed is False
     assert got[6].text_norm == "clean" and got[6].changed is False
     assert got[7].text_norm == "bellend" and got[7].n_chars_norm == 7
+
+
+def test_inverted_index_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.text import inverted_index
+
+    rows = [
+        (10, "apple banana apple"),
+        (20, "banana cherry"),
+        (30, "banana"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: r for r in inverted_index(df, min_df=1, head=2).collect()}
+
+    assert got["banana"].df == 3
+    assert got["banana"].total_tf == 3
+    assert got["banana"].postings_head == "10,20"  # head-capped at 2, sorted
+    assert got["apple"].df == 1 and got["apple"].total_tf == 2
+    assert got["apple"].postings_head == "10"
+    assert got["cherry"].postings_head == "20"
+
+    # min_df prunes hapax tokens
+    pruned = {r.token for r in inverted_index(df, min_df=2).collect()}
+    assert pruned == {"banana"}
