@@ -1224,6 +1224,47 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
 
 
+def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (supplier nation ->
+    customer nation, weighted by whole-dollar revenue): 6 fixed-point
+    iterations, bit-deterministic (integer-only arithmetic), so the
+    oracle replays every round in DuckDB. Edge build is one 5-way
+    equi-join + groupBy; the iteration is node-table-sized."""
+    from nspc_etl_basic_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("src")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .groupBy("src", "dst")
+        .agg(
+            F.floor(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("weight")
+        )
+    )
+    return pagerank(edges, n_iter=6)
+
+
 # per-doc normalization mess injected by text_normalize_q (the synthetic
 # corpus is clean ASCII, so the query adds NFC-composable accents,
 # zero-width chars, duplicate whitespace, and a control char keyed on
@@ -3111,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
+        "graph_pagerank": graph_pagerank_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -3270,6 +3312,62 @@ def _oavg(expr: str, scale: int = 6) -> str:
 
 def _sql_word_tokens(expr: str) -> str:
     return f"regexp_extract_all(lower({expr}), '[a-z0-9'']+')"
+
+
+def _sql_pagerank(n_iter: int = 6, damping: int = 85, scale: int = 1_000_000) -> str:
+    """Unrolled DuckDB replay of graph_pagerank_q: the same edge build,
+    then one CTE trio (dangling sum, contributions, new ranks) per
+    iteration with the IDENTICAL integer arithmetic (HUGEINT carries the
+    wide multiplies that the Spark side routes through DECIMAL(38,0))."""
+    base = ((100 - damping) * scale) // 100
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT sn.n_name AS src, cn.n_name AS dst,
+                   CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4)))) AS BIGINT) AS w
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            GROUP BY sn.n_name, cn.n_name
+        ),
+        outw AS (SELECT src, sum(w)::HUGEINT AS ow FROM edges GROUP BY src),
+        frac AS (
+            SELECT e.src, e.dst,
+                   ((e.w::HUGEINT * {scale}) // o.ow)::BIGINT AS frac
+            FROM edges e JOIN outw o USING (src)
+        ),
+        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+        r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+        d{i} AS (
+            SELECT coalesce(sum(rank), 0)::BIGINT AS dsum
+            FROM r{i - 1} WHERE node NOT IN (SELECT src FROM outw)
+        ),
+        c{i} AS (
+            SELECT f.dst AS node,
+                   sum((r.rank::HUGEINT * f.frac) // {scale})::BIGINT AS inc
+            FROM frac f JOIN r{i - 1} r ON r.node = f.src
+            GROUP BY f.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   ({base} + ({damping}::HUGEINT
+                       * (coalesce(c.inc, 0)
+                          + ((SELECT dsum FROM d{i})
+                             // (SELECT n FROM nn)))) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN c{i} c USING (node)
+        )"""
+        )
+    parts.append(f"\n        SELECT node, rank FROM r{n_iter}")
+    return "".join(parts)
 
 
 def _norm_strip_re() -> str:
@@ -5601,6 +5699,7 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_unigram_freq
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
+        "graph_pagerank": _sql_pagerank(n_iter=6),
         "text_inverted_index": f"""
             WITH toks AS (
                 SELECT doc_id AS doc,

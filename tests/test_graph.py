@@ -1,0 +1,70 @@
+"""pagerank: fixed-point semantics pinned against a pure-Python replay."""
+
+from __future__ import annotations
+
+import pytest
+
+from nspc_etl_basic_spark.operators.graph import pagerank
+
+
+def _replay(edges, n_iter, damping_pct=85, scale=1_000_000):
+    """Independent integer replay of the documented semantics."""
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    frac = {(s, d): (w * scale) // out_w[s] for s, d, w in edges}
+    base = ((100 - damping_pct) * scale) // 100
+    rank = {v: scale for v in nodes}
+    for _ in range(n_iter):
+        dsum = sum(rank[v] for v in nodes if v not in out_w)
+        inc = {v: 0 for v in nodes}
+        for (s, d), f in frac.items():
+            inc[d] += (rank[s] * f) // scale
+        rank = {
+            v: base + (damping_pct * (inc[v] + dsum // n)) // 100 for v in nodes
+        }
+    return rank
+
+
+def _run(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    return {r.node: r.rank for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_integer_replay(spark):
+    edges = [
+        ("a", "b", 3),
+        ("a", "c", 1),
+        ("b", "a", 2),
+        ("b", "c", 2),
+        ("d", "a", 5),  # d has no in-edges; c is dangling
+    ]
+    got = _run(spark, edges, n_iter=6)
+    assert got == _replay(edges, n_iter=6)
+    # the dangling node keeps receiving mass, the source-only node decays
+    assert got["a"] > got["d"]
+
+
+def test_pagerank_uniform_ring_is_symmetric(spark):
+    ring = [(str(i), str((i + 1) % 5), 7) for i in range(5)]
+    got = _run(spark, ring, n_iter=8)
+    assert len(set(got.values())) == 1  # perfect symmetry -> equal ranks
+    assert got == _replay(ring, n_iter=8)
+
+
+def test_pagerank_weight_splits_mass(spark):
+    # one source, 9:1 weight split -> the heavy target outranks the light
+    edges = [("s", "x", 9), ("s", "y", 1), ("x", "s", 1), ("y", "s", 1)]
+    got = _run(spark, edges, n_iter=10)
+    assert got["x"] > got["y"]
+    assert got == _replay(edges, n_iter=10)
+
+
+def test_pagerank_rejects_bad_params(spark):
+    df = None
+    with pytest.raises(ValueError):
+        pagerank(df, damping_pct=101)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
