@@ -1224,6 +1224,19 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
 
 
+def events_join_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join sizing for an events N:M self-join (full stream
+    vs the event_id%3 slice, keyed on user_id): exact output
+    cardinality, per-key top-10 contributions, and matched/only key
+    splits — WITHOUT running the join. Two 8-byte-key count aggs + one
+    key-cardinality-sized outer join; decimal-exact, fully oracled."""
+    from nspc_etl_basic_spark.operators.skew import join_cardinality_report
+
+    ev = _t(spark, sf_dir, "events")
+    right = ev.filter(F.col("event_id") % 3 == 0)
+    return join_cardinality_report(ev, right, "user_id", top_n=10)
+
+
 def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation-level trade graph (supplier nation ->
     customer nation, weighted by whole-dollar revenue): 6 fixed-point
@@ -3153,6 +3166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
         "graph_pagerank": graph_pagerank_q,
+        "events_join_cardinality": events_join_cardinality_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5700,6 +5714,44 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "graph_pagerank": _sql_pagerank(n_iter=6),
+        "events_join_cardinality": """
+            WITH cl AS (
+                SELECT user_id AS key, count(*) AS cnt_l
+                FROM events GROUP BY user_id
+            ),
+            cr AS (
+                SELECT user_id AS key, count(*) AS cnt_r
+                FROM events WHERE event_id % 3 = 0 GROUP BY user_id
+            ),
+            per_key AS (
+                SELECT coalesce(cl.key, cr.key) AS key,
+                       coalesce(cnt_l, 0)::BIGINT AS rows_left,
+                       coalesce(cnt_r, 0)::BIGINT AS rows_right,
+                       coalesce(cnt_l, 0)::HUGEINT
+                           * coalesce(cnt_r, 0) AS out_rows
+                FROM cl FULL OUTER JOIN cr ON cl.key = cr.key
+            ),
+            totals AS (
+                SELECT sum(out_rows)::HUGEINT AS total,
+                       sum(CASE WHEN out_rows > 0 THEN 1 ELSE 0 END)::BIGINT
+                           AS matched_keys,
+                       sum(CASE WHEN rows_left > 0 AND rows_right = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS left_only_keys,
+                       sum(CASE WHEN rows_right > 0 AND rows_left = 0
+                                THEN 1 ELSE 0 END)::BIGINT AS right_only_keys
+                FROM per_key
+            )
+            SELECT key, rows_left, rows_right,
+                   out_rows::BIGINT AS out_rows,
+                   ((1000000::HUGEINT * out_rows) // total)::BIGINT
+                       AS share_ppm,
+                   total::BIGINT AS est_total_rows,
+                   matched_keys, left_only_keys, right_only_keys
+            FROM per_key CROSS JOIN totals
+            WHERE out_rows > 0
+            ORDER BY out_rows DESC, key ASC
+            LIMIT 10
+        """,
         "text_inverted_index": f"""
             WITH toks AS (
                 SELECT doc_id AS doc,

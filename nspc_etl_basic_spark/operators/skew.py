@@ -152,3 +152,79 @@ def skew_report(
             ).cast("long").alias("salt_factor"),
         )
     )
+
+
+def join_cardinality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str | None = None,
+    top_n: int = 10,
+) -> DataFrame:
+    """Pre-flight inner-equi-join sizing: the exact output cardinality
+    and its per-key concentration, computed WITHOUT running the join —
+    the planner-side companion to :func:`skew_report` (which diagnoses
+    one table) and the stats-index/bloom pruning family.
+
+    Two map-side-combined per-key count aggregations (8-byte key rows —
+    the payload never moves), then a full outer join of the two
+    DISTINCT-KEY tables (key-cardinality-sized, orders below the row
+    counts). Output: the ``top_n`` largest-output keys, each row also
+    carrying the global summary (1-row broadcast, same shape as
+    ``skew_report``):
+
+      key, rows_left, rows_right, out_rows, share_ppm,
+      est_total_rows  — exact inner-join output size sum(cl*cr)
+      matched_keys / left_only_keys / right_only_keys
+
+    ``out_rows`` per key is how a 100 TB join melts down: one hot key
+    producing 10^12 output rows is invisible in either input's row count
+    and obvious here; ``share_ppm`` over ``est_total_rows`` says whether
+    to salt (pass the hot keys to :func:`salted_join`), bloom-prune the
+    only-keys, or re-plan entirely. Products and sums run in
+    DECIMAL(38,0) (exact, order-independent, overflow-proof at any
+    scale); outputs cast to BIGINT.
+    """
+    right_key = right_key or left_key
+    cl = left.groupBy(F.col(left_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    cr = right.groupBy(F.col(right_key).alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt_r")
+    )
+    per_key = cl.join(cr, "key", "full_outer").select(
+        "key",
+        F.coalesce("cnt_l", F.lit(0)).cast("long").alias("rows_left"),
+        F.coalesce("cnt_r", F.lit(0)).cast("long").alias("rows_right"),
+        F.expr(
+            "CAST(coalesce(cnt_l, 0) AS DECIMAL(38,0)) * coalesce(cnt_r, 0)"
+        ).alias("__out"),
+    )
+    totals = per_key.agg(
+        F.sum("__out").cast("decimal(38,0)").alias("__total"),
+        F.sum(F.when(F.col("__out") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("matched_keys"),
+        F.sum(F.when((F.col("rows_left") > 0) & (F.col("rows_right") == 0), 1)
+              .otherwise(0)).cast("long").alias("left_only_keys"),
+        F.sum(F.when((F.col("rows_right") > 0) & (F.col("rows_left") == 0), 1)
+              .otherwise(0)).cast("long").alias("right_only_keys"),
+    )
+    top = (
+        per_key.filter(F.col("__out") > 0)
+        .orderBy(F.col("__out").desc(), F.col("key").asc())
+        .limit(top_n)
+    )
+    return top.crossJoin(F.broadcast(totals)).select(
+        "key",
+        "rows_left",
+        "rows_right",
+        F.col("__out").cast("long").alias("out_rows"),
+        F.expr("(CAST(1000000 AS DECIMAL(38,0)) * __out) div __total")
+        .cast("long")
+        .alias("share_ppm"),
+        F.col("__total").cast("long").alias("est_total_rows"),
+        "matched_keys",
+        "left_only_keys",
+        "right_only_keys",
+    )

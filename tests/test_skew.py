@@ -89,3 +89,38 @@ def test_salted_count_matches_plain_groupby(spark):
     }
     salted = {r.k: r.n for r in salted_count_by_key(fact, ["k"], n_salt=8).collect()}
     assert salted == plain
+
+
+def test_join_cardinality_report_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.skew import join_cardinality_report
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame(
+        [(1,), (1,), (3,), (4,), (4,)], "k long"
+    )
+    rows = join_cardinality_report(left, right, "k", top_n=10).collect()
+    by_key = {r.key: r for r in rows}
+
+    # est total = 3*2 (k=1) + 1*1 (k=3) = 7; k=2 left-only, k=4 right-only
+    assert set(by_key) == {1, 3}
+    assert by_key[1].out_rows == 6 and by_key[3].out_rows == 1
+    assert by_key[1].rows_left == 3 and by_key[1].rows_right == 2
+    assert rows[0].key == 1  # ordered by contribution desc
+    for r in rows:
+        assert r.est_total_rows == 7
+        assert r.matched_keys == 2
+        assert r.left_only_keys == 1
+        assert r.right_only_keys == 1
+    assert by_key[1].share_ppm == (1_000_000 * 6) // 7
+
+
+def test_join_cardinality_report_exactly_predicts_join(spark):
+    from nspc_etl_basic_spark.operators.skew import join_cardinality_report
+
+    left = spark.range(0, 200).selectExpr("id % 7 AS k")
+    right = spark.range(0, 90).selectExpr("id % 5 AS k")
+    est = join_cardinality_report(left, right, "k").collect()[0].est_total_rows
+    actual = left.join(right, "k").count()
+    assert est == actual
