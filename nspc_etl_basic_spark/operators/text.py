@@ -478,12 +478,15 @@ def tfidf_topk(
     tie-break.
 
     Scale: three shuffles, all on bounded-cardinality keys — (doc, token)
-    for TF, token for DF, doc for the final top-k window — each with
-    map-side partial aggregation. The document count N is a 1-row
-    aggregate broadcast into the plan (scalar-subquery shape, not a
-    driver collect). The DF side is vocabulary-sized, far too large to
-    broadcast at corpus scale, so the TF<->DF equi-join on token is left
-    to sort-merge; nothing here is all-pairs.
+    for TF (map-side combined), token for DF, doc for the final top-k
+    window — and ONE corpus scan: DF is a count window over the TF
+    table, not a separate aggregate joined back (the join form read the
+    corpus three times — once per side of the TF<->DF join plus the
+    count — and paid a fourth exchange; a window over the
+    already-tiny TF triples computes the same integer on the rows it
+    annotates). The document count N is a 1-row aggregate broadcast
+    into the plan (scalar-subquery shape, not a driver collect);
+    nothing here is all-pairs.
     """
     from pyspark.sql import Window
 
@@ -491,23 +494,21 @@ def tfidf_topk(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
     )
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    with_df = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
-    scored = (
-        tf.join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            F.col(id_col),
-            F.col("token"),
-            F.round(
-                F.col("tf")
-                * (
-                    F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
-                    + F.lit(1.0)
-                ),
-                6,
-            ).alias("tfidf"),
-        )
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        F.col(id_col),
+        F.col("token"),
+        F.round(
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("tfidf").desc(), F.col("token").asc()
