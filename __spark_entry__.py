@@ -1224,6 +1224,23 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
 
 
+def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the LSH candidate graph (cluster-cohesion
+    diagnostic for the dedup pipeline): degree-ordered orientation
+    bounds every out-neighborhood by O(sqrt(m)) so no hub melts the
+    wedge self-join; integer outputs, fully oracled (the oracle
+    replays with plain id-orientation — same count)."""
+    from nspc_etl_basic_spark.operators.graph import triangle_stats
+
+    sigs = minhash_signatures(_docs_wide(spark, sf_dir)).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    out = triangle_stats(cand)
+    cand.unpersist()
+    return out
+
+
 def events_join_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-flight join sizing for an events N:M self-join (full stream
     vs the event_id%3 slice, keyed on user_id): exact output
@@ -3166,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
         "graph_pagerank": graph_pagerank_q,
+        "graph_triangles": graph_triangles_q,
         "events_join_cardinality": events_join_cardinality_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
@@ -5714,6 +5732,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "graph_pagerank": _sql_pagerank(n_iter=6),
+        "graph_triangles": f"""
+            WITH pairs AS ({_sql_lsh_pairs()}),
+            und AS (
+                SELECT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+                FROM pairs WHERE id_a <> id_b
+                GROUP BY 1, 2
+            ),
+            deg AS (
+                SELECT v, count(*) AS d
+                FROM (SELECT a AS v FROM und
+                      UNION ALL SELECT b AS v FROM und)
+                GROUP BY v
+            ),
+            agg AS (
+                SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                       (SELECT count(*) FROM und)::BIGINT AS n_edges,
+                       (SELECT (sum(d::HUGEINT * (d - 1)) // 2)::BIGINT
+                        FROM deg) AS n_wedges,
+                       (SELECT count(*)::BIGINT
+                        FROM und e1
+                        JOIN und e2 ON e2.a = e1.b
+                        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+                       ) AS n_triangles
+            )
+            SELECT n_nodes, n_edges, n_wedges, n_triangles,
+                   CASE WHEN n_wedges > 0
+                        THEN ((3000000::HUGEINT * n_triangles)
+                              // n_wedges)::BIGINT
+                        ELSE 0 END AS clustering_ppm
+            FROM agg
+        """,
         "events_join_cardinality": """
             WITH cl AS (
                 SELECT user_id AS key, count(*) AS cnt_l

@@ -125,3 +125,127 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Exact triangle census of an undirected pair graph — one summary
+    row ``(n_nodes, n_edges, n_wedges, n_triangles, clustering_ppm)``
+    where ``clustering_ppm = (3e6 * triangles) div wedges`` (global
+    clustering coefficient in parts-per-million, pure integer).
+
+    On a near-dup candidate graph this measures cluster cohesion:
+    candidate pairs that close into triangles are almost always true
+    duplicate clusters; a high wedge count with few triangles means the
+    banding is chaining unrelated docs through hub signatures.
+
+    Algorithm — DEGREE-ORDERED orientation, the standard skew cure for
+    distributed triangle counting: every undirected edge is directed
+    from its lower-(degree, id) endpoint to the higher one, which
+    bounds every out-neighborhood by O(sqrt(m)) regardless of how hot a
+    hub is, so the wedge self-join (the quadratic step) never
+    concentrates a celebrity node's full neighborhood on one task.
+    Each triangle then has exactly ONE vertex with out-edges to the
+    other two, so plain joins count it exactly once. (The oracle
+    replays with id-orientation instead — same count, the orientation
+    only redistributes the intermediates.)
+
+    Shuffles: degree groupBy, two orientation joins, the wedge
+    self-join on ``src``, and the closing semi-join on (dst1, dst2) —
+    all keyed on 8-byte ids; the quadratic intermediate is
+    sqrt-bounded by construction. Outputs are exact integers
+    (value-hash-stable); wedge arithmetic runs in DECIMAL(38,0).
+    """
+    und = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .cache()
+    )
+
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = und.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_wedges = deg.agg(
+        F.expr("sum(CAST(d AS DECIMAL(38,0)) * (d - 1)) div 2")
+        .cast("long")
+        .alias("n_wedges")
+    )
+
+    # orient: lower (degree, id) endpoint -> higher
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("src"),
+                    F.col("b").alias("dst"),
+                    F.col("db").alias("dst_d"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("src"),
+                    F.col("a").alias("dst"),
+                    F.col("da").alias("dst_d"),
+                )
+            )
+            .alias("e")
+        )
+        .select("e.src", "e.dst", "e.dst_d")
+        .cache()
+    )
+    e1 = oriented.select(
+        F.col("src"), F.col("dst").alias("v1"), F.col("dst_d").alias("d1")
+    )
+    e2 = oriented.select(
+        F.col("src"), F.col("dst").alias("v2"), F.col("dst_d").alias("d2")
+    )
+    wedges = e1.join(e2, "src").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v1"), F.col("dst").alias("v2")
+    )
+    n_tri = (
+        wedges.join(closing, ["v1", "v2"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_wedges))
+        .crossJoin(F.broadcast(n_tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr(
+                    "(CAST(3000000 AS DECIMAL(38,0)) * n_triangles)"
+                    " div n_wedges"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("clustering_ppm"),
+        )
+    )

@@ -68,3 +68,50 @@ def test_pagerank_rejects_bad_params(spark):
         pagerank(df, damping_pct=101)
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    from nspc_etl_basic_spark.operators.graph import triangle_stats
+
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_k4(spark):
+    # complete graph on 4 nodes: 6 edges, 12 wedges, 4 triangles, C=1
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.clustering_ppm == 1_000_000
+
+
+def test_triangle_stats_star_has_no_triangles(spark):
+    star = [(0, i) for i in range(1, 6)]
+    r = _tri(spark, star)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (6, 5, 0)
+    assert r.n_wedges == 10 and r.clustering_ppm == 0
+
+
+def test_triangle_stats_dedupes_reversed_and_self_pairs(spark):
+    # one triangle given with duplicates, reversed edges, and a self-loop
+    pairs = [(1, 2), (2, 1), (2, 3), (1, 3), (3, 1), (7, 7)]
+    r = _tri(spark, pairs)
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+    assert r.n_wedges == 3
+    assert r.clustering_ppm == 1_000_000
+
+
+def test_triangle_stats_matches_bruteforce_on_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(5)
+    edges = sorted({tuple(sorted(rng.sample(range(12), 2))) for _ in range(30)})
+    adj = set(edges)
+    expect = sum(
+        1
+        for a, b, c in itertools.combinations(range(12), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    r = _tri(spark, [(a, b) for a, b in edges])
+    assert r.n_triangles == expect
