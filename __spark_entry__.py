@@ -3845,7 +3845,14 @@ def _sql_pca_power_ctes(
             for j in range(d)
         )
         parts.append(f"__pcm{c + 1} AS (SELECT {defl} FROM __pc{c}_f)")
-    return ",\n".join(parts)
+    # MATERIALIZED: every CTE here is one row wide, but DuckDB inlines
+    # single-reference CTEs, and inlining 8 squaring rounds expands each
+    # matrix entry into an 8^rounds-term expression — planner memory
+    # blows up (observed OOM under full-suite memory pressure).
+    # Materializing pins each round to its 1-row result.
+    return ",\n".join(
+        p.replace(" AS (SELECT", " AS MATERIALIZED (SELECT", 1) for p in parts
+    )
 
 
 def _sql_bpe_train_ctes(num_merges: int = 8, table: str = "documents") -> str:

@@ -40,6 +40,12 @@ def spark():
 @pytest.fixture(scope="session")
 def duck():
     con = duckdb.connect()
+    # Cap the oracle engine: DuckDB's default limit is a fraction of
+    # PHYSICAL RAM, but late in the suite the Spark JVM holds most of
+    # it — an uncapped heavy oracle then OOMs (seen once with the
+    # pre-MATERIALIZED PCA replay). Every oracle runs comfortably in
+    # 4 GB; 8 GB leaves margin without enabling overcommit.
+    con.execute("SET memory_limit='8GB'")
     for t in TABLES:
         path = f"{SF_DIR}/{t}.parquet"
         if os.path.exists(path):
