@@ -3353,8 +3353,7 @@ def _sql_pagerank(n_iter: int = 6, damping: int = 85, scale: int = 1_000_000) ->
     wide multiplies that the Spark side routes through DECIMAL(38,0))."""
     base = ((100 - damping) * scale) // 100
     parts = [
-        f"""
-        WITH edges AS (
+        """edges AS (
             SELECT sn.n_name AS src, cn.n_name AS dst,
                    CAST(floor(sum(CAST(l_extendedprice * (1 - l_discount)
                         AS DECIMAL(18,4)))) AS BIGINT) AS w
@@ -3365,31 +3364,34 @@ def _sql_pagerank(n_iter: int = 6, damping: int = 85, scale: int = 1_000_000) ->
             JOIN nation sn ON s_nationkey = sn.n_nationkey
             JOIN nation cn ON c_nationkey = cn.n_nationkey
             GROUP BY sn.n_name, cn.n_name
-        ),
-        outw AS (SELECT src, sum(w)::HUGEINT AS ow FROM edges GROUP BY src),
-        frac AS (
+        )""",
+        "outw AS (SELECT src, sum(w)::HUGEINT AS ow FROM edges GROUP BY src)",
+        f"""frac AS (
             SELECT e.src, e.dst,
                    ((e.w::HUGEINT * {scale}) // o.ow)::BIGINT AS frac
             FROM edges e JOIN outw o USING (src)
-        ),
-        nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-        nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
-        r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)"""
+        )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "nn AS (SELECT count(*)::BIGINT AS n FROM nodes)",
+        f"r0 AS (SELECT node, {scale}::BIGINT AS rank FROM nodes)",
     ]
     for i in range(1, n_iter + 1):
         parts.append(
-            f""",
-        d{i} AS (
+            f"""d{i} AS (
             SELECT coalesce(sum(rank), 0)::BIGINT AS dsum
             FROM r{i - 1} WHERE node NOT IN (SELECT src FROM outw)
-        ),
-        c{i} AS (
+        )"""
+        )
+        parts.append(
+            f"""c{i} AS (
             SELECT f.dst AS node,
                    sum((r.rank::HUGEINT * f.frac) // {scale})::BIGINT AS inc
             FROM frac f JOIN r{i - 1} r ON r.node = f.src
             GROUP BY f.dst
-        ),
-        r{i} AS (
+        )"""
+        )
+        parts.append(
+            f"""r{i} AS (
             SELECT n.node,
                    ({base} + ({damping}::HUGEINT
                        * (coalesce(c.inc, 0)
@@ -3398,8 +3400,11 @@ def _sql_pagerank(n_iter: int = 6, damping: int = 85, scale: int = 1_000_000) ->
             FROM nodes n LEFT JOIN c{i} c USING (node)
         )"""
         )
-    parts.append(f"\n        SELECT node, rank FROM r{n_iter}")
-    return "".join(parts)
+    return (
+        "WITH "
+        + _materialize_ctes(parts)
+        + f"\n        SELECT node, rank FROM r{n_iter}"
+    )
 
 
 def _norm_strip_re() -> str:
@@ -3569,6 +3574,17 @@ def _sql_floor_div(a: str, b: str) -> str:
     return f"((({a}) - ((({a}) % ({b})) + ({b})) % ({b})) // ({b}))"
 
 
+def _materialize_ctes(parts: list[str]) -> str:
+    """Join generated CTEs with each one forced MATERIALIZED. The
+    unrolled iterative replays (k-means, PQ, PCA, BPE, PageRank)
+    reference each round's CTE from 2+ places; DuckDB's single-use CTE
+    inlining then duplicates the whole upstream chain per reference —
+    exponential planner expression growth across rounds (observed as an
+    OutOfMemoryException when the suite's Spark JVM holds most of the
+    host RAM). Materializing pins every round to its computed result."""
+    return ",\n".join(p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts)
+
+
 def _sql_ivf_kmeans_ctes(
     n_cells: int = 16, n_iter: int = 3, dim: int = 64, scale: int = 1_000_000
 ) -> str:
@@ -3625,7 +3641,7 @@ def _sql_ivf_kmeans_ctes(
                list_transform(c, x -> CAST(x AS DOUBLE) / {scale}.0) AS cvec
         FROM __cb{n_iter}
     )""")
-    return ",\n".join(parts)
+    return _materialize_ctes(parts)
 
 
 def _sql_pq_trained_ctes(
@@ -3702,7 +3718,7 @@ def _sql_pq_trained_ctes(
             PARTITION BY s.vec_id, s.sub
             ORDER BY {d2} ASC, b.cell ASC) = 1
     )""")
-    return ",\n".join(parts)
+    return _materialize_ctes(parts)
 
 
 def _sql_pca_power_ctes(
@@ -3845,14 +3861,7 @@ def _sql_pca_power_ctes(
             for j in range(d)
         )
         parts.append(f"__pcm{c + 1} AS (SELECT {defl} FROM __pc{c}_f)")
-    # MATERIALIZED: every CTE here is one row wide, but DuckDB inlines
-    # single-reference CTEs, and inlining 8 squaring rounds expands each
-    # matrix entry into an 8^rounds-term expression — planner memory
-    # blows up (observed OOM under full-suite memory pressure).
-    # Materializing pins each round to its 1-row result.
-    return ",\n".join(
-        p.replace(" AS (SELECT", " AS MATERIALIZED (SELECT", 1) for p in parts
-    )
+    return _materialize_ctes(parts)
 
 
 def _sql_bpe_train_ctes(num_merges: int = 8, table: str = "documents") -> str:
@@ -3899,7 +3908,7 @@ def _sql_bpe_train_ctes(num_merges: int = 8, table: str = "documents") -> str:
                            chr(1) || t.a || t.b || chr(2)) AS s, w.freq
             FROM __bw{t} w CROSS JOIN __btop{t} t
         )""")
-    return ",\n".join(parts)
+    return _materialize_ctes(parts)
 
 
 def _sql_bpe_encode(
