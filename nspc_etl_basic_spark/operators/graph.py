@@ -90,12 +90,18 @@ def pagerank(
     frac.count()  # materialize once; the loop reads it n_iter times
     src_nodes = out_w.select(F.col("src").alias("node"))
 
+    # the dangling-node SET is static (it's a graph property, not a rank
+    # property) — detect it once; when empty (the common case for trade/
+    # link graphs) every round drops its dangling-sum aggregation AND
+    # the 1-row broadcast, roughly halving per-round job count
+    dangling = nodes.join(src_nodes, "node", "left_anti").cache()
+    has_dangling = dangling.limit(1).count() > 0
+    if not has_dangling:
+        dangling.unpersist()
+
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(n_iter):
-        dang = ranks.join(src_nodes, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dsum")
-        )
         inc = (
             frac.join(ranks, frac["src"] == ranks["node"])
             .groupBy("dst")
@@ -106,17 +112,24 @@ def pagerank(
             )
             .withColumnRenamed("dst", "node")
         )
+        joined = nodes.join(inc, "node", "left")
+        if has_dangling:
+            dang = ranks.join(F.broadcast(dangling), "node", "left_semi").agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("__dsum")
+            )
+            joined = joined.crossJoin(F.broadcast(dang))
+            share = f"(__dsum div {int(n_nodes)})"
+        else:
+            share = "CAST(0 AS BIGINT)"
         ranks = (
-            nodes.join(inc, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
+            joined.select(
                 "node",
                 (
                     F.lit(base)
                     + F.expr(
                         f"(CAST({int(damping_pct)} AS DECIMAL(38,0))"
                         f" * (coalesce(__inc, CAST(0 AS BIGINT))"
-                        f"    + (__dsum div {int(n_nodes)}))) div 100"
+                        f"    + {share})) div 100"
                     )
                 )
                 .cast("long")
