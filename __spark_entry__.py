@@ -1224,6 +1224,39 @@ def text_tfidf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_docs_wide(spark, sf_dir), k=5)
 
 
+# typo injections for part_fuzzy_match_q, keyed on p_partkey % 3 and
+# confined to positions 4-6 so at least one block key survives every
+# edit (single-end edits are the fuzzy_match recall contract); the
+# oracle replays the SAME CASE over substr/concat
+_FUZZY_MUTATE_SQL = (
+    "CASE p_partkey % 3"
+    " WHEN 0 THEN concat(substring(name, 1, 4), substring(name, 6))"
+    " WHEN 1 THEN concat(substring(name, 1, 5), 'q', substring(name, 7))"
+    " ELSE concat(substring(name, 1, 4), 'zz', substring(name, 5)) END"
+)
+
+
+def part_fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: match a deterministically-typo'd copy of the
+    part catalog back to the original by multi-key blocking (prefix-3 OR
+    suffix-3, length band) + levenshtein<=2 verify — never a cross
+    join; string ops stay in the engine-shared subset so the oracle
+    replays exactly."""
+    from nspc_etl_basic_spark.operators.linkage import fuzzy_match
+
+    base = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    )
+    mut = base.select(
+        (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
+        F.expr(_FUZZY_MUTATE_SQL).alias("name"),
+    )
+    return fuzzy_match(
+        base, mut, "p_partkey", "p_partkey", "name", "name",
+        max_distance=2, block_len=3,
+    )
+
+
 def graph_triangles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the LSH candidate graph (cluster-cohesion
     diagnostic for the dedup pipeline): degree-ordered orientation
@@ -3185,6 +3218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank_q,
         "graph_triangles": graph_triangles_q,
         "events_join_cardinality": events_join_cardinality_q,
+        "part_fuzzy_match": part_fuzzy_match_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5748,6 +5782,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "graph_pagerank": _sql_pagerank(n_iter=6),
+        # the mutation CASE is the query's own constant (engine-shared
+        # substring/concat subset) — one definition, two engines
+        "part_fuzzy_match": f"""
+            WITH base AS (
+                SELECT p_partkey, lower(p_name) AS name FROM part
+            ),
+            mut AS (
+                SELECT p_partkey + 1000000 AS p_partkey,
+                       {_FUZZY_MUTATE_SQL} AS name
+                FROM base
+            ),
+            lb AS (
+                SELECT p_partkey AS id, name, left(name, 3) AS p,
+                       right(name, 3) AS s, length(name) AS l
+                FROM base
+            ),
+            rb AS (
+                SELECT p_partkey AS id, name, left(name, 3) AS p,
+                       right(name, 3) AS s, length(name) AS l
+                FROM mut
+            ),
+            cand AS (
+                SELECT DISTINCT lb.id AS id_l, rb.id AS id_r,
+                       lb.name AS name_l, rb.name AS name_r
+                FROM lb JOIN rb
+                  ON (lb.p = rb.p OR lb.s = rb.s) AND abs(lb.l - rb.l) <= 2
+            )
+            SELECT id_l, id_r, name_l, name_r,
+                   levenshtein(name_l, name_r) AS distance
+            FROM cand
+            WHERE levenshtein(name_l, name_r) <= 2
+        """,
         "graph_triangles": f"""
             WITH pairs AS ({_sql_lsh_pairs()}),
             und AS (
