@@ -356,6 +356,71 @@ class ParquetWarehouse:
 
         return pruned_scan(self.spark, self.data_path(name), col, lo, hi)
 
+    def vacuum(self, name: str, retain_versions: int = 1) -> dict:
+        """Explicit storage reclaim, independent of any commit: shrink
+        the retained time-travel history to the newest
+        ``retain_versions`` committed versions (the current version is
+        always retained) and delete every version dir no retained
+        manifest references. Returns ``{"removed_dirs", "bytes_reclaimed",
+        "retained_versions"}``.
+
+        Commit-time GC already bounds storage at ``keep_versions``; this
+        is the operator a storage review runs — at 100 TB a snapshot
+        table's history multiplies the table's footprint per retained
+        version, and reclaim must be an explicit, auditable action
+        (Delta VACUUM semantics), not a side effect of the next write.
+        Safety matches ``_gc``: the manifest flip already happened for
+        everything we delete, in-flight readers of a deleted version
+        keep their open files (POSIX) but new time-travel reads of
+        vacuumed versions fail with the retention message.
+        """
+        if retain_versions < 1:
+            raise ValueError(
+                f"retain_versions must be >= 1, got {retain_versions}"
+            )
+        table_dir = self.table_path(name)
+        self._check_not_bucketed(table_dir)
+        current = self.current_version(name)
+        if current is None:
+            return {
+                "removed_dirs": 0,
+                "bytes_reclaimed": 0,
+                "retained_versions": 0,
+            }
+        hdir = os.path.join(table_dir, HISTORY_DIR)
+        hist = self._history_manifests(name)
+        for vid in sorted(hist)[:-retain_versions]:
+            if hist[vid].get("version") == current:
+                continue  # never drop the manifest of the live version
+            try:
+                os.remove(os.path.join(hdir, f"m_{vid:08d}.json"))
+            except OSError:
+                pass
+            hist.pop(vid, None)
+        referenced = {m["version"] for m in hist.values()}
+        referenced.add(current)
+        removed = 0
+        reclaimed = 0
+        for d in sorted(os.listdir(table_dir)):
+            p = os.path.join(table_dir, d)
+            if (
+                d.startswith(VERSION_PREFIX)
+                and os.path.isdir(p)
+                and d not in referenced
+            ):
+                reclaimed += sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dirs, fs in os.walk(p)
+                    for f in fs
+                )
+                shutil.rmtree(p, ignore_errors=True)
+                removed += 1
+        return {
+            "removed_dirs": removed,
+            "bytes_reclaimed": reclaimed,
+            "retained_versions": len(referenced),
+        }
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self.table_path(name), ignore_errors=True)
 

@@ -193,3 +193,68 @@ def test_snapshot_time_travel_read_and_rotation(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError, match="not retained"):
         wh.read("t", version=0)
+
+
+def test_vacuum_reclaims_history_and_keeps_current(spark, tmp_path):
+    import os
+
+    import pytest
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), keep_versions=5,
+                          keep_history=5)
+    for k in range(4):
+        df = spark.createDataFrame(
+            [(i, k) for i in range(10 + k)], "id long, gen long"
+        )
+        wh.overwrite_snapshot(df, "t")
+    table_dir = wh.table_path("t")
+    n_dirs_before = sum(
+        1 for d in os.listdir(table_dir) if d.startswith("v_")
+    )
+    assert n_dirs_before == 4
+
+    stats = wh.vacuum("t", retain_versions=1)
+    assert stats["removed_dirs"] == 3
+    assert stats["bytes_reclaimed"] > 0
+    assert stats["retained_versions"] == 1
+
+    # current snapshot intact, vacuumed versions no longer readable
+    assert wh.read("t").count() == 13
+    assert {r.gen for r in wh.read("t").collect()} == {3}
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        wh.read("t", version=0)
+    n_dirs_after = sum(
+        1 for d in os.listdir(table_dir) if d.startswith("v_")
+    )
+    assert n_dirs_after == 1
+
+    # idempotent: nothing left to remove
+    again = wh.vacuum("t", retain_versions=1)
+    assert again["removed_dirs"] == 0 and again["bytes_reclaimed"] == 0
+
+
+def test_vacuum_retain_two_keeps_time_travel_window(spark, tmp_path):
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"), keep_versions=4,
+                          keep_history=4)
+    for k in range(4):
+        df = spark.createDataFrame([(k,)], "gen long")
+        wh.overwrite_snapshot(df, "t")
+    wh.vacuum("t", retain_versions=2)
+    vids = [v["version_id"] for v in wh.versions("t")]
+    assert vids == [2, 3]
+    assert wh.read("t", version=2).collect()[0].gen == 2
+
+
+def test_vacuum_validates_and_handles_missing_table(spark, tmp_path):
+    import pytest
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    wh = ParquetWarehouse(spark, str(tmp_path / "wh"))
+    assert wh.vacuum("nope")["removed_dirs"] == 0
+    with pytest.raises(ValueError):
+        wh.vacuum("nope", retain_versions=0)
