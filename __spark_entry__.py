@@ -810,6 +810,24 @@ def d1_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d5_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed of the D1 merge (Delta CDF semantics): every
+    touched row tagged insert / update_preimage / update_postimage.
+    Matched keys built from a column-pruned target-key scan vs a
+    broadcast of source keys; every leg is a map-only broadcast
+    semi/anti join — the target never shuffles."""
+    from nspc_etl_basic_spark.operators.merge import merge_changes
+
+    orders = _t(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 2 == 0)
+    source = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 1.1
+    )
+    return merge_changes(target, source, ["o_orderkey"]).select(
+        "op", "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
 def d2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: true inserted/updated split via key-match (the reference's batch
     path miscounts; this is the corrected semantics)."""
@@ -3219,6 +3237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": graph_triangles_q,
         "events_join_cardinality": events_join_cardinality_q,
         "part_fuzzy_match": part_fuzzy_match_q,
+        "d5_merge_changes": d5_merge_changes,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5278,6 +5297,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n_orders,
                    {_osum('o_totalprice')} AS total_price
             FROM merged GROUP BY o_orderstatus
+        """,
+        "d5_merge_changes": """
+            WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+            source AS (
+                SELECT o_orderkey, o_orderstatus,
+                       o_totalprice * 1.1 AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            matched AS (
+                SELECT o_orderkey FROM target
+                WHERE o_orderkey IN (SELECT o_orderkey FROM source)
+            )
+            SELECT 'insert' AS op, o_orderkey, o_orderstatus, o_totalprice
+            FROM source
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM matched)
+            UNION ALL
+            SELECT 'update_preimage', o_orderkey, o_orderstatus, o_totalprice
+            FROM target
+            WHERE o_orderkey IN (SELECT o_orderkey FROM matched)
+            UNION ALL
+            SELECT 'update_postimage', o_orderkey, o_orderstatus, o_totalprice
+            FROM source
+            WHERE o_orderkey IN (SELECT o_orderkey FROM matched)
         """,
         "d2_merge_counts": """
             WITH tgt AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),

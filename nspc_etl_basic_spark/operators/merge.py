@@ -101,3 +101,52 @@ def merge_counts(target: DataFrame, source: DataFrame, pk_cols: list[str]) -> Me
     finally:
         src_keys.unpersist()
     return MergeCounts(inserted=total - updated, updated=updated)
+
+
+def merge_changes(
+    target: DataFrame,
+    source: DataFrame,
+    pk_cols: list[str],
+    broadcast_source: bool | None = None,
+) -> DataFrame:
+    """Change-data-feed for the join-based MERGE (Delta CDF semantics):
+    every row the merge touches, tagged ``op`` ∈ {'insert',
+    'update_preimage', 'update_postimage'} — the audit/replication feed
+    a downstream consumer (streaming SCD2 fold, incremental cache
+    invalidation, CDC export) reads instead of diffing snapshots.
+
+    ``merge_upsert`` + this feed share semantics by construction: the
+    post-merge snapshot equals target minus preimages plus inserts plus
+    postimages (pinned by pytest).
+
+    Scale (file-sized source vs 100 TB target, the reference workload):
+    the matched-key set is built by scanning ONLY the target's
+    column-pruned pk columns against a broadcast of the source keys —
+    small by construction (≤ |source|) — then every feed leg is a
+    map-only broadcast semi/anti join: the target is never shuffled,
+    never broadcast, and its non-key columns are read once (for the
+    preimage leg). The matched-key table is cached (it anchors three
+    broadcasts); pass ``broadcast_source=False`` for symmetric-size
+    merges to let AQE pick shuffled joins instead.
+    """
+    src = source.select(*target.columns)
+    if broadcast_source is False:
+        tkeys = target.select(*pk_cols)
+        inserts = src.join(tkeys, pk_cols, "left_anti")
+        pre = target.join(src.select(*pk_cols), pk_cols, "left_semi")
+        post = src.join(tkeys, pk_cols, "left_semi")
+    else:
+        src_keys = src.select(*pk_cols).distinct()
+        matched = (
+            target.select(*pk_cols)
+            .join(F.broadcast(src_keys), pk_cols, "left_semi")
+            .cache()
+        )
+        inserts = src.join(F.broadcast(matched), pk_cols, "left_anti")
+        pre = target.join(F.broadcast(matched), pk_cols, "left_semi")
+        post = src.join(F.broadcast(matched), pk_cols, "left_semi")
+    return (
+        inserts.select(F.lit("insert").alias("op"), "*")
+        .unionByName(pre.select(F.lit("update_preimage").alias("op"), "*"))
+        .unionByName(post.select(F.lit("update_postimage").alias("op"), "*"))
+    )

@@ -410,3 +410,43 @@ def test_failed_row_txt_artifact(spark, tmp_path):
     assert txt.exists()
     content = txt.read_text()
     assert "not_int" in content and "errors" in content
+
+
+def test_merge_changes_feed_and_snapshot_consistency(spark):
+    """CDF legs are exactly the merge's touched rows, and
+    target - preimages + inserts + postimages == merge_upsert snapshot."""
+    from nspc_etl_basic_spark.operators.merge import merge_changes, merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, s string, v long"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], "id long, s string, v long"
+    )
+    feed = merge_changes(target, source, ["id"]).collect()
+    by_op = {}
+    for r in feed:
+        by_op.setdefault(r.op, []).append((r.id, r.s, r.v))
+
+    assert by_op["insert"] == [(4, "d", 40)]
+    assert by_op["update_preimage"] == [(2, "b", 20)]
+    assert by_op["update_postimage"] == [(2, "B", 99)]
+
+    snap = {(r.id, r.s, r.v) for r in merge_upsert(target, source, ["id"]).collect()}
+    pre = set(by_op["update_preimage"])
+    rebuilt = (
+        {(r.id, r.s, r.v) for r in target.collect()} - pre
+    ) | set(by_op["insert"]) | set(by_op["update_postimage"])
+    assert rebuilt == snap
+
+
+def test_merge_changes_no_overlap_is_all_inserts(spark):
+    from nspc_etl_basic_spark.operators.merge import merge_changes
+
+    target = spark.createDataFrame([(1, 1)], "id long, v long")
+    source = spark.createDataFrame([(2, 2), (3, 3)], "id long, v long")
+    for bc in (None, False):
+        ops = sorted(
+            r.op for r in merge_changes(target, source, ["id"], bc).collect()
+        )
+        assert ops == ["insert", "insert"]
