@@ -232,3 +232,73 @@ def run_stream_upsert_jdbc(
     )
     q.awaitTermination()
     return q
+
+
+def run_stream_upsert_cdc(
+    df: DataFrame,
+    warehouse,
+    table: str,
+    pk_cols: list[str],
+    checkpoint_path: str,
+    dedup_order_col: str | None = None,
+    query_name: str = "stream_upsert_cdc",
+):
+    """``run_stream_upsert`` plus a change-data-feed: every micro-batch
+    also APPENDS its ``operators.merge.merge_changes`` rows — tagged
+    with the batch id — to the append-only ``<table>_changes`` table,
+    so downstream consumers (SCD2 folds, CDC export, cache
+    invalidation) tail a feed instead of diffing snapshots.
+
+    Idempotency: the snapshot merge is naturally idempotent under
+    micro-batch replay, but an APPEND is not — so the feed write is
+    guarded by the recorded ``batch_id`` high-water mark (the standard
+    foreachBatch exactly-once recipe): a replayed batch whose id is
+    already present in the feed skips the append and only re-runs the
+    idempotent merge. Feed rows therefore appear exactly once per
+    logical batch across crash/restart (pinned by the restart test).
+
+    Scale: the feed legs are map-only broadcast semi/anti joins (the
+    target never shuffles — see ``merge_changes``); the feed table is
+    append-only and output-proportional. The high-water-mark read is a
+    1-row max over the feed's column-pruned ``batch_id`` column.
+    """
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.merge import merge_changes, merge_upsert
+
+    changes_table = f"{table}_changes"
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        src = _content_last_wins(batch_df, pk_cols, dedup_order_col)
+        feed_done = False
+        if warehouse.exists(changes_table):
+            hwm = (
+                warehouse.read(changes_table)
+                .agg(F.max("batch_id").alias("m"))
+                .collect()[0]["m"]
+            )
+            feed_done = hwm is not None and int(hwm) >= int(batch_id)
+        if warehouse.exists(table):
+            tgt = warehouse.read(table)
+            feed = merge_changes(tgt, src, pk_cols)
+            merged = merge_upsert(tgt, src, pk_cols)
+        else:
+            feed = src.select(F.lit("insert").alias("op"), "*")
+            merged = src
+        if not feed_done:
+            warehouse.write(
+                feed.withColumn("batch_id", F.lit(int(batch_id))),
+                changes_table,
+                mode="append",
+            )
+        warehouse.overwrite_snapshot(merged, table)
+
+    q = (
+        df.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
