@@ -234,10 +234,14 @@ def pq_encode(
     codes, errs = [], []
     for j in range(m):
         book = codebooks[j]
-        # ONE Literal node per codebook (F.lit on the nested list), not
-        # k*w CreateArray/Literal expression nodes — at m=16, k=16 this
-        # is the difference between a seconds-long and a flat analysis
-        lit_book = F.lit([[float(x) for x in c] for c in book])
+        # ONE Literal node per codebook — and built via fastlit, because
+        # pyspark's nested-list F.lit ALSO pays py4j per element at
+        # construction time (~2 s of driver time across m=16 books)
+        from nspc_etl_basic_spark.functions.fastlit import nested_lit
+
+        lit_book = nested_lit(
+            [[float(x) for x in c] for c in book], "array<array<double>>"
+        )
         # <c,c> per centroid, summed sequentially in python (same order
         # as list_dot_product over the same doubles)
         ccs = []
@@ -388,32 +392,47 @@ def pq_topk(
             for j in range(m)
         ]
         per_query.append((r[query_id_col], table))
-    # one literal array of (qid, table) structs -> explode: the corpus
-    # is scanned ONCE for all queries, not once per query
-    # each query's m x k table is ONE nested-list Literal (not m*k
-    # expression nodes) — plan size stays flat in the query count
-    qlit = F.array(
-        *[
-            F.struct(
-                F.lit(qid).alias("qid"),
-                F.lit([[float(x) for x in row] for row in table]).alias(
-                    "tbl"
-                ),
-            )
-            for qid, table in per_query
-        ]
+    # the query-id list and the 3-level table array enter the plan as
+    # TWO constant-folded literals, indexed by an exploded position: the
+    # corpus is scanned ONCE for all queries and plan size stays flat in
+    # the query count. The nested literal is built as from_json over a
+    # JSON string literal — Catalyst's ConstantFolding evaluates it once
+    # into a plain array Literal — because pyspark's own nested-list
+    # F.lit pays per-element py4j traffic (measured 6 s of DRIVER time
+    # for a 40x16x16 table set, dominating the operator) and a 1-row
+    # broadcast-payload join re-traverses the nested array per corpus
+    # row (measured 4x slower execution).
+    if not per_query:
+        return codes.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, adc_dist double, rank int",
+        )
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+
+    qids_lit = F.lit([int(qid) for qid, _t in per_query])  # flat: cheap
+    tbls_lit = nested_lit(
+        [
+            [[float(x) for x in row] for row in table]
+            for _qid, table in per_query
+        ],
+        "array<array<array<double>>>",
     )
     scored = (
         codes.select(id_col, code_col)
-        .withColumn("__q", F.explode(qlit))
+        .withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.lit(len(per_query))))
+        )
+        # hoist the table lookup into a named column so the fold below
+        # indexes an alias, not a re-evaluated element_at tree
+        .withColumn("__tbl", F.element_at(tbls_lit, F.col("__i")))
         .select(
-            F.col("__q.qid").alias(query_id_col),
+            F.element_at(qids_lit, F.col("__i")).alias(query_id_col),
             id_col,
             F.round(
                 F.aggregate(
                     F.zip_with(
                         F.col(code_col),
-                        F.col("__q.tbl"),
+                        F.col("__tbl"),
                         lambda c, row: F.element_at(row, c + F.lit(1)),
                     ),
                     F.lit(0.0),

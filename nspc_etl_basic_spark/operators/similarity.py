@@ -399,7 +399,19 @@ def _ivf_cells_sorted(
     available: higher-order-function folds are not subexpression-
     eliminated, so an inline ``norm(vec)`` would be re-evaluated once PER
     CELL — n_cells redundant array folds per row."""
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+
     vnorm = norm_col if norm_col is not None else norm(vec)
+    # the whole codebook enters as ONE fastlit literal; each cell's
+    # vector is element_at(literal, literal) — Catalyst constant-folds
+    # it back to a per-cell array Literal, but construction is one py4j
+    # call instead of n_cells (pyspark's flat-list F.lit pays py4j per
+    # element: ~0.9 s of driver time for 16 x dim-64 cells, per call
+    # site, before this change)
+    cb_lit = nested_lit(
+        [[float(w) for w in cvec] for _cid, cvec in cents],
+        "array<array<double>>",
+    )
     scored = F.array(
         *[
             F.struct(
@@ -408,10 +420,7 @@ def _ivf_cells_sorted(
                         F.aggregate(
                             F.zip_with(
                                 vec,
-                                # ONE Literal node (nested-list F.lit),
-                                # not dim CreateArray children — keeps
-                                # analysis flat in n_cells * dim
-                                F.lit([float(w) for w in cvec]),
+                                F.element_at(cb_lit, idx + 1),
                                 lambda x, w: x.cast("double") * w,
                             ),
                             F.lit(0.0),
@@ -426,7 +435,7 @@ def _ivf_cells_sorted(
                 ).alias("neg_score"),
                 F.lit(cid).cast("long").alias("cent_id"),
             )
-            for cid, cvec in cents
+            for idx, (cid, cvec) in enumerate(cents)
         ]
     )
     return F.sort_array(scored)
