@@ -1256,14 +1256,20 @@ _FUZZY_MUTATE_SQL = (
 
 def part_fuzzy_match_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution: match a deterministically-typo'd copy of the
-    part catalog back to the original by multi-key blocking (prefix-3 OR
-    suffix-3, length band) + levenshtein<=2 verify — never a cross
-    join; string ops stay in the engine-shared subset so the oracle
-    replays exactly."""
+    DISTINCT part-name catalog (canonical id = min partkey per name —
+    ER runs on entity catalogs, never on duplicated fact rows: the part
+    table holds 20 k rows over 64 names at sf0.1, and matching the raw
+    rows is the degenerate all-same-block quadratic this operator's
+    docstring warns about) back to the original, via multi-key blocking
+    (prefix-3 OR suffix-3, length band) + levenshtein<=2 verify — never
+    a cross join; string ops stay in the engine-shared subset so the
+    oracle replays exactly."""
     from nspc_etl_basic_spark.operators.linkage import fuzzy_match
 
-    base = _t(spark, sf_dir, "part").select(
-        "p_partkey", F.lower(F.col("p_name")).alias("name")
+    base = (
+        _t(spark, sf_dir, "part")
+        .groupBy(F.lower(F.col("p_name")).alias("name"))
+        .agg(F.min("p_partkey").alias("p_partkey"))
     )
     mut = base.select(
         (F.col("p_partkey") + 1_000_000).alias("p_partkey"),
@@ -5828,7 +5834,8 @@ def oracle_sql() -> dict[str, str]:
         # substring/concat subset) — one definition, two engines
         "part_fuzzy_match": f"""
             WITH base AS (
-                SELECT p_partkey, lower(p_name) AS name FROM part
+                SELECT lower(p_name) AS name, min(p_partkey) AS p_partkey
+                FROM part GROUP BY lower(p_name)
             ),
             mut AS (
                 SELECT p_partkey + 1000000 AS p_partkey,
