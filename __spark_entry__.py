@@ -1311,6 +1311,29 @@ def events_join_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_report(ev, right, "user_id", top_n=10)
 
 
+def events_drift_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report: chi-square over the (event_type x
+    time-half) contingency table — does the second half of the stream's
+    category mix match the first? Slice boundary = integer-micros
+    midpoint (exact both engines); one map-side-combined groupBy + two
+    1-row broadcasts; decimal-summed statistic value-hashes."""
+    from nspc_etl_basic_spark.operators.drift import chi2_drift
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros(F.col("ts"))).alias("__lo"),
+        F.max(F.unix_micros(F.col("ts"))).alias("__hi"),
+    )
+    flagged = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (
+            F.unix_micros(F.col("ts"))
+            >= F.expr("__lo + (__hi - __lo) div 2")
+        ).alias("in_b"),
+    )
+    return chi2_drift(flagged, "event_type", "in_b")
+
+
 def graph_pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the nation-level trade graph (supplier nation ->
     customer nation, weighted by whole-dollar revenue): 6 fixed-point
@@ -3244,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_join_cardinality": events_join_cardinality_q,
         "part_fuzzy_match": part_fuzzy_match_q,
         "d5_merge_changes": d5_merge_changes,
+        "events_drift_chi2": events_drift_chi2_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -5830,6 +5854,53 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "graph_pagerank": _sql_pagerank(n_iter=6),
+        "events_drift_chi2": """
+            WITH bounds AS (
+                SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                FROM events
+            ),
+            flagged AS (
+                SELECT event_type,
+                       epoch_us(ts) >= lo + (hi - lo) // 2 AS in_b
+                FROM events CROSS JOIN bounds
+            ),
+            counts AS (
+                SELECT event_type AS category,
+                       sum(CASE WHEN NOT in_b THEN 1 ELSE 0 END)::BIGINT
+                           AS obs_a,
+                       sum(CASE WHEN in_b THEN 1 ELSE 0 END)::BIGINT
+                           AS obs_b
+                FROM flagged GROUP BY event_type
+            ),
+            totals AS (
+                SELECT sum(obs_a)::BIGINT AS ta, sum(obs_b)::BIGINT AS tb
+                FROM counts
+            ),
+            per_cat AS (
+                SELECT category, obs_a, obs_b,
+                       round((obs_a + obs_b) * ta / (ta + tb), 6) AS exp_a,
+                       round((obs_a + obs_b) * tb / (ta + tb), 6) AS exp_b,
+                       round(
+                           CASE WHEN (obs_a + obs_b) * ta / (ta + tb) > 0
+                                THEN (obs_a - (obs_a + obs_b) * ta / (ta + tb))
+                                   * (obs_a - (obs_a + obs_b) * ta / (ta + tb))
+                                   / ((obs_a + obs_b) * ta / (ta + tb))
+                                ELSE 0.0 END
+                         + CASE WHEN (obs_a + obs_b) * tb / (ta + tb) > 0
+                                THEN (obs_b - (obs_a + obs_b) * tb / (ta + tb))
+                                   * (obs_b - (obs_a + obs_b) * tb / (ta + tb))
+                                   / ((obs_a + obs_b) * tb / (ta + tb))
+                                ELSE 0.0 END, 6) AS contrib
+                FROM counts CROSS JOIN totals
+            ),
+            stat AS (
+                SELECT CAST(sum(contrib::DECIMAL(28,6)) AS DOUBLE) AS chi2,
+                       (count(*) - 1)::BIGINT AS dof
+                FROM per_cat
+            )
+            SELECT category, obs_a, obs_b, exp_a, exp_b, contrib, chi2, dof
+            FROM per_cat CROSS JOIN stat
+        """,
         # the mutation CASE is the query's own constant (engine-shared
         # substring/concat subset) — one definition, two engines
         "part_fuzzy_match": f"""
