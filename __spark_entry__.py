@@ -1311,6 +1311,19 @@ def events_join_cardinality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return join_cardinality_report(ev, right, "user_id", top_n=10)
 
 
+def emb_knn_graph_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the corpus (top-3 cosine neighbors
+    per point, candidates from TWO independent LSH tables unioned —
+    the multi-table recall lever): per table one bucket-keyed
+    self-join, never all-pairs; pair dedup before the exact-cosine
+    verify and per-point top-k window. Uncapped buckets here
+    (exact in-bucket semantics keep the oracle a pure replay)."""
+    from nspc_etl_basic_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=3, n_planes=8, n_tables=2, max_bucket_size=None)
+
+
 def events_drift_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report: chi-square over the (event_type x
     time-half) contingency table — does the second half of the stream's
@@ -3268,6 +3281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_match": part_fuzzy_match_q,
         "d5_merge_changes": d5_merge_changes,
         "events_drift_chi2": events_drift_chi2_q,
+        "emb_knn_graph": emb_knn_graph_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -3635,12 +3649,14 @@ def _sql_cosine(a: str, b: str) -> str:
     )
 
 
-def _sql_rp_signature(vec: str, n_planes: int = 8, dim: int = 64) -> str:
+def _sql_rp_signature(
+    vec: str, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> str:
     terms = []
     for p in range(n_planes):
         plane = (
             f"list_transform(generate_series(0, {dim - 1}), i -> "
-            f"CASE WHEN CAST('0x' || substr(md5('{p}_' || CAST(i AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 1 "
+            f"CASE WHEN CAST('0x' || substr(md5('{plane_offset + p}_' || CAST(i AS VARCHAR)), 1, 1) AS INTEGER) % 2 = 1 "
             f"THEN 1.0 ELSE -1.0 END)"
         )
         terms.append(
@@ -5854,6 +5870,52 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "graph_pagerank": _sql_pagerank(n_iter=6),
+        "emb_knn_graph": f"""
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v,
+                       sqrt(list_dot_product(embedding::DOUBLE[],
+                                             embedding::DOUBLE[])) AS n
+                FROM embeddings
+            ),
+            s0 AS (
+                SELECT vec_id,
+                       {_sql_rp_signature('v', plane_offset=0)} AS sig
+                FROM base
+            ),
+            s1 AS (
+                SELECT vec_id,
+                       {_sql_rp_signature('v', plane_offset=8)} AS sig
+                FROM base
+            ),
+            cand AS (
+                SELECT DISTINCT ia, ib FROM (
+                    SELECT a.vec_id AS ia, b.vec_id AS ib
+                    FROM s0 a JOIN s0 b
+                      ON a.sig = b.sig AND a.vec_id <> b.vec_id
+                    UNION ALL
+                    SELECT a.vec_id, b.vec_id
+                    FROM s1 a JOIN s1 b
+                      ON a.sig = b.sig AND a.vec_id <> b.vec_id
+                )
+            ),
+            scored AS (
+                SELECT c.ia, c.ib,
+                       round(list_dot_product(x.v, y.v) / (x.n * y.n), 6)
+                           AS cos_sim
+                FROM cand c
+                JOIN base x ON x.vec_id = c.ia
+                JOIN base y ON y.vec_id = c.ib
+            ),
+            ranked AS (
+                SELECT ia, ib, cos_sim,
+                       row_number() OVER (
+                           PARTITION BY ia
+                           ORDER BY cos_sim DESC, ib ASC) AS rk
+                FROM scored
+            )
+            SELECT ia AS vec_id, ib AS nbr_id, cos_sim, rk AS rank
+            FROM ranked WHERE rk <= 3
+        """,
         "events_drift_chi2": """
             WITH bounds AS (
                 SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi

@@ -135,20 +135,33 @@ def _plane(p: int, dim: int) -> list[float]:
     ]
 
 
-def rp_signature(vec: Column, n_planes: int = 8, dim: int = 64) -> Column:
+def rp_signature(
+    vec: Column, n_planes: int = 8, dim: int = 64, plane_offset: int = 0
+) -> Column:
     """Random-hyperplane signature: bit p = (vec . plane_p) >= 0, packed
     into a long. Planes are the deterministic md5-derived ±1 constant
     vectors, embedded as literal arrays — the per-row work is n_planes
-    codegen'd dot products, no hashing.
+    codegen'd dot products, no hashing. ``plane_offset`` selects an
+    independent plane family (plane index = offset + p) so multi-table
+    LSH can union several signatures for recall.
 
     ``dim`` MUST match the actual vector length: the planes are constants
     of that length, and ``zip_with`` would null-pad a mismatched vector,
     silently collapsing every signature to 0 (one giant bucket — the exact
     O(n²) hot-key bomb LSH exists to avoid). A per-row ``assert_true``
     guard turns that silent degradation into a loud error."""
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+
+    # one fastlit literal for the whole plane family + constant-folded
+    # element_at per plane: n_planes*dim F.lit py4j calls (512 for the
+    # 8x64 default, ~0.5 s of driver time PER CALL SITE) -> one call
+    planes_lit = nested_lit(
+        [_plane(plane_offset + p, dim) for p in range(n_planes)],
+        "array<array<double>>",
+    )
     sig = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _plane(p, dim)])
+        plane = F.element_at(planes_lit, p + 1)
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
             F.lit(0.0),
@@ -876,3 +889,93 @@ def pca_project(
             ).alias(f"pc{ci}")
         )
     return df.select(F.col(id_col), *outs)
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    max_bucket_size: int | None = 512,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: for every corpus point, its
+    top-``k`` neighbors by cosine among candidates sharing an LSH bucket
+    in ANY of ``n_tables`` independent hyperplane families. Returns
+    ``(vec_id, nbr_id, cos_sim, rank)`` — the primitive under
+    graph-based clustering, SemDeDup-style semantic dedup, and
+    label-propagation over embeddings.
+
+    Multi-table union is the recall lever a single signature lacks
+    (a point just past one hyperplane boundary misses its neighbor in
+    that table but meets it in another); each table is one
+    bucket-keyed self-join — never all-pairs — and the per-point
+    candidate set is the union, deduped on the (point, neighbor) pair
+    before the exact-cosine verify and per-point top-k window.
+
+    Scale: per table one 8-byte-key shuffle + in-bucket self-join
+    (expected n²/2^n_planes pairs), ``max_bucket_size`` capping the
+    degenerate-bucket bomb exactly as in ``embedding_neardup``; the
+    union dedup and the top-k window shuffle candidate pairs only
+    (ids + one double). Recall rises with n_tables at linear candidate
+    cost — the standard LSH recall/cost dial. The graph is directed
+    (k best per source); symmetrize downstream if needed.
+    """
+    base = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    per_table = []
+    for t in range(n_tables):
+        sig = base.select(
+            id_col, "__v", "__n",
+            rp_signature(
+                F.col("__v"), n_planes, dim, plane_offset=t * n_planes
+            ).alias("__sig"),
+        )
+        if max_bucket_size is not None:
+            w = Window.partitionBy("__sig")
+            sig = (
+                sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bsz") <= max_bucket_size)
+                .drop("__bsz")
+            )
+        a = sig.select(
+            F.col(id_col).alias("__ia"), F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"), "__sig",
+        )
+        b = sig.select(
+            F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"), "__sig",
+        )
+        per_table.append(
+            a.join(b, "__sig")
+            .filter(F.col("__ia") != F.col("__ib"))
+            .select(
+                "__ia", "__ib",
+                F.round(
+                    dot(F.col("__va"), F.col("__vb"))
+                    / (F.col("__na") * F.col("__nb")),
+                    6,
+                ).alias("cos_sim"),
+            )
+        )
+    cand = per_table[0]
+    for more in per_table[1:]:
+        cand = cand.unionByName(more)
+    cand = cand.dropDuplicates(["__ia", "__ib"])
+    w = Window.partitionBy("__ia").orderBy(
+        F.col("cos_sim").desc(), F.col("__ib").asc()
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__ia").alias(id_col),
+            F.col("__ib").alias("nbr_id"),
+            "cos_sim",
+            F.col("__rk").alias("rank"),
+        )
+    )

@@ -155,3 +155,55 @@ def test_trained_ivf_centroids_beat_seed_on_clustered_data(spark):
     r_seed = recall(None)
     assert r_trained > r_seed, (r_trained, r_seed)
     assert r_trained >= 0.9, r_trained
+
+
+def test_knn_graph_finds_planted_neighbors(spark):
+    """Two tight clusters + an isolated point: kNN edges stay within
+    clusters and rank by cosine."""
+    import random
+
+    from nspc_etl_basic_spark.operators.similarity import knn_graph
+
+    rng = random.Random(7)
+    dim = 64
+
+    def noisy(base, eps):
+        return [b + rng.uniform(-eps, eps) for b in base]
+
+    c1 = [1.0] * 32 + [0.0] * 32
+    c2 = [0.0] * 32 + [1.0] * 32
+    rows = []
+    for i in range(5):
+        rows.append((i, noisy(c1, 0.01)))
+        rows.append((100 + i, noisy(c2, 0.01)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = knn_graph(df, k=2, n_tables=2, max_bucket_size=None).collect()
+    assert got, "no edges found"
+    for r in got:
+        same_cluster = (r.vec_id < 100) == (r.nbr_id < 100)
+        assert same_cluster, (r.vec_id, r.nbr_id)
+        assert r.cos_sim > 0.99
+    # every point got at most k edges, ranked 1..k
+    from collections import Counter
+
+    per = Counter(r.vec_id for r in got)
+    assert all(v <= 2 for v in per.values())
+
+
+def test_knn_graph_multi_table_recall_superset(spark):
+    """Adding a second table can only grow the candidate set: every
+    1-table edge set is a subset of the same-k 2-table edges' pairs
+    union (per-point top-k may swap, so compare candidate coverage
+    via edge existence at k large enough to keep all)."""
+    import random
+
+    from nspc_etl_basic_spark.operators.similarity import knn_graph
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = {(r.vec_id, r.nbr_id) for r in knn_graph(df, k=30, n_tables=1, max_bucket_size=None).collect()}
+    two = {(r.vec_id, r.nbr_id) for r in knn_graph(df, k=30, n_tables=2, max_bucket_size=None).collect()}
+    assert one <= two
