@@ -3146,6 +3146,52 @@ def stream_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_cdc_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert (streaming/ingest.run_stream_upsert_cdc),
+    driver-oracled end-to-end: orders replay as three time-tercile
+    micro-batches keyed on o_custkey (keys repeat across terciles, so
+    later batches genuinely update), each batch appending its
+    insert/update_preimage/update_postimage rows to the `_changes`
+    feed. Batch ids are normalized to a 1..3 ordinal (dense_rank) so
+    the oracle can replay the three merge rounds as plain SQL sets;
+    within-batch last-wins picks max o_orderkey per key (the order
+    column is unique, so the content tie-break never fires)."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming.ingest import run_stream_upsert_cdc
+
+    feed = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
+    )
+    work, done = _replay_work_dir(sf_dir, "cdc", "orders")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+        _drain_slices(
+            spark,
+            _replay_slices(feed, "o_orderdate"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_upsert_cdc(
+                stream, wh, "cust_latest", ["o_custkey"],
+                os.path.join(work, "ckpt"),
+                dedup_order_col="o_orderkey",
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+    ch = wh.read("cust_latest_changes")
+    return ch.select(
+        "op", "o_custkey", "o_orderkey", "o_orderstatus",
+        F.dense_rank().over(_W.orderBy("batch_id")).alias("batch_seq"),
+    )
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -3282,6 +3328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_merge_changes": d5_merge_changes,
         "events_drift_chi2": events_drift_chi2_q,
         "emb_knn_graph": emb_knn_graph_q,
+        "stream_cdc_replay": stream_cdc_replay_q,
         "orders_bloom_prune": orders_bloom_prune_q,
         "events_skew_report": events_skew_report_q,
         "stream_scd2_replay": stream_scd2_replay_q,
@@ -4642,6 +4689,69 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        # streaming CDC replay: three tercile merges unrolled as SQL
+        # sets; within-batch last-wins = max o_orderkey per key
+        "stream_cdc_replay": """
+            WITH bounds AS (
+                SELECT epoch_us(min(o_orderdate::TIMESTAMP)) AS lo,
+                       epoch_us(max(o_orderdate::TIMESTAMP)) AS hi
+                FROM orders
+            ),
+            src AS (
+                SELECT o_custkey, o_orderstatus, o_orderkey,
+                       CASE WHEN epoch_us(o.o_orderdate::TIMESTAMP)
+                                 < b.lo + (b.hi - b.lo + 1) // 3 THEN 1
+                            WHEN epoch_us(o.o_orderdate::TIMESTAMP)
+                                 < b.lo + 2 * ((b.hi - b.lo + 1) // 3) THEN 2
+                            ELSE 3 END AS slice
+                FROM orders o CROSS JOIN bounds b
+            ),
+            s1 AS (
+                SELECT o_custkey, o_orderstatus, o_orderkey
+                FROM src WHERE slice = 1
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+            ),
+            s2 AS (
+                SELECT o_custkey, o_orderstatus, o_orderkey
+                FROM src WHERE slice = 2
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+            ),
+            s3 AS (
+                SELECT o_custkey, o_orderstatus, o_orderkey
+                FROM src WHERE slice = 3
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderkey DESC) = 1
+            ),
+            t1 AS (SELECT * FROM s1),
+            t2 AS (
+                SELECT t.* FROM t1 t
+                WHERE t.o_custkey NOT IN (SELECT o_custkey FROM s2)
+                UNION ALL SELECT * FROM s2
+            )
+            SELECT 'insert' AS op, o_custkey, o_orderkey, o_orderstatus,
+                   1::BIGINT AS batch_seq
+            FROM s1
+            UNION ALL
+            SELECT 'insert', o_custkey, o_orderkey, o_orderstatus, 2
+            FROM s2 WHERE o_custkey NOT IN (SELECT o_custkey FROM t1)
+            UNION ALL
+            SELECT 'update_preimage', o_custkey, o_orderkey, o_orderstatus, 2
+            FROM t1 WHERE o_custkey IN (SELECT o_custkey FROM s2)
+            UNION ALL
+            SELECT 'update_postimage', o_custkey, o_orderkey, o_orderstatus, 2
+            FROM s2 WHERE o_custkey IN (SELECT o_custkey FROM t1)
+            UNION ALL
+            SELECT 'insert', o_custkey, o_orderkey, o_orderstatus, 3
+            FROM s3 WHERE o_custkey NOT IN (SELECT o_custkey FROM t2)
+            UNION ALL
+            SELECT 'update_preimage', o_custkey, o_orderkey, o_orderstatus, 3
+            FROM t2 WHERE o_custkey IN (SELECT o_custkey FROM s3)
+            UNION ALL
+            SELECT 'update_postimage', o_custkey, o_orderkey, o_orderstatus, 3
+            FROM s3 WHERE o_custkey IN (SELECT o_custkey FROM t2)
+        """,
         "events_zorder_layout": _sql_zorder_layout(),
         "events_hist_quantiles": _sql_hist_quantiles(),
         # Bloom semi-join pruning: filter build (bit_or over md5-derived
