@@ -3341,6 +3341,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_project": emb_pca_project_q,
         "text_bpe_train": text_bpe_train_q,
         "text_bpe_encode": text_bpe_encode_q,
+        # fastlit-touched plans (round-5 literal-construction change):
+        # re-rowed ahead of the stale-but-untouched TPC-H tail
+        "sim_ann_lsh": sim_ann_lsh_q,
+        "sim_ann_ivf": sim_ann_ivf_q,
+        "dedup_embedding": dedup_embedding_q,
+        "emb_pq_encode": emb_pq_encode_q,
         "dedup_minhash": dedup_minhash_q,
         "dedup_lsh_pairs": dedup_lsh_pairs_q,
         "dedup_incremental": dedup_incremental_q,
@@ -3398,9 +3404,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": text_redact_pii_q,
         "corpus_decontaminate": corpus_decontaminate_q,
         "sim_topk": sim_topk_q,
-        "sim_ann_lsh": sim_ann_lsh_q,
-        "sim_ann_ivf": sim_ann_ivf_q,
-        "dedup_embedding": dedup_embedding_q,
         "multimodal_binary_meta": multimodal_binary_meta_q,
         "multimodal_image_features": multimodal_image_features_q,
         "multimodal_audio_features": multimodal_audio_features_q,
@@ -3446,7 +3449,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": emb_covariance_q,
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,
-        "emb_pq_encode": emb_pq_encode_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "corpus_source_cap": corpus_source_cap_q,
         "events_resample": events_resample_q,
