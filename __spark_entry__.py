@@ -828,6 +828,54 @@ def d5_merge_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_mv_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/mv.py): a
+    (status, priority) -> count/sum MV over the orders fact is refreshed
+    from the D5 change feed WITHOUT rescanning the fact table — the
+    delta aggregates only the feed, the apply is one outer join between
+    |groups| MV rows and the (broadcast) batch delta. Sums are carried
+    in DECIMAL(28,4), so the incremental result is bit-identical to a
+    full recompute; the oracle IS the full recompute over the
+    post-merge table (target anti source-keys UNION ALL source), which
+    is exactly the property incremental view maintenance promises.
+
+    The merge batch both rescales o_totalprice (in-place update deltas)
+    and rewrites o_orderpriority for every 6th key (rows MIGRATE between
+    groups — the preimage leg must debit the old group while the
+    postimage credits the new one)."""
+    from nspc_etl_basic_spark.operators.merge import merge_changes
+    from nspc_etl_basic_spark.operators.mv import (
+        incremental_refresh,
+        summary_mv,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    target = orders.where(F.col("o_orderkey") % 7 != 0)
+    source = (
+        orders.where(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.05))
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 6 == 0, F.lit("1-URGENT")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+    )
+    dims = ["o_orderstatus", "o_orderpriority"]
+    feed = merge_changes(target, source, ["o_orderkey"])
+    mv0 = summary_mv(target, dims, ["o_totalprice"])
+    mv1 = incremental_refresh(mv0, feed, dims, ["o_totalprice"])
+    return mv1.select(
+        *dims,
+        F.col("n_rows"),
+        F.round(F.col("sum_o_totalprice"), 2).cast("double").alias(
+            "sum_totalprice"
+        ),
+    ).orderBy(*dims)
+
+
 def d2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: true inserted/updated split via key-match (the reference's batch
     path miscounts; this is the corrected semantics)."""
@@ -3318,6 +3366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The r04-green remainder (freshest signal) sits past the cap.
     return {
         # -- (0) NEW in round 5: never driver-verified --
+        "orders_mv_refresh": orders_mv_refresh_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5478,6 +5527,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'update_postimage', o_orderkey, o_orderstatus, o_totalprice
             FROM source
             WHERE o_orderkey IN (SELECT o_orderkey FROM matched)
+        """,
+        # Incremental MV refresh replayed as the FULL recompute over the
+        # post-merge table — equality of the two is the IVM contract the
+        # Spark side claims (decimal sums make it exact, not approximate).
+        "orders_mv_refresh": """
+            WITH target AS (
+                SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                       o_totalprice
+                FROM orders WHERE o_orderkey % 7 <> 0
+            ),
+            source AS (
+                SELECT o_orderkey, o_orderstatus,
+                       CASE WHEN o_orderkey % 6 = 0 THEN '1-URGENT'
+                            ELSE o_orderpriority END AS o_orderpriority,
+                       o_totalprice * CAST(1.05 AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            merged AS (
+                SELECT * FROM target
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+                UNION ALL
+                SELECT * FROM source
+            )
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_rows,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_totalprice
+            FROM merged
+            GROUP BY o_orderstatus, o_orderpriority
+            ORDER BY o_orderstatus, o_orderpriority
         """,
         "d2_merge_counts": """
             WITH tgt AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 2 = 0),

@@ -1,0 +1,104 @@
+"""Incremental MV maintenance (operators/mv.py): the incremental
+refresh must be EXACTLY the full recompute — including deletes, rows
+migrating between groups, emptied groups dropping, and new groups
+appearing — because sums are carried in exact decimal."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.merge import merge_changes
+from nspc_etl_basic_spark.operators.mv import (
+    incremental_refresh,
+    mv_apply_delta,
+    mv_delta,
+    summary_mv,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "a", 20.0),
+            (3, "b", 30.0),
+            (4, "b", 40.0),
+            (5, "c", 50.0),
+        ],
+        "id long, grp string, v double",
+    )
+
+
+def test_incremental_equals_full_recompute_via_merge_feed(spark):
+    base = _base(spark)
+    # updates: id 2 (stays in 'a'), id 3 (migrates b -> a); insert id 6.
+    batch = spark.createDataFrame(
+        [(2, "a", 25.0), (3, "a", 35.0), (6, "d", 60.0)],
+        "id long, grp string, v double",
+    )
+    feed = merge_changes(base, batch, ["id"])
+    mv0 = summary_mv(base, ["grp"], ["v"])
+    got = _rows(
+        incremental_refresh(mv0, feed, ["grp"], ["v"]).select(
+            "grp", "n_rows", F.col("sum_v").cast("double")
+        )
+    )
+    merged = base.join(batch.select("id"), "id", "left_anti").unionByName(
+        batch
+    )
+    want = _rows(
+        summary_mv(merged, ["grp"], ["v"]).select(
+            "grp", "n_rows", F.col("sum_v").cast("double")
+        )
+    )
+    assert got == want
+    # row migration really exercised: group 'a' gained id 3, 'b' lost it
+    as_map = {g: (n, s) for g, n, s in got}
+    assert as_map["a"] == (3, 70.0)
+    assert as_map["b"] == (1, 40.0)
+    assert as_map["d"] == (1, 60.0)
+
+
+def test_delete_empties_group_and_drops_it(spark):
+    base = _base(spark)
+    mv0 = summary_mv(base, ["grp"], ["v"])
+    feed = spark.createDataFrame(
+        [("delete", 5, "c", 50.0), ("delete", 4, "b", 40.0)],
+        "op string, id long, grp string, v double",
+    )
+    out = incremental_refresh(mv0, feed, ["grp"], ["v"])
+    got = {g: (n, float(s)) for g, n, s in out.select(
+        "grp", "n_rows", F.col("sum_v").cast("double")).collect()}
+    assert "c" not in got  # emptied group dropped
+    assert got["b"] == (1, 30.0)
+    assert got["a"] == (2, 30.0)
+
+
+def test_unknown_ops_are_ignored(spark):
+    feed = spark.createDataFrame(
+        [("insert", 1, "a", 1.0), ("noop", 2, "a", 99.0)],
+        "op string, id long, grp string, v double",
+    )
+    d = mv_delta(feed, ["grp"], ["v"])
+    (row,) = d.collect()
+    assert row["n_rows"] == 1
+    assert float(row["sum_v"]) == 1.0
+
+
+def test_apply_delta_without_broadcast_matches(spark):
+    base = _base(spark)
+    mv0 = summary_mv(base, ["grp"], ["v"])
+    feed = spark.createDataFrame(
+        [("insert", 9, "z", 9.0), ("delete", 1, "a", 10.0)],
+        "op string, id long, grp string, v double",
+    )
+    d = mv_delta(feed, ["grp"], ["v"])
+    a = _rows(mv_apply_delta(mv0, d, ["grp"], ["v"], broadcast_delta=True)
+              .select("grp", "n_rows", F.col("sum_v").cast("double")))
+    b = _rows(mv_apply_delta(mv0, d, ["grp"], ["v"], broadcast_delta=False)
+              .select("grp", "n_rows", F.col("sum_v").cast("double")))
+    assert a == b
