@@ -2027,6 +2027,45 @@ def events_kmv_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, key_col="user_id", group_cols=["event_type"], k=64)
 
 
+def events_cms_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (sketches.cms_build /
+    cms_estimate): 4×512 md5-derived counter cells built in one
+    map-side-combined pass, MERGEABILITY exercised for real — the
+    sketch is built as two event-time halves and cms_merge'd, then
+    probed for every distinct user. The output pins est >= true
+    (overcount-only error, the CMS guarantee) by emitting both; the
+    oracle replays cells, merge and min-probe in plain SQL because
+    every hash is the shared md5-hex-slice identity. Spark's built-in
+    CountMinSketch aggregate can never sit behind this gate — its
+    internal seeds are implementation-defined."""
+    from nspc_etl_basic_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    med = ev.selectExpr(
+        "cast(avg(unix_micros(cast(ts as timestamp))) as long) as m"
+    ).head()[0]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    sk1 = cms_build(ev.where(us < med), "user_id", depth=4, width=512)
+    sk2 = cms_build(ev.where(us >= med), "user_id", depth=4, width=512)
+    sk = cms_merge(sk1, sk2)
+    truth = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(sk, ev.select("user_id"), "user_id", depth=4, width=512)
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 6-hour resample with forward fill (operators/resample.
     resample_ffill) — pandas' ``resample('6h').last().ffill()`` as two
@@ -3367,6 +3406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- (0) NEW in round 5: never driver-verified --
         "orders_mv_refresh": orders_mv_refresh_q,
+        "events_cms_freq": events_cms_freq_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -6777,6 +6817,44 @@ def oracle_sql() -> dict[str, str]:
         # KMV distinct sketch: md5-first-8-hex -> uniform in [0,1) via an
         # exact 2^-32 scale; (k-1)/u_k with k=64 — every op integer or
         # IEEE-exact, so the ESTIMATE itself is hash-compared
+        # Count-min sketch: cells over the whole table equal the Spark
+        # side's merged half-sketches cell-wise (merge IS cell-wise sum),
+        # so the oracle replays build + probe in one pass.
+        "events_cms_freq": """
+            WITH cells AS (
+                SELECT g.r AS row_idx,
+                       CAST('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' ||
+                            CAST(e.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                           % 512 AS bucket,
+                       count(*) AS cnt
+                FROM events e
+                CROSS JOIN (SELECT unnest(range(4)) AS r) g
+                GROUP BY 1, 2
+            ),
+            truth AS (
+                SELECT user_id, count(*) AS true_cnt FROM events
+                GROUP BY user_id
+            ),
+            probes AS (
+                SELECT t.user_id, g.r AS row_idx,
+                       CAST('0x' || substr(md5(CAST(g.r AS VARCHAR) || '|' ||
+                            CAST(t.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                           % 512 AS bucket
+                FROM truth t
+                CROSS JOIN (SELECT unnest(range(4)) AS r) g
+            ),
+            est AS (
+                SELECT p.user_id, min(COALESCE(c.cnt, 0)) AS cms_est
+                FROM probes p
+                LEFT JOIN cells c
+                  ON p.row_idx = c.row_idx AND p.bucket = c.bucket
+                GROUP BY p.user_id
+            )
+            SELECT t.user_id, t.true_cnt, e.cms_est,
+                   e.cms_est - t.true_cnt AS overcount
+            FROM truth t JOIN est e ON t.user_id = e.user_id
+            ORDER BY t.user_id
+        """,
         "events_kmv_distinct": """
             WITH h AS (
                 SELECT DISTINCT event_type,

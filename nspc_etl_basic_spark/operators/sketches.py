@@ -235,6 +235,130 @@ def heavy_hitters(
     )
 
 
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005)
+    as a tiny DataFrame of counter cells: ``(row_idx, bucket, cnt)``
+    with ``depth`` hash rows × ``width`` buckets.
+
+    Each input row lands in one bucket per hash row; the bucket is
+    md5-derived (``md5(row_idx || '|' || key)`` first 8 hex digits mod
+    width — the repo's shared Spark ``conv(h,16,10)`` == DuckDB
+    ``CAST('0x'||h AS BIGINT)`` identity), so the sketch is
+    deterministic and any engine replays it bit-for-bit — unlike
+    Spark's built-in CountMinSketch aggregate, whose internal seeds no
+    oracle can reproduce.
+
+    Scale: one projection (depth md5s per row via a ``depth``-element
+    explode) feeding a map-side-combined groupBy onto at most
+    ``depth*width`` cells — the shuffle carries partial cells per task,
+    not rows. Cells are MERGEABLE: sketches of disjoint slices (time
+    windows, incremental batches) sum cell-wise (``cms_merge``), the
+    property that makes CMS the standard distributed/streaming
+    frequency sketch. Estimate error: ±N·e/width with prob 1-e^-depth,
+    always an OVER-estimate (pinned by pytest).
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("depth must be >= 1 and width >= 2")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("__k"),
+        w.alias("__w"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(depth) - 1))
+        ).alias("row_idx"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("row_idx").cast("string"), F.col("__k")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(width)
+    )
+    return (
+        keyed.withColumn("bucket", bucket)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the SAME (depth, width):
+    the CMS merge operation. Cheap by construction — both inputs are
+    ≤ depth*width rows."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys`` (one row per distinct
+    key): ``(key_col, cms_est)`` with ``cms_est = min over hash rows of
+    that row's bucket counter`` (0 when a bucket is empty — the key was
+    never inserted).
+
+    Scale: the sketch is ≤ depth*width cells, so it BROADCASTS to the
+    probe side regardless of how many keys are probed; probing is a
+    map-only join, no shuffle of the (possibly large) key set beyond
+    its own distinct."""
+    probes = keys.select(
+        F.col(key_col).cast("string").alias("__k"), key_col
+    ).distinct().withColumn(
+        "row_idx",
+        F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("row_idx").cast("string"), F.col("__k")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % int(width)
+    )
+    joined = probes.withColumn("bucket", bucket).join(
+        F.broadcast(cells), ["row_idx", "bucket"], "left"
+    )
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias(
+            "cms_est"
+        )
+    )
+
+
 def histogram_quantiles(
     df,
     value_col: str,
