@@ -1922,6 +1922,23 @@ def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "mix_rank", "mix_priority")
 
 
+def corpus_epoch_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-order shuffle (sampling.
+    epoch_shuffle): every document gets (shard, pos) from md5 digit
+    fields — digits 1-8 pick one of 8 shards, digits 9-10 a 256-way
+    position bucket whose broadcast cumulative offsets make the
+    within-shard position computable WITHOUT a global sort or an
+    unpartitioned window. The oracle replays pos as one row_number over
+    (shard | bucket, hash, key) — identical arithmetic, different (and
+    at scale, unusable) plan shape."""
+    from nspc_etl_basic_spark.operators.sampling import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, key="doc_id", seed=7, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    ).orderBy("shard", "pos")
+
+
 def orders_bloom_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter semi-join pruning (operators/bloom.py): a 2^16-bit
     filter built from the BUILDING-segment customers rides the plan as
@@ -3407,6 +3424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) NEW in round 5: never driver-verified --
         "orders_mv_refresh": orders_mv_refresh_q,
         "events_cms_freq": events_cms_freq_q,
+        "corpus_epoch_shuffle": corpus_epoch_shuffle_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -6705,6 +6723,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-source rank over (md5 bucket, doc_id) then stride priority
         # (rank - 0.5) / weight — doubles identical cross-engine, rounded 6
+        # Epoch shuffle: the oracle's single row_number per shard is the
+        # SEMANTICS; the Spark side computes the same rank via 256-way
+        # bucket offsets so no unpartitioned window exists at scale.
+        "corpus_epoch_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       md5('epoch7|' || CAST(doc_id AS VARCHAR)) AS hk
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, hk,
+                       CAST('0x' || substr(hk, 1, 8) AS BIGINT) % 8 AS shard,
+                       CAST('0x' || substr(hk, 9, 2) AS BIGINT) AS pb
+                FROM h
+            )
+            SELECT doc_id, shard,
+                   row_number() OVER (
+                       PARTITION BY shard ORDER BY pb, hk, doc_id
+                   ) AS pos
+            FROM s
+            ORDER BY shard, pos
+        """,
         "corpus_mixture": """
             SELECT doc_id, source,
                    CAST(row_number() OVER (

@@ -37,6 +37,7 @@ __all__ = [
     "take_until_budget",
     "pack_sequences",
     "mixture_order",
+    "epoch_shuffle",
 ]
 
 _BUCKETS = 10_000
@@ -273,6 +274,70 @@ def mixture_order(
             "mix_priority",
             F.round((F.col("mix_rank") - 0.5) / w_expr, 6),
         )
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    key: str,
+    seed: int,
+    n_shards: int,
+    salt: str = "epoch",
+) -> DataFrame:
+    """Deterministic per-epoch global shuffle + shard assignment for
+    training-order randomization: every row gets ``(shard, pos)`` —
+    which output shard file it belongs to and its 1-based position
+    within that shard — purely from ``md5(salt || seed || '|' || key)``.
+    Same (seed, key) -> same slot on any cluster layout, any retry;
+    a new seed is a fresh independent permutation (new epoch).
+
+    Scale: NO global sort and NO unpartitioned window. The md5 hex is
+    split into independent digit fields: digits 1-8 pick the shard
+    (mod ``n_shards``), digits 9-10 a 256-way POSITION BUCKET inside
+    the shard. Per-(shard, bucket) counts aggregate map-side into
+    ``n_shards*256`` rows; their within-shard cumulative offsets come
+    from a window over that TINY table, broadcast back; the final
+    row_number window is partitioned by (shard, bucket) — at 100 TB
+    every stage is parallel and the widest window partition is
+    ~|shard|/256 rows. Writing ``partitionBy(shard)`` sorted by pos
+    streams each shard in shuffled order.
+
+    Replayable in any engine: pos == row_number() over (partition by
+    shard order by bucket, hash, key) — the driver oracle does exactly
+    that."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    hk = F.md5(
+        F.concat(F.lit(f"{salt}{int(seed)}|"), F.col(key).cast("string"))
+    )
+    base = (
+        df.withColumn("__hk", hk)
+        .withColumn(
+            "shard",
+            (
+                F.conv(F.substring(F.col("__hk"), 1, 8), 16, 10).cast("long")
+                % int(n_shards)
+            ),
+        )
+        .withColumn(
+            "__pb",
+            F.conv(F.substring(F.col("__hk"), 9, 2), 16, 10).cast("long"),
+        )
+    )
+    counts = base.groupBy("shard", "__pb").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    wb = Window.partitionBy("shard").orderBy("__pb")
+    offsets = counts.withColumn(
+        "__off", F.sum("__c").over(wb) - F.col("__c")
+    ).drop("__c")
+    wr = Window.partitionBy("shard", "__pb").orderBy("__hk", F.col(key))
+    return (
+        base.join(F.broadcast(offsets), ["shard", "__pb"])
+        .withColumn(
+            "pos", (F.col("__off") + F.row_number().over(wr)).cast("long")
+        )
+        .drop("__hk", "__pb", "__off")
     )
 
 
