@@ -3296,6 +3296,54 @@ def stream_cdc_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_mv_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental MV maintenance (streaming/mv.run_stream_mv),
+    driver-oracled end-to-end: orders replay as three time-tercile
+    micro-batches upserted on o_custkey; each batch's merge_changes feed
+    folds into a (o_orderstatus -> count, decimal sum) MV — the base
+    table is never re-aggregated. Because deltas ride DECIMAL(28,4), the
+    folded MV is bit-identical to aggregating the final table, and the
+    oracle does exactly that: last-wins per key by (slice DESC,
+    o_orderkey DESC), then GROUP BY status."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming.mv import run_stream_mv
+
+    feed = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey",
+        "o_totalprice",
+    )
+    work, done = _replay_work_dir(sf_dir, "mv", "orders")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+        _drain_slices(
+            spark,
+            _replay_slices(feed, "o_orderdate"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_mv(
+                stream, wh, "cust_latest", "cust_mv",
+                pk_cols=["o_custkey"], group_cols=["o_orderstatus"],
+                sum_cols=["o_totalprice"],
+                checkpoint_path=os.path.join(work, "ckpt"),
+                dedup_order_col="o_orderkey",
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    wh = ParquetWarehouse(spark, os.path.join(work, "wh"))
+    return wh.read("cust_mv").select(
+        "o_orderstatus",
+        "n_rows",
+        F.round(F.col("sum_o_totalprice"), 2).cast("double").alias(
+            "sum_totalprice"
+        ),
+    ).orderBy("o_orderstatus")
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -3425,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_mv_refresh": orders_mv_refresh_q,
         "events_cms_freq": events_cms_freq_q,
         "corpus_epoch_shuffle": corpus_epoch_shuffle_q,
+        "stream_mv_replay": stream_mv_replay_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -4798,6 +4847,39 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        # streaming MV replay: fold == rebuild for decimal sums, so the
+        # oracle aggregates the replayed FINAL table (last-wins per key
+        # by (slice DESC, o_orderkey DESC) — per-batch max-orderkey
+        # dedup then cross-batch overwrite collapse to one window)
+        "stream_mv_replay": """
+            WITH bounds AS (
+                SELECT epoch_us(min(o_orderdate::TIMESTAMP)) AS lo,
+                       epoch_us(max(o_orderdate::TIMESTAMP)) AS hi
+                FROM orders
+            ),
+            src AS (
+                SELECT o_custkey, o_orderstatus, o_orderkey, o_totalprice,
+                       CASE WHEN epoch_us(o.o_orderdate::TIMESTAMP)
+                                 < b.lo + (b.hi - b.lo + 1) // 3 THEN 1
+                            WHEN epoch_us(o.o_orderdate::TIMESTAMP)
+                                 < b.lo + 2 * ((b.hi - b.lo + 1) // 3) THEN 2
+                            ELSE 3 END AS slice
+                FROM orders o CROSS JOIN bounds b
+            ),
+            final AS (
+                SELECT o_custkey, o_orderstatus, o_totalprice
+                FROM src
+                QUALIFY row_number() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY slice DESC, o_orderkey DESC) = 1
+            )
+            SELECT o_orderstatus, count(*) AS n_rows,
+                   CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_totalprice
+            FROM final
+            GROUP BY o_orderstatus
+            ORDER BY o_orderstatus
+        """,
         # streaming CDC replay: three tercile merges unrolled as SQL
         # sets; within-batch last-wins = max o_orderkey per key
         "stream_cdc_replay": """
