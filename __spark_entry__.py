@@ -2453,6 +2453,36 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warehouse_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on append (ParquetWarehouse.append_evolve): the
+    even-key half of orders lands first with o_orderkey narrowed to INT
+    and only a status column; the odd-key batch then appends with
+    o_orderkey as BIGINT (forces the int->long widening) plus a NEW
+    o_totalprice column and NO status. The evolved table must read back
+    as the lossless union — old rows null-extended, key column widened
+    once — which is exactly the SQL the oracle states. Narrowing is
+    refused (pytest); the rewrite-on-change economics are documented in
+    SCALE.md."""
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    orders = _t(spark, sf_dir, "orders")
+    first = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_orderstatus",
+    )
+    batch = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice"
+    )
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="nspc_evolve_"))
+    wh.write(first, "t")
+    wh.append_evolve(batch, "t")
+    return wh.read("t").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).orderBy("o_orderkey")
+
+
 def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side file pruning end-to-end (sinks/stats_index.py):
     commit customer range-partitioned on c_custkey into a snapshot
@@ -3474,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_freq": events_cms_freq_q,
         "corpus_epoch_shuffle": corpus_epoch_shuffle_q,
         "stream_mv_replay": stream_mv_replay_q,
+        "warehouse_schema_evolution": warehouse_schema_evolution_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7051,6 +7082,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # Schema evolution: the evolved table IS the lossless union —
+        # old rows null-extend the added column, the key widens to BIGINT
+        "warehouse_schema_evolution": """
+            SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, NULL, o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 1
+            ORDER BY o_orderkey
+        """,
         "warehouse_file_prune": """
             SELECT c_custkey, c_name,
                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents

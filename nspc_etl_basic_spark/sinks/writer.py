@@ -303,6 +303,48 @@ class ParquetWarehouse:
         manifest-pointer commit (see module docstring)."""
         self._commit_version(self._strip_engine_cols(df), name)
 
+    def append_evolve(self, df: DataFrame, name: str) -> dict:
+        """Append with schema evolution: new columns appear (existing
+        rows read them as null), missing columns null-fill, and types
+        widen per ``evolve_schema``'s lossless lattice; narrowing or
+        incompatible changes raise instead of corrupting.
+
+        Mechanics: when the evolved schema equals the current one, this
+        is a plain append (new immutable files into the current version
+        dir — no rewrite). When the schema actually changes, the table
+        is rewritten once through the normal manifest commit (old rows
+        cast + null-extended), keeping every data file self-consistent
+        so the read path stays mergeSchema-free. That is the honest
+        snapshot-store trade: metadata-only evolution needs a
+        column-mapping table format (Delta/Iceberg) — the upgrade path
+        — but schema changes are RARE events; paying one rewrite per
+        change keeps scans simple forever after. Returns a report dict
+        {added, widened, rewrite}.
+        """
+        df = self._strip_engine_cols(df)
+        if not self.exists(name):
+            self._commit_version(df, name)
+            return {
+                "added": [f.name for f in df.schema.fields],
+                "widened": [],
+                "rewrite": False,
+            }
+        cur = self.read(name)
+        target, report = evolve_schema(cur.schema, df.schema)
+        batch = _conform(df, target)
+        if [
+            (f.name, f.dataType) for f in cur.schema.fields
+        ] == [(f.name, f.dataType) for f in target.fields]:
+            self._check_not_bucketed(self.table_path(name))
+            batch.write.mode("append").parquet(self.data_path(name))
+            report["rewrite"] = False
+        else:
+            self._commit_version(
+                _conform(cur, target).unionByName(batch), name
+            )
+            report["rewrite"] = True
+        return report
+
     def compact(self, name: str, target_file_mb: int = 256) -> str | None:
         """Small-file compaction: rewrite the current snapshot into
         ``ceil(total_bytes / target)`` files and commit it as a fresh
@@ -431,6 +473,109 @@ class ParquetWarehouse:
 #: the target database's dialect then renders them (e.g. VARCHAR(50) ->
 #: NVARCHAR(50) under the SQL Server dialect's string handling).
 _H1_TYPE_RE = re.compile(r"^NVARCHAR\((\d+)\)$|^NVARCHAR\(MAX\)$", re.IGNORECASE)
+
+
+class SchemaEvolutionError(ValueError):
+    """Raised when an append's schema cannot evolve losslessly into the
+    table's (narrowing, or no join in the widening lattice)."""
+
+
+#: integer widening order; a join picks the wider member
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+
+
+def _join_type(a, b):
+    """Least lossless common type of two Spark types, or raise.
+
+    Lattice (everything else is refused, loudly):
+      byte < short < integer < long          (integer widening)
+      float < double                          (binary widening)
+      {byte, short, integer} < double         (exact in 53-bit mantissa;
+                                               long -> double is LOSSY
+                                               and therefore refused)
+      decimal(p1,s1) v decimal(p2,s2) = decimal(max int digits + max
+      scale) when it fits in 38
+      null (all-null column) joins with anything
+    """
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    if isinstance(a, T.NullType):
+        return b
+    if isinstance(b, T.NullType):
+        return a
+    ra, rb = _INT_RANK.get(a.typeName()), _INT_RANK.get(b.typeName())
+    if ra is not None and rb is not None:
+        return a if ra >= rb else b
+    flt = (T.FloatType, T.DoubleType)
+    if isinstance(a, flt) and isinstance(b, flt):
+        return T.DoubleType()
+    for x, y in ((a, b), (b, a)):
+        rx = _INT_RANK.get(x.typeName())
+        if rx is not None and rx <= 2 and isinstance(y, flt):
+            return T.DoubleType()
+    if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType):
+        scale = max(a.scale, b.scale)
+        intd = max(a.precision - a.scale, b.precision - b.scale)
+        if intd + scale <= 38:
+            return T.DecimalType(intd + scale, scale)
+    raise SchemaEvolutionError(
+        f"cannot evolve {a.simpleString()} <-> {b.simpleString()}: "
+        "no lossless join (narrowing and lossy widenings are refused)"
+    )
+
+
+def evolve_schema(current, incoming):
+    """Resolve the evolved table schema for an append: current columns
+    keep their position (types joined with the incoming batch's),
+    incoming-only columns append at the end as nullable. Returns
+    ``(StructType, report)`` with report = {added, widened, rewrite}."""
+    from pyspark.sql import types as T
+
+    inc = {f.name: f for f in incoming.fields}
+    fields, widened = [], []
+    for f in current.fields:
+        b = inc.get(f.name)
+        if b is None:
+            fields.append(f)
+            continue
+        joined = _join_type(f.dataType, b.dataType)
+        if joined != f.dataType:
+            widened.append(
+                (f.name, f.dataType.simpleString(), joined.simpleString())
+            )
+        fields.append(
+            T.StructField(f.name, joined, f.nullable or b.nullable)
+        )
+    have = {f.name for f in current.fields}
+    added = [f.name for f in incoming.fields if f.name not in have]
+    for f in incoming.fields:
+        if f.name not in have:
+            fields.append(T.StructField(f.name, f.dataType, True))
+    return T.StructType(fields), {
+        "added": added,
+        "widened": widened,
+        "rewrite": False,
+    }
+
+
+def _conform(df: DataFrame, target) -> DataFrame:
+    """Project ``df`` onto ``target``: cast present columns, null-fill
+    absent ones — column order exactly ``target``'s."""
+    from pyspark.sql import functions as F
+
+    have = set(df.columns)
+    return df.select(
+        *[
+            (
+                F.col(f.name).cast(f.dataType)
+                if f.name in have
+                else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in target.fields
+        ]
+    )
 
 
 def h1_to_spark_ddl(sql_type: str) -> str:
