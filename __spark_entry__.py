@@ -2483,6 +2483,43 @@ def warehouse_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def warehouse_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """After-the-fact version diff (merge.snapshot_diff over
+    ParquetWarehouse time travel): v0 = even-key orders; v1 = v0 merged
+    with 1.1x-repriced %3 keys, then %10==4 keys dropped. The diff must
+    report exactly the minimal op set — inserts (odd %3 keys), deletes
+    (%10==4 keys), update pre/post pairs (%6 keys that survived) — and
+    NOT the merge-touched-but-identical rows merge_changes would tag.
+    One co-partitioned full-outer join on the pk is the honest price of
+    diffing without a write-time feed (SCALE.md)."""
+    import tempfile
+
+    from nspc_etl_basic_spark.operators.merge import (
+        merge_upsert,
+        snapshot_diff,
+    )
+    from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    v0 = orders.where(F.col("o_orderkey") % 2 == 0)
+    src = orders.where(F.col("o_orderkey") % 3 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+    )
+    merged = merge_upsert(v0, src, ["o_orderkey"]).where(
+        F.col("o_orderkey") % 10 != 4
+    )
+    wh = ParquetWarehouse(spark, tempfile.mkdtemp(prefix="nspc_diff_"))
+    wh.write(v0, "t")
+    wh.overwrite_snapshot(merged, "t")
+    return snapshot_diff(
+        wh.read("t", version=0), wh.read("t", version=1), ["o_orderkey"]
+    ).select("op", "o_orderkey", "o_totalprice").orderBy(
+        "op", "o_orderkey"
+    )
+
+
 def warehouse_file_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-side file pruning end-to-end (sinks/stats_index.py):
     commit customer range-partitioned on c_custkey into a snapshot
@@ -3505,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_epoch_shuffle": corpus_epoch_shuffle_q,
         "stream_mv_replay": stream_mv_replay_q,
         "warehouse_schema_evolution": warehouse_schema_evolution_q,
+        "warehouse_snapshot_diff": warehouse_snapshot_diff_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7082,6 +7120,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # Snapshot diff: minimal op set between two replayed versions —
+        # merge-touched-but-identical rows must NOT appear
+        "warehouse_snapshot_diff": """
+            WITH v0 AS (
+                SELECT o_orderkey, o_totalprice FROM orders
+                WHERE o_orderkey % 2 = 0
+            ),
+            src AS (
+                SELECT o_orderkey,
+                       o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0
+            ),
+            v1 AS (
+                SELECT * FROM (
+                    SELECT * FROM v0
+                    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+                    UNION ALL SELECT * FROM src
+                ) WHERE o_orderkey % 10 <> 4
+            )
+            SELECT 'insert' AS op, o_orderkey, o_totalprice FROM v1
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v0)
+            UNION ALL
+            SELECT 'delete', o_orderkey, o_totalprice FROM v0
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v1)
+            UNION ALL
+            SELECT 'update_preimage', a.o_orderkey, a.o_totalprice
+            FROM v0 a JOIN v1 b ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_totalprice <> b.o_totalprice
+            UNION ALL
+            SELECT 'update_postimage', b.o_orderkey, b.o_totalprice
+            FROM v0 a JOIN v1 b ON a.o_orderkey = b.o_orderkey
+            WHERE a.o_totalprice <> b.o_totalprice
+            ORDER BY op, o_orderkey
+        """,
         # Schema evolution: the evolved table IS the lossless union —
         # old rows null-extend the added column, the key widens to BIGINT
         "warehouse_schema_evolution": """

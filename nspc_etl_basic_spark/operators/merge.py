@@ -150,3 +150,60 @@ def merge_changes(
         .unionByName(pre.select(F.lit("update_preimage").alias("op"), "*"))
         .unionByName(post.select(F.lit("update_postimage").alias("op"), "*"))
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, pk_cols: list[str]
+) -> DataFrame:
+    """After-the-fact change extraction between two table versions
+    (Delta's ``table_changes`` read over snapshots): op-tagged rows with
+    ``op`` ∈ {'insert', 'delete', 'update_preimage',
+    'update_postimage'}. Unlike ``merge_changes`` — which tags every
+    MATCHED row because the merge touched it — a diff only reports rows
+    whose content actually differs (null-safe comparison over the
+    non-key columns), so replaying the diff onto ``old`` reconstructs
+    ``new`` exactly and minimally.
+
+    Use ``merge_changes`` when you control the write (the feed is free
+    — map-only broadcast legs); use this when you only have the two
+    versions (audit, late-built downstream, divergence checks). The
+    price of not having captured changes at write time is honest: one
+    full-outer join co-partitioned on the pk — both snapshots shuffle
+    once on their key, the scan reads only pk + compared columns, and
+    skew/AQE handling is the ordinary join path's. There is no cheaper
+    general diff: any algorithm must look at both sides' content.
+    """
+    val_cols = [c for c in old.columns if c not in pk_cols]
+    if old.columns != new.columns:
+        new = new.select(*old.columns)
+    o = old.select(
+        *pk_cols,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+    )
+    n = new.select(
+        *pk_cols,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+    )
+    j = o.join(n, pk_cols, "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    inserted = F.col("__in_old").isNull()
+    deleted = F.col("__in_new").isNull()
+    changed = ~inserted & ~deleted & ~same
+
+    def _leg(op: str, side: str, cond) -> DataFrame:
+        return j.where(cond).select(
+            F.lit(op).alias("op"),
+            *pk_cols,
+            *[F.col(f"__{side}_{c}").alias(c) for c in val_cols],
+        )
+
+    return (
+        _leg("insert", "n", inserted)
+        .unionByName(_leg("delete", "o", deleted))
+        .unionByName(_leg("update_preimage", "o", changed))
+        .unionByName(_leg("update_postimage", "n", changed))
+    )
