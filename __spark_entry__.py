@@ -3411,6 +3411,49 @@ def stream_mv_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermark dedup (streaming/dedup.stream_dedup_keys),
+    driver-oracled end-to-end: every event is delivered TWICE (the feed
+    is events ∪ events — identical rows, so any within-batch winner is
+    content-equal and the output is deterministic), replayed as three
+    time-tercile micro-batches. dropDuplicatesWithinWatermark keys
+    state on event_id only, so the surviving set is exactly the
+    distinct events — the oracle is a plain SELECT over the source
+    table. A failed dedup shows up as doubled rows_match."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.streaming.dedup import stream_dedup_keys
+    from nspc_etl_basic_spark.streaming.ingest import run_available_now
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    feed = ev.unionByName(ev)
+    work, done = _replay_work_dir(sf_dir, "dedupstream", "events")
+    sink = os.path.join(work, "out")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        _drain_slices(
+            spark,
+            _replay_slices(feed, "ts"),
+            os.path.join(work, "src"),
+            lambda stream: run_available_now(
+                stream_dedup_keys(stream, ["event_id"], "ts", "1 hour"),
+                sink,
+                os.path.join(work, "ckpt"),
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return (
+        spark.read.parquet(sink)
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+    )
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -3543,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_mv_replay": stream_mv_replay_q,
         "warehouse_schema_evolution": warehouse_schema_evolution_q,
         "warehouse_snapshot_diff": warehouse_snapshot_diff_q,
+        "stream_dedup_replay": stream_dedup_replay_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -4916,6 +4960,12 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        # streaming dedup replay: double-delivered feed collapses to the
+        # distinct source rows — the oracle is the source itself
+        "stream_dedup_replay": """
+            SELECT event_id, user_id, event_type, value
+            FROM events ORDER BY event_id
+        """,
         # streaming MV replay: fold == rebuild for decimal sums, so the
         # oracle aggregates the replayed FINAL table (last-wins per key
         # by (slice DESC, o_orderkey DESC) — per-batch max-orderkey
