@@ -2083,6 +2083,24 @@ def events_cms_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type clipping (sketches.winsorize): values clamped at
+    the deterministic histogram (p05, p95) — bounds broadcast, the clip
+    a pure projection, no data shuffle. Oracled by wrapping the
+    hist-quantile replay in a CTE and clamping in SQL; null values are
+    excluded on both sides (least/greatest null semantics differ
+    between engines)."""
+    from nspc_etl_basic_spark.operators.sketches import winsorize
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return winsorize(
+        ev, value_col="value", group_col="event_type",
+        lo_q=0.05, hi_q=0.95,
+    ).select("event_id", "event_type", "value", "clipped").orderBy(
+        "event_id"
+    )
+
+
 def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 6-hour resample with forward fill (operators/resample.
     resample_ffill) — pandas' ``resample('6h').last().ffill()`` as two
@@ -3587,6 +3605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warehouse_schema_evolution": warehouse_schema_evolution_q,
         "warehouse_snapshot_diff": warehouse_snapshot_diff_q,
         "stream_dedup_replay": stream_dedup_replay_q,
+        "events_winsorize": events_winsorize_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5064,6 +5083,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_zorder_layout": _sql_zorder_layout(),
         "events_hist_quantiles": _sql_hist_quantiles(),
+        # winsorize: hist-quantile replay as a CTE, then a SQL clamp
+        "events_winsorize": f"""
+            WITH hq AS ({_sql_hist_quantiles(qs=(0.05, 0.95))}),
+            bounds AS (
+                SELECT event_type,
+                       max(CASE WHEN q = 0.05 THEN est END) AS lo,
+                       max(CASE WHEN q = 0.95 THEN est END) AS hi
+                FROM hq GROUP BY event_type
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   least(greatest(e.value, b.lo), b.hi) AS clipped
+            FROM events e JOIN bounds b USING (event_type)
+            WHERE e.value IS NOT NULL
+            ORDER BY e.event_id
+        """,
         # Bloom semi-join pruning: filter build (bit_or over md5-derived
         # 32-bit-word positions), membership (all k probes set), and the
         # exact re-verify replayed end to end

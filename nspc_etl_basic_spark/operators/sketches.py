@@ -235,6 +235,39 @@ def heavy_hitters(
     )
 
 
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+    bins: int = 64,
+) -> DataFrame:
+    """Per-group robust clipping (winsorization) at deterministic
+    histogram quantiles: outliers beyond the (lo_q, hi_q) estimates are
+    clamped, not dropped — the standard robust-scaling step before
+    training on heavy-tailed features.
+
+    Built on ``histogram_quantiles``, so the bounds are engine-
+    replayable (no percentile_approx); the clip itself is a pure
+    projection after a BROADCAST of the per-group bounds (|groups|
+    rows) — the data never shuffles. Adds a ``clipped`` column."""
+    if not 0.0 <= lo_q < hi_q <= 1.0:
+        raise ValueError("need 0 <= lo_q < hi_q <= 1")
+    hq = histogram_quantiles(
+        df, value_col, group_col, qs=(lo_q, hi_q), bins=bins
+    )
+    bounds = hq.groupBy(group_col).agg(
+        F.max(F.when(F.col("q") == float(lo_q), F.col("est"))).alias("__lo"),
+        F.max(F.when(F.col("q") == float(hi_q), F.col("est"))).alias("__hi"),
+    )
+    out = df.join(F.broadcast(bounds), group_col)
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")
+    )
+    return out.withColumn("clipped", clipped).drop("__lo", "__hi")
+
+
 def cms_build(
     df: DataFrame,
     key_col: str,
