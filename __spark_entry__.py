@@ -876,6 +876,33 @@ def orders_mv_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(*dims)
 
 
+def orders_pseudonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted pseudonymization (operators/privacy.pseudonymize): both
+    orders.o_custkey and customer.c_custkey tokenize with the SAME salt
+    and the join runs entirely on tokens — per-nation order counts can
+    only come out right if referential integrity survived
+    tokenization. Pure projection (sha2 == DuckDB sha256); the oracle
+    recomputes the tokens and the token-keyed join."""
+    from nspc_etl_basic_spark.operators.privacy import pseudonymize
+
+    orders = pseudonymize(
+        _t(spark, sf_dir, "orders").select("o_custkey"),
+        ["o_custkey"], salt="s1",
+    )
+    cust = pseudonymize(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+        ["c_custkey"], salt="s1",
+    )
+    return (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "inner"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
 def d2_merge_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: true inserted/updated split via key-match (the reference's batch
     path miscounts; this is the corrected semantics)."""
@@ -3606,6 +3633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warehouse_snapshot_diff": warehouse_snapshot_diff_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "events_winsorize": events_winsorize_q,
+        "orders_pseudonymize": orders_pseudonymize_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7204,6 +7232,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # Pseudonymize: the token-keyed join must reproduce the plain
+        # join's counts — referential integrity under tokenization
+        "orders_pseudonymize": """
+            WITH o AS (
+                SELECT sha256('s1|' || CAST(o_custkey AS VARCHAR)) AS tok
+                FROM orders
+            ),
+            c AS (
+                SELECT sha256('s1|' || CAST(c_custkey AS VARCHAR)) AS tok,
+                       c_nationkey
+                FROM customer
+            )
+            SELECT c.c_nationkey, count(*) AS n_orders
+            FROM o JOIN c ON o.tok = c.tok
+            GROUP BY c.c_nationkey
+            ORDER BY c.c_nationkey
+        """,
         # Snapshot diff: minimal op set between two replayed versions —
         # merge-touched-but-identical rows must NOT appear
         "warehouse_snapshot_diff": """
