@@ -876,6 +876,31 @@ def orders_mv_refresh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(*dims)
 
 
+def dq_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table FK health (quality.referential_suite): three real
+    TPC-H relations plus a deliberately degraded one (customers
+    restricted to BUILDING — every order from another segment becomes
+    an orphan) so nonzero counts are exercised. Each check is one
+    broadcast-left-join + single aggregate; the child never shuffles."""
+    from nspc_etl_basic_spark.operators.quality import referential_suite
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return referential_suite(
+        [
+            (orders, cust, ["o_custkey"], ["c_custkey"],
+             "orders->customer"),
+            (li, orders, ["l_orderkey"], ["o_orderkey"],
+             "lineitem->orders"),
+            (li, part, ["l_partkey"], ["p_partkey"], "lineitem->part"),
+            (orders, cust.where(F.col("c_mktsegment") == "BUILDING"),
+             ["o_custkey"], ["c_custkey"], "orders->building_customers"),
+        ]
+    ).orderBy("relation")
+
+
 def orders_pseudonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted pseudonymization (operators/privacy.pseudonymize): both
     orders.o_custkey and customer.c_custkey tokenize with the SAME salt
@@ -2108,6 +2133,23 @@ def events_cms_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams
+    (sequences.transition_counts): lead() windows partition per user
+    (parallel with the keys), the pair aggregation collapses map-side
+    to |types|² rows, and normalization windows over that tiny matrix.
+    (ts, event_id) is the unique tie-break that makes the walk
+    deterministic; the oracle replays lead + floor-normalized
+    probabilities verbatim."""
+    from nspc_etl_basic_spark.operators.sequences import transition_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_counts(
+        ev, key_col="user_id", ts_col="ts", event_col="event_type",
+        order_cols=["event_id"],
+    ).orderBy("from_event", "to_event")
 
 
 def events_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3634,6 +3676,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": stream_dedup_replay_q,
         "events_winsorize": events_winsorize_q,
         "orders_pseudonymize": orders_pseudonymize_q,
+        "dq_referential": dq_referential_q,
+        "events_transitions": events_transitions_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7232,6 +7276,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # Markov transitions: lead() per user, floor-normalized rows
+        "events_transitions": """
+            WITH pairs AS (
+                SELECT event_type AS from_event,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS to_event
+                FROM events
+            ),
+            c AS (
+                SELECT from_event, to_event, count(*) AS cnt
+                FROM pairs WHERE to_event IS NOT NULL
+                GROUP BY from_event, to_event
+            )
+            SELECT from_event, to_event, cnt,
+                   floor(cnt * 1000000.0 /
+                         CAST(sum(cnt) OVER (PARTITION BY from_event)
+                              AS DOUBLE)) / 1000000.0 AS prob
+            FROM c ORDER BY from_event, to_event
+        """,
+        # Referential suite: per-relation (child, null-fk, orphan) counts
+        "dq_referential": """
+            SELECT 'lineitem->orders' AS relation,
+                   (SELECT count(*) FROM lineitem) AS child_rows,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NULL) AS null_fk_rows,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IS NOT NULL
+                      AND l_orderkey NOT IN
+                          (SELECT o_orderkey FROM orders
+                           WHERE o_orderkey IS NOT NULL)) AS orphan_rows
+            UNION ALL
+            SELECT 'lineitem->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_partkey IS NOT NULL
+                      AND l_partkey NOT IN
+                          (SELECT p_partkey FROM part
+                           WHERE p_partkey IS NOT NULL))
+            UNION ALL
+            SELECT 'orders->building_customers',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN
+                          (SELECT c_custkey FROM customer
+                           WHERE c_custkey IS NOT NULL
+                             AND c_mktsegment = 'BUILDING'))
+            UNION ALL
+            SELECT 'orders->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+                   (SELECT count(*) FROM orders
+                    WHERE o_custkey IS NOT NULL
+                      AND o_custkey NOT IN
+                          (SELECT c_custkey FROM customer
+                           WHERE c_custkey IS NOT NULL))
+            ORDER BY relation
+        """,
         # Pseudonymize: the token-keyed join must reproduce the plain
         # join's counts — referential integrity under tokenization
         "orders_pseudonymize": """

@@ -156,3 +156,62 @@ def checks_from_config(specs: Sequence[dict]) -> list[Check]:
             raise ValueError(f"unknown quality check type: {kind!r}")
         out.append(Check(name, metric, lo=lo, hi=hi))
     return out
+
+
+def referential_check(
+    child: DataFrame,
+    parent: DataFrame,
+    fk_cols: list[str],
+    pk_cols: list[str],
+    relation: str | None = None,
+    broadcast_parent: bool = True,
+) -> DataFrame:
+    """Cross-table referential integrity as one DataFrame row:
+    ``(relation, child_rows, null_fk_rows, orphan_rows)``. An orphan is
+    a child row whose fully-NON-NULL fk tuple has no parent; rows with
+    any null fk component are counted separately (a missing link is a
+    different defect than a dangling one) — the split Deequ's
+    hasReferentialIntegrity hides.
+
+    Scale: the parent contributes only its DISTINCT pk tuple set,
+    broadcast when dimension-sized (``broadcast_parent=False`` lets AQE
+    shuffle fact-fact checks); the child is scanned once, column-pruned
+    to the fk tuple, and never shuffled on the broadcast path. All
+    three counts come from a single aggregate over the one left join.
+    """
+    if len(fk_cols) != len(pk_cols) or not fk_cols:
+        raise ValueError("fk_cols and pk_cols must be same-length, non-empty")
+    rel = relation or f"{'|'.join(fk_cols)}->{'|'.join(pk_cols)}"
+    pk = parent.select(
+        *[F.col(p).alias(f) for p, f in zip(pk_cols, fk_cols)]
+    ).na.drop().distinct().withColumn("__hit", F.lit(1))
+    if broadcast_parent:
+        pk = F.broadcast(pk)
+    any_null = F.lit(False)
+    for f in fk_cols:
+        any_null = any_null | F.col(f).isNull()
+    j = child.select(*fk_cols).join(pk, fk_cols, "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("child_rows"),
+        F.sum(F.when(any_null, 1).otherwise(0)).cast("long").alias(
+            "null_fk_rows"
+        ),
+        F.sum(
+            F.when(~any_null & F.col("__hit").isNull(), 1).otherwise(0)
+        ).cast("long").alias("orphan_rows"),
+    ).select(F.lit(rel).alias("relation"), "*")
+
+
+def referential_suite(
+    checks: "Sequence[tuple[DataFrame, DataFrame, list[str], list[str], str]]",
+) -> DataFrame:
+    """Union of ``referential_check`` rows for a list of
+    (child, parent, fk_cols, pk_cols, relation) tuples — the whole
+    schema's FK health in one small DataFrame."""
+    out = None
+    for child, parent, fk, pk, rel in checks:
+        row = referential_check(child, parent, fk, pk, relation=rel)
+        out = row if out is None else out.unionByName(row)
+    if out is None:
+        raise ValueError("referential_suite requires at least one check")
+    return out
