@@ -2135,6 +2135,21 @@ def events_cms_freq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trend_ols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend (trend.grouped_ols): value regressed on
+    seconds-since-first-observation, all five sufficient statistics
+    accumulated in exact decimal (partition-order-independent) and the
+    slope/intercept/r² arithmetic dropped to doubles in ONE pinned op
+    order the oracle replays term-for-term. Two map-side aggregate
+    passes, |groups|-row broadcast, no window."""
+    from nspc_etl_basic_spark.operators.trend import grouped_ols
+
+    ev = _t(spark, sf_dir, "events")
+    return grouped_ols(
+        ev, key_col="event_type", ts_col="ts", value_col="value"
+    ).orderBy("event_type")
+
+
 def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event streams
     (sequences.transition_counts): lead() windows partition per user
@@ -3678,6 +3693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_pseudonymize": orders_pseudonymize_q,
         "dq_referential": dq_referential_q,
         "events_transitions": events_transitions_q,
+        "events_trend_ols": events_trend_ols_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7276,6 +7292,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # OLS trend: decimal sufficient stats, pinned double finale
+        "events_trend_ols": """
+            WITH base AS (
+                SELECT event_type AS k, epoch_us(ts::TIMESTAMP) AS us,
+                       CAST(value AS DOUBLE) AS y
+                FROM events WHERE value IS NOT NULL
+            ),
+            m AS (SELECT k, min(us) AS us0 FROM base GROUP BY k),
+            x AS (
+                SELECT b.k,
+                       CAST((b.us - m.us0) // 1000000
+                            AS DECIMAL(12,0)) AS xd,
+                       CAST(b.y AS DECIMAL(18,6)) AS yd
+                FROM base b JOIN m USING (k)
+            ),
+            a AS (
+                SELECT k, count(*) AS n,
+                       CAST(sum(xd) AS DECIMAL(38,0)) AS sx,
+                       CAST(sum(yd) AS DECIMAL(38,6)) AS sy,
+                       CAST(sum(xd * yd) AS DECIMAL(38,6)) AS sxy,
+                       CAST(sum(xd * xd) AS DECIMAL(38,0)) AS sxx,
+                       CAST(sum(yd * yd) AS DECIMAL(38,12)) AS syy
+                FROM x GROUP BY k
+            )
+            SELECT k AS event_type, n,
+                   round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                         THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         END, 8) AS slope,
+                   round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                         THEN (CAST(sy AS DOUBLE)
+                               - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                                 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                         END, 6) AS intercept,
+                   round(CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                              AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                         THEN ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                              / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         END, 8) AS r2
+            FROM a ORDER BY event_type
+        """,
         # Markov transitions: lead() per user, floor-normalized rows
         "events_transitions": """
             WITH pairs AS (
