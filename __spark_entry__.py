@@ -2150,6 +2150,24 @@ def events_trend_ols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type CUSUM change-point detection (trend.cusum_alarms): the
+    max(0, S+x) recurrence rewritten as P_t - min(0, running-min P) so
+    it runs as two stacked key-partitioned cumulative windows sharing
+    one sort — and every summed term is DECIMAL (reference level and
+    threshold floor-quantized to 6dp first), so the running statistic
+    is exact and order-independent; a double running sum would be at
+    the mercy of the window aggregator's association. Oracle replays
+    stats, quantization, windows and alarms verbatim."""
+    from nspc_etl_basic_spark.operators.trend import cusum_alarms
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_alarms(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        order_cols=["event_id"], slack_sigmas=0.5, threshold_sigmas=4.0,
+    ).orderBy("event_type")
+
+
 def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event streams
     (sequences.transition_counts): lead() windows partition per user
@@ -3694,6 +3712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_referential": dq_referential_q,
         "events_transitions": events_transitions_q,
         "events_trend_ols": events_trend_ols_q,
+        "events_cusum": events_cusum_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7292,6 +7311,62 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        # CUSUM: decimal cumulative windows, floor-quantized params
+        "events_cusum": """
+            WITH base AS (
+                SELECT event_type AS k, ts, epoch_us(ts::TIMESTAMP) AS us,
+                       event_id, CAST(value AS DECIMAL(18,6)) AS vd
+                FROM events WHERE value IS NOT NULL
+            ),
+            stats AS (
+                SELECT k, count(*) AS n,
+                       CAST(sum(vd) AS DECIMAL(38,6)) AS sv,
+                       CAST(sum(vd * vd) AS DECIMAL(38,12)) AS svv
+                FROM base GROUP BY k
+            ),
+            params AS (
+                SELECT k,
+                       CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+                            + 0.5 * sqrt((CAST(n AS DOUBLE)
+                                          * CAST(svv AS DOUBLE)
+                                          - CAST(sv AS DOUBLE)
+                                            * CAST(sv AS DOUBLE))
+                                         / (CAST(n AS DOUBLE)
+                                            * (CAST(n AS DOUBLE) - 1.0))))
+                            * 1000000.0) / 1000000.0
+                            AS DECIMAL(18,6)) AS ref,
+                       CAST(floor((4.0 * sqrt((CAST(n AS DOUBLE)
+                                          * CAST(svv AS DOUBLE)
+                                          - CAST(sv AS DOUBLE)
+                                            * CAST(sv AS DOUBLE))
+                                         / (CAST(n AS DOUBLE)
+                                            * (CAST(n AS DOUBLE) - 1.0))))
+                            * 1000000.0) / 1000000.0
+                            AS DECIMAL(18,6)) AS h
+                FROM stats WHERE n > 1
+            ),
+            p1 AS (
+                SELECT b.k, b.ts, b.us, b.event_id, pr.h,
+                       sum(b.vd - pr.ref) OVER (
+                           PARTITION BY b.k ORDER BY b.us, b.event_id
+                           ROWS UNBOUNDED PRECEDING) AS p
+                FROM base b JOIN params pr ON b.k = pr.k
+                WHERE pr.h IS NOT NULL AND pr.h > 0
+            ),
+            p2 AS (
+                SELECT k, ts, h, p,
+                       min(p) OVER (
+                           PARTITION BY k ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS rm
+                FROM p1
+            )
+            SELECT k AS event_type, count(*) AS n_obs,
+                   CAST(sum(CASE WHEN p - least(rm, 0) > h
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+                   min(CASE WHEN p - least(rm, 0) > h THEN ts END)
+                       AS first_alarm_ts
+            FROM p2 GROUP BY k ORDER BY k
+        """,
         # OLS trend: decimal sufficient stats, pinned double finale
         "events_trend_ols": """
             WITH base AS (

@@ -25,6 +25,96 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cusum_alarms(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+    slack_sigmas: float = 0.5,
+    threshold_sigmas: float = 4.0,
+) -> DataFrame:
+    """Per-key one-sided CUSUM change-point detection (Page 1954):
+    ``(key_col, n_obs, n_alarms, first_alarm_ts)`` — how many times the
+    positive cumulative deviation statistic crossed the threshold, and
+    when it first did.
+
+    The recurrence ``S_t = max(0, S_{t-1} + x_t)`` is rewritten as the
+    prefix identity ``S_t = P_t - min(0, min_{j<=t} P_j)`` with
+    ``P_t = Σ x_i`` — two cumulative windows instead of a sequential
+    fold, so the walk stays a key-partitioned window (parallel with
+    keys, no per-row Python, no in-row array).
+
+    Determinism is engineered, not hoped for: the deviations
+    ``x = v - (μ + slack·σ)`` are computed in DECIMAL, with μ and
+    slack·σ QUANTIZED to 6 decimals via floor (the repo's standard
+    floor(·*1e6)/1e6 pin) before entering the sum — cumulative DECIMAL
+    sums are exact and order-independent, so the running P and its
+    running min are bit-identical in any engine regardless of how the
+    window executor sums (a DOUBLE running sum would depend on the
+    aggregator's internal association). μ and σ come from decimal
+    sufficient statistics; sqrt is IEEE-correctly-rounded everywhere.
+
+    Scale: one stats aggregate (broadcast back, |keys| rows) + one
+    key-partitioned sort for the two stacked cumulative windows (they
+    share the exchange and the sort) + a final per-key aggregate.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        F.col(ts_col),
+        us.alias("__us"),
+        *[F.col(c) for c in (order_cols or [])],
+        F.col(value_col).cast("decimal(18,6)").alias("__vd"),
+    )
+    stats = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__vd").cast("decimal(38,6)").alias("__sv"),
+        F.sum(F.col("__vd") * F.col("__vd")).cast("decimal(38,12)").alias(
+            "__svv"
+        ),
+    )
+    nd = F.col("__n").cast("double")
+    sv = F.col("__sv").cast("double")
+    svv = F.col("__svv").cast("double")
+    var = F.when(
+        F.col("__n") > 1, (nd * svv - sv * sv) / (nd * (nd - F.lit(1.0)))
+    )
+    sigma = F.sqrt(var)
+    mu = sv / nd
+    q = lambda c: (F.floor(c * F.lit(1e6)) / F.lit(1e6)).cast(  # noqa: E731
+        "decimal(18,6)"
+    )
+    params = stats.select(
+        key_col,
+        q(mu + F.lit(float(slack_sigmas)) * sigma).alias("__ref"),
+        q(F.lit(float(threshold_sigmas)) * sigma).alias("__h"),
+    ).where(F.col("__h").isNotNull() & (F.col("__h") > 0))
+    j = base.join(F.broadcast(params), key_col)
+    order = [F.col("__us")] + [F.col(c) for c in (order_cols or [])]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = F.col("__vd") - F.col("__ref")
+    p = F.sum(x).over(w)
+    stepped = j.withColumn("__p", p)
+    runmin = F.min("__p").over(w)
+    s = F.col("__p") - F.least(runmin, F.lit(0).cast("decimal(18,6)"))
+    alarmed = stepped.withColumn(
+        "__alarm", (s > F.col("__h")).cast("int")
+    )
+    return alarmed.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__alarm").cast("long").alias("n_alarms"),
+        F.min(F.when(F.col("__alarm") == 1, F.col(ts_col))).alias(
+            "first_alarm_ts"
+        ),
+    )
 
 
 def grouped_ols(
