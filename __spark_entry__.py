@@ -2168,6 +2168,23 @@ def events_cusum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI on per-type mean value
+    (bootstrap.bootstrap_mean_ci, B=20): md5-seeded uniforms, a literal
+    Poisson(1) CDF ladder for the weights, DECIMAL replicate sums, and
+    order-statistic CI picks by pinned indexing — uncertainty
+    quantification that sits behind a value-hashed oracle, which
+    ordinary RNG bootstraps never can. One pass: rows explode into B
+    weight cells that aggregate map-side to |groups|·B partials."""
+    from nspc_etl_basic_spark.operators.bootstrap import bootstrap_mean_ci
+
+    ev = _t(spark, sf_dir, "events")
+    return bootstrap_mean_ci(
+        ev, key_col="event_type", value_col="value", id_col="event_id",
+        n_replicates=20, alpha=0.05,
+    ).orderBy("event_type")
+
+
 def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event streams
     (sequences.transition_counts): lead() windows partition per user
@@ -3713,6 +3730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": events_transitions_q,
         "events_trend_ols": events_trend_ols_q,
         "events_cusum": events_cusum_q,
+        "events_bootstrap_ci": events_bootstrap_ci_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5063,6 +5081,66 @@ def _sql_emb_covariance(dims: int = 8) -> str:
             )
     unions = "\n          UNION ALL ".join(sel)
     return f"WITH a AS (SELECT {', '.join(aggs)} FROM embeddings)\n        {unions}"
+
+
+def _sql_bootstrap_ci(n_replicates: int = 20, alpha: float = 0.05) -> str:
+    """Oracle for events_bootstrap_ci — the Poisson(1) CDF ladder is
+    imported from operators/bootstrap.py so both engines share the
+    same literals."""
+    from nspc_etl_basic_spark.operators.bootstrap import POISSON1_CDF
+
+    ladder = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    lo_idx = int((alpha / 2.0) * (n_replicates - 1)) + 1
+    hi_idx = int((1.0 - alpha / 2.0) * (n_replicates - 1)) + 1
+    return f"""
+        WITH base AS (
+            SELECT event_type AS k, CAST(event_id AS VARCHAR) AS id,
+                   CAST(value AS DECIMAL(18,6)) AS vd
+            FROM events WHERE value IS NOT NULL
+        ),
+        weighted AS (
+            SELECT k, vd, b,
+                   CASE {ladder} ELSE 8 END AS w
+            FROM (
+                SELECT k, vd, g.b,
+                       CAST('0x' || substr(md5('boot|' ||
+                            CAST(g.b AS VARCHAR) || '|' || id), 1, 8)
+                            AS BIGINT) / 4294967296.0 AS u
+                FROM base
+                CROSS JOIN (
+                    SELECT unnest(range({n_replicates})) AS b
+                ) g
+            )
+        ),
+        cells AS (
+            SELECT k, b,
+                   CAST(sum(w) AS BIGINT) AS nw,
+                   CAST(sum(CAST(w AS DECIMAL(18,6)) * vd)
+                        AS DECIMAL(38,12)) AS sw
+            FROM weighted GROUP BY k, b
+            HAVING CAST(sum(w) AS BIGINT) > 0
+        ),
+        means AS (
+            SELECT k, CAST(sw AS DOUBLE) / CAST(nw AS DOUBLE) AS m
+            FROM cells
+        ),
+        boot AS (
+            SELECT k, list(m ORDER BY m) AS ms FROM means GROUP BY k
+        ),
+        exact AS (
+            SELECT k, count(*) AS n,
+                   round(CAST(CAST(sum(vd) AS DECIMAL(38,6)) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS mean
+            FROM base GROUP BY k
+        )
+        SELECT e.k AS event_type, e.n, e.mean,
+               round(ms[least({lo_idx}, len(ms))], 6) AS boot_lo,
+               round(ms[least({hi_idx}, len(ms))], 6) AS boot_hi
+        FROM exact e JOIN boot b ON e.k = b.k
+        ORDER BY e.k
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7311,6 +7389,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
+        "events_bootstrap_ci": _sql_bootstrap_ci(),
         # CUSUM: decimal cumulative windows, floor-quantized params
         "events_cusum": """
             WITH base AS (
