@@ -2620,6 +2620,52 @@ def warehouse_schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def orders_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via write-time bucketing (sinks/bucketed.
+    write_bucketed): both sides bucketed 8-way on the join key through
+    the session catalog. When both sides are too big to broadcast —
+    the 100 TB fact-fact case — the bucketed scans report
+    HashPartitioning and the sort-merge join plans with ZERO shuffle
+    Exchange nodes (tests/test_bucketed.py pins exactly that with
+    broadcast disabled); at this sf the planner rightly prefers a
+    broadcast of the small side instead, which is equally shuffle-free
+    for the data rows. Either way the layout changes the PLAN, never
+    the answer — the oracle is the plain SQL join."""
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.bucketed import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    base = tempfile.mkdtemp(prefix="nspc_buckjoin_")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    write_bucketed(
+        orders, "nspc_q_orders_bucketed", ["o_custkey"], 8,
+        path=f"{base}/o", sort_cols=["o_custkey"],
+    )
+    write_bucketed(
+        cust, "nspc_q_customer_bucketed", ["o_custkey"], 8,
+        path=f"{base}/c", sort_cols=["o_custkey"],
+    )
+    j = read_bucketed(spark, "nspc_q_orders_bucketed").join(
+        read_bucketed(spark, "nspc_q_customer_bucketed"), "o_custkey"
+    )
+    return (
+        j.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_totalprice"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def warehouse_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """After-the-fact version diff (merge.snapshot_diff over
     ParquetWarehouse time travel): v0 = even-key orders; v1 = v0 merged
@@ -3731,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_ols": events_trend_ols_q,
         "events_cusum": events_cusum_q,
         "events_bootstrap_ci": events_bootstrap_ci_q,
+        "orders_bucketed_join": orders_bucketed_join_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7577,6 +7624,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.c_nationkey, count(*) AS n_orders
             FROM o JOIN c ON o.tok = c.tok
+            GROUP BY c.c_nationkey
+            ORDER BY c.c_nationkey
+        """,
+        # Bucketed join: layout changes the PLAN (zero exchanges,
+        # pytest-pinned), never the ANSWER — the oracle is the plain join
+        "orders_bucketed_join": """
+            SELECT c.c_nationkey, count(*) AS n_orders,
+                   CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_totalprice
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
             ORDER BY c.c_nationkey
         """,
