@@ -3745,6 +3745,23 @@ def events_zorder_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver contract
 # ---------------------------------------------------------------------------
 
+def events_hilbert_layout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert vs zorder vs linear layout planning (sinks/layout.
+    hilbert_layout_report): the 2-D Hilbert index unrolled to 8 rounds
+    of pure integer column algebra (staged bindings — linear plan
+    growth), cells and box-overlap hits computed exactly like the
+    zorder report. sum(n_rows WHERE hit) per layout QUANTIFIES the
+    locality ordering hilbert <= zorder <= linear for the box
+    predicate instead of asserting it. The oracle unrolls the same
+    rounds in materialized CTEs."""
+    from nspc_etl_basic_spark.sinks.layout import hilbert_layout_report
+
+    ev = _t(spark, sf_dir, "events")
+    return hilbert_layout_report(ev, "user_id", "value").orderBy(
+        "layout", "file_id"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on sf0.001: the Q1 pricing summary."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3778,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum": events_cusum_q,
         "events_bootstrap_ci": events_bootstrap_ci_q,
         "orders_bucketed_join": orders_bucketed_join_q,
+        "events_hilbert_layout": events_hilbert_layout_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -4968,6 +4986,109 @@ def _sql_zorder_layout(
                         AND CAST(s.max_y AS DOUBLE) >= x.by0,
                         false) AS hit
         FROM stats s CROSS JOIN boxb x
+    """
+
+
+def _sql_hilbert_layout(
+    bits: int = 8,
+    file_bits: int = 4,
+    box_x: tuple = (0.25, 0.375),
+    box_y: tuple = (0.5, 0.625),
+) -> str:
+    """Oracle for events_hilbert_layout: the same rank normalization and
+    Morton terms as _sql_zorder_layout, plus the Hilbert xy2d walk
+    unrolled to ``bits`` MATERIALIZED CTE rounds (each round reads the
+    previous one from three expressions — inlining would grow the plan
+    exponentially; see _materialize_ctes)."""
+    def rank(col_d: str, lo: str, hi: str, nbits: int) -> str:
+        mm = (1 << nbits) - 1
+        return (
+            f"CASE WHEN ({hi} - {lo}) > 0 THEN "
+            f"least(greatest(CAST(floor((({col_d}) - {lo}) / ({hi} - {lo})"
+            f" * {mm}.0) AS BIGINT), 0), {mm}) ELSE 0 END"
+        )
+
+    ru = rank("CAST(user_id AS DOUBLE)", "b.lo_x", "b.hi_x", bits)
+    rv = rank("CAST(value AS DOUBLE)", "b.lo_y", "b.hi_y", bits)
+    lf = rank("CAST(user_id AS DOUBLE)", "b.lo_x", "b.hi_x", file_bits)
+    z_terms = " | ".join(
+        f"(((r{axis} >> {b}) & 1) << {b * 2 + ci})"
+        for b in range(bits)
+        for ci, axis in enumerate(("u", "v"))
+    )
+    parts = [
+        f"""bounds AS (
+            SELECT min(CAST(user_id AS DOUBLE)) AS lo_x,
+                   max(CAST(user_id AS DOUBLE)) AS hi_x,
+                   min(CAST(value   AS DOUBLE)) AS lo_y,
+                   max(CAST(value   AS DOUBLE)) AS hi_y
+            FROM events
+        )""",
+        f"""boxb AS (
+            SELECT lo_x + {box_x[0]} * (hi_x - lo_x) AS bx0,
+                   lo_x + {box_x[1]} * (hi_x - lo_x) AS bx1,
+                   lo_y + {box_y[0]} * (hi_y - lo_y) AS by0,
+                   lo_y + {box_y[1]} * (hi_y - lo_y) AS by1
+            FROM bounds
+        )""",
+        f"""r_init AS (
+            SELECT user_id, value,
+                   {ru} AS ru, {rv} AS rv,
+                   {ru} AS hx, {rv} AS hy, CAST(0 AS BIGINT) AS hd,
+                   {lf} AS lf
+            FROM events e CROSS JOIN bounds b
+        )""",
+    ]
+    prev = "r_init"
+    for i, k in enumerate(reversed(range(bits))):
+        s = 1 << k
+        cur = f"r_{i}"
+        parts.append(f"""{cur} AS (
+            SELECT user_id, value, ru, rv, lf,
+                   CASE WHEN ((hy >> {k}) & 1) = 0 THEN
+                        CASE WHEN ((hx >> {k}) & 1) = 1
+                             THEN {s - 1} - hy ELSE hy END
+                        ELSE hx END AS hx,
+                   CASE WHEN ((hy >> {k}) & 1) = 0 THEN
+                        CASE WHEN ((hx >> {k}) & 1) = 1
+                             THEN {s - 1} - hx ELSE hx END
+                        ELSE hy END AS hy,
+                   hd + CAST({s * s} *
+                        xor(((hx >> {k}) & 1) * 3, ((hy >> {k}) & 1))
+                        AS BIGINT) AS hd
+            FROM {prev}
+        )""")
+        prev = cur
+    parts.append(f"""cells AS (
+            SELECT 'hilbert' AS layout,
+                   hd >> {2 * bits - file_bits} AS file_id,
+                   user_id, value
+            FROM {prev}
+            UNION ALL
+            SELECT 'zorder', ({z_terms}) >> {2 * bits - file_bits},
+                   user_id, value
+            FROM {prev}
+            UNION ALL
+            SELECT 'linear_x', lf, user_id, value
+            FROM {prev}
+        )""")
+    parts.append("""stats AS (
+            SELECT layout, file_id, count(*) AS n_rows,
+                   min(user_id) AS min_x, max(user_id) AS max_x,
+                   min(value) AS min_y, max(value) AS max_y
+            FROM cells GROUP BY layout, file_id
+        )""")
+    return f"""
+        WITH {_materialize_ctes(parts)}
+        SELECT s.layout, s.file_id, s.n_rows,
+               s.min_x, s.max_x, s.min_y, s.max_y,
+               coalesce(CAST(s.min_x AS DOUBLE) <= x.bx1
+                        AND CAST(s.max_x AS DOUBLE) >= x.bx0
+                        AND CAST(s.min_y AS DOUBLE) <= x.by1
+                        AND CAST(s.max_y AS DOUBLE) >= x.by0,
+                        false) AS hit
+        FROM stats s CROSS JOIN boxb x
+        ORDER BY s.layout, s.file_id
     """
 
 
@@ -7437,6 +7558,7 @@ def oracle_sql() -> dict[str, str]:
         # the pruned read must return exactly the source rows in range —
         # a file wrongly dropped by the min/max intersection reds this
         "events_bootstrap_ci": _sql_bootstrap_ci(),
+        "events_hilbert_layout": _sql_hilbert_layout(),
         # CUSUM: decimal cumulative windows, floor-quantized params
         "events_cusum": """
             WITH base AS (
