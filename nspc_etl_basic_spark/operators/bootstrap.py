@@ -96,9 +96,12 @@ def bootstrap_mean_ci(
         ).cast("double")
         / F.lit(_HASH_DOMAIN)
     )
-    w = _weight_expr(u)
+    # hoist u into a named column BEFORE the CASE ladder: conditional
+    # branches are not CSE'd, so an inlined u would recompute the md5
+    # up to 8x per row (measured ~3x on the full query)
     cells = (
-        base.withColumn("__w", w)
+        base.withColumn("__u", u)
+        .withColumn("__w", _weight_expr(F.col("__u")))
         .groupBy(key_col, "__b")
         .agg(
             F.sum("__w").cast("long").alias("__nw"),
