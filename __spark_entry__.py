@@ -901,6 +901,21 @@ def dq_referential_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("relation")
 
 
+def customer_k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification risk audit (privacy.k_anonymity_report) over
+    the (nation, market segment) quasi-identifier: per threshold k, the
+    table's true k-anonymity, the equivalence classes below k, and the
+    exposed-row fraction in exact ppm. One map-side-combined groupBy on
+    the quasi tuple + a constant-size aggregate; the release gate is
+    rows_below == 0 at the chosen k."""
+    from nspc_etl_basic_spark.operators.privacy import k_anonymity_report
+
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(
+        cust, ["c_nationkey", "c_mktsegment"], k_thresholds=(2, 5, 20)
+    ).orderBy("k")
+
+
 def orders_pseudonymize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted pseudonymization (operators/privacy.pseudonymize): both
     orders.o_custkey and customer.c_custkey tokenize with the SAME salt
@@ -2218,6 +2233,22 @@ def events_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "value", "clipped").orderBy(
         "event_id"
     )
+
+
+def events_twap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (resample.twap_by_key): step-hold
+    weights are exact integer micros from a per-key lead window, the
+    weighted sum rides DECIMAL (partitioning can never change it), and
+    only the final divide is a double. The irregular-sampling
+    correction a plain mean gets wrong; oracle replays lead, Δt and the
+    decimal sum verbatim."""
+    from nspc_etl_basic_spark.operators.resample import twap_by_key
+
+    ev = _t(spark, sf_dir, "events")
+    return twap_by_key(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        order_cols=["event_id"],
+    ).orderBy("user_id")
 
 
 def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3796,6 +3827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bootstrap_ci": events_bootstrap_ci_q,
         "orders_bucketed_join": orders_bucketed_join_q,
         "events_hilbert_layout": events_hilbert_layout_q,
+        "events_twap": events_twap_q,
+        "customer_k_anonymity": customer_k_anonymity_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7559,6 +7592,38 @@ def oracle_sql() -> dict[str, str]:
         # a file wrongly dropped by the min/max intersection reds this
         "events_bootstrap_ci": _sql_bootstrap_ci(),
         "events_hilbert_layout": _sql_hilbert_layout(),
+        # TWAP: exact micros weights, decimal weighted sum
+        "events_twap": """
+            WITH base AS (
+                SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, event_id,
+                       CAST(value AS DECIMAL(18,6)) AS vd
+                FROM events WHERE value IS NOT NULL
+            ),
+            stepped AS (
+                SELECT user_id, us, vd,
+                       lead(us) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                       ) - us AS dt
+                FROM base
+            ),
+            agg AS (
+                SELECT user_id, count(*) AS n_obs,
+                       min(us) AS t0, max(us) AS tn,
+                       CAST(sum(vd * CAST(dt AS DECIMAL(20,0)))
+                            AS DECIMAL(38,6)) AS wsum,
+                       max(CASE WHEN dt IS NULL THEN vd END) AS last_v
+                FROM stepped GROUP BY user_id
+            )
+            SELECT user_id, n_obs,
+                   CAST(floor(CAST(tn - t0 AS DOUBLE) / 1000000.0)
+                        AS BIGINT) AS span_seconds,
+                   round(CASE WHEN tn - t0 > 0
+                              THEN CAST(wsum AS DOUBLE)
+                                   / CAST(tn - t0 AS DOUBLE)
+                              ELSE CAST(last_v AS DOUBLE) END,
+                         6) AS twap
+            FROM agg ORDER BY user_id
+        """,
         # CUSUM: decimal cumulative windows, floor-quantized params
         "events_cusum": """
             WITH base AS (
@@ -7731,6 +7796,44 @@ def oracle_sql() -> dict[str, str]:
                           (SELECT c_custkey FROM customer
                            WHERE c_custkey IS NOT NULL))
             ORDER BY relation
+        """,
+        # k-anonymity: class sizes, per-threshold exposure, exact ppm
+        "customer_k_anonymity": """
+            WITH classes AS (
+                SELECT c_nationkey, c_mktsegment, count(*) AS cn
+                FROM customer GROUP BY c_nationkey, c_mktsegment
+            ),
+            one AS (
+                SELECT min(cn) AS k_anonymity, count(*) AS n_classes,
+                       sum(cn) AS total,
+                       CAST(sum(CASE WHEN cn < 2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cb_2,
+                       CAST(sum(CASE WHEN cn < 2 THEN cn ELSE 0 END)
+                            AS BIGINT) AS rb_2,
+                       CAST(sum(CASE WHEN cn < 5 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cb_5,
+                       CAST(sum(CASE WHEN cn < 5 THEN cn ELSE 0 END)
+                            AS BIGINT) AS rb_5,
+                       CAST(sum(CASE WHEN cn < 20 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS cb_20,
+                       CAST(sum(CASE WHEN cn < 20 THEN cn ELSE 0 END)
+                            AS BIGINT) AS rb_20
+                FROM classes
+            )
+            SELECT 2 AS k, k_anonymity, n_classes,
+                   cb_2 AS n_classes_below, rb_2 AS rows_below,
+                   CAST(floor(rb_2 * 1000000 / total) AS BIGINT)
+                       AS rows_below_ppm
+            FROM one
+            UNION ALL
+            SELECT 5, k_anonymity, n_classes, cb_5, rb_5,
+                   CAST(floor(rb_5 * 1000000 / total) AS BIGINT)
+            FROM one
+            UNION ALL
+            SELECT 20, k_anonymity, n_classes, cb_20, rb_20,
+                   CAST(floor(rb_20 * 1000000 / total) AS BIGINT)
+            FROM one
+            ORDER BY k
         """,
         # Pseudonymize: the token-keyed join must reproduce the plain
         # join's counts — referential integrity under tokenization

@@ -29,6 +29,72 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k_thresholds: tuple = (2, 5, 10),
+) -> DataFrame:
+    """Re-identification risk audit: group rows by the quasi-identifier
+    tuple and report, per threshold k, how exposed the table is —
+    ``(k, k_anonymity, n_classes, n_classes_below, rows_below,
+    rows_below_ppm)``. ``k_anonymity`` (the min class size — the
+    table's actual k) repeats on every row for convenience; a release
+    gate reads ``rows_below == 0`` for its chosen k.
+
+    Scale: one groupBy on the quasi tuple (map-side combined — the
+    shuffle carries one row per equivalence class), then a constant-
+    size aggregate per threshold over the class table. The ppm
+    fraction is the repo's floor(x*1e6)/1e6-style exact arithmetic
+    (here an integer floor over BIGINT products), so the report is
+    oracle-replayable."""
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    ks = sorted(set(int(k) for k in k_thresholds))
+    if not ks or ks[0] < 2:
+        raise ValueError("thresholds must be >= 2")
+    classes = df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("__cn")
+    )
+    aggs = [
+        F.min("__cn").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("__cn").alias("__total"),
+    ]
+    for k in ks:
+        below = F.when(F.col("__cn") < k, 1).otherwise(0)
+        aggs.append(F.sum(below).cast("long").alias(f"__cb_{k}"))
+        aggs.append(
+            F.sum(F.when(F.col("__cn") < k, F.col("__cn")).otherwise(0))
+            .cast("long")
+            .alias(f"__rb_{k}")
+        )
+    one = classes.agg(*aggs)
+    per_k = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("k"),
+                    F.col(f"__cb_{k}").alias("n_classes_below"),
+                    F.col(f"__rb_{k}").alias("rows_below"),
+                )
+                for k in ks
+            ]
+        )
+    ).alias("__e")
+    return one.select(
+        "k_anonymity", "n_classes", "__total", per_k
+    ).select(
+        F.col("__e.k").alias("k"),
+        "k_anonymity",
+        "n_classes",
+        F.col("__e.n_classes_below").alias("n_classes_below"),
+        F.col("__e.rows_below").alias("rows_below"),
+        F.floor(
+            F.col("__e.rows_below") * F.lit(1000000) / F.col("__total")
+        ).cast("long").alias("rows_below_ppm"),
+    )
+
+
 def pseudonymize(
     df: DataFrame,
     cols: list[str],

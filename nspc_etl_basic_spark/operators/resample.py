@@ -157,6 +157,71 @@ def ewma_by_key(
     return ser.select(key_col, "n_obs", F.round(fold, 6).alias(out_col))
 
 
+def twap_by_key(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key TIME-weighted average (TWAP) under step semantics: each
+    observation's value holds until the next observation, so
+
+        twap = Σ v_i · (t_{i+1} - t_i) / (t_n - t_0)
+
+    — the standard correction when observations are irregular and a
+    plain mean over-weights bursty periods. Returns one row per key:
+    ``(key_col, n_obs, span_seconds, twap)``; keys with a single
+    observation (zero span) get ``twap = value``.
+
+    Determinism: weights are exact integer micros (lead over the pinned
+    (ts, order_cols) order) and the weighted sum accumulates in
+    DECIMAL — v·Δt products and their sum are exact, so partitioning
+    never changes the result; only the final divide is a double. The
+    lead window partitions per key; the aggregate is map-side combined.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [F.col("__us")] + [F.col(c) for c in (order_cols or [])]
+    base = df.where(F.col(value_col).isNotNull()).select(
+        F.col(key_col),
+        us.alias("__us"),
+        F.col(value_col).cast("decimal(18,6)").alias("__vd"),
+        *[F.col(c) for c in (order_cols or [])],
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead("__us").over(w)
+    stepped = base.select(
+        F.col(key_col),
+        "__us",
+        "__vd",
+        (nxt - F.col("__us")).alias("__dt"),
+    )
+    agg = stepped.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min("__us").alias("__t0"),
+        F.max("__us").alias("__tn"),
+        F.sum(
+            F.col("__vd") * F.col("__dt").cast("decimal(20,0)")
+        ).cast("decimal(38,6)").alias("__wsum"),
+        F.max(F.when(F.col("__dt").isNull(), F.col("__vd"))).alias(
+            "__last"
+        ),
+    )
+    span = F.col("__tn") - F.col("__t0")
+    twap = F.when(
+        span > 0,
+        F.col("__wsum").cast("double") / span.cast("double"),
+    ).otherwise(F.col("__last").cast("double"))
+    return agg.select(
+        key_col,
+        "n_obs",
+        F.floor(span.cast("double") / F.lit(1e6)).cast("long").alias(
+            "span_seconds"
+        ),
+        F.round(twap, 6).alias("twap"),
+    )
+
+
 def resample_interpolate(
     df: DataFrame,
     key_col: str,
