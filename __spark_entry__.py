@@ -2217,6 +2217,20 @@ def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("from_event", "to_event")
 
 
+def lineitem_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bought-together pairs (sequences.cooccurrence_pairs): parts
+    co-occurring in an order, counted via a self-join CO-PARTITIONED on
+    the order key (bounded by per-basket pair counts, never a
+    cartesian), top-100 by the total (cnt DESC, item_a, item_b) order
+    so the cut is deterministic. Apriori's k=2 support pass."""
+    from nspc_etl_basic_spark.operators.sequences import cooccurrence_pairs
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cooccurrence_pairs(
+        li, basket_col="l_orderkey", item_col="l_partkey", top_k=100
+    )
+
+
 def events_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type clipping (sketches.winsorize): values clamped at
     the deterministic histogram (p05, p95) — bounds broadcast, the clip
@@ -2249,6 +2263,23 @@ def events_twap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, key_col="user_id", ts_col="ts", value_col="value",
         order_cols=["event_id"],
     ).orderBy("user_id")
+
+
+def events_rolling_24h_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h per-user rolling count/mean (resample.
+    rolling_time_agg): a RANGE frame over timestamp values — tie-safe
+    by construction (equal timestamps share a frame), DECIMAL-summed so
+    the frame aggregator's association can't change the result. One
+    key-partitioned sort, two-pointer frame walk, no self-join."""
+    from nspc_etl_basic_spark.operators.resample import rolling_time_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return rolling_time_agg(
+        ev, key_col="user_id", ts_col="ts", value_col="value",
+        window_seconds=86400,
+    ).select(
+        "event_id", "user_id", "rolling_n", "rolling_mean"
+    ).orderBy("event_id")
 
 
 def events_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3829,6 +3860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hilbert_layout": events_hilbert_layout_q,
         "events_twap": events_twap_q,
         "customer_k_anonymity": customer_k_anonymity_q,
+        "events_rolling_24h": events_rolling_24h_q,
+        "lineitem_copurchase": lineitem_copurchase_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7592,6 +7625,42 @@ def oracle_sql() -> dict[str, str]:
         # a file wrongly dropped by the min/max intersection reds this
         "events_bootstrap_ci": _sql_bootstrap_ci(),
         "events_hilbert_layout": _sql_hilbert_layout(),
+        # Co-purchase: basket-key self-join, total-ordered top-k cut
+        "lineitem_copurchase": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+                SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+                FROM items a JOIN items b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+            )
+            SELECT item_a, item_b, count(*) AS cnt
+            FROM pairs GROUP BY item_a, item_b
+            ORDER BY cnt DESC, item_a, item_b
+            LIMIT 100
+        """,
+        # Rolling 24h: RANGE frame over micros, decimal frame sums
+        "events_rolling_24h": """
+            WITH base AS (
+                SELECT event_id, user_id,
+                       epoch_us(ts::TIMESTAMP) AS us,
+                       CAST(value AS DECIMAL(18,6)) AS vd
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT event_id, user_id,
+                   CAST(count(*) OVER w AS BIGINT) AS rolling_n,
+                   round(CAST(sum(vd) OVER w AS DOUBLE)
+                         / CAST(count(*) OVER w AS DOUBLE), 6)
+                       AS rolling_mean
+            FROM base
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY us
+                RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+            )
+            ORDER BY event_id
+        """,
         # TWAP: exact micros weights, decimal weighted sum
         "events_twap": """
             WITH base AS (

@@ -222,6 +222,45 @@ def twap_by_key(
     )
 
 
+def rolling_time_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Per-key rolling aggregates over a TIME range frame
+    ``[t - window, t]``: appends ``rolling_n`` and ``rolling_mean``.
+    The sliding-window primitive behind rate limiting, burst scoring
+    and trailing-24h metrics — and deliberately a RANGE frame, not a
+    ROWS frame: the frame is defined by timestamp VALUES, so rows with
+    equal timestamps share one frame and no tie-break is needed for
+    determinism (a ROWS frame would need one).
+
+    The summed term rides DECIMAL — the frame aggregator is free to
+    associate additions however it likes without changing the result,
+    which is what lets a SQL oracle replay every row. One
+    key-partitioned sort; the frame walk is the window executor's
+    two-pointer pass, no self-join blow-up."""
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(F.col(value_col).isNotNull()).withColumn(
+        "__us", us
+    ).withColumn("__vd", F.col(value_col).cast("decimal(18,6)"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__us"))
+        .rangeBetween(-int(window_seconds) * 1_000_000, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("__vd").over(w)
+    return base.withColumn("rolling_n", n.cast("long")).withColumn(
+        "rolling_mean",
+        F.round(s.cast("double") / n.cast("double"), 6),
+    ).drop("__us", "__vd")
+
+
 def resample_interpolate(
     df: DataFrame,
     key_col: str,

@@ -23,6 +23,47 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    top_k: int = 100,
+) -> DataFrame:
+    """Market-basket co-occurrence: ``(item_a, item_b, cnt)`` for the
+    ``top_k`` most frequent unordered item pairs sharing a basket —
+    the support-counting core of frequent-itemset mining (Apriori's
+    k=2 pass) and of 'bought-together' recommendations.
+
+    Scale: the pair generation is a SELF-JOIN CO-PARTITIONED ON THE
+    BASKET KEY (both sides shuffle once on the same key — never a
+    cartesian), so the blow-up is bounded by Σ C(basket_size, 2), a
+    per-basket quantity; the ``item_a < item_b`` predicate halves it
+    and canonicalizes pair order. Dedup-first keeps quantity columns
+    from inflating supports. Top-k runs as TakeOrdered (no global
+    sort), totally ordered by (cnt DESC, item_a, item_b) so the cut
+    boundary is deterministic and oracle-replayable."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    items = df.select(
+        F.col(basket_col).alias("__bk"), F.col(item_col).alias("__it")
+    ).distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.__bk") == F.col("b.__bk"))
+        & (F.col("a.__it") < F.col("b.__it")),
+    ).select(
+        F.col("a.__it").alias("item_a"), F.col("b.__it").alias("item_b")
+    )
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return counts.orderBy(
+        F.col("cnt").desc(), F.col("item_a"), F.col("item_b")
+    ).limit(int(top_k))
+
+
 def transition_counts(
     df: DataFrame,
     key_col: str,

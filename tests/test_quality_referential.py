@@ -83,3 +83,38 @@ def test_transition_tie_break_is_deterministic(spark):
         ).collect()
     }
     assert out == {("x", "y"), ("y", "z")}
+
+
+def test_cooccurrence_pairs_counts_and_cut(spark):
+    from nspc_etl_basic_spark.operators.sequences import cooccurrence_pairs
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (3, "b"),  # duplicate item in basket must not inflate support
+    ]
+    df = spark.createDataFrame(rows, "bk long, it string")
+    out = [tuple(r) for r in cooccurrence_pairs(df, "bk", "it", top_k=2).collect()]
+    assert out[0] == ("a", "b", 3)
+    assert out[1] in (("a", "c", 1), ("b", "c", 1))
+    assert out[1] == ("a", "c", 1)  # tie broken by (item_a, item_b)
+
+
+def test_rolling_time_agg_frame(spark):
+    import datetime
+
+    from nspc_etl_basic_spark.operators.resample import rolling_time_agg
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", t0, 1, 10.0),
+        ("u", t0 + datetime.timedelta(hours=12), 2, 20.0),
+        ("u", t0 + datetime.timedelta(hours=30), 3, 40.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, id long, v double")
+    out = {r["id"]: (r["rolling_n"], r["rolling_mean"]) for r in
+           rolling_time_agg(df, "k", "ts", "v", window_seconds=86400).collect()}
+    assert out[1] == (1, 10.0)
+    assert out[2] == (2, 15.0)          # both within 24h
+    assert out[3] == (2, 30.0)          # first row aged out of the frame
