@@ -3831,15 +3831,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Dict order matters: the driver checks the FIRST 50 entries each
-    # round. Round-5 order: (1) every query whose plan or oracle changed
-    # this round — the five newly-oracled trained/iterative rows
-    # (trained IVF/PQ, BPE train/encode, power-iteration PCA), then the
-    # whole LSH chain (band_key separator fix touches minhash -> pairs
-    # -> verify -> components -> keep-best -> split -> end-to-end) and
-    # the stats-index/streaming-adjacent rows; (2) rows the round-4
-    # verdict flagged stale: text_quality_filter (restaged e729b93) and
-    # the TPC-H block last rowed in r02; (3) the stalest r03-green rows.
-    # The r04-green remainder (freshest signal) sits past the cap.
+    # round. Round-5 order: (0) the round-5 additions, never
+    # driver-verified — the second-wave lakehouse/statistics/governance
+    # operators lead (MV refresh, CMS, epoch shuffle, streaming MV/dedup
+    # replays, schema evolution, snapshot diff, winsorize,
+    # pseudonymize/k-anonymity, referential suite, transitions, OLS,
+    # CUSUM, bootstrap CI, bucketed join, Hilbert, TWAP, rolling,
+    # co-purchase), then the first wave (tfidf, graph ops, drift, CDC
+    # replay, ...); (1) rows whose plan or oracle changed this round —
+    # the five newly-oracled trained/iterative rows and the
+    # band-key-fix LSH chain; (2) verdict-flagged stale rows. The
+    # r04-green remainder (freshest signal) sits past the cap.
     return {
         # -- (0) NEW in round 5: never driver-verified --
         "orders_mv_refresh": orders_mv_refresh_q,
