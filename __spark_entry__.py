@@ -3699,6 +3699,63 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_join_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream join (streaming/joins.attribution_join)
+    driver-oracled end-to-end: purchases and views replay as two
+    synchronized three-tercile file streams, each purchase matched to
+    the same user's views in the preceding hour. Eviction can never
+    drop an in-window pair: the watermark (2 h) exceeds the lag (1 h)
+    and slices arrive in event-time order, so every needed view is
+    still in state when its purchase arrives — making the streamed
+    inner join's final table equal the batch interval join, which is
+    exactly the oracle SQL."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.streaming.joins import attribution_join
+    from nspc_etl_basic_spark.streaming.ingest import run_available_now
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    views = ev.where(F.col("event_type") == "view")
+    work, done = _replay_work_dir(sf_dir, "ssjoin", "events")
+    sink = os.path.join(work, "out")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        lsrc, rsrc = os.path.join(work, "l"), os.path.join(work, "r")
+        lslices = _replay_slices(purchases, "ts")
+        rslices = _replay_slices(views, "ts")
+        schema = purchases.schema
+        for ls, rs in zip(lslices, rslices):
+            ls.coalesce(1).write.mode("append").parquet(lsrc)
+            rs.coalesce(1).write.mode("append").parquet(rsrc)
+            lstream = (
+                spark.readStream.schema(schema).format("parquet").load(lsrc)
+            )
+            rstream = (
+                spark.readStream.schema(schema).format("parquet").load(rsrc)
+            )
+            joined = attribution_join(
+                lstream, rstream, on_key="user_id",
+                max_lag="1 hour", watermark="2 hours",
+            )
+            run_available_now(
+                joined.select(
+                    F.col("event_id").alias("purchase_id"),
+                    F.col("event_id_r").alias("view_id"),
+                    "user_id",
+                ),
+                sink,
+                os.path.join(work, "ckpt"),
+            )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).orderBy("purchase_id", "view_id")
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -3864,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_k_anonymity": customer_k_anonymity_q,
         "events_rolling_24h": events_rolling_24h_q,
         "lineitem_copurchase": lineitem_copurchase_q,
+        "stream_join_replay": stream_join_replay_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5400,6 +5458,18 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        # stream-stream join replay: watermark(2h) > lag(1h) + ordered
+        # slices => streamed inner join == batch interval join
+        "stream_join_replay": """
+            SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                   p.user_id
+            FROM events p JOIN events v
+              ON p.user_id = v.user_id
+             AND v.ts >= p.ts - INTERVAL 1 HOUR
+             AND v.ts <= p.ts
+            WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+            ORDER BY purchase_id, view_id
+        """,
         # streaming dedup replay: double-delivered feed collapses to the
         # distinct source rows — the oracle is the source itself
         "stream_dedup_replay": """
