@@ -2231,6 +2231,31 @@ def lineitem_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_setjoin_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering
+    (dedup.setjoin_exact, PPJoin-style) over the same 8-char shingle
+    sets MinHash estimates: the no-false-negatives counterpart to the
+    LSH tier, proven by the oracle — which is the BRUTE-FORCE
+    all-shared-shingle join; any qualifying pair the prefix index
+    missed would fail the row-count match. Thresholding is integer
+    ppm, so the cut is exact on both engines.
+
+    The driver query runs a deterministic 10% document slice: an exact
+    similarity join's cost is four full-shingle-table shuffles (freq,
+    dedup, per-doc sort input, verification) — the price of the
+    no-false-negatives guarantee, documented in SCALE.md; production
+    points it at a candidate-scoped corpus (e.g. one ingest batch vs
+    the LSH-flagged suspects), the same guarded-tier convention as
+    sim_topk's max_queries."""
+    from nspc_etl_basic_spark.operators.dedup import setjoin_exact
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return setjoin_exact(
+        docs, id_col="doc_id", text_col="text", threshold_ppm=600_000,
+        shingle_k=8,
+    ).orderBy("id_a", "id_b")
+
+
 def events_winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type clipping (sketches.winsorize): values clamped at
     the deterministic histogram (p05, p95) — bounds broadcast, the clip
@@ -3922,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rolling_24h": events_rolling_24h_q,
         "lineitem_copurchase": lineitem_copurchase_q,
         "stream_join_replay": stream_join_replay_q,
+        "dedup_setjoin_exact": dedup_setjoin_exact_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7697,6 +7723,32 @@ def oracle_sql() -> dict[str, str]:
         # a file wrongly dropped by the min/max intersection reds this
         "events_bootstrap_ci": _sql_bootstrap_ci(),
         "events_hilbert_layout": _sql_hilbert_layout(),
+        # Exact set-similarity join: brute force proves the prefix
+        # index missed nothing
+        "dedup_setjoin_exact": f"""
+            WITH toks AS (
+                SELECT doc_id, shingle AS tok
+                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id % 10 = 0) dslice")})
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.id_a, i.id_b, i.n_common,
+                   floor(i.n_common * 1000000.0
+                         / CAST(sa.n + sb.n - i.n_common AS DOUBLE))
+                       / 1000000.0 AS jaccard
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.id_a
+            JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.n_common * 1000000
+                  >= 600000 * (sa.n + sb.n - i.n_common)
+            ORDER BY i.id_a, i.id_b
+        """,
         # Co-purchase: basket-key self-join, total-ordered top-k cut
         "lineitem_copurchase": """
             WITH items AS (
