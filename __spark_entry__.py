@@ -2200,6 +2200,27 @@ def events_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def events_ab_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Welch's t-test between the first and second time halves
+    (trend.welch_t): six conditional DECIMAL sufficient statistics in
+    ONE map-side aggregate, then the t / Welch–Satterthwaite-df finale
+    in pinned double arithmetic (sqrt is IEEE-correctly-rounded, so
+    even it replays). The split point is exact integer arithmetic on
+    min/max epoch micros; significance is the large-sample two-sided
+    5% normal bound, stated as such."""
+    from nspc_etl_basic_spark.operators.trend import welch_t
+
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lo, hi = ev.agg(F.min(us), F.max(us)).first()
+    mid = (int(lo) + int(hi)) // 2
+    flagged = ev.withColumn("__flag", us < F.lit(mid))
+    return welch_t(
+        flagged, key_col="event_type", value_col="value",
+        flag_col="__flag",
+    ).orderBy("event_type")
+
+
 def events_transitions_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of user event streams
     (sequences.transition_counts): lead() windows partition per user
@@ -3948,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_copurchase": lineitem_copurchase_q,
         "stream_join_replay": stream_join_replay_q,
         "dedup_setjoin_exact": dedup_setjoin_exact_q,
+        "events_ab_test": events_ab_test_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7928,6 +7950,75 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                          END, 8) AS r2
             FROM a ORDER BY event_type
+        """,
+        # Welch A/B: conditional decimal stats, pinned double finale
+        "events_ab_test": """
+            WITH b AS (
+                SELECT (epoch_us(min(ts::TIMESTAMP))
+                        + epoch_us(max(ts::TIMESTAMP))) // 2 AS mid
+                FROM events
+            ),
+            f AS (
+                SELECT event_type,
+                       CAST(value AS DECIMAL(18,6)) AS vd,
+                       epoch_us(ts::TIMESTAMP) < b.mid AS flag
+                FROM events CROSS JOIN b
+                WHERE value IS NOT NULL
+            ),
+            a AS (
+                SELECT event_type,
+                       CAST(sum(CASE WHEN flag THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_a,
+                       CAST(sum(CASE WHEN NOT flag THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_b,
+                       CAST(sum(CASE WHEN flag THEN vd END)
+                            AS DECIMAL(38,6)) AS sa,
+                       CAST(sum(CASE WHEN NOT flag THEN vd END)
+                            AS DECIMAL(38,6)) AS sb,
+                       CAST(sum(CASE WHEN flag THEN vd * vd END)
+                            AS DECIMAL(38,12)) AS qa,
+                       CAST(sum(CASE WHEN NOT flag THEN vd * vd END)
+                            AS DECIMAL(38,12)) AS qb
+                FROM f GROUP BY event_type
+            ),
+            d AS (
+                SELECT event_type, n_a, n_b,
+                       CAST(n_a AS DOUBLE) AS nad,
+                       CAST(n_b AS DOUBLE) AS nbd,
+                       CAST(sa AS DOUBLE) AS sad,
+                       CAST(sb AS DOUBLE) AS sbd,
+                       CAST(qa AS DOUBLE) AS qad,
+                       CAST(qb AS DOUBLE) AS qbd
+                FROM a
+            ),
+            e AS (
+                SELECT event_type, n_a, n_b, nad, nbd,
+                       sad / nad AS ma, sbd / nbd AS mb,
+                       ((nad * qad - sad * sad) / (nad * (nad - 1.0)))
+                           / nad AS sea,
+                       ((nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)))
+                           / nbd AS seb,
+                       (nad * qad - sad * sad) / (nad * (nad - 1.0)) AS va,
+                       (nbd * qbd - sbd * sbd) / (nbd * (nbd - 1.0)) AS vb
+                FROM d
+            )
+            SELECT event_type, n_a, n_b,
+                   round(ma, 6) AS mean_a,
+                   round(mb, 6) AS mean_b,
+                   round(CASE WHEN n_a > 1 AND n_b > 1
+                              AND sea + seb > 0
+                         THEN (ma - mb) / sqrt(sea + seb) END, 6)
+                       AS t_stat,
+                   round(CASE WHEN n_a > 1 AND n_b > 1
+                              AND sea + seb > 0 AND va > 0 AND vb > 0
+                         THEN ((sea + seb) * (sea + seb))
+                              / ((sea * sea) / (nad - 1.0)
+                                 + (seb * seb) / (nbd - 1.0)) END, 4)
+                       AS df,
+                   CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0
+                        THEN abs((ma - mb) / sqrt(sea + seb))
+                             > 1.959964 END AS significant
+            FROM e ORDER BY event_type
         """,
         # Markov transitions: lead() per user, floor-normalized rows
         "events_transitions": """

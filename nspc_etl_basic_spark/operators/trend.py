@@ -117,6 +117,86 @@ def cusum_alarms(
     )
 
 
+def welch_t(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    flag_col: str,
+    critical: float = 1.959964,
+) -> DataFrame:
+    """Per-key Welch's unequal-variance t-test between the flag=true
+    and flag=false populations: ``(key_col, n_a, n_b, mean_a, mean_b,
+    t_stat, df, significant)`` — the A/B comparison primitive
+    (before/after a change, treatment/control, first/second half).
+
+    Single pass: all six sufficient statistics (n, Σv, Σv² per side)
+    come from ONE map-side-combined aggregate with conditional decimal
+    sums — exact and partition-order-independent — and the
+    t/Welch–Satterthwaite-df finale is pinned double arithmetic the
+    oracle replays term-for-term. ``significant`` compares |t| against
+    a caller-supplied critical value (default: two-sided normal 5% —
+    the large-sample approximation; for small n supply the t-quantile
+    yourself, this operator does not ship an incomplete-beta CDF
+    because transcendental CDFs are not cross-engine replayable).
+    Keys missing either side, or with a zero-variance side, return
+    null t/df/significant."""
+    vd = F.col(value_col).cast("decimal(18,6)")
+    is_a = F.col(flag_col)
+    agg = df.where(F.col(value_col).isNotNull()).groupBy(key_col).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_a, vd)).cast("decimal(38,6)").alias("__sa"),
+        F.sum(F.when(~is_a, vd)).cast("decimal(38,6)").alias("__sb"),
+        F.sum(F.when(is_a, vd * vd)).cast("decimal(38,12)").alias("__qa"),
+        F.sum(F.when(~is_a, vd * vd)).cast("decimal(38,12)").alias("__qb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    sa = F.col("__sa").cast("double")
+    sb = F.col("__sb").cast("double")
+    qa = F.col("__qa").cast("double")
+    qb = F.col("__qb").cast("double")
+    # every division guarded by a when() excluding its zero divisor —
+    # ANSI mode errors on x/0 even for null numerators, and CASE WHEN
+    # is the short-circuit that keeps the degenerate rows null
+    ma = F.when(F.col("n_a") > 0, sa / na)
+    mb = F.when(F.col("n_b") > 0, sb / nb)
+    va = F.when(
+        F.col("n_a") > 1, (na * qa - sa * sa) / (na * (na - F.lit(1.0)))
+    )
+    vb = F.when(
+        F.col("n_b") > 1, (nb * qb - sb * sb) / (nb * (nb - F.lit(1.0)))
+    )
+    sea = F.when(F.col("n_a") > 1, va / na)
+    seb = F.when(F.col("n_b") > 1, vb / nb)
+    ok = (
+        (F.col("n_a") > 1)
+        & (F.col("n_b") > 1)
+        & ((sea + seb) > 0)  # null (missing side) compares to false
+    )
+    tstat = F.when(ok, (ma - mb) / F.sqrt(sea + seb))
+    dfw = F.when(
+        ok & (va > 0) & (vb > 0),
+        ((sea + seb) * (sea + seb))
+        / (
+            (sea * sea) / (na - F.lit(1.0))
+            + (seb * seb) / (nb - F.lit(1.0))
+        ),
+    )
+    return agg.select(
+        key_col,
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(tstat, 6).alias("t_stat"),
+        F.round(dfw, 4).alias("df"),
+        F.when(
+            tstat.isNotNull(), F.abs(tstat) > F.lit(float(critical))
+        ).alias("significant"),
+    )
+
+
 def grouped_ols(
     df: DataFrame,
     key_col: str,
