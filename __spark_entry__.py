@@ -2200,6 +2200,56 @@ def events_bootstrap_ci_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine auditing its own probabilistic tier: MinHash-LSH
+    candidate RECALL measured against the exact prefix-filter join's
+    ground truth on the same low-id document block — one row
+    (n_true, n_candidates, n_hit, recall_ppm). The S-curve says a
+    J>=0.6 pair collides in some band with high probability; this
+    query MEASURES it instead of citing it, and the oracle recomputes
+    both tiers (brute-force truth, banded candidates) plus the same
+    tag-union-aggregate — no cartesian, no 1-row join."""
+    from nspc_etl_basic_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        setjoin_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1200)
+    truth = setjoin_exact(
+        docs, threshold_ppm=600_000, shingle_k=8
+    ).select("id_a", "id_b")
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        "id_a", "id_b"
+    )
+    t_tag = truth.select(
+        "id_a", "id_b",
+        F.lit(1).alias("__it"), F.lit(0).alias("__ic"),
+    )
+    c_tag = cands.select(
+        "id_a", "id_b",
+        F.lit(0).alias("__it"), F.lit(1).alias("__ic"),
+    )
+    marked = (
+        t_tag.unionByName(c_tag)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("__it").alias("__t"), F.max("__ic").alias("__c"))
+    )
+    return marked.agg(
+        F.sum("__t").cast("long").alias("n_true"),
+        F.sum("__c").cast("long").alias("n_candidates"),
+        F.sum(F.col("__t") * F.col("__c")).cast("long").alias("n_hit"),
+        F.when(
+            F.sum("__t") > 0,
+            F.floor(
+                F.sum(F.col("__t") * F.col("__c")).cast("long")
+                * F.lit(1_000_000)
+                / F.sum("__t").cast("double")
+            ).cast("long"),
+        ).alias("recall_ppm"),
+    )
+
+
 def events_ab_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type Welch's t-test between the first and second time halves
     (trend.welch_t): six conditional DECIMAL sufficient statistics in
@@ -2261,16 +2311,17 @@ def dedup_setjoin_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     missed would fail the row-count match. Thresholding is integer
     ppm, so the cut is exact on both engines.
 
-    The driver query runs a deterministic 10% document slice: an exact
-    similarity join's cost is four full-shingle-table shuffles (freq,
-    dedup, per-doc sort input, verification) — the price of the
-    no-false-negatives guarantee, documented in SCALE.md; production
-    points it at a candidate-scoped corpus (e.g. one ingest batch vs
-    the LSH-flagged suspects), the same guarded-tier convention as
-    sim_topk's max_queries."""
+    The driver query runs the corpus's low-id block (doc_id < 1200 —
+    where the generator plants the near-dup pairs; a modulo slice
+    would orphan pair members): an exact similarity join's cost on a
+    template corpus is candidate-bound (tiny shared vocabulary ->
+    even rarest-first prefixes collide), documented with measurements
+    in SCALE.md; production points it at a candidate-scoped corpus
+    (e.g. one ingest batch vs the LSH-flagged suspects), the same
+    guarded-tier convention as sim_topk's max_queries."""
     from nspc_etl_basic_spark.operators.dedup import setjoin_exact
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1200)
     return setjoin_exact(
         docs, id_col="doc_id", text_col="text", threshold_ppm=600_000,
         shingle_k=8,
@@ -3970,6 +4021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join_replay": stream_join_replay_q,
         "dedup_setjoin_exact": dedup_setjoin_exact_q,
         "events_ab_test": events_ab_test_q,
+        "dedup_lsh_recall": dedup_lsh_recall_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -7750,7 +7802,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin_exact": f"""
             WITH toks AS (
                 SELECT doc_id, shingle AS tok
-                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id % 10 = 0) dslice")})
+                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
             inter AS (
@@ -7950,6 +8002,48 @@ def oracle_sql() -> dict[str, str]:
                                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
                          END, 8) AS r2
             FROM a ORDER BY event_type
+        """,
+        # LSH recall audit: both tiers recomputed, tag-union-aggregate
+        "dedup_lsh_recall": f"""
+            WITH toks AS (
+                SELECT doc_id, shingle AS tok
+                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS c
+                FROM toks a JOIN toks b
+                  ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            truth AS (
+                SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.id_a
+                JOIN sizes sb ON sb.doc_id = i.id_b
+                WHERE i.c * 1000000 >= 600000 * (sa.n + sb.n - i.c)
+            ),
+            cands AS (
+                {_sql_lsh_pairs("(SELECT * FROM documents WHERE doc_id < 1200) dslice")}
+            ),
+            tagged AS (
+                SELECT id_a, id_b, 1 AS it, 0 AS ic FROM truth
+                UNION ALL
+                SELECT id_a, id_b, 0, 1 FROM cands
+            ),
+            m AS (
+                SELECT id_a, id_b, max(it) AS t, max(ic) AS c
+                FROM tagged GROUP BY id_a, id_b
+            )
+            SELECT CAST(sum(t) AS BIGINT) AS n_true,
+                   CAST(sum(c) AS BIGINT) AS n_candidates,
+                   CAST(sum(t * c) AS BIGINT) AS n_hit,
+                   CASE WHEN sum(t) > 0 THEN
+                       CAST(floor(CAST(sum(t * c) AS BIGINT) * 1000000
+                                  / CAST(sum(t) AS DOUBLE)) AS BIGINT)
+                   END AS recall_ppm
+            FROM m
         """,
         # Welch A/B: conditional decimal stats, pinned double finale
         "events_ab_test": """
