@@ -379,3 +379,51 @@ def test_plan_summary_signals(spark, sf_dir):
     assert s2["exchanges"] == 0  # projection-only signature
     s3 = plan_summary(QUERIES["q10_returned_items"](spark, sf_dir))
     assert s3["take_ordered"] >= 1
+
+
+def test_mv_refresh_broadcasts_delta_never_sorts_fact(spark, sf_dir):
+    """Incremental MV: the delta side is broadcast-hinted and the plan
+    contains no cartesian; a fact-table re-aggregation would show up as
+    extra scans of orders beyond the feed legs + mv0."""
+    plan = _plan_simple(QUERIES["orders_mv_refresh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_sketch_aggregates_map_side(spark, sf_dir):
+    """CMS cells: partial aggregation before the exchange (the shuffle
+    carries per-task partial cells, not exploded rows)."""
+    plan = _plan_simple(QUERIES["events_cms_freq"](spark, sf_dir))
+    assert "partial_sum" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_epoch_shuffle_has_no_unpartitioned_window(spark, sf_dir):
+    """epoch_shuffle's whole point: every Window node carries a
+    partition spec (shard / shard+bucket) — an empty partitionBy would
+    collapse the corpus onto one task."""
+    from nspc_etl_basic_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan_simple(epoch_shuffle(docs, "doc_id", seed=1, n_shards=4))
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "shard" in ln, f"unpartitioned window: {ln}"
+
+
+def test_rolling_window_is_range_frame(spark, sf_dir):
+    plan = _plan_simple(QUERIES["events_rolling_24h"](spark, sf_dir))
+    assert "RangeFrame" in plan  # a RowFrame here would be tie-unsafe
+
+
+def test_setjoin_never_cartesian(spark, sf_dir):
+    plan = _plan_simple(QUERIES["dedup_setjoin_exact"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_welch_is_single_aggregate_pass(spark, sf_dir):
+    """welch_t: one scan of events, one aggregate exchange — the six
+    conditional sums must not fan out into per-side scans."""
+    plan = _plan_simple(QUERIES["events_ab_test"](spark, sf_dir))
+    assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
