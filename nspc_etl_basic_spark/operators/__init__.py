@@ -109,3 +109,47 @@ from nspc_etl_basic_spark.operators.resample import (
 )
 
 __all__ += ["ewma_by_key", "resample_ffill", "resample_interpolate"]
+
+from nspc_etl_basic_spark.operators.bootstrap import bootstrap_mean_ci
+from nspc_etl_basic_spark.operators.mv import (
+    incremental_refresh,
+    mv_apply_delta,
+    mv_delta,
+    summary_mv,
+)
+from nspc_etl_basic_spark.operators.privacy import (
+    k_anonymity_report,
+    pseudonymize,
+)
+from nspc_etl_basic_spark.operators.quality import (
+    referential_check,
+    referential_suite,
+)
+from nspc_etl_basic_spark.operators.sampling import epoch_shuffle
+from nspc_etl_basic_spark.operators.sequences import (
+    cooccurrence_pairs,
+    transition_counts,
+)
+from nspc_etl_basic_spark.operators.trend import (
+    cusum_alarms,
+    grouped_ols,
+    welch_t,
+)
+
+__all__ += [
+    "bootstrap_mean_ci",
+    "incremental_refresh",
+    "mv_apply_delta",
+    "mv_delta",
+    "summary_mv",
+    "k_anonymity_report",
+    "pseudonymize",
+    "referential_check",
+    "referential_suite",
+    "epoch_shuffle",
+    "cooccurrence_pairs",
+    "transition_counts",
+    "cusum_alarms",
+    "grouped_ols",
+    "welch_t",
+]
