@@ -2217,9 +2217,9 @@ def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1200)
     truth = setjoin_exact(
-        docs, threshold_ppm=600_000, shingle_k=8
+        docs, threshold_ppm=600_000, shingle_k=12
     ).select("id_a", "id_b")
-    cands = lsh_candidate_pairs(minhash_signatures(docs)).select(
+    cands = lsh_candidate_pairs(minhash_signatures(docs, k=12)).select(
         "id_a", "id_b"
     )
     t_tag = truth.select(
@@ -2304,8 +2304,11 @@ def lineitem_copurchase_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_setjoin_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT Jaccard similarity self-join via prefix filtering
-    (dedup.setjoin_exact, PPJoin-style) over the same 8-char shingle
-    sets MinHash estimates: the no-false-negatives counterpart to the
+    (dedup.setjoin_exact, PPJoin-style) over 12-char shingle sets (the
+    MinHash tier's construction at k=12 — longer shingles grow the
+    template corpus's tiny vocabulary ~7x and collapse the candidate
+    explosion; SCALE.md has the numbers): the no-false-negatives
+    counterpart to the
     LSH tier, proven by the oracle — which is the BRUTE-FORCE
     all-shared-shingle join; any qualifying pair the prefix index
     missed would fail the row-count match. Thresholding is integer
@@ -2324,7 +2327,7 @@ def dedup_setjoin_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1200)
     return setjoin_exact(
         docs, id_col="doc_id", text_col="text", threshold_ppm=600_000,
-        shingle_k=8,
+        shingle_k=12,
     ).orderBy("id_a", "id_b")
 
 
@@ -4334,9 +4337,9 @@ def _sql_lsh_bands(
     return " UNION ALL ".join(parts)
 
 
-def _sql_lsh_pairs(table: str = "documents") -> str:
+def _sql_lsh_pairs(table: str = "documents", k: int = 8) -> str:
     return f"""
-        WITH sigs AS ({_sql_minhash_sigs(table=table)}),
+        WITH sigs AS ({_sql_minhash_sigs(k=k, table=table)}),
         bands AS ({_sql_lsh_bands()})
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(count(*) AS BIGINT) AS n_shared_bands
@@ -7802,7 +7805,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_setjoin_exact": f"""
             WITH toks AS (
                 SELECT doc_id, shingle AS tok
-                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
+                FROM ({_sql_shingles(12, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
             inter AS (
@@ -8007,7 +8010,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lsh_recall": f"""
             WITH toks AS (
                 SELECT doc_id, shingle AS tok
-                FROM ({_sql_shingles(8, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
+                FROM ({_sql_shingles(12, "(SELECT * FROM documents WHERE doc_id < 1200) dslice")})
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
             inter AS (
@@ -8025,7 +8028,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE i.c * 1000000 >= 600000 * (sa.n + sb.n - i.c)
             ),
             cands AS (
-                {_sql_lsh_pairs("(SELECT * FROM documents WHERE doc_id < 1200) dslice")}
+                {_sql_lsh_pairs("(SELECT * FROM documents WHERE doc_id < 1200) dslice", k=12)}
             ),
             tagged AS (
                 SELECT id_a, id_b, 1 AS it, 0 AS ic FROM truth
