@@ -3856,6 +3856,56 @@ def stream_join_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sink).orderBy("purchase_id", "view_id")
 
 
+def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (streaming/sessionize.py,
+    applyInPandasWithState — the one Arrow-stateful operator) driver-
+    oracled end-to-end: events replay as three time terciles plus a
+    final per-user SENTINEL slice at max(ts)+2h, which closes every
+    user's last real session through the in-batch gap logic — no
+    reliance on timeout firing order; sentinel sessions themselves
+    stay open and are never emitted. The emitted set is then exactly
+    the batch islands decomposition (lag > 30 min starts a session),
+    which is the oracle SQL. Session bounds ride millisecond integers
+    in state; the driver normalizes timestamps to seconds, and the
+    corpus's timestamps are whole seconds anyway."""
+    import datetime as _dtmod
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.streaming.ingest import run_available_now
+    from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    work, done = _replay_work_dir(sf_dir, "sessionize", "events")
+    sink = os.path.join(work, "out")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        sentinel_ts = max_ts + _dtmod.timedelta(hours=2)
+        sentinels = ev.select("user_id").distinct().withColumn(
+            "ts", F.lit(sentinel_ts).cast(dict(ev.dtypes)["ts"])
+        )
+        slices = _replay_slices(ev, "ts") + [sentinels]
+        _drain_slices(
+            spark,
+            slices,
+            os.path.join(work, "src"),
+            lambda stream: run_available_now(
+                sessionize_stateful(
+                    stream, gap="30 minutes", watermark="1 hour"
+                ),
+                sink,
+                os.path.join(work, "ckpt"),
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(sink).orderBy(
+        "user_id", "session_start"
+    )
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -4025,6 +4075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_setjoin_exact": dedup_setjoin_exact_q,
         "events_ab_test": events_ab_test_q,
         "dedup_lsh_recall": dedup_lsh_recall_q,
+        "stream_sessionize_replay": stream_sessionize_replay_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5561,6 +5612,31 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        # stateful sessionize replay: sentinel slice closes every real
+        # session; emitted set == batch islands decomposition
+        "stream_sessionize_replay": """
+            WITH seq AS (
+                SELECT user_id, ts, epoch_ms(ts) AS ms,
+                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
+                                    > 1800000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            grp AS (
+                SELECT user_id, ts,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts, ms
+                           ROWS UNBOUNDED PRECEDING) AS sid
+                FROM seq
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS INTEGER) AS n_events
+            FROM grp GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
         # stream-stream join replay: watermark(2h) > lag(1h) + ordered
         # slices => streamed inner join == batch interval join
         "stream_join_replay": """
