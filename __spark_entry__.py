@@ -3906,6 +3906,63 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-micro-batch data-quality gate (streaming/quality.
+    run_stream_quality) driver-oracled: events replay as three time
+    terciles, each batch evaluated by the SAME one-aggregate-pass
+    constraint suite as dq_profile (completeness / exact uniqueness /
+    min / decimal mean — every metric engine-replayable), metrics
+    appended with the batch id. The oracle recomputes each tercile's
+    suite with the identical integer tercile cuts and aggregate
+    expressions — three slices × four checks, twelve value-hashed
+    rows."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators.quality import (
+        Check,
+        completeness,
+        mean_of,
+        minimum,
+        uniqueness,
+    )
+    from nspc_etl_basic_spark.streaming.quality import run_stream_quality
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
+    checks = [
+        Check("value_complete", completeness("value"), lo=0.5),
+        Check("event_id_unique", uniqueness("event_id"), lo=1.0, hi=1.0),
+        Check("value_min", minimum("value"), lo=0.0),
+        Check("value_mean", mean_of("value"), lo=0.0, hi=1000.0),
+    ]
+    work, done = _replay_work_dir(sf_dir, "quality", "events")
+    metrics = os.path.join(work, "metrics")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        _drain_slices(
+            spark,
+            _replay_slices(ev, "ts"),
+            os.path.join(work, "src"),
+            lambda stream: run_stream_quality(
+                stream, checks, metrics, os.path.join(work, "ckpt")
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    m = spark.read.parquet(metrics)
+    return m.select(
+        F.dense_rank().over(_W.orderBy("batch_id")).alias("batch_seq"),
+        "check_name",
+        "value",
+        "lo",
+        "hi",
+        "passed",
+    ).orderBy("batch_seq", "check_name")
+
+
 def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-key EWMA (streaming/ewma.py:run_stream_ewma),
     driver-oracled: events replay as three time-ordered micro-batches,
@@ -4076,6 +4133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ab_test": events_ab_test_q,
         "dedup_lsh_recall": dedup_lsh_recall_q,
         "stream_sessionize_replay": stream_sessionize_replay_q,
+        "stream_quality_replay": stream_quality_replay_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -5372,6 +5430,69 @@ def _sql_hilbert_layout(
     """
 
 
+def _sql_stream_quality_replay() -> str:
+    """Oracle for stream_quality_replay: each tercile's constraint
+    suite recomputed with the identical integer cuts and the exact
+    aggregate expressions of operators/quality.py's metrics; passed
+    mirrors run_checks' null-tolerant bound test."""
+    metrics = {
+        "value_complete": (
+            "round(CAST(count(value) AS DOUBLE)"
+            " / greatest(count(*), 1), 6)",
+            "0.5",
+            "CAST(NULL AS DOUBLE)",
+        ),
+        "event_id_unique": (
+            "round(CAST(count(DISTINCT event_id) AS DOUBLE)"
+            " / greatest(count(*), 1), 6)",
+            "1.0",
+            "1.0",
+        ),
+        "value_min": (
+            "CAST(min(value) AS DOUBLE)",
+            "0.0",
+            "CAST(NULL AS DOUBLE)",
+        ),
+        "value_mean": (
+            "round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)"
+            " / greatest(count(value), 1), 4)",
+            "0.0",
+            "1000.0",
+        ),
+    }
+    legs = []
+    for s in (1, 2, 3):
+        for name, (expr, lo, hi) in metrics.items():
+            legs.append(
+                f"SELECT {s} AS batch_seq, '{name}' AS check_name, "
+                f"{expr} AS value, CAST({lo} AS DOUBLE) AS lo, "
+                f"{hi} AS hi FROM src WHERE slice = {s}"
+            )
+    union = "\n            UNION ALL ".join(legs)
+    return f"""
+        WITH bounds AS (
+            SELECT epoch_us(min(ts::TIMESTAMP)) AS lo,
+                   epoch_us(max(ts::TIMESTAMP)) AS hi
+            FROM events
+        ),
+        src AS (
+            SELECT e.event_id, e.value,
+                   CASE WHEN epoch_us(e.ts::TIMESTAMP)
+                             < b.lo + (b.hi - b.lo + 1) // 3 THEN 1
+                        WHEN epoch_us(e.ts::TIMESTAMP)
+                             < b.lo + 2 * ((b.hi - b.lo + 1) // 3) THEN 2
+                        ELSE 3 END AS slice
+            FROM events e CROSS JOIN bounds b
+        ),
+        m AS ({union})
+        SELECT batch_seq, check_name, value, lo, hi,
+               (value IS NOT NULL
+                AND coalesce(value >= lo, TRUE)
+                AND coalesce(value <= hi, TRUE)) AS passed
+        FROM m ORDER BY batch_seq, check_name
+    """
+
+
 def _sql_stream_anomaly_replay() -> str:
     """Oracle for stream_anomaly_replay: per-slice CUMULATIVE z-score
     scoring. Slices recompute the same integer-µs tercile cuts the
@@ -5612,6 +5733,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_scd2_replay": _sql_scd2_apply(),
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
+        "stream_quality_replay": _sql_stream_quality_replay(),
         # stateful sessionize replay: sentinel slice closes every real
         # session; emitted set == batch islands decomposition
         "stream_sessionize_replay": """
