@@ -2828,6 +2828,39 @@ def orders_bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_partition_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partition pruning (sinks/bucketed.write_partitioned):
+    events written partitioned by event_type, then read back filtered
+    to two types — the filter resolves at PLANNING time as
+    PartitionFilters (pinned by the plan contract test: untouched
+    type directories are never listed or opened; the complementary
+    mechanism to the stats index's file-level pruning). Layout changes
+    the plan, never the answer: the oracle is the plain filtered
+    aggregate."""
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.bucketed import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="nspc_part_") + "/events"
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            ).cast("double").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def warehouse_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """After-the-fact version diff (merge.snapshot_diff over
     ParquetWarehouse time travel): v0 = even-key orders; v1 = v0 merged
@@ -4134,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": dedup_lsh_recall_q,
         "stream_sessionize_replay": stream_sessionize_replay_q,
         "stream_quality_replay": stream_quality_replay_q,
+        "events_partition_prune": events_partition_prune_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -8440,6 +8474,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
             ORDER BY c.c_nationkey
+        """,
+        # Partition pruning: layout changes the plan, not the answer
+        "events_partition_prune": """
+            SELECT event_type, count(*) AS n_events,
+                   CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         # Snapshot diff: minimal op set between two replayed versions —
         # merge-touched-but-identical rows must NOT appear

@@ -427,3 +427,13 @@ def test_welch_is_single_aggregate_pass(spark, sf_dir):
     conditional sums must not fan out into per-side scans."""
     plan = _plan_simple(QUERIES["events_ab_test"](spark, sf_dir))
     assert plan.count("Scan parquet") + plan.count("FileScan") <= 2
+
+
+def test_partition_prune_resolves_at_planning_time(spark, sf_dir):
+    """events_partition_prune: the event_type filter must appear as a
+    PartitionFilter on the scan (directory-level pruning), not a data
+    filter over all rows."""
+    plan = _plan(QUERIES["events_partition_prune"](spark, sf_dir))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
+    assert pf, "no PartitionFilters in the scan"
+    assert "event_type" in pf[0]
