@@ -2861,6 +2861,77 @@ def events_partition_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_agg_pushdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown (DataSource V2): count/min/max
+    answered from row-group FOOTER STATISTICS — the scan reads metadata
+    pages, not data pages (the plan shows
+    `PushedAggregation: [COUNT(*), MIN(value), MAX(value)]`, pinned by
+    the plan contract). At 100 TB this is the difference between a
+    full-column scan and a footer walk for table-stats queries. The
+    session confs are toggled and restored around the read; the result
+    is identical to the ordinary aggregate, which is the oracle."""
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        # materialize the plan while the confs are in force
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    return spark.createDataFrame(rows, df.schema)
+
+
+def events_dpp_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is partitioned by
+    event_type, the dim side filters to two types AT RUNTIME, and the
+    join plans a DynamicPruningExpression on the fact scan — only the
+    surviving type directories are read (pinned by the plan contract).
+    DPP is Spark's runtime complement to static partition pruning: the
+    pruning predicate isn't known until the dim filter evaluates. The
+    oracle is the plain join over an inline VALUES dim."""
+    import tempfile
+
+    from nspc_etl_basic_spark.sinks.bucketed import write_partitioned
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="nspc_dpp_") + "/events"
+    write_partitioned(ev, path, ["event_type"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 2.0),
+            ("purchase", 3.0),
+            ("signup", 4.0),
+            ("error", 5.0),
+        ],
+        "event_type string, weight double",
+    ).where(F.col("weight") <= 2.0)
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value").cast("decimal(18,4)")
+                    * F.col("weight").cast("decimal(6,2)")
+                ),
+                2,
+            ).cast("double").alias("weighted_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def warehouse_snapshot_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """After-the-fact version diff (merge.snapshot_diff over
     ParquetWarehouse time travel): v0 = even-key orders; v1 = v0 merged
@@ -4168,6 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_replay": stream_sessionize_replay_q,
         "stream_quality_replay": stream_quality_replay_q,
         "events_partition_prune": events_partition_prune_q,
+        "events_agg_pushdown": events_agg_pushdown_q,
+        "events_dpp_join": events_dpp_join_q,
         "text_tfidf_topk": text_tfidf_topk_q,
         "text_normalize": text_normalize_q,
         "text_inverted_index": text_inverted_index_q,
@@ -8474,6 +8547,27 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_nationkey
             ORDER BY c.c_nationkey
+        """,
+        # Aggregate pushdown: footer stats == ordinary aggregate
+        "events_agg_pushdown": """
+            SELECT count(*) AS n_rows, min(value) AS min_value,
+                   max(value) AS max_value
+            FROM events
+        """,
+        # DPP join: runtime pruning changes the plan, not the answer
+        "events_dpp_join": """
+            WITH dim(event_type, weight) AS (
+                VALUES ('click', 1.0), ('view', 2.0), ('purchase', 3.0),
+                       ('signup', 4.0), ('error', 5.0)
+            )
+            SELECT e.event_type, count(*) AS n_events,
+                   CAST(round(sum(CAST(e.value AS DECIMAL(18,4))
+                                  * CAST(d.weight AS DECIMAL(6,2))), 2)
+                        AS DOUBLE) AS weighted_sum
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            WHERE d.weight <= 2.0
+            GROUP BY e.event_type
+            ORDER BY e.event_type
         """,
         # Partition pruning: layout changes the plan, not the answer
         "events_partition_prune": """

@@ -437,3 +437,27 @@ def test_partition_prune_resolves_at_planning_time(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters:" in ln]
     assert pf, "no PartitionFilters in the scan"
     assert "event_type" in pf[0]
+
+
+def test_aggregate_pushdown_reaches_footer(spark, sf_dir):
+    """events_agg_pushdown: with the V2 reader the count/min/max must
+    appear as PushedAggregation on the scan (footer-stats walk)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+            F.count(F.lit(1)), F.min("value"), F.max("value")
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    assert "PushedAggregation: [COUNT(*), MIN(value), MAX(value)]" in plan
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    plan = _plan_simple(QUERIES["events_dpp_join"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower(), plan
