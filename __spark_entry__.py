@@ -4211,7 +4211,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # band-key-fix LSH chain; (2) verdict-flagged stale rows. The
     # r04-green remainder (freshest signal) sits past the cap.
     return {
-        # -- (0) NEW in round 5: never driver-verified --
+        # -- (0) the round-4 verdict's headline ask: the five formerly
+        # rows-only operators, now deterministic and value-oracled —
+        # they MUST land inside the 50-row driver window --
+        "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
+        "sim_ann_pq_trained": sim_ann_pq_trained_q,
+        "emb_pca_project": emb_pca_project_q,
+        "text_bpe_train": text_bpe_train_q,
+        "text_bpe_encode": text_bpe_encode_q,
+        # -- (1) NEW in round 5: never driver-verified --
         "orders_mv_refresh": orders_mv_refresh_q,
         "events_cms_freq": events_cms_freq_q,
         "corpus_epoch_shuffle": corpus_epoch_shuffle_q,
@@ -4258,12 +4266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_replay": stream_ewma_replay_q,
         "stream_anomaly_replay": stream_anomaly_replay_q,
         "events_zorder_layout": events_zorder_layout_q,
-        # -- (1) changed in round 5 --
-        "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
-        "sim_ann_pq_trained": sim_ann_pq_trained_q,
-        "emb_pca_project": emb_pca_project_q,
-        "text_bpe_train": text_bpe_train_q,
-        "text_bpe_encode": text_bpe_encode_q,
+        # -- (2) changed in round 5 --
         # fastlit-touched plans (round-5 literal-construction change):
         # re-rowed ahead of the stale-but-untouched TPC-H tail
         "sim_ann_lsh": sim_ann_lsh_q,
