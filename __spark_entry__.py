@@ -3665,24 +3665,59 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REPLAY_SLICES = 3
 
 
-def _replay_work_dir(sf_dir: str, tag: str, table: str) -> tuple[str, str]:
+def _replay_code_hash(*objs) -> str:
+    """md5 over the SOURCE CODE that defines a replay: the shared
+    slicing/drain helpers plus the query function and the streaming /
+    operator modules it drives (``inspect.getsource`` accepts both).
+    Any edit to the defining source therefore lands in a fresh work
+    dir automatically — unlike the hand-bumped version token this
+    replaces, which let a tree built by a pre-final iteration of the
+    query survive into a later run under an identical fingerprint."""
+    import hashlib
+    import inspect
+
+    h = hashlib.md5()
+    for obj in (_time_tercile_bounds, _replay_slices, _drain_slices) + objs:
+        h.update(inspect.getsource(obj).encode())
+    return h.hexdigest()[:12]
+
+
+def _replay_work_dir(
+    sf_dir: str, tag: str, table: str, code: str
+) -> tuple[str, str]:
     """Deterministic work dir for a streaming replay build, keyed on the
     SOURCE parquet's identity (mtime+size — regenerated testdata must
-    invalidate stale state) plus a code-version token so a semantics
-    change in the replay invalidates old trees."""
+    invalidate stale state) plus a code-identity hash from
+    ``_replay_code_hash`` so a semantics change in the replay
+    invalidates old trees without anyone remembering to bump a token.
+    Sibling dirs for the same (tag, sf) with a different hash are stale
+    by construction and removed here, as are legacy pre-code-hash dirs
+    (``nspc_replay_<tag>_<12hex>``), so /tmp stays bounded and a stale
+    tree can never be read even by an older binary."""
+    import glob
     import hashlib
     import os
+    import shutil
     import tempfile
 
     try:
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
-        fp = f"{sf_dir}|{table}|{st.st_mtime_ns}|{st.st_size}|{tag}|v1"
+        fp = f"{sf_dir}|{table}|{st.st_mtime_ns}|{st.st_size}|{tag}|{code}"
     except OSError:
-        fp = f"{sf_dir}|{table}|{tag}|v1"
+        fp = f"{sf_dir}|{table}|{tag}|{code}"
+    tmp = tempfile.gettempdir()
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    prefix = f"nspc_replay_{tag}_{sf_name}_"
     work = os.path.join(
-        tempfile.gettempdir(),
-        f"nspc_replay_{tag}_{hashlib.md5(fp.encode()).hexdigest()[:12]}",
+        tmp, prefix + hashlib.md5(fp.encode()).hexdigest()[:12]
     )
+    for stale in glob.glob(os.path.join(tmp, prefix + "*")):
+        if stale != work:
+            shutil.rmtree(stale, ignore_errors=True)
+    for legacy in glob.glob(
+        os.path.join(tmp, f"nspc_replay_{tag}_" + "[0-9a-f]" * 12)
+    ):
+        shutil.rmtree(legacy, ignore_errors=True)
     return work, os.path.join(work, "_DONE")
 
 
@@ -3733,14 +3768,19 @@ def stream_scd2_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.sinks import writer as _writer_m
     from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming import scd as _scd_m
     from nspc_etl_basic_spark.streaming.scd import run_stream_scd2
 
     feed = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderstatus", "o_orderpriority",
         "o_orderkey",
     )
-    work, done = _replay_work_dir(sf_dir, "scd2", "orders")
+    work, done = _replay_work_dir(
+        sf_dir, "scd2", "orders",
+        code=_replay_code_hash(stream_scd2_replay_q, _scd_m, _writer_m),
+    )
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
@@ -3781,13 +3821,18 @@ def stream_cdc_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window as _W
 
+    from nspc_etl_basic_spark.sinks import writer as _writer_m
     from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming import ingest as _ingest_m
     from nspc_etl_basic_spark.streaming.ingest import run_stream_upsert_cdc
 
     feed = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey"
     )
-    work, done = _replay_work_dir(sf_dir, "cdc", "orders")
+    work, done = _replay_work_dir(
+        sf_dir, "cdc", "orders",
+        code=_replay_code_hash(stream_cdc_replay_q, _ingest_m, _writer_m),
+    )
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
@@ -3824,14 +3869,19 @@ def stream_mv_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.sinks import writer as _writer_m
     from nspc_etl_basic_spark.sinks.writer import ParquetWarehouse
+    from nspc_etl_basic_spark.streaming import mv as _mv_m
     from nspc_etl_basic_spark.streaming.mv import run_stream_mv
 
     feed = _t(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_orderstatus", "o_orderkey",
         "o_totalprice",
     )
-    work, done = _replay_work_dir(sf_dir, "mv", "orders")
+    work, done = _replay_work_dir(
+        sf_dir, "mv", "orders",
+        code=_replay_code_hash(stream_mv_replay_q, _mv_m, _writer_m),
+    )
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
@@ -3872,6 +3922,8 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.streaming import dedup as _sdedup_m
+    from nspc_etl_basic_spark.streaming import ingest as _ingest_m
     from nspc_etl_basic_spark.streaming.dedup import stream_dedup_keys
     from nspc_etl_basic_spark.streaming.ingest import run_available_now
 
@@ -3879,7 +3931,10 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "ts", "user_id", "event_type", "value"
     )
     feed = ev.unionByName(ev)
-    work, done = _replay_work_dir(sf_dir, "dedupstream", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "dedupstream", "events",
+        code=_replay_code_hash(stream_dedup_replay_q, _sdedup_m, _ingest_m),
+    )
     sink = os.path.join(work, "out")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
@@ -3916,6 +3971,8 @@ def stream_join_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.streaming import ingest as _ingest_m
+    from nspc_etl_basic_spark.streaming import joins as _sjoins_m
     from nspc_etl_basic_spark.streaming.joins import attribution_join
     from nspc_etl_basic_spark.streaming.ingest import run_available_now
 
@@ -3924,7 +3981,10 @@ def stream_join_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     purchases = ev.where(F.col("event_type") == "purchase")
     views = ev.where(F.col("event_type") == "view")
-    work, done = _replay_work_dir(sf_dir, "ssjoin", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "ssjoin", "events",
+        code=_replay_code_hash(stream_join_replay_q, _sjoins_m, _ingest_m),
+    )
     sink = os.path.join(work, "out")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
@@ -3976,11 +4036,16 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.streaming import ingest as _ingest_m
+    from nspc_etl_basic_spark.streaming import sessionize as _sess_m
     from nspc_etl_basic_spark.streaming.ingest import run_available_now
     from nspc_etl_basic_spark.streaming.sessionize import sessionize_stateful
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
-    work, done = _replay_work_dir(sf_dir, "sessionize", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "sessionize", "events",
+        code=_replay_code_hash(stream_sessionize_replay_q, _sess_m, _ingest_m),
+    )
     sink = os.path.join(work, "out")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
@@ -4032,6 +4097,8 @@ def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         minimum,
         uniqueness,
     )
+    from nspc_etl_basic_spark.operators import quality as _qual_m
+    from nspc_etl_basic_spark.streaming import quality as _squal_m
     from nspc_etl_basic_spark.streaming.quality import run_stream_quality
 
     ev = _t(spark, sf_dir, "events").select("event_id", "ts", "value")
@@ -4041,7 +4108,10 @@ def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         Check("value_min", minimum("value"), lo=0.0),
         Check("value_mean", mean_of("value"), lo=0.0, hi=1000.0),
     ]
-    work, done = _replay_work_dir(sf_dir, "quality", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "quality", "events",
+        code=_replay_code_hash(stream_quality_replay_q, _squal_m, _qual_m),
+    )
     metrics = os.path.join(work, "metrics")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
@@ -4080,6 +4150,7 @@ def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.streaming import ewma as _ewma_m
     from nspc_etl_basic_spark.streaming.ewma import (
         ewma_from_store,
         ewma_store_table,
@@ -4087,7 +4158,10 @@ def stream_ewma_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    work, done = _replay_work_dir(sf_dir, "ewma", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "ewma", "events",
+        code=_replay_code_hash(stream_ewma_replay_q, _ewma_m),
+    )
     store_path = os.path.join(work, "store")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)
@@ -4123,13 +4197,17 @@ def stream_anomaly_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from nspc_etl_basic_spark.streaming import anomaly as _anom_m
     from nspc_etl_basic_spark.streaming.anomaly import (
         run_stream_anomaly,
         stats_store_table,
     )
 
     ev = _t(spark, sf_dir, "events")
-    work, done = _replay_work_dir(sf_dir, "anomaly", "events")
+    work, done = _replay_work_dir(
+        sf_dir, "anomaly", "events",
+        code=_replay_code_hash(stream_anomaly_replay_q, _anom_m),
+    )
     out_path = os.path.join(work, "out")
     if not os.path.exists(done):
         shutil.rmtree(work, ignore_errors=True)

@@ -90,12 +90,19 @@ def _session_fn_factory(gap_ms: int):
     return fn
 
 
+def _utc_naive(ms: int) -> dt.datetime:
+    # utcfromtimestamp is deprecated since 3.12; same naive-UTC value.
+    return dt.datetime.fromtimestamp(ms / 1000, tz=dt.timezone.utc).replace(
+        tzinfo=None
+    )
+
+
 def _emit(user_id: int, start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id],
-            "session_start": [dt.datetime.utcfromtimestamp(start_ms / 1000)],
-            "session_end": [dt.datetime.utcfromtimestamp(end_ms / 1000)],
+            "session_start": [_utc_naive(start_ms)],
+            "session_end": [_utc_naive(end_ms)],
             "n_events": [n],
         }
     )
