@@ -14,6 +14,7 @@ determinism rules:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -5849,8 +5850,10 @@ def _sql_bootstrap_ci(n_replicates: int = 20, alpha: float = 0.05) -> str:
     ladder = " ".join(
         f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
     )
-    lo_idx = int((alpha / 2.0) * (n_replicates - 1)) + 1
-    hi_idx = int((1.0 - alpha / 2.0) * (n_replicates - 1)) + 1
+    # nearest-rank indices — keep in lockstep with
+    # operators/bootstrap.bootstrap_mean_ci
+    lo_idx = max(1, math.ceil((alpha / 2.0) * n_replicates))
+    hi_idx = min(n_replicates, math.ceil((1.0 - alpha / 2.0) * n_replicates))
     return f"""
         WITH base AS (
             SELECT event_type AS k, CAST(event_id AS VARCHAR) AS id,
@@ -8323,18 +8326,31 @@ def oracle_sql() -> dict[str, str]:
                 WHERE pr.h IS NOT NULL AND pr.h > 0
             ),
             p2 AS (
-                SELECT k, ts, h, p,
+                SELECT k, ts, us, event_id, h, p,
                        min(p) OVER (
                            PARTITION BY k ORDER BY us, event_id
                            ROWS UNBOUNDED PRECEDING) AS rm
                 FROM p1
+            ),
+            p3 AS (
+                SELECT k, ts, us, event_id,
+                       CASE WHEN p - least(rm, 0) > h
+                            THEN 1 ELSE 0 END AS over_h
+                FROM p2
+            ),
+            p4 AS (
+                SELECT k, ts, over_h,
+                       coalesce(lag(over_h) OVER (
+                           PARTITION BY k ORDER BY us, event_id),
+                           0) AS prev_over
+                FROM p3
             )
             SELECT k AS event_type, count(*) AS n_obs,
-                   CAST(sum(CASE WHEN p - least(rm, 0) > h
+                   CAST(sum(CASE WHEN over_h = 1 AND prev_over = 0
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
-                   min(CASE WHEN p - least(rm, 0) > h THEN ts END)
+                   min(CASE WHEN over_h = 1 AND prev_over = 0 THEN ts END)
                        AS first_alarm_ts
-            FROM p2 GROUP BY k ORDER BY k
+            FROM p4 GROUP BY k ORDER BY k
         """,
         # OLS trend: decimal sufficient stats, pinned double finale
         "events_trend_ols": """

@@ -24,6 +24,8 @@ groupBy the plain mean already pays, no window over data rows.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,8 +117,11 @@ def bootstrap_mean_ci(
         F.col("__sw").cast("double") / F.col("__nw").cast("double")
     )
     means = cells.select(key_col, rep_mean.alias("__m"))
-    lo_idx = int((alpha / 2.0) * (n_replicates - 1)) + 1
-    hi_idx = int((1.0 - alpha / 2.0) * (n_replicates - 1)) + 1
+    # nearest-rank order statistics: rank ceil(q*B) is the canonical
+    # inverse-CDF pick (the previous int((q)*(B-1))+1 indexing drifted
+    # low — at B=20/alpha=.05 it pinned boot_lo to the minimum replicate)
+    lo_idx = max(1, math.ceil((alpha / 2.0) * n_replicates))
+    hi_idx = min(n_replicates, math.ceil((1.0 - alpha / 2.0) * n_replicates))
     boot = means.groupBy(key_col).agg(
         F.sort_array(F.collect_list("__m")).alias("__ms")
     ).select(

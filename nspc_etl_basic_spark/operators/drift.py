@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 
 def chi2_drift(
-    df: DataFrame, category_col: str, in_b_col: str
+    df: DataFrame,
+    category_col: str,
+    in_b_col: str,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Chi-square drift report between slice A (``in_b_col`` false) and
     slice B (true) over ``category_col``.
@@ -44,6 +47,12 @@ def chi2_drift(
     conditional counts — 8-byte rows, the data itself never reshuffles
     — plus two 1-row broadcasts (slice totals, statistic). Category
     cardinality bounds every post-aggregation structure.
+
+    Cache lifecycle: two category-sized frames are cached (they anchor
+    the branching plan below) and the result is lazy, so this function
+    cannot unpersist them itself. One-shot reports can let them age
+    out; REPEATED callers (scheduled drift monitoring) pass ``caches``
+    and unpersist after materializing the report.
     """
     # cache the category-sized contingency table: every downstream
     # branch (slice totals, per-cell frame, the statistic, the output)
@@ -61,6 +70,8 @@ def chi2_drift(
         )
         .cache()
     )
+    if caches is not None:
+        caches.append(counts)
     totals = counts.agg(
         F.sum("obs_a").cast("long").alias("__ta"),
         F.sum("obs_b").cast("long").alias("__tb"),
@@ -87,6 +98,8 @@ def chi2_drift(
         F.round(exp_b, 6).alias("exp_b"),
         F.round(cell, 6).alias("contrib"),
     ).cache()
+    if caches is not None:
+        caches.append(per_cat)
     stat = per_cat.agg(
         # exact decimal accumulation of the rounded contributions:
         # order-independent, so the statistic value-hashes cross-engine

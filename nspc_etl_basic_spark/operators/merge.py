@@ -108,6 +108,7 @@ def merge_changes(
     source: DataFrame,
     pk_cols: list[str],
     broadcast_source: bool | None = None,
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Change-data-feed for the join-based MERGE (Delta CDF semantics):
     every row the merge touches, tagged ``op`` ∈ {'insert',
@@ -128,6 +129,13 @@ def merge_changes(
     preimage leg). The matched-key table is cached (it anchors three
     broadcasts); pass ``broadcast_source=False`` for symmetric-size
     merges to let AQE pick shuffled joins instead.
+
+    Cache lifecycle: the feed is lazy, so this function cannot
+    unpersist the matched-key cache itself. One-shot callers can let it
+    age out, but REPEATED callers (the per-micro-batch streaming folds)
+    must pass ``caches`` — the cached handle is appended to it, and the
+    caller unpersists after materializing the feed, or cached plans
+    accumulate in executor storage for the life of the stream.
     """
     src = source.select(*target.columns)
     if broadcast_source is False:
@@ -142,6 +150,8 @@ def merge_changes(
             .join(F.broadcast(src_keys), pk_cols, "left_semi")
             .cache()
         )
+        if caches is not None:
+            caches.append(matched)
         inserts = src.join(F.broadcast(matched), pk_cols, "left_anti")
         pre = target.join(F.broadcast(matched), pk_cols, "left_semi")
         post = src.join(F.broadcast(matched), pk_cols, "left_semi")

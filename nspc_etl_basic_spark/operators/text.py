@@ -644,9 +644,12 @@ def normalize_text(
     production scale text dominates the row anyway and the transfer is
     task-local.
     """
+    # the id rides through the kernel with whatever type it arrived in
+    # (string doc keys are as legitimate as longs — pinning LongType
+    # here would coerce or fail them inside Arrow)
     out_schema = T.StructType(
         [
-            T.StructField("_id", T.LongType()),
+            T.StructField("_id", df.schema[id_col].dataType),
             T.StructField("_raw", T.StringType()),
             T.StructField("_nfc", T.StringType()),
         ]

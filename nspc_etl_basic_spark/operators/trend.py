@@ -39,8 +39,13 @@ def cusum_alarms(
 ) -> DataFrame:
     """Per-key one-sided CUSUM change-point detection (Page 1954):
     ``(key_col, n_obs, n_alarms, first_alarm_ts)`` — how many times the
-    positive cumulative deviation statistic crossed the threshold, and
-    when it first did.
+    positive cumulative deviation statistic CROSSED the threshold from
+    below (rising edges: ``s > h`` where the previous observation had
+    ``s <= h``; a sustained shift is one alarm, not one per in-alarm
+    row), and when it first did. Classic CUSUM resets S to 0 after an
+    alarm — a reset the prefix-min rewrite below cannot express — so an
+    edge here marks the start of a distinct exceedance EPISODE of the
+    un-reset statistic, which is the monitoring-useful count.
 
     The recurrence ``S_t = max(0, S_{t-1} + x_t)`` is rewritten as the
     prefix identity ``S_t = P_t - min(0, min_{j<=t} P_j)`` with
@@ -105,8 +110,16 @@ def cusum_alarms(
     stepped = j.withColumn("__p", p)
     runmin = F.min("__p").over(w)
     s = F.col("__p") - F.least(runmin, F.lit(0).cast("decimal(18,6)"))
-    alarmed = stepped.withColumn(
-        "__alarm", (s > F.col("__h")).cast("int")
+    # rising-edge detection: lag shares the cumulative windows' exchange
+    # and sort (same partitioning + order), so this adds no shuffle
+    wo = Window.partitionBy(key_col).orderBy(*order)
+    over = stepped.withColumn("__over", (s > F.col("__h")).cast("int"))
+    alarmed = over.withColumn(
+        "__alarm",
+        (
+            (F.col("__over") == 1)
+            & (F.coalesce(F.lag("__over").over(wo), F.lit(0)) == 0)
+        ).cast("int"),
     )
     return alarmed.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_obs"),

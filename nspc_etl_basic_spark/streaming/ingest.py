@@ -278,20 +278,27 @@ def run_stream_upsert_cdc(
                 .collect()[0]["m"]
             )
             feed_done = hwm is not None and int(hwm) >= int(batch_id)
+        caches: list[DataFrame] = []
         if warehouse.exists(table):
             tgt = warehouse.read(table)
-            feed = merge_changes(tgt, src, pk_cols)
+            feed = merge_changes(tgt, src, pk_cols, caches=caches)
             merged = merge_upsert(tgt, src, pk_cols)
         else:
             feed = src.select(F.lit("insert").alias("op"), "*")
             merged = src
-        if not feed_done:
-            warehouse.write(
-                feed.withColumn("batch_id", F.lit(int(batch_id))),
-                changes_table,
-                mode="append",
-            )
-        warehouse.overwrite_snapshot(merged, table)
+        try:
+            if not feed_done:
+                warehouse.write(
+                    feed.withColumn("batch_id", F.lit(int(batch_id))),
+                    changes_table,
+                    mode="append",
+                )
+            warehouse.overwrite_snapshot(merged, table)
+        finally:
+            # per-batch cache, per-batch release: a long-running stream
+            # must not accumulate one pinned plan per micro-batch
+            for c in caches:
+                c.unpersist()
 
     q = (
         df.writeStream.foreachBatch(_merge_batch)

@@ -54,28 +54,34 @@ def run_stream_mv(
 
     def _fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         src = _content_last_wins(batch_df, pk_cols, dedup_order_col)
+        caches: list[DataFrame] = []
         if warehouse.exists(table):
             tgt = warehouse.read(table)
-            feed = merge_changes(tgt, src, pk_cols)
+            feed = merge_changes(tgt, src, pk_cols, caches=caches)
             merged = merge_upsert(tgt, src, pk_cols)
         else:
             feed = src.select(F.lit("insert").alias("op"), "*")
             merged = src
-        if warehouse.exists(mv_table):
-            prev_full = warehouse.read(mv_table)
-            applied = prev_full.agg(F.max("batch_id").alias("m")).collect()[
-                0
-            ]["m"]
-            prev = prev_full.drop("batch_id")
-        else:
-            applied = None
-            prev = summary_mv(src.limit(0), group_cols, sum_cols)
-        if applied is None or int(applied) < int(batch_id):
-            mv_new = incremental_refresh(
-                prev, feed, group_cols, sum_cols
-            ).withColumn("batch_id", F.lit(int(batch_id)))
-            warehouse.overwrite_snapshot(mv_new, mv_table)
-        warehouse.overwrite_snapshot(merged, table)
+        try:
+            if warehouse.exists(mv_table):
+                prev_full = warehouse.read(mv_table)
+                applied = prev_full.agg(
+                    F.max("batch_id").alias("m")
+                ).collect()[0]["m"]
+                prev = prev_full.drop("batch_id")
+            else:
+                applied = None
+                prev = summary_mv(src.limit(0), group_cols, sum_cols)
+            if applied is None or int(applied) < int(batch_id):
+                mv_new = incremental_refresh(
+                    prev, feed, group_cols, sum_cols
+                ).withColumn("batch_id", F.lit(int(batch_id)))
+                warehouse.overwrite_snapshot(mv_new, mv_table)
+            warehouse.overwrite_snapshot(merged, table)
+        finally:
+            # per-batch cache, per-batch release (see merge_changes)
+            for c in caches:
+                c.unpersist()
 
     q = (
         df.writeStream.foreachBatch(_fold_batch)

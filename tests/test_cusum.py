@@ -47,6 +47,30 @@ def test_detects_shift_and_stays_quiet_on_stationary(spark):
     assert _ts(60) <= s["first_alarm_ts"] <= _ts(75)
 
 
+def test_sustained_shift_counts_one_crossing(spark):
+    # once shifted, the un-reset statistic stays above h for the rest of
+    # the series: rising-edge counting reports ONE alarm episode, not
+    # one per in-alarm observation
+    shifted = [(-1) ** i for i in range(60)] + [
+        3 + (-1) ** i for i in range(40)
+    ]
+    s = _run(_df(spark, {"shifted": shifted}))["shifted"]
+    assert s["n_alarms"] == 1
+
+
+def test_two_episodes_count_two_crossings(spark):
+    # shift up (statistic climbs over h), deep negative run (P falls so
+    # far the running-min re-anchors and s drops back under h), shift up
+    # again -> exactly two rising edges
+    up = [3 + (-1) ** i for i in range(40)]
+    down = [-6 + (-1) ** i for i in range(80)]
+    series = (
+        [(-1) ** i for i in range(60)] + up + down + up
+    )
+    s = _run(_df(spark, {"g": series}))["g"]
+    assert s["n_alarms"] == 2
+
+
 def test_layout_independent(spark):
     series = {"g": [((i * 13) % 7) - 3 for i in range(200)]}
     df = _df(spark, series)

@@ -245,6 +245,21 @@ def test_normalize_text_stages(spark):
     assert got[7].text_norm == "bellend" and got[7].n_chars_norm == 7
 
 
+def test_normalize_text_string_id_passthrough(spark):
+    # the id schema is derived from the input, not pinned to long —
+    # string document keys must survive the Arrow kernel untouched
+    from nspc_etl_basic_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("doc-a", "café"), ("doc-b", "  x  ")],
+        "doc_id string, text string",
+    )
+    out = normalize_text(df)
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {r.doc_id: r.text_norm for r in out.collect()}
+    assert got == {"doc-a": "café", "doc-b": "x"}
+
+
 def test_inverted_index_hand_computed(spark):
     from nspc_etl_basic_spark.operators.text import inverted_index
 
