@@ -1976,6 +1976,26 @@ def corpus_pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy first-fit example packing (operators/packing.pack_greedy):
+    documents hash onto the md5 ring, the ring splits into 32 parallel
+    packing domains, and each bucket walks its docs in (ring, key)
+    order placing every one in the FIRST 512-char bin with room —
+    yielding (bucket, bin, seg_id, offset): the packed-sequence id,
+    attention-segment index, and start offset a packing dataloader
+    needs for block-diagonal masks. All-integer in-row F.aggregate fold
+    per bucket (JVM, no Python); docs over 512 chars pass through
+    flagged oversize. Oracle replays the fold with list_reduce over the
+    same ring order."""
+    from nspc_etl_basic_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_greedy(
+        docs, key_col="doc_id", weight_col="n_chars",
+        seq_len=512, n_buckets=32, salt="pack",
+    ).orderBy("doc_id")
+
+
 def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted source interleaving (stride scheduling):
     four sources mixed 50/25/15/10 — every prefix of the
@@ -4293,6 +4313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (0) the round-4 verdict's headline ask: the five formerly
         # rows-only operators, now deterministic and value-oracled —
         # they MUST land inside the 50-row driver window --
+        "corpus_pack_greedy": corpus_pack_greedy_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
         "emb_pca_project": emb_pca_project_q,
@@ -5435,6 +5456,92 @@ _SQL_EVENTS_EWMA = """
                            + x * CAST(0.3 AS DOUBLE)), 6) AS ewma
     FROM ser
 """
+
+
+def _sql_pack_greedy(
+    seq_len: int = 512, n_buckets: int = 32, salt: str = "pack"
+) -> str:
+    """Oracle for corpus_pack_greedy, GENERATED from the same
+    parameters as ``operators/packing.pack_greedy``: the md5 ring, the
+    bucket cut, the (ring, key) walk order, and the first-fit fold —
+    replayed per bucket as a ``list_reduce`` over singleton packing
+    states (acc and element share the struct shape because DuckDB's
+    reduce has no separate initializer; a one-doc pack IS the seed).
+    All-integer arithmetic, so the replay is exact."""
+    # fold state is a LIST OF LISTS — [fills, bins, segs, offs] — not a
+    # struct: DuckDB 1.0's list_reduce mis-propagates STRUCT
+    # accumulators (acc fields come back empty mid-fold; verified with
+    # a minimal append probe), while list accumulators fold correctly
+    fit = (
+        "list_filter(range(1, len(acc[1]) + 1), "
+        f"i -> acc[1][i] + x[1][1] <= {seq_len})"
+    )
+    first = f"({fit})[1]"
+    lam = f"""CASE WHEN len({fit}) > 0 THEN [
+        list_transform(range(1, len(acc[1]) + 1),
+            j -> CASE WHEN j = {first}
+                 THEN acc[1][j] + x[1][1]
+                 ELSE acc[1][j] END),
+        list_append(acc[2], {first} - 1),
+        list_append(acc[3],
+            CAST(len(list_filter(acc[2], bb -> bb = {first} - 1))
+                 AS BIGINT)),
+        list_append(acc[4], acc[1][{first}])
+    ] ELSE [
+        list_append(acc[1], x[1][1]),
+        list_append(acc[2], CAST(len(acc[1]) AS BIGINT)),
+        list_append(acc[3], CAST(0 AS BIGINT)),
+        list_append(acc[4], CAST(0 AS BIGINT))
+    ] END"""
+    return f"""
+        WITH docs AS (
+            SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w,
+                   CAST('0x' || substr(md5('{salt}'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS ring
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        fits AS (SELECT * FROM docs WHERE w <= {seq_len}),
+        big AS (SELECT * FROM docs WHERE w > {seq_len}),
+        b AS (
+            SELECT ring % {n_buckets} AS bucket,
+                   list(struct_pack(k := k, w := w)
+                        ORDER BY ring, k) AS ds
+            FROM fits GROUP BY 1
+        ),
+        folded AS (
+            SELECT bucket, ds,
+                   list_reduce(list_transform(ds, d -> [
+                       [d.w],
+                       [CAST(0 AS BIGINT)],
+                       [CAST(0 AS BIGINT)],
+                       [CAST(0 AS BIGINT)]]),
+                     (acc, x) -> {lam}) AS st
+            FROM b
+        ),
+        assigned AS (
+            SELECT bucket,
+                   unnest(list_transform(range(1, len(ds) + 1),
+                       i -> struct_pack(
+                           k := ds[i].k, w := ds[i].w,
+                           bin := st[2][i], seg := st[3][i],
+                           off := st[4][i]))) AS z
+            FROM folded
+        )
+        SELECT z.k AS doc_id, z.w AS n_chars, bucket,
+               z.bin AS bin, z.seg AS seg_id, z.off AS "offset",
+               FALSE AS oversize
+        FROM assigned
+        UNION ALL
+        SELECT k AS doc_id, w AS n_chars, ring % {n_buckets} AS bucket,
+               CAST(NULL AS BIGINT) AS bin,
+               CAST(NULL AS BIGINT) AS seg_id,
+               CAST(NULL AS BIGINT) AS "offset",
+               TRUE AS oversize
+        FROM big
+        ORDER BY doc_id
+    """
 
 
 def _sql_zorder_layout(
@@ -7979,6 +8086,7 @@ def oracle_sql() -> dict[str, str]:
         # DuckDB '/' is float division (like Spark), '//'-free on purpose:
         # floor(double) mirrors F.floor; cum sums stay exact in double
         # far below 2^53
+        "corpus_pack_greedy": _sql_pack_greedy(),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -16,9 +16,11 @@ from nspc_etl_basic_spark.operators.sampling import (
     take_until_budget,
     temperature_sample,
 )
+from nspc_etl_basic_spark.operators.packing import pack_greedy
 from nspc_etl_basic_spark.operators.skew import salted_count_by_key, salted_join
 
 __all__ = [
+    "pack_greedy",
     "ColumnStats",
     "InferredSchema",
     "infer_schema",

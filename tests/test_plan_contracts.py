@@ -461,3 +461,15 @@ def test_aggregate_pushdown_reaches_footer(spark, sf_dir):
 def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     plan = _plan_simple(QUERIES["events_dpp_join"](spark, sf_dir))
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_pack_greedy_one_shuffle_no_python(spark, sf_dir):
+    """pack_greedy: exactly one exchange (the per-bucket groupBy of
+    tiny (ring, key, weight) triples — text never moves) and the fold
+    is an in-row JVM F.aggregate: no Python eval node, no window, no
+    cartesian. The sequential unit is the bucket, never the corpus."""
+    plan = _plan_simple(QUERIES["corpus_pack_greedy"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        assert "windowspecdefinition" not in ln, f"unexpected window: {ln}"
