@@ -4296,20 +4296,41 @@ def entry(spark: SparkSession) -> DataFrame:
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _ledger_ordered(base: dict) -> dict:
+    """Reorder the query registry by scripts/window_order.json — the
+    ranking scripts/window_order.py computes from the correctness
+    ledgers (never-checked > red > code-changed-since-row > oldest
+    row). The driver oracles the FIRST 50 entries each round, so dict
+    order IS the verification schedule; round 5's hand-ordering left
+    events_zorder_layout at index 50, one past the window, unchecked —
+    hence the machine. Keys absent from the file (brand-new queries)
+    lead; registry order is the fallback when the file is missing.
+    tests/test_window_order.py pins queries() to the live ranking."""
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "scripts",
+        "window_order.json",
+    )
+    try:
+        with open(path) as fh:
+            order = _json.load(fh)["order"]
+    except (OSError, ValueError, KeyError):
+        return base
+    listed = set(order)
+    ranked = [k for k in base if k not in listed] + [
+        k for k in order if k in base
+    ]
+    return {k: base[k] for k in ranked}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Dict order matters: the driver checks the FIRST 50 entries each
-    # round. Round-5 order: (0) the round-5 additions, never
-    # driver-verified — the second-wave lakehouse/statistics/governance
-    # operators lead (MV refresh, CMS, epoch shuffle, streaming MV/dedup
-    # replays, schema evolution, snapshot diff, winsorize,
-    # pseudonymize/k-anonymity, referential suite, transitions, OLS,
-    # CUSUM, bootstrap CI, bucketed join, Hilbert, TWAP, rolling,
-    # co-purchase), then the first wave (tfidf, graph ops, drift, CDC
-    # replay, ...); (1) rows whose plan or oracle changed this round —
-    # the five newly-oracled trained/iterative rows and the
-    # band-key-fix LSH chain; (2) verdict-flagged stale rows. The
-    # r04-green remainder (freshest signal) sits past the cap.
-    return {
+    # Registry only — ORDER is assigned by _ledger_ordered (see its
+    # docstring); add new queries anywhere, they rank first until the
+    # driver rows them.
+    return _ledger_ordered({
         # -- (0) the round-4 verdict's headline ask: the five formerly
         # rows-only operators, now deterministic and value-oracled —
         # they MUST land inside the 50-row driver window --
@@ -4487,7 +4508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot_q,
         "events_window_funcs": events_window_funcs_q,
         "events_session_window": events_session_window_q,
-    }
+    })
 
 
 # ---- oracle SQL builders (shared fragments) --------------------------------
