@@ -1990,10 +1990,67 @@ def corpus_pack_greedy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nspc_etl_basic_spark.operators.packing import pack_greedy
 
     docs = _t(spark, sf_dir, "documents")
+    # no orderBy: the driver canonicalizer sorts rows itself, and a
+    # global sort here would range-sample the child — running the whole
+    # fold TWICE (measured 1.7s of a 4.2s query at sf0.1)
     return pack_greedy(
         docs, key_col="doc_id", weight_col="n_chars",
         seq_len=512, n_buckets=32, salt="pack",
-    ).orderBy("doc_id")
+    )
+
+
+def corpus_pack_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency report over the greedy packing
+    (packing.pack_report): per ring bucket, packed-sequence count,
+    packed/oversize doc counts, and the padding fraction
+    1 - packed_tokens/(n_bins*seq_len) — the number seq_len/n_buckets
+    get tuned by. One aggregate over the assignment; the oracle reads
+    the report straight off the replayed fold's final state
+    (n_bins = len(fills), packed_tokens = sum(fills))."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        docs, key_col="doc_id", weight_col="n_chars",
+        seq_len=512, n_buckets=32, salt="pack",
+    )
+    return pack_report(packed, "n_chars", seq_len=512)
+
+
+def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental packing (packing.pack_incremental — the
+    daily-corpus-drop pattern): an 80% md5-split of documents packs
+    from scratch, its per-bucket (fills, counts) state is derived with
+    pack_state, and the remaining 20% first-fits into that remaining
+    capacity — old assignments never move, new docs' segment ids and
+    offsets continue where each bin left off. Returns the NEW docs'
+    assignments; the oracle replays both folds, carrying the old
+    state into the seed of the new fold."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_incremental,
+        pack_state,
+    )
+    from nspc_etl_basic_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    is_old = hash_bucket(F.col("doc_id"), "packsplit") < 8000
+    old = docs.where(is_old)
+    new = docs.where(~is_old)
+    state = pack_state(
+        pack_greedy(
+            old, key_col="doc_id", weight_col="n_chars",
+            seq_len=512, n_buckets=32, salt="pack",
+        ),
+        "n_chars",
+    )
+    return pack_incremental(
+        new, key_col="doc_id", weight_col="n_chars",
+        seq_len=512, state=state, n_buckets=32, salt="pack",
+    )
 
 
 def corpus_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4335,6 +4392,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only operators, now deterministic and value-oracled —
         # they MUST land inside the 50-row driver window --
         "corpus_pack_greedy": corpus_pack_greedy_q,
+        "corpus_pack_report": corpus_pack_report_q,
+        "corpus_pack_incremental": corpus_pack_incremental_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
         "emb_pca_project": emb_pca_project_q,
@@ -5479,49 +5538,57 @@ _SQL_EVENTS_EWMA = """
 """
 
 
-def _sql_pack_greedy(
-    seq_len: int = 512, n_buckets: int = 32, salt: str = "pack"
-) -> str:
-    """Oracle for corpus_pack_greedy, GENERATED from the same
-    parameters as ``operators/packing.pack_greedy``: the md5 ring, the
-    bucket cut, the (ring, key) walk order, and the first-fit fold —
-    replayed per bucket as a ``list_reduce`` over singleton packing
-    states (acc and element share the struct shape because DuckDB's
-    reduce has no separate initializer; a one-doc pack IS the seed).
-    All-integer arithmetic, so the replay is exact."""
-    # fold state is a LIST OF LISTS — [fills, bins, segs, offs] — not a
-    # struct: DuckDB 1.0's list_reduce mis-propagates STRUCT
-    # accumulators (acc fields come back empty mid-fold; verified with
-    # a minimal append probe), while list accumulators fold correctly
+def _sql_pack_lambda(seq_len: int) -> str:
+    """The first-fit fold step shared by every packing oracle. State is
+    a LIST OF LISTS — [fills, counts, bins, segs, offs] — not a struct:
+    DuckDB 1.0's list_reduce mis-propagates STRUCT accumulators (acc
+    fields come back empty mid-fold; verified with a minimal append
+    probe), while list accumulators fold correctly. A singleton
+    one-doc state [[w],[1],[0],[0],[0]] doubles as the reduce seed
+    (DuckDB's reduce has no separate initializer); a seeded incremental
+    fold prepends [old_fills, old_counts, [], [], []] instead."""
     fit = (
         "list_filter(range(1, len(acc[1]) + 1), "
         f"i -> acc[1][i] + x[1][1] <= {seq_len})"
     )
     first = f"({fit})[1]"
-    lam = f"""CASE WHEN len({fit}) > 0 THEN [
+    return f"""CASE WHEN len({fit}) > 0 THEN [
         list_transform(range(1, len(acc[1]) + 1),
             j -> CASE WHEN j = {first}
                  THEN acc[1][j] + x[1][1]
                  ELSE acc[1][j] END),
-        list_append(acc[2], {first} - 1),
-        list_append(acc[3],
-            CAST(len(list_filter(acc[2], bb -> bb = {first} - 1))
-                 AS BIGINT)),
-        list_append(acc[4], acc[1][{first}])
+        list_transform(range(1, len(acc[2]) + 1),
+            j -> CASE WHEN j = {first}
+                 THEN acc[2][j] + 1
+                 ELSE acc[2][j] END),
+        list_append(acc[3], {first} - 1),
+        list_append(acc[4], acc[2][{first}]),
+        list_append(acc[5], acc[1][{first}])
     ] ELSE [
         list_append(acc[1], x[1][1]),
-        list_append(acc[2], CAST(len(acc[1]) AS BIGINT)),
-        list_append(acc[3], CAST(0 AS BIGINT)),
-        list_append(acc[4], CAST(0 AS BIGINT))
+        list_append(acc[2], CAST(1 AS BIGINT)),
+        list_append(acc[3], CAST(len(acc[1]) AS BIGINT)),
+        list_append(acc[4], CAST(0 AS BIGINT)),
+        list_append(acc[5], CAST(0 AS BIGINT))
     ] END"""
-    return f"""
-        WITH docs AS (
+
+
+_SQL_PACK_SINGLETON = (
+    "[[d.w], [CAST(1 AS BIGINT)], [CAST(0 AS BIGINT)], "
+    "[CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)]]"
+)
+
+
+def _sql_pack_docs_cte(
+    seq_len: int, n_buckets: int, salt: str, extra_where: str = ""
+) -> str:
+    return f"""docs AS (
             SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w,
                    CAST('0x' || substr(md5('{salt}'
                         || CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) AS ring
             FROM documents
-            WHERE n_chars IS NOT NULL AND n_chars > 0
+            WHERE n_chars IS NOT NULL AND n_chars > 0 {extra_where}
         ),
         fits AS (SELECT * FROM docs WHERE w <= {seq_len}),
         big AS (SELECT * FROM docs WHERE w > {seq_len}),
@@ -5533,23 +5600,35 @@ def _sql_pack_greedy(
         ),
         folded AS (
             SELECT bucket, ds,
-                   list_reduce(list_transform(ds, d -> [
-                       [d.w],
-                       [CAST(0 AS BIGINT)],
-                       [CAST(0 AS BIGINT)],
-                       [CAST(0 AS BIGINT)]]),
-                     (acc, x) -> {lam}) AS st
+                   list_reduce(
+                     list_transform(ds, d -> {_SQL_PACK_SINGLETON}),
+                     (acc, x) -> {_sql_pack_lambda(seq_len)}) AS st
             FROM b
-        ),
-        assigned AS (
+        )"""
+
+
+_SQL_PACK_ASSIGNED = """assigned AS (
             SELECT bucket,
                    unnest(list_transform(range(1, len(ds) + 1),
                        i -> struct_pack(
                            k := ds[i].k, w := ds[i].w,
-                           bin := st[2][i], seg := st[3][i],
-                           off := st[4][i]))) AS z
+                           bin := st[3][i], seg := st[4][i],
+                           off := st[5][i]))) AS z
             FROM folded
-        )
+        )"""
+
+
+def _sql_pack_greedy(
+    seq_len: int = 512, n_buckets: int = 32, salt: str = "pack"
+) -> str:
+    """Oracle for corpus_pack_greedy, GENERATED from the same
+    parameters as ``operators/packing.pack_greedy``: the md5 ring, the
+    bucket cut, the (ring, key) walk order, and the first-fit fold —
+    replayed per bucket as a ``list_reduce`` over singleton packing
+    states. All-integer arithmetic, so the replay is exact."""
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt)},
+        {_SQL_PACK_ASSIGNED}
         SELECT z.k AS doc_id, z.w AS n_chars, bucket,
                z.bin AS bin, z.seg AS seg_id, z.off AS "offset",
                FALSE AS oversize
@@ -5561,6 +5640,117 @@ def _sql_pack_greedy(
                CAST(NULL AS BIGINT) AS "offset",
                TRUE AS oversize
         FROM big
+        ORDER BY doc_id
+    """
+
+
+def _sql_pack_report(
+    seq_len: int = 512, n_buckets: int = 32, salt: str = "pack"
+) -> str:
+    """Oracle for corpus_pack_report: the final fold state IS the
+    report — n_bins = len(fills), packed_tokens = sum(fills) — plus the
+    per-bucket oversize count full-joined in (a bucket can hold only
+    oversize docs, or none)."""
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt)},
+        perb AS (
+            SELECT bucket,
+                   CAST(len(st[1]) AS BIGINT) AS n_bins,
+                   CAST(len(ds) AS BIGINT) AS n_docs,
+                   CAST(list_sum(st[1]) AS BIGINT) AS packed_tokens
+            FROM folded
+        ),
+        overs AS (
+            SELECT ring % {n_buckets} AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_oversize
+            FROM big GROUP BY 1
+        )
+        SELECT coalesce(p.bucket, o.bucket) AS bucket,
+               p.n_bins AS n_bins,
+               coalesce(p.n_docs, 0) AS n_docs,
+               coalesce(o.n_oversize, 0) AS n_oversize,
+               coalesce(p.packed_tokens, 0) AS packed_tokens,
+               CASE WHEN p.n_bins > 0 THEN
+                   round(1.0 - CAST(p.packed_tokens AS DOUBLE)
+                             / CAST(p.n_bins * {seq_len} AS DOUBLE), 6)
+               END AS pad_frac
+        FROM perb p FULL OUTER JOIN overs o ON p.bucket = o.bucket
+        ORDER BY 1
+    """
+
+
+def _sql_pack_incremental(
+    seq_len: int = 512,
+    n_buckets: int = 32,
+    salt: str = "pack",
+    split_salt: str = "packsplit",
+    old_buckets: int = 8000,
+) -> str:
+    """Oracle for corpus_pack_incremental: fold the OLD split from
+    scratch, carry each bucket's (fills, counts) into the seed of the
+    NEW split's fold (prepended as the reduce's first element — old
+    assignments are never re-derived, exactly like the operator), then
+    emit only the new docs' assignments."""
+    lam = _sql_pack_lambda(seq_len)
+    split = (
+        f"CAST('0x' || substr(md5('{split_salt}' "
+        f"|| CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+    )
+    return f"""
+        WITH alldocs AS (
+            SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w,
+                   CAST('0x' || substr(md5('{salt}'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS ring,
+                   ({split}) < {old_buckets} AS is_old
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ),
+        old_b AS (
+            SELECT ring % {n_buckets} AS bucket,
+                   list(struct_pack(k := k, w := w)
+                        ORDER BY ring, k) AS ds
+            FROM alldocs WHERE is_old AND w <= {seq_len} GROUP BY 1
+        ),
+        old_state AS (
+            SELECT bucket,
+                   list_reduce(
+                     list_transform(ds, d -> {_SQL_PACK_SINGLETON}),
+                     (acc, x) -> {lam}) AS st
+            FROM old_b
+        ),
+        new_b AS (
+            SELECT ring % {n_buckets} AS bucket,
+                   list(struct_pack(k := k, w := w)
+                        ORDER BY ring, k) AS ds
+            FROM alldocs WHERE NOT is_old AND w <= {seq_len} GROUP BY 1
+        ),
+        folded AS (
+            SELECT n.bucket, n.ds,
+                   list_reduce(
+                     list_concat(
+                       [CASE WHEN o.st IS NULL
+                             THEN CAST([[], [], [], [], []] AS BIGINT[][])
+                             ELSE [o.st[1], o.st[2],
+                                   CAST([] AS BIGINT[]),
+                                   CAST([] AS BIGINT[]),
+                                   CAST([] AS BIGINT[])] END],
+                       list_transform(n.ds, d -> {_SQL_PACK_SINGLETON})),
+                     (acc, x) -> {lam}) AS st
+            FROM new_b n LEFT JOIN old_state o ON n.bucket = o.bucket
+        ),
+        {_SQL_PACK_ASSIGNED}
+        SELECT z.k AS doc_id, z.w AS n_chars, bucket,
+               z.bin AS bin, z.seg AS seg_id, z.off AS "offset",
+               FALSE AS oversize
+        FROM assigned
+        UNION ALL
+        SELECT k AS doc_id, w AS n_chars, ring % {n_buckets} AS bucket,
+               CAST(NULL AS BIGINT) AS bin,
+               CAST(NULL AS BIGINT) AS seg_id,
+               CAST(NULL AS BIGINT) AS "offset",
+               TRUE AS oversize
+        FROM alldocs WHERE NOT is_old AND w > {seq_len}
         ORDER BY doc_id
     """
 
@@ -8108,6 +8298,8 @@ def oracle_sql() -> dict[str, str]:
         # floor(double) mirrors F.floor; cum sums stay exact in double
         # far below 2^53
         "corpus_pack_greedy": _sql_pack_greedy(),
+        "corpus_pack_report": _sql_pack_report(),
+        "corpus_pack_incremental": _sql_pack_incremental(),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

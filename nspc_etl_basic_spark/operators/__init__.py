@@ -16,11 +16,19 @@ from nspc_etl_basic_spark.operators.sampling import (
     take_until_budget,
     temperature_sample,
 )
-from nspc_etl_basic_spark.operators.packing import pack_greedy
+from nspc_etl_basic_spark.operators.packing import (
+    pack_greedy,
+    pack_incremental,
+    pack_report,
+    pack_state,
+)
 from nspc_etl_basic_spark.operators.skew import salted_count_by_key, salted_join
 
 __all__ = [
     "pack_greedy",
+    "pack_incremental",
+    "pack_report",
+    "pack_state",
     "ColumnStats",
     "InferredSchema",
     "infer_schema",

@@ -106,6 +106,70 @@ def test_layout_independent(spark):
     assert a == b
 
 
+def test_incremental_empty_state_equals_from_scratch(spark):
+    from nspc_etl_basic_spark.operators.packing import pack_incremental
+
+    rows = [(f"x{i}", 1 + (i * 13) % 50) for i in range(150)]
+    df = _df(spark, rows)
+    empty_state = spark.createDataFrame(
+        [], "bucket long, fills array<long>, counts array<long>"
+    )
+    a = sorted(map(tuple, pack_greedy(df, "k", "w", 64, n_buckets=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_incremental(
+                df, "k", "w", 64, empty_state, n_buckets=4
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_incremental_appends_without_moving_old(spark):
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_incremental,
+        pack_state,
+    )
+
+    old = _df(spark, [(f"old{i}", 1 + (i * 7) % 40) for i in range(80)])
+    new = _df(spark, [(f"new{i}", 1 + (i * 11) % 40) for i in range(40)])
+    seq_len, nb = 64, 4
+    packed_old = pack_greedy(old, "k", "w", seq_len, n_buckets=nb)
+    state = pack_state(packed_old, "w")
+    inc = pack_incremental(new, "k", "w", seq_len, state, n_buckets=nb)
+    old_rows = packed_old.collect()
+    new_rows = inc.collect()
+    assert len(new_rows) == 40
+    # capacity holds over the UNION of old and new assignments, and new
+    # docs' segments/offsets continue where the old bin left off
+    by_bin: dict[tuple, list] = {}
+    for r in [*old_rows, *new_rows]:
+        assert not r["oversize"]
+        by_bin.setdefault((r["bucket"], r["bin"]), []).append(r)
+    for members in by_bin.values():
+        assert sum(m["w"] for m in members) <= seq_len
+        members.sort(key=lambda m: m["seg_id"])
+        assert [m["seg_id"] for m in members] == list(range(len(members)))
+        pos = 0
+        for m in members:
+            assert m["offset"] == pos
+            pos += m["w"]
+
+
+def test_pack_report_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.packing import pack_report
+
+    rows = [("a", 6), ("b", 3), ("c", 5), ("big", 50)]
+    packed = pack_greedy(_df(spark, rows), "k", "w", 10, n_buckets=1)
+    rep = pack_report(packed, "w", 10).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_docs"] == 3 and r["n_oversize"] == 1
+    assert r["packed_tokens"] == 14
+    assert r["pad_frac"] == round(1.0 - 14 / (r["n_bins"] * 10), 6)
+
+
 def test_validation(spark):
     with pytest.raises(ValueError):
         pack_greedy(_df(spark, [("a", 1)]), "k", "w", 0)

@@ -473,3 +473,22 @@ def test_pack_greedy_one_shuffle_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     for ln in plan.splitlines():
         assert "windowspecdefinition" not in ln, f"unexpected window: {ln}"
+
+
+def test_pack_incremental_broadcasts_state_no_python(spark, sf_dir):
+    """pack_incremental: the bin-state join is an explicit broadcast
+    (|buckets| rows — the fact side never reshuffles for it), and like
+    pack_greedy the fold stays JVM-side: no Python eval, no window, no
+    cartesian."""
+    plan = _plan_simple(QUERIES["corpus_pack_incremental"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    for ln in plan.splitlines():
+        assert "windowspecdefinition" not in ln, f"unexpected window: {ln}"
+
+
+def test_pack_report_aggregates_assignment_only(spark, sf_dir):
+    plan = _plan_simple(QUERIES["corpus_pack_report"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
