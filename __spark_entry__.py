@@ -3745,18 +3745,48 @@ _REPLAY_SLICES = 3
 
 def _replay_code_hash(*objs) -> str:
     """md5 over the SOURCE CODE that defines a replay: the shared
-    slicing/drain helpers plus the query function and the streaming /
-    operator modules it drives (``inspect.getsource`` accepts both).
-    Any edit to the defining source therefore lands in a fresh work
-    dir automatically — unlike the hand-bumped version token this
-    replaces, which let a tree built by a pre-final iteration of the
-    query survive into a later run under an identical fingerprint."""
+    slicing/drain helpers, the query function, and the TRANSITIVE
+    closure of nspc modules reachable from the modules passed in — a
+    streaming facade's semantics live in the operator modules it calls
+    (streaming/mv.py folds via operators/merge.py + operators/mv.py),
+    so hashing only the facade would let a tree built before an
+    operator edit survive under an identical fingerprint, the exact
+    stale-cache bug this hash exists to kill. Module-level granularity
+    over-invalidates at worst (a cache rebuild, cheap by design)."""
     import hashlib
     import inspect
+    import sys as _sys
+    import types as _types
 
     h = hashlib.md5()
+    work: list = []
     for obj in (_time_tercile_bounds, _replay_slices, _drain_slices) + objs:
-        h.update(inspect.getsource(obj).encode())
+        if isinstance(obj, _types.ModuleType):
+            work.append(obj)
+        else:
+            h.update(inspect.getsource(obj).encode())
+    seen: set[str] = set()
+    mods = []
+    while work:
+        m = work.pop()
+        if m.__name__ in seen:
+            continue
+        seen.add(m.__name__)
+        mods.append(m)
+        for v in vars(m).values():
+            if isinstance(v, _types.ModuleType):
+                if v.__name__.startswith("nspc_etl_basic_spark"):
+                    work.append(v)
+            else:
+                origin = getattr(v, "__module__", None)
+                if (
+                    isinstance(origin, str)
+                    and origin.startswith("nspc_etl_basic_spark")
+                    and origin in _sys.modules
+                ):
+                    work.append(_sys.modules[origin])
+    for m in sorted(mods, key=lambda mm: mm.__name__):
+        h.update(inspect.getsource(m).encode())
     return h.hexdigest()[:12]
 
 
@@ -5547,23 +5577,26 @@ def _sql_pack_lambda(seq_len: int) -> str:
     one-doc state [[w],[1],[0],[0],[0]] doubles as the reduce seed
     (DuckDB's reduce has no separate initializer); a seeded incremental
     fold prepends [old_fills, old_counts, [], [], []] instead."""
-    fit = (
+    fit_expr = (
         "list_filter(range(1, len(acc[1]) + 1), "
         f"i -> acc[1][i] + x[1][1] <= {seq_len})"
     )
-    first = f"({fit})[1]"
-    return f"""CASE WHEN len({fit}) > 0 THEN [
+    # bind the O(bins) first-fit scan ONCE per step through a
+    # single-element list_transform — the textual-inline alternative
+    # re-evaluates it per use, the same un-CSE'd-lambda cliff the
+    # Spark fold measured at 2x (operators/packing.py)
+    body = """CASE WHEN len(fit) > 0 THEN [
         list_transform(range(1, len(acc[1]) + 1),
-            j -> CASE WHEN j = {first}
+            j -> CASE WHEN j = fit[1]
                  THEN acc[1][j] + x[1][1]
                  ELSE acc[1][j] END),
         list_transform(range(1, len(acc[2]) + 1),
-            j -> CASE WHEN j = {first}
+            j -> CASE WHEN j = fit[1]
                  THEN acc[2][j] + 1
                  ELSE acc[2][j] END),
-        list_append(acc[3], {first} - 1),
-        list_append(acc[4], acc[2][{first}]),
-        list_append(acc[5], acc[1][{first}])
+        list_append(acc[3], fit[1] - 1),
+        list_append(acc[4], acc[2][fit[1]]),
+        list_append(acc[5], acc[1][fit[1]])
     ] ELSE [
         list_append(acc[1], x[1][1]),
         list_append(acc[2], CAST(1 AS BIGINT)),
@@ -5571,6 +5604,7 @@ def _sql_pack_lambda(seq_len: int) -> str:
         list_append(acc[4], CAST(0 AS BIGINT)),
         list_append(acc[5], CAST(0 AS BIGINT))
     ] END"""
+    return f"list_transform([{fit_expr}], fit -> {body})[1]"
 
 
 _SQL_PACK_SINGLETON = (
@@ -5579,19 +5613,17 @@ _SQL_PACK_SINGLETON = (
 )
 
 
-def _sql_pack_docs_cte(
-    seq_len: int, n_buckets: int, salt: str, extra_where: str = ""
-) -> str:
+def _sql_pack_docs_cte(seq_len: int, n_buckets: int, salt: str) -> str:
     return f"""docs AS (
             SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w,
                    CAST('0x' || substr(md5('{salt}'
                         || CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) AS ring
             FROM documents
-            WHERE n_chars IS NOT NULL AND n_chars > 0 {extra_where}
         ),
-        fits AS (SELECT * FROM docs WHERE w <= {seq_len}),
+        fits AS (SELECT * FROM docs WHERE w > 0 AND w <= {seq_len}),
         big AS (SELECT * FROM docs WHERE w > {seq_len}),
+        nopack AS (SELECT * FROM docs WHERE w IS NULL OR w <= 0),
         b AS (
             SELECT ring % {n_buckets} AS bucket,
                    list(struct_pack(k := k, w := w)
@@ -5640,6 +5672,13 @@ def _sql_pack_greedy(
                CAST(NULL AS BIGINT) AS "offset",
                TRUE AS oversize
         FROM big
+        UNION ALL
+        SELECT k AS doc_id, w AS n_chars, ring % {n_buckets} AS bucket,
+               CAST(NULL AS BIGINT) AS bin,
+               CAST(NULL AS BIGINT) AS seg_id,
+               CAST(NULL AS BIGINT) AS "offset",
+               FALSE AS oversize
+        FROM nopack
         ORDER BY doc_id
     """
 
@@ -5664,8 +5703,13 @@ def _sql_pack_report(
             SELECT ring % {n_buckets} AS bucket,
                    CAST(count(*) AS BIGINT) AS n_oversize
             FROM big GROUP BY 1
+        ),
+        bkts AS (
+            SELECT bucket FROM perb
+            UNION SELECT bucket FROM overs
+            UNION SELECT ring % {n_buckets} AS bucket FROM nopack
         )
-        SELECT coalesce(p.bucket, o.bucket) AS bucket,
+        SELECT b.bucket AS bucket,
                p.n_bins AS n_bins,
                coalesce(p.n_docs, 0) AS n_docs,
                coalesce(o.n_oversize, 0) AS n_oversize,
@@ -5674,7 +5718,9 @@ def _sql_pack_report(
                    round(1.0 - CAST(p.packed_tokens AS DOUBLE)
                              / CAST(p.n_bins * {seq_len} AS DOUBLE), 6)
                END AS pad_frac
-        FROM perb p FULL OUTER JOIN overs o ON p.bucket = o.bucket
+        FROM bkts b
+        LEFT JOIN perb p ON b.bucket = p.bucket
+        LEFT JOIN overs o ON b.bucket = o.bucket
         ORDER BY 1
     """
 
@@ -5704,13 +5750,13 @@ def _sql_pack_incremental(
                         AS BIGINT) AS ring,
                    ({split}) < {old_buckets} AS is_old
             FROM documents
-            WHERE n_chars IS NOT NULL AND n_chars > 0
         ),
         old_b AS (
             SELECT ring % {n_buckets} AS bucket,
                    list(struct_pack(k := k, w := w)
                         ORDER BY ring, k) AS ds
-            FROM alldocs WHERE is_old AND w <= {seq_len} GROUP BY 1
+            FROM alldocs
+            WHERE is_old AND w > 0 AND w <= {seq_len} GROUP BY 1
         ),
         old_state AS (
             SELECT bucket,
@@ -5723,7 +5769,8 @@ def _sql_pack_incremental(
             SELECT ring % {n_buckets} AS bucket,
                    list(struct_pack(k := k, w := w)
                         ORDER BY ring, k) AS ds
-            FROM alldocs WHERE NOT is_old AND w <= {seq_len} GROUP BY 1
+            FROM alldocs
+            WHERE NOT is_old AND w > 0 AND w <= {seq_len} GROUP BY 1
         ),
         folded AS (
             SELECT n.bucket, n.ds,
@@ -5751,6 +5798,13 @@ def _sql_pack_incremental(
                CAST(NULL AS BIGINT) AS "offset",
                TRUE AS oversize
         FROM alldocs WHERE NOT is_old AND w > {seq_len}
+        UNION ALL
+        SELECT k AS doc_id, w AS n_chars, ring % {n_buckets} AS bucket,
+               CAST(NULL AS BIGINT) AS bin,
+               CAST(NULL AS BIGINT) AS seg_id,
+               CAST(NULL AS BIGINT) AS "offset",
+               FALSE AS oversize
+        FROM alldocs WHERE NOT is_old AND (w IS NULL OR w <= 0)
         ORDER BY doc_id
     """
 

@@ -118,8 +118,11 @@ def bootstrap_mean_ci(
     )
     means = cells.select(key_col, rep_mean.alias("__m"))
     # nearest-rank order statistics: rank ceil(q*B) is the canonical
-    # inverse-CDF pick (the previous int((q)*(B-1))+1 indexing drifted
-    # low — at B=20/alpha=.05 it pinned boot_lo to the minimum replicate)
+    # inverse-CDF pick; the previous int(q*(B-1))+1 indexing drifted low
+    # (at the B=20/alpha=.05 defaults it picked rank 19 instead of 20
+    # for boot_hi; boot_lo is rank 1 — the minimum — under BOTH
+    # conventions there, which is inherent to nearest-rank at small B:
+    # ceil(0.025*20) = 1. Raise B past 40 for an interior lower bound.)
     lo_idx = max(1, math.ceil((alpha / 2.0) * n_replicates))
     hi_idx = min(n_replicates, math.ceil((1.0 - alpha / 2.0) * n_replicates))
     boot = means.groupBy(key_col).agg(

@@ -70,34 +70,33 @@ def pack_greedy(
     (bucket, bin)), ``seg_id`` the document's attention-segment index
     within that sequence (0, 1, 2, ... in placement order — the segment
     ids a block-diagonal attention mask is built from), and ``offset``
-    the document's start position within the sequence. Oversize
-    documents (weight > seq_len) come back with null bin/seg/offset and
-    ``oversize = true``. All integer arithmetic — value-hash replayable.
+    the document's start position within the sequence. Unpacked rows
+    keep their row but carry null bin/seg/offset: ``oversize = true``
+    means too big for any sequence (route to the chunking path);
+    ``oversize = false`` with a null bin means the document had no
+    weight to pack (null or non-positive). Nothing is silently
+    dropped. All integer arithmetic — value-hash replayable.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 
-    ring = _ring(F.col(key_col), salt)
-    base = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(weight_col).cast("long").alias("__w"),
-        ring.alias("__ring"),
-    ).where(F.col("__w").isNotNull() & (F.col("__w") > 0))
-    bucket = (F.col("__ring") % n_buckets).alias("bucket")
-
-    oversize = base.where(F.col("__w") > seq_len).select(
-        F.col("__k").alias(key_col),
-        F.col("__w").alias(weight_col),
-        bucket,
-        F.lit(None).cast("long").alias("bin"),
-        F.lit(None).cast("long").alias("seg_id"),
-        F.lit(None).cast("long").alias("offset"),
-        F.lit(True).alias("oversize"),
+    base = _pack_base(df, key_col, weight_col, salt)
+    passthrough = _pack_passthrough(
+        base.where(
+            F.col("__w").isNull()
+            | (F.col("__w") <= 0)
+            | (F.col("__w") > seq_len)
+        ),
+        key_col,
+        weight_col,
+        n_buckets,
+        seq_len,
     )
 
-    fits = base.where(F.col("__w") <= seq_len)
+    fits = base.where((F.col("__w") > 0) & (F.col("__w") <= seq_len))
+    bucket = (F.col("__ring") % n_buckets).alias("bucket")
     # one small shuffle: (ring, key, weight) triples group per bucket;
     # sort_array orders the walk by (ring, key) — deterministic under
     # any partitioning
@@ -111,7 +110,43 @@ def pack_greedy(
         "__st", _fold(F.col("__docs"), empty, empty, seq_len)
     )
     return _emit_assignments(folded, key_col, weight_col).unionByName(
-        oversize
+        passthrough
+    )
+
+
+def _pack_base(df: DataFrame, key_col: str, weight_col: str, salt: str):
+    return df.select(
+        F.col(key_col).alias("__k"),
+        F.col(weight_col).cast("long").alias("__w"),
+        _ring(F.col(key_col), salt).alias("__ring"),
+    )
+
+
+def _pack_passthrough(
+    rows: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n_buckets: int,
+    seq_len: int,
+) -> DataFrame:
+    """Unpackable rows keep their row: oversize=true when too big,
+    false when there was no positive weight to pack."""
+    return rows.select(
+        F.col("__k").alias(key_col),
+        F.col("__w").alias(weight_col),
+        (F.col("__ring") % n_buckets).alias("bucket"),
+        F.lit(None).cast("long").alias("bin"),
+        F.lit(None).cast("long").alias("seg_id"),
+        F.lit(None).cast("long").alias("offset"),
+        (F.col("__w") > seq_len).alias("__ov"),
+    ).select(
+        key_col,
+        weight_col,
+        "bucket",
+        "bin",
+        "seg_id",
+        "offset",
+        F.coalesce(F.col("__ov"), F.lit(False)).alias("oversize"),
     )
 
 
@@ -215,26 +250,32 @@ def pack_state(packed: DataFrame, weight_col: str) -> DataFrame:
     arrays index by bin id). Feed to ``pack_incremental`` to append a
     later corpus drop into the remaining capacity."""
     per_bin = (
-        packed.where(~F.col("oversize"))
+        packed.where(F.col("bin").isNotNull())
         .groupBy("bucket", "bin")
         .agg(
             F.sum(weight_col).cast("long").alias("__fill"),
             F.count(F.lit(1)).cast("long").alias("__cnt"),
         )
     )
-    return per_bin.groupBy("bucket").agg(
-        F.transform(
+    # collect+sort ONCE (separate aggregate expressions are not CSE'd —
+    # two sort_array(collect_list(...)) would buffer and sort the bin
+    # list twice per bucket), then project the two arrays from it
+    return (
+        per_bin.groupBy("bucket")
+        .agg(
             F.sort_array(
                 F.collect_list(F.struct("bin", "__fill", "__cnt"))
+            ).alias("__bins")
+        )
+        .select(
+            "bucket",
+            F.transform(F.col("__bins"), lambda s: s["__fill"]).alias(
+                "fills"
             ),
-            lambda s: s["__fill"],
-        ).alias("fills"),
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("bin", "__fill", "__cnt"))
+            F.transform(F.col("__bins"), lambda s: s["__cnt"]).alias(
+                "counts"
             ),
-            lambda s: s["__cnt"],
-        ).alias("counts"),
+        )
     )
 
 
@@ -266,26 +307,22 @@ def pack_incremental(
     if n_buckets <= 0:
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 
-    ring = _ring(F.col(key_col), salt)
-    base = df.select(
-        F.col(key_col).alias("__k"),
-        F.col(weight_col).cast("long").alias("__w"),
-        ring.alias("__ring"),
-    ).where(F.col("__w").isNotNull() & (F.col("__w") > 0))
+    base = _pack_base(df, key_col, weight_col, salt)
     bucket = (F.col("__ring") % n_buckets).alias("bucket")
-
-    oversize = base.where(F.col("__w") > seq_len).select(
-        F.col("__k").alias(key_col),
-        F.col("__w").alias(weight_col),
-        bucket,
-        F.lit(None).cast("long").alias("bin"),
-        F.lit(None).cast("long").alias("seg_id"),
-        F.lit(None).cast("long").alias("offset"),
-        F.lit(True).alias("oversize"),
+    passthrough = _pack_passthrough(
+        base.where(
+            F.col("__w").isNull()
+            | (F.col("__w") <= 0)
+            | (F.col("__w") > seq_len)
+        ),
+        key_col,
+        weight_col,
+        n_buckets,
+        seq_len,
     )
 
     grouped = (
-        base.where(F.col("__w") <= seq_len)
+        base.where((F.col("__w") > 0) & (F.col("__w") <= seq_len))
         .groupBy(bucket)
         .agg(
             F.sort_array(
@@ -305,7 +342,7 @@ def pack_incremental(
         ),
     )
     return _emit_assignments(folded, key_col, weight_col).unionByName(
-        oversize
+        passthrough
     )
 
 
@@ -322,17 +359,17 @@ def pack_report(
     padding division is pinned: decimal token sums, double divide,
     round 6 — value-hash replayable."""
     agg = packed.groupBy("bucket").agg(
-        (F.max(F.when(~F.col("oversize"), F.col("bin"))) + 1)
-        .cast("long")
-        .alias("n_bins"),
-        F.sum(F.when(~F.col("oversize"), 1).otherwise(0))
+        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.sum(F.when(F.col("bin").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_docs"),
         F.sum(F.when(F.col("oversize"), 1).otherwise(0))
         .cast("long")
         .alias("n_oversize"),
         F.sum(
-            F.when(~F.col("oversize"), F.col(weight_col)).otherwise(0)
+            F.when(F.col("bin").isNotNull(), F.col(weight_col)).otherwise(
+                0
+            )
         )
         .cast("long")
         .alias("packed_tokens"),

@@ -52,24 +52,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER_GLOB = os.path.join(REPO, "CORRECTNESS_r*.json")
 SNAPSHOT = os.path.join(REPO, "scripts", "query_code_hashes.json")
 WINDOW = os.path.join(REPO, "scripts", "window_order.json")
+PINS = os.path.join(REPO, "scripts", "window_pins.json")
 WINDOW_SIZE = 50
 
+# parenthesized import lists span lines — match to the closing paren,
+# not the first newline (a non-greedy \s-class stopped at line one and
+# silently dropped every name after it from the hash closure)
 _FROM_IMPORT_RE = re.compile(
-    r"from\s+(nspc_etl_basic_spark(?:\.\w+)+)\s+import\s+"
-    r"\(?\s*([\w,\s]+?)\s*\)?\s*(?:\n|$)",
-    re.S,
+    r"from\s+(nspc_etl_basic_spark(?:\.\w+)*)\s+import\s+"
+    r"(\([^)]*\)|[^\n]+)",
 )
 
 
-def _toplevel_name_map(entry_src: str) -> dict[str, str]:
-    """name -> module for the entry file's top-level nspc imports."""
-    out: dict[str, str] = {}
+def _import_pairs(raw: str) -> list[tuple[str, str]]:
+    """[(original, local alias)] from an import list body."""
+    out = []
+    for p in raw.strip().strip("()").replace("\n", " ").split(","):
+        p = p.strip()
+        if not p:
+            continue
+        bits = p.split(" as ")
+        out.append((bits[0].strip(), bits[-1].strip()))
+    return out
+
+
+def _toplevel_name_map(entry_src: str) -> dict[str, tuple[str, str]]:
+    """local name -> (module, original attr) for the entry file's
+    top-level nspc imports (the original matters: `import a as b` must
+    seed the closure with `a`, the attr name in the origin module)."""
+    out: dict[str, tuple[str, str]] = {}
     for m in _FROM_IMPORT_RE.finditer(entry_src):
-        mod = m.group(1)
-        for piece in m.group(2).split(","):
-            name = piece.strip().split(" as ")[-1].strip()
-            if name:
-                out[name] = mod
+        for orig, alias in _import_pairs(m.group(2)):
+            out[alias] = (m.group(1), orig)
     return out
 
 
@@ -99,51 +113,90 @@ def _attr_source(obj) -> str | None:
 
 
 _WORD_RE = re.compile(r"\w+")
-_MODULE_INDEX: dict[str, tuple[dict, dict]] = {}
+_MODULE_INDEX: dict[str, tuple[dict, dict, dict]] = {}
+_PKG = "nspc_etl_basic_spark"
 
 
-def _module_index(module) -> tuple[dict[str, str], dict[str, frozenset]]:
-    """{attr: source} and {attr: word-token set of that source} for a
-    module's own functions/classes and literal constants — computed
-    once per module (the per-attr regex alternative is quadratic)."""
+def _module_index(module) -> tuple[dict, dict, dict]:
+    """Per module, computed once: {attr: source} and {attr: word-token
+    set} for its OWN functions/classes and literal constants, plus
+    {imported name: (origin module, origin attr)} for nspc
+    functions/classes it imports (and {alias: module} for nspc module
+    aliases) — so the closure can follow a facade's call into the
+    operator module that actually implements it."""
     if module.__name__ not in _MODULE_INDEX:
-        attrs = {
-            name: s
-            for name, obj in vars(module).items()
-            if not name.startswith("__")
-            and (s := _attr_source(obj)) is not None
-            and (
-                not (inspect.isfunction(obj) or inspect.isclass(obj))
-                or getattr(obj, "__module__", None) == module.__name__
-            )
-        }
+        attrs: dict[str, str] = {}
+        imports: dict[str, tuple] = {}
+        for name, obj in vars(module).items():
+            if name.startswith("__"):
+                continue
+            if inspect.ismodule(obj):
+                if obj.__name__.startswith(_PKG):
+                    imports[name] = (obj, None)  # module alias
+                continue
+            origin = getattr(obj, "__module__", None)
+            if (inspect.isfunction(obj) or inspect.isclass(obj)) and isinstance(
+                origin, str
+            ):
+                if origin == module.__name__:
+                    src = _attr_source(obj)
+                    if src is not None:
+                        attrs[name] = src
+                elif origin.startswith(_PKG) and origin in sys.modules:
+                    imports[name] = (
+                        sys.modules[origin],
+                        getattr(obj, "__name__", name),
+                    )
+            elif (s := _attr_source(obj)) is not None:
+                attrs[name] = s
         tokens = {
             name: frozenset(_WORD_RE.findall(src))
             for name, src in attrs.items()
         }
-        _MODULE_INDEX[module.__name__] = (attrs, tokens)
+        _MODULE_INDEX[module.__name__] = (attrs, tokens, imports)
     return _MODULE_INDEX[module.__name__]
 
 
 def _closure_sources(module, seed_names: list[str]) -> list[str]:
     """Sources of the named module attributes plus — transitively —
-    every other attribute of the SAME module their sources mention.
-    Function-level, not module-level: an unrelated function added to a
-    shared operator module must not flag every query importing from it."""
-    attrs, tokens = _module_index(module)
-    seen: set[str] = set()
-    work = [n for n in seed_names if n in attrs]
+    every attr their sources mention, FOLLOWED ACROSS MODULES: a
+    facade function's hash must cover the operator functions it calls
+    in other nspc modules (streaming/mv.py -> operators/merge.py), or
+    an operator edit behind the facade never flags the query. Still
+    function-level within each module: an unrelated function added to
+    a shared module does not flag every query importing from it."""
     out: list[str] = []
+    seen: set[tuple[str, str]] = set()
+    work: list[tuple] = [(module, n) for n in seed_names]
     while work:
-        name = work.pop()
-        if name in seen:
+        mod, name = work.pop()
+        key = (mod.__name__, name)
+        if key in seen:
             continue
-        seen.add(name)
-        out.append(attrs[name])
+        seen.add(key)
+        attrs, tokens, imports = _module_index(mod)
+        if name in attrs:
+            out.append(attrs[name])
+            toks = tokens[name]
+        elif name in imports:
+            origin, oname = imports[name]
+            if oname is None:  # module alias: hash the whole module
+                try:
+                    out.append(inspect.getsource(origin))
+                except OSError:
+                    out.append(origin.__name__)
+                continue
+            work.append((origin, oname))
+            continue
+        else:
+            continue
         for other in attrs:
-            if other not in seen and other in tokens[name]:
-                work.append(other)
-    out.sort()
+            if other != name and other in toks:
+                work.append((mod, other))
+        for iname in imports:
+            if iname in toks:
+                work.append((mod, iname))
+    out = sorted(set(out))
     return out
 
 
@@ -163,19 +216,17 @@ def current_hashes(entry) -> dict[str, str]:
         src = inspect.getsource(fn)
         src_tokens = frozenset(_WORD_RE.findall(src))
         parts = [src, oracles.get(key, "")]
-        # names imported inside the query fn, per module
+        # names imported inside the query fn, per module (seed by the
+        # ORIGINAL attr name — aliases don't exist in the origin module)
         wanted: dict[str, set[str]] = {}
         for m in _FROM_IMPORT_RE.finditer(src):
-            names = {
-                p.strip().split(" as ")[-1].strip()
-                for p in m.group(2).split(",")
-                if p.strip()
-            }
-            wanted.setdefault(m.group(1), set()).update(names)
+            wanted.setdefault(m.group(1), set()).update(
+                orig for orig, _alias in _import_pairs(m.group(2))
+            )
         # entry-top-level imported names the fn source mentions
-        for name, mod in name_map.items():
+        for name, (mod, orig) in name_map.items():
             if name in src_tokens:
-                wanted.setdefault(mod, set()).add(name)
+                wanted.setdefault(mod, set()).add(orig)
         for mod_name in sorted(wanted):
             mod = module_of(mod_name)
             if mod is None:
@@ -221,10 +272,28 @@ def ledger_state() -> dict[str, tuple[int, bool]]:
     return state
 
 
+def _active_pins() -> dict[str, dict]:
+    """scripts/window_pins.json: {key: {reason, until_rowed_after}} —
+    a manual escalation for queries whose OUTPUT is known to have
+    changed (hash-rank can't tell an output change from an incidental
+    one, and a stale-green ledger row actively misrepresents those).
+    A pin is SPENT once the key has a driver row from a round LATER
+    than until_rowed_after, so the file self-cleans semantically and
+    can be pruned by sync-snapshot."""
+    if not os.path.exists(PINS):
+        return {}
+    with open(PINS) as fh:
+        return json.load(fh)
+
+
 def compute_ranking(entry) -> tuple[list[str], dict[str, str]]:
-    """Full ranked key list + {key: category} for reporting."""
+    """Full ranked key list + {key: category} for reporting.
+    Categories: 0 never-checked, 1 latest row red, 1.5 pinned
+    output-change not yet re-rowed, 2 code changed since row,
+    3 green+unchanged (oldest row first)."""
     cur = current_hashes(entry)
     state = ledger_state()
+    pins = _active_pins()
     snapshot: dict[str, str] = {}
     if os.path.exists(SNAPSHOT):
         with open(SNAPSHOT) as fh:
@@ -232,10 +301,17 @@ def compute_ranking(entry) -> tuple[list[str], dict[str, str]]:
 
     cats: dict[str, tuple] = {}
     for key in cur:
+        pin = pins.get(key)
+        pinned = pin is not None and (
+            key not in state
+            or state[key][0] <= int(pin["until_rowed_after"])
+        )
         if key not in state:
             cats[key] = (0, key)
         elif not state[key][1]:
             cats[key] = (1, key)
+        elif pinned:
+            cats[key] = (1.5, key)
         elif snapshot.get(key) != cur[key]:
             cats[key] = (2, state[key][0], key)
         else:
@@ -264,7 +340,8 @@ def sync_snapshot() -> None:
                 hist[int(m.group(1))] = json.load(fh)
     snap: dict[str, str] = {}
     dropped = []
-    for key, (rnd, _green) in ledger_state().items():
+    state = ledger_state()
+    for key, (rnd, _green) in state.items():
         h = hist.get(rnd, {}).get(key)
         if h is None:
             dropped.append((key, rnd))  # no dump for that round: cat2
@@ -274,6 +351,17 @@ def sync_snapshot() -> None:
         json.dump(dict(sorted(snap.items())), fh, indent=1)
     print(f"snapshot: {len(snap)} keys", f"(no row-time hash: {dropped})"
           if dropped else "")
+    # prune spent pins: the key got a driver row after the pinned round
+    pins = _active_pins()
+    live = {
+        k: v
+        for k, v in pins.items()
+        if k not in state or state[k][0] <= int(v["until_rowed_after"])
+    }
+    if live != pins:
+        with open(PINS, "w") as fh:
+            json.dump(live, fh, indent=1)
+        print(f"pins: pruned {sorted(set(pins) - set(live))}")
 
 
 def check(entry) -> int:

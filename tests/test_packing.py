@@ -89,6 +89,29 @@ def test_oversize_passthrough(spark):
     assert got["small"]["bin"] == 0
 
 
+def test_weightless_rows_kept_not_dropped(spark):
+    # one row per INPUT row: zero/null-weight docs pass through with a
+    # null bin and oversize=False (distinguishable from too-big)
+    from nspc_etl_basic_spark.operators.packing import pack_incremental
+
+    rows = [("ok", 5), ("zero", 0), ("nul", None), ("big", 50)]
+    df = spark.createDataFrame(rows, "k string, w long")
+    got = _collect(pack_greedy(df, "k", "w", seq_len=10, n_buckets=2))
+    assert len(got) == 4
+    for k in ("zero", "nul"):
+        assert got[k]["bin"] is None and got[k]["oversize"] is False
+    assert got["big"]["oversize"] is True
+    empty_state = spark.createDataFrame(
+        [], "bucket long, fills array<long>, counts array<long>"
+    )
+    got2 = _collect(
+        pack_incremental(df, "k", "w", 10, empty_state, n_buckets=2)
+    )
+    assert {k: (v["bin"], v["oversize"]) for k, v in got.items()} == {
+        k: (v["bin"], v["oversize"]) for k, v in got2.items()
+    }
+
+
 def test_layout_independent(spark):
     rows = [(f"x{i}", 1 + (i * 13) % 50) for i in range(200)]
     df = _df(spark, rows)

@@ -29,7 +29,7 @@ def test_window_matches_ledger_ranking():
 
 def test_never_checked_and_red_lead_the_window():
     ranked, cat = _RANKED, _CAT
-    urgent = [k for k in ranked if cat[k] in ("cat0", "cat1")]
+    urgent = [k for k in ranked if cat[k] in ("cat0", "cat1", "cat1.5")]
     window = list(entry.queries())[: window_order.WINDOW_SIZE]
     missing = [k for k in urgent if k not in window]
     assert not missing, (
