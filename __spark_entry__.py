@@ -3708,6 +3708,58 @@ def text_bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, _bpe_merges(spark, sf_dir))
 
 
+def text_bpe_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — THE quick health check run on
+    every tokenizer/corpus pairing (a language whose chars-per-token
+    collapses is being byte-exploded; tokens-per-word far above ~1.3
+    means the vocabulary underfits that language). Pure composition:
+    the trained-BPE encode (text_bpe_encode's Arrow kernel) joined back
+    to (lang, n_chars) and rolled up per language with exact BIGINT
+    sums; the two ratios are single double divisions rounded to 6.
+    Oracle wraps the full unrolled encode replay as a CTE."""
+    from nspc_etl_basic_spark.operators.bpe import bpe_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, _bpe_merges(spark, sf_dir))
+    joined = enc.join(
+        docs.select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_chars"), F.lit(0)).cast("long").alias("__nc"),
+        ),
+        "doc_id",
+    )
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.sum("__nc").cast("long").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.col("n_bpe_tokens").cast("double")
+                / F.col("n_words").cast("double"),
+                6,
+            ),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_bpe_tokens").cast("double"),
+                6,
+            ),
+        ).alias("chars_per_token"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming replay driver queries
 #
@@ -4424,6 +4476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_greedy": corpus_pack_greedy_q,
         "corpus_pack_report": corpus_pack_report_q,
         "corpus_pack_incremental": corpus_pack_incremental_q,
+        "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
         "emb_pca_project": emb_pca_project_q,
@@ -5288,6 +5341,36 @@ def _sql_bpe_encode(
         LEFT JOIN __bprev p ON p.doc_id = doc.doc_id
     """
     )
+
+
+def _sql_bpe_fertility(num_merges: int = 8) -> str:
+    """Oracle for text_bpe_fertility: the full text_bpe_encode replay
+    wrapped as a CTE (a DuckDB CTE body may carry its own WITH), then
+    the per-language rollup. Ratios are single double divisions of
+    exact BIGINT sums, rounded to 6 — engine-identical."""
+    return f"""
+        WITH enc AS ({_sql_bpe_encode(num_merges)}),
+        d AS (
+            SELECT doc_id, lang, CAST(coalesce(n_chars, 0) AS BIGINT) AS nc
+            FROM documents
+        )
+        SELECT d.lang AS lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(e.n_words) AS BIGINT) AS n_words,
+               CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+               CAST(sum(d.nc) AS BIGINT) AS n_chars,
+               CASE WHEN sum(e.n_words) > 0 THEN
+                   round(CAST(sum(e.n_bpe_tokens) AS DOUBLE)
+                       / CAST(sum(e.n_words) AS DOUBLE), 6)
+               END AS tokens_per_word,
+               CASE WHEN sum(e.n_bpe_tokens) > 0 THEN
+                   round(CAST(sum(d.nc) AS DOUBLE)
+                       / CAST(sum(e.n_bpe_tokens) AS DOUBLE), 6)
+               END AS chars_per_token
+        FROM d JOIN enc e USING (doc_id)
+        GROUP BY d.lang
+        ORDER BY d.lang
+    """
 
 
 def _sql_dq_profile() -> str:
@@ -6534,6 +6617,7 @@ def oracle_sql() -> dict[str, str]:
             for t in range(8)
         ),
         "text_bpe_encode": _sql_bpe_encode(8),
+        "text_bpe_fertility": _sql_bpe_fertility(8),
         # PCA projection: power-iteration components replayed bit-exactly
         # (fixed IEEE op sequence over the rounded covariance), then the
         # projection as left-assoc multiply-add chains matching Spark's
