@@ -3432,12 +3432,14 @@ def events_range_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
-    the batch twin of applyInPandasWithState sessionization."""
+    the batch twin of applyInPandasWithState sessionization. Gap
+    arithmetic is in epoch-MICROSECONDS to match the streaming
+    operator's precision contract (the corpus carries sub-ms residue)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    prev_ms = F.lag(F.unix_millis(F.col("ts"))).over(w)
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
     new_sess = F.when(
-        prev_ms.isNull() | (F.unix_millis(F.col("ts")) - prev_ms > 1_800_000), 1
+        prev_us.isNull() | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000), 1
     ).otherwise(0)
     return (
         ev.withColumn("new_sess", new_sess)
@@ -4189,9 +4191,12 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliance on timeout firing order; sentinel sessions themselves
     stay open and are never emitted. The emitted set is then exactly
     the batch islands decomposition (lag > 30 min starts a session),
-    which is the oracle SQL. Session bounds ride millisecond integers
-    in state; the driver normalizes timestamps to seconds, and the
-    corpus's timestamps are whole seconds anyway."""
+    which is the oracle SQL. Precision contract: session bounds ride
+    epoch-MICROSECOND integers in state (Spark TimestampType's native
+    resolution) and are emitted at full µs — the corpus carries
+    sub-millisecond residue at every tier, so both the operator and the
+    oracle do gap arithmetic in epoch_us and the driver value-hash sees
+    identical µs tails."""
     import datetime as _dtmod
     import os
     import shutil
@@ -6384,10 +6389,10 @@ def oracle_sql() -> dict[str, str]:
         # session; emitted set == batch islands decomposition
         "stream_sessionize_replay": """
             WITH seq AS (
-                SELECT user_id, ts, epoch_ms(ts) AS ms,
-                       CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
-                                 OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w
-                                    > 1800000
+                SELECT user_id, ts, epoch_us(ts) AS us,
+                       CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                    > 1800000000
                             THEN 1 ELSE 0 END AS new_sess
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -6395,7 +6400,7 @@ def oracle_sql() -> dict[str, str]:
             grp AS (
                 SELECT user_id, ts,
                        sum(new_sess) OVER (
-                           PARTITION BY user_id ORDER BY ts, ms
+                           PARTITION BY user_id ORDER BY ts, us
                            ROWS UNBOUNDED PRECEDING) AS sid
                 FROM seq
             )
@@ -9337,12 +9342,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": """
             WITH seq AS (
                 SELECT user_id,
-                       CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END
+                       CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END
                            AS new_sess
                 FROM (
-                    SELECT user_id, epoch_ms(ts) AS ms,
-                           lag(epoch_ms(ts)) OVER (
-                               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ms
+                    SELECT user_id, epoch_us(ts) AS us,
+                           lag(epoch_us(ts)) OVER (
+                               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
                     FROM events
                 )
             )

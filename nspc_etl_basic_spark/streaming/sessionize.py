@@ -15,7 +15,6 @@ logic: per-group state schema, timeout handling, incremental emission).
 
 from __future__ import annotations
 
-import datetime as dt
 from collections.abc import Iterable
 
 import pandas as pd
@@ -38,71 +37,78 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
-# state: (session_start_ms, session_end_ms, n_events)
+# state: (session_start_us, session_end_us, n_events)
+#
+# Precision contract: state and gap arithmetic ride epoch-MICROSECONDS
+# (Spark TimestampType's native resolution; the Arrow boundary delivers
+# datetime64[ns] whose sub-µs part is always zero). Emitted bounds
+# reconstruct the full µs value — never truncate to ms here: the corpus
+# carries sub-millisecond residue at every scale tier, and flooring to
+# ms silently shifts session_start/session_end by the µs tail.
+# GroupState.setTimeoutTimestamp alone is millisecond-based, so only
+# the timeout derives an ms value (floor is safe: gap >> 1 ms).
 STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
         StructField("n", IntegerType()),
     ]
 )
 
 
-def _session_fn_factory(gap_ms: int):
+def _session_fn_factory(gap_us: int):
     def fn(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                start_ms, end_ms, n = state.get
+                start_us, end_us, n = state.get
                 state.remove()
-                yield _emit(user_id, start_ms, end_ms, n)
+                yield _emit(user_id, start_us, end_us, n)
             return
 
-        ts_ms: list[int] = []
+        ts_us: list[int] = []
         for pdf in pdfs:
-            ts_ms.extend(
-                (pdf["ts"].astype("int64") // 1_000_000).tolist()
+            ts_us.extend(
+                (pdf["ts"].astype("int64") // 1_000).tolist()
             )
-        ts_ms.sort()
-        if not ts_ms:
+        ts_us.sort()
+        if not ts_us:
             return
 
         closed: list[tuple[int, int, int]] = []
         if state.exists:
-            start_ms, end_ms, n = state.get
+            start_us, end_us, n = state.get
         else:
-            start_ms, end_ms, n = ts_ms[0], ts_ms[0], 0
+            start_us, end_us, n = ts_us[0], ts_us[0], 0
 
-        for t in ts_ms:
-            if t - end_ms > gap_ms:
-                closed.append((start_ms, end_ms, n))
-                start_ms, n = t, 0
-            end_ms = max(end_ms, t)
+        for t in ts_us:
+            if t - end_us > gap_us:
+                closed.append((start_us, end_us, n))
+                start_us, n = t, 0
+            end_us = max(end_us, t)
             n += 1
 
-        state.update((start_ms, end_ms, n))
-        state.setTimeoutTimestamp(end_ms + gap_ms)
+        state.update((start_us, end_us, n))
+        # setTimeoutTimestamp is ms-based; floor(end/1000) + gap_ms is
+        # still >= end + gap - 1ms, and the sentinel-slice replay never
+        # relies on timeout firing order anyway.
+        state.setTimeoutTimestamp(end_us // 1_000 + gap_us // 1_000)
         for s, e, c in closed:
             yield _emit(user_id, s, e, c)
 
     return fn
 
 
-def _utc_naive(ms: int) -> dt.datetime:
-    # utcfromtimestamp is deprecated since 3.12; same naive-UTC value.
-    return dt.datetime.fromtimestamp(ms / 1000, tz=dt.timezone.utc).replace(
-        tzinfo=None
-    )
-
-
-def _emit(user_id: int, start_ms: int, end_ms: int, n: int) -> pd.DataFrame:
+def _emit(user_id: int, start_us: int, end_us: int, n: int) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "user_id": [user_id],
-            "session_start": [_utc_naive(start_ms)],
-            "session_end": [_utc_naive(end_ms)],
+            # unit="us" keeps the full microsecond tail (dividing floats
+            # through fromtimestamp would reintroduce rounding error).
+            "session_start": [pd.to_datetime(start_us, unit="us")],
+            "session_end": [pd.to_datetime(end_us, unit="us")],
             "n_events": [n],
         }
     )
@@ -118,15 +124,20 @@ def sessionize_stateful(
     """Streaming gap-sessionization. Input must be a streaming DataFrame
     with (user_col, ts_col); emits closed sessions."""
     amount, unit = gap.split()
-    mult = {"minutes": 60_000, "minute": 60_000, "seconds": 1000, "second": 1000}[unit]
-    gap_ms = int(amount) * mult
+    mult = {
+        "minutes": 60_000_000,
+        "minute": 60_000_000,
+        "seconds": 1_000_000,
+        "second": 1_000_000,
+    }[unit]
+    gap_us = int(amount) * mult
     return (
         events.withWatermark(ts_col, watermark)
         .select(user_col, ts_col)
         .withColumnRenamed(ts_col, "ts")
         .groupBy(user_col)
         .applyInPandasWithState(
-            _session_fn_factory(gap_ms),
+            _session_fn_factory(gap_us),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

@@ -28,7 +28,10 @@ def _norm(v):
         # round-trip through a fixed precision to absorb fp representation
         return f"{v:.6f}"
     if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+        # microseconds: the driver hashes full-precision timestamp values,
+        # so the local gate must be at least as strict (a seconds-level
+        # normalizer masked the sessionize ms-truncation bug for 2 rounds)
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, bool):

@@ -201,6 +201,51 @@ def test_sessionize_stateful_emits_closed_sessions(spark, tmp_path):
     ]
 
 
+def test_sessionize_stateful_preserves_microseconds(spark, tmp_path):
+    """Precision contract: session bounds round-trip the full microsecond
+    tail through state + Arrow emission (the corpus carries sub-ms residue;
+    an ms-floored state silently shifted emitted bounds — CORRECTNESS_r06)."""
+    us = lambda *a, **kw: datetime.datetime(*a, **kw)  # noqa: E731
+    rows = [
+        # one session with µs residue on both endpoints, closed by a
+        # far-future burst that advances the watermark
+        (3, us(2024, 1, 1, 0, 0, 0, 729045)),
+        (3, us(2024, 1, 1, 0, 10, 0, 123456)),
+        (3, us(2024, 1, 1, 9, 0, 0, 1)),
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    src = tmp_path / "sess_us"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src))
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    sessions = sessionize_stateful(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_us_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_us_out").collect()
+    )
+    assert got == [
+        (
+            3,
+            us(2024, 1, 1, 0, 0, 0, 729045),
+            us(2024, 1, 1, 0, 10, 0, 123456),
+            2,
+        )
+    ]
+
+
 def test_stream_dedup_exact_first_wins(spark, tmp_path):
     """Streaming exact dedup: only the first occurrence of each distinct
     content survives; state keys are content hashes, bounded by the
