@@ -2020,6 +2020,53 @@ def corpus_pack_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_report(packed, "n_chars", seq_len=512)
 
 
+def corpus_pack_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed sequences (packing.pack_materialize): the
+    greedy assignment over word-token counts joined back to the
+    documents' token-id arrays, emitting one row per packed sequence —
+    input_ids padded to exactly 128 with pad_id 0 and the aligned
+    per-position segment_ids (-1 over padding) a packing dataloader
+    feeds block-diagonal attention with. Token ids are the shared
+    md5-32bit word hash (same arithmetic as the ring); weight = token
+    count, so offsets and concatenation agree by construction. Arrays
+    ride to the driver as to_json strings (driver hash contract). The
+    token payload moves exactly once: assignment-to-tokens join, then
+    one shuffle of token rows to their (bucket, bin) sequence."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize,
+    )
+    from nspc_etl_basic_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            word_tokens(F.col("text")),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
+                "long"
+            ),
+        ).alias("tokens"),
+    )
+    weighted = docs.select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    assignment = pack_greedy(
+        weighted, key_col="doc_id", weight_col="n_toks",
+        seq_len=128, n_buckets=32, salt="pack",
+    )
+    packed = pack_materialize(assignment, toks, "doc_id", seq_len=128)
+    return packed.select(
+        "bucket",
+        "bin",
+        "n_segments",
+        "fill",
+        F.to_json("input_ids").alias("input_ids"),
+        F.to_json("segment_ids").alias("segment_ids"),
+    )
+
+
 def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental packing (packing.pack_incremental — the
     daily-corpus-drop pattern): an 80% md5-split of documents packs
@@ -4481,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_greedy": corpus_pack_greedy_q,
         "corpus_pack_report": corpus_pack_report_q,
         "corpus_pack_incremental": corpus_pack_incremental_q,
+        "corpus_pack_materialize": corpus_pack_materialize_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -5701,9 +5749,14 @@ _SQL_PACK_SINGLETON = (
 )
 
 
-def _sql_pack_docs_cte(seq_len: int, n_buckets: int, salt: str) -> str:
+def _sql_pack_docs_cte(
+    seq_len: int,
+    n_buckets: int,
+    salt: str,
+    w_expr: str = "CAST(n_chars AS BIGINT)",
+) -> str:
     return f"""docs AS (
-            SELECT doc_id AS k, CAST(n_chars AS BIGINT) AS w,
+            SELECT doc_id AS k, {w_expr} AS w,
                    CAST('0x' || substr(md5('{salt}'
                         || CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) AS ring
@@ -5798,7 +5851,7 @@ def _sql_pack_report(
             UNION SELECT ring % {n_buckets} AS bucket FROM nopack
         )
         SELECT b.bucket AS bucket,
-               p.n_bins AS n_bins,
+               coalesce(p.n_bins, 0) AS n_bins,
                coalesce(p.n_docs, 0) AS n_docs,
                coalesce(o.n_oversize, 0) AS n_oversize,
                coalesce(p.packed_tokens, 0) AS packed_tokens,
@@ -5810,6 +5863,54 @@ def _sql_pack_report(
         LEFT JOIN perb p ON b.bucket = p.bucket
         LEFT JOIN overs o ON b.bucket = o.bucket
         ORDER BY 1
+    """
+
+
+def _sql_pack_materialize(
+    seq_len: int = 128, n_buckets: int = 32, salt: str = "pack"
+) -> str:
+    """Oracle for corpus_pack_materialize: replay the fold over
+    word-token-count weights, join the per-doc assignments back to the
+    md5-32bit token-id lists, list-concatenate in segment order, and
+    pad both arrays to seq_len (pad_id 0, pad_seg -1) — to_json'd like
+    every array the driver hashes."""
+    w_expr = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT)"
+    pad = f"list_transform(range(1, {seq_len} - fill + 1), p -> CAST({{v}} AS BIGINT))"
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt, w_expr=w_expr)},
+        {_SQL_PACK_ASSIGNED},
+        tok AS (
+            SELECT doc_id AS k,
+                   list_transform(
+                       regexp_extract_all(lower(text), '[a-z0-9'']+'),
+                       w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                   ) AS toks
+            FROM documents
+        ),
+        seqs AS (
+            SELECT a.bucket AS bucket, a.z.bin AS bin,
+                   list(struct_pack(seg := a.z.seg, toks := t.toks)
+                        ORDER BY a.z.seg) AS segs
+            FROM assigned a JOIN tok t ON a.z.k = t.k
+            GROUP BY 1, 2
+        ),
+        built AS (
+            SELECT bucket, bin,
+                   CAST(len(segs) AS BIGINT) AS n_segments,
+                   flatten(list_transform(segs, s -> s.toks)) AS ids,
+                   flatten(list_transform(segs,
+                       s -> list_transform(s.toks, x -> s.seg))) AS sids,
+                   CAST(len(flatten(list_transform(segs, s -> s.toks)))
+                        AS BIGINT) AS fill
+            FROM seqs
+        )
+        SELECT bucket, bin, n_segments, fill,
+               CAST(to_json(list_concat(ids, {pad.format(v=0)}))
+                    AS VARCHAR) AS input_ids,
+               CAST(to_json(list_concat(sids, {pad.format(v=-1)}))
+                    AS VARCHAR) AS segment_ids
+        FROM built
+        ORDER BY bucket, bin
     """
 
 
@@ -8443,6 +8544,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_greedy": _sql_pack_greedy(),
         "corpus_pack_report": _sql_pack_report(),
         "corpus_pack_incremental": _sql_pack_incremental(),
+        "corpus_pack_materialize": _sql_pack_materialize(),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -43,7 +43,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_greedy", "pack_incremental", "pack_report", "pack_state"]
+__all__ = [
+    "pack_greedy",
+    "pack_incremental",
+    "pack_materialize",
+    "pack_report",
+    "pack_state",
+]
 
 
 def _ring(key_col, salt: str):
@@ -346,10 +352,77 @@ def pack_incremental(
     )
 
 
+def pack_materialize(
+    assignment: DataFrame,
+    tokens: DataFrame,
+    key_col: str,
+    seq_len: int,
+    pad_id: int = 0,
+    pad_seg: int = -1,
+) -> DataFrame:
+    """Materialize the packed sequences a dataloader actually consumes:
+    join a ``pack_greedy``/``pack_incremental`` assignment back to
+    per-document token arrays and emit ONE ROW PER PACKED SEQUENCE —
+    ``(bucket, bin, n_segments, fill, input_ids, segment_ids)`` with
+    ``input_ids`` the documents' tokens concatenated in segment order
+    and right-padded to exactly ``seq_len`` with ``pad_id``, and
+    ``segment_ids`` the aligned per-position attention-segment index
+    (``pad_seg`` over padding) a block-diagonal attention mask is built
+    from. ``fill`` is the real-token count (= seq_len - padding).
+
+    ``tokens`` must carry ``(key_col, tokens: array)`` where
+    ``size(tokens)`` equals the assignment's packed weight — the same
+    token counter must produce both, or offsets and concatenation
+    disagree. Oversize/passthrough rows (null bin) are excluded here by
+    construction; route them to the chunking path.
+
+    Scale: output-proportional — the token payload moves exactly once
+    (one shuffle join assignment-to-tokens on the key, then one shuffle
+    of token rows to their (bucket, bin) group); the per-bin
+    ``collect_list`` holds one sequence's segments, bounded by
+    ``seq_len`` tokens, never a corpus partition. All arithmetic is
+    integer / array concatenation — value-hash replayable.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    placed = assignment.where(F.col("bin").isNotNull()).select(
+        key_col, "bucket", "bin", "seg_id"
+    )
+    joined = placed.join(tokens.select(key_col, "tokens"), key_col)
+    grouped = joined.groupBy("bucket", "bin").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seg_id", "tokens"))
+        ).alias("__segs")
+    )
+    ids = F.flatten(F.transform("__segs", lambda s: s["tokens"]))
+    segs = F.flatten(
+        F.transform(
+            "__segs",
+            lambda s: F.array_repeat(s["seg_id"], F.size(s["tokens"])),
+        )
+    )
+    # bind fill once: F.size(ids) inlined into the two pads would
+    # re-flatten per use (higher-order exprs are not CSE'd)
+    with_fill = grouped.withColumn("__fill", F.size(ids).cast("long"))
+    pad_n = (F.lit(seq_len) - F.col("__fill")).cast("int")
+    return with_fill.select(
+        "bucket",
+        "bin",
+        F.size("__segs").cast("long").alias("n_segments"),
+        F.col("__fill").alias("fill"),
+        F.concat(
+            ids, F.array_repeat(F.lit(pad_id).cast("long"), pad_n)
+        ).alias("input_ids"),
+        F.concat(
+            segs, F.array_repeat(F.lit(pad_seg).cast("long"), pad_n)
+        ).alias("segment_ids"),
+    )
+
+
 def pack_report(
     packed: DataFrame, weight_col: str, seq_len: int
 ) -> DataFrame:
-    """Padding-efficiency report over a ``pack_greedy`` result — the
+    """Padding-efficiency report over a packing assignment — the
     number a pipeline owner actually tunes ``seq_len``/``n_buckets``
     by: per bucket, how many packed sequences, how many documents
     packed vs oversize, and the padding fraction
@@ -357,9 +430,18 @@ def pack_report(
     compute spent attending to padding). One aggregate over the packing
     assignment — the report never touches the corpus itself. The
     padding division is pinned: decimal token sums, double divide,
-    round 6 — value-hash replayable."""
+    round 6 — value-hash replayable.
+
+    ``n_bins`` counts DISTINCT bins touched by the input rows, so the
+    report is well-defined over any assignment slice: a ``pack_greedy``
+    result or a union of old + incremental assignments (dense bins —
+    n_bins is the full sequence count) as well as a lone
+    ``pack_incremental`` slice (sparse bins — n_bins is the sequences
+    the new docs landed in, and pad_frac measures padding only against
+    those). A bucket with only passthrough rows reports ``n_bins = 0``
+    and a null ``pad_frac``."""
     agg = packed.groupBy("bucket").agg(
-        (F.max("bin") + 1).cast("long").alias("n_bins"),
+        F.countDistinct("bin").cast("long").alias("n_bins"),
         F.sum(F.when(F.col("bin").isNotNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_docs"),

@@ -4,6 +4,7 @@ partition-layout independence."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nspc_etl_basic_spark.operators.packing import pack_greedy
 
@@ -191,6 +192,80 @@ def test_pack_report_hand_computed(spark):
     assert r["n_docs"] == 3 and r["n_oversize"] == 1
     assert r["packed_tokens"] == 14
     assert r["pad_frac"] == round(1.0 - 14 / (r["n_bins"] * 10), 6)
+
+
+def test_pack_report_passthrough_only_bucket_reports_zero_bins(spark):
+    from nspc_etl_basic_spark.operators.packing import pack_report
+
+    # every row oversize -> no bins anywhere; n_bins must be 0 (not
+    # null) so downstream consumers don't null-propagate
+    rows = [("big1", 50), ("big2", 99)]
+    packed = pack_greedy(_df(spark, rows), "k", "w", 10, n_buckets=1)
+    rep = pack_report(packed, "w", 10).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    assert r["n_bins"] == 0 and r["n_docs"] == 0 and r["n_oversize"] == 2
+    assert r["pad_frac"] is None
+
+
+def test_pack_report_counts_distinct_bins_on_sparse_input(spark):
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_incremental,
+        pack_report,
+        pack_state,
+    )
+
+    # old corpus fills several bins; a lone incremental slice touches
+    # only some of them — n_bins must count bins TOUCHED, not max+1
+    old = [("a", 9), ("b", 9), ("c", 9), ("d", 9)]
+    new = [("z", 1)]
+    seq_len, nb = 10, 1
+    packed_old = pack_greedy(_df(spark, old), "k", "w", seq_len, n_buckets=nb)
+    state = pack_state(packed_old, "w")
+    inc = pack_incremental(
+        _df(spark, new), "k", "w", seq_len, state, n_buckets=nb
+    )
+    inc_rows = inc.collect()
+    assert len(inc_rows) == 1
+    touched = {r["bin"] for r in inc_rows}
+    rep = pack_report(inc, "w", seq_len).collect()
+    assert rep[0]["n_bins"] == len(touched)
+    # and over the dense union, countDistinct == max+1 (old behavior)
+    union = packed_old.unionByName(inc)
+    rep_u = pack_report(union, "w", seq_len).collect()
+    n_bins_dense = max(r["bin"] for r in [*packed_old.collect(), *inc_rows]) + 1
+    assert rep_u[0]["n_bins"] == n_bins_dense
+
+
+def test_pack_materialize_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.packing import pack_materialize
+
+    # one bucket, seq_len 10: a(6)->bin0, b(3)->bin0, c(5)->bin1;
+    # "big" is oversize and must not appear in any sequence
+    rows = [("a", 6), ("b", 3), ("c", 5), ("big", 50)]
+    packed = pack_greedy(_df(spark, rows), "k", "w", 10, n_buckets=1)
+    tok_rows = [
+        ("a", [1, 2, 3, 4, 5, 6]),
+        ("b", [7, 8, 9]),
+        ("c", [10, 11, 12, 13, 14]),
+        ("big", list(range(100, 150))),
+    ]
+    toks = spark.createDataFrame(tok_rows, ["k", "tokens"]).select(
+        "k", F.col("tokens").cast("array<long>").alias("tokens")
+    )
+    out = {
+        (r["bucket"], r["bin"]): r
+        for r in pack_materialize(packed, toks, "k", seq_len=10).collect()
+    }
+    assert len(out) == 2
+    first = out[(0, 0)]
+    assert first["n_segments"] == 2 and first["fill"] == 9
+    assert first["input_ids"] == [1, 2, 3, 4, 5, 6, 7, 8, 9, 0]
+    assert first["segment_ids"] == [0, 0, 0, 0, 0, 0, 1, 1, 1, -1]
+    second = out[(0, 1)]
+    assert second["n_segments"] == 1 and second["fill"] == 5
+    assert second["input_ids"] == [10, 11, 12, 13, 14, 0, 0, 0, 0, 0]
+    assert second["segment_ids"] == [0, 0, 0, 0, 0, -1, -1, -1, -1, -1]
 
 
 def test_validation(spark):
