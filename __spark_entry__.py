@@ -3902,12 +3902,21 @@ def _replay_work_dir(
     Sibling dirs for the same (tag, sf) with a different hash are stale
     by construction and removed here, as are legacy pre-code-hash dirs
     (``nspc_replay_<tag>_<12hex>``), so /tmp stays bounded and a stale
-    tree can never be read even by an older binary."""
+    tree can never be read even by an older binary.
+
+    Concurrency guard: a sibling is only swept when it is FINISHED
+    (contains ``_DONE``) or abandoned (untouched for over an hour).
+    Two drivers from different checkouts sharing /tmp (the round-N
+    worktree flow) would otherwise rmtree each other's in-progress
+    builds mid-write — the victim's ``_DONE`` check happens before the
+    other process's sweep, so a partially deleted warehouse could be
+    read without error."""
     import glob
     import hashlib
     import os
     import shutil
     import tempfile
+    import time
 
     try:
         st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
@@ -3920,13 +3929,23 @@ def _replay_work_dir(
     work = os.path.join(
         tmp, prefix + hashlib.md5(fp.encode()).hexdigest()[:12]
     )
+
+    def _sweepable(path: str) -> bool:
+        if os.path.exists(os.path.join(path, "_DONE")):
+            return True
+        try:
+            return time.time() - os.path.getmtime(path) > 3600
+        except OSError:
+            return False
+
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
-        if stale != work:
+        if stale != work and _sweepable(stale):
             shutil.rmtree(stale, ignore_errors=True)
     for legacy in glob.glob(
         os.path.join(tmp, f"nspc_replay_{tag}_" + "[0-9a-f]" * 12)
     ):
-        shutil.rmtree(legacy, ignore_errors=True)
+        if _sweepable(legacy):
+            shutil.rmtree(legacy, ignore_errors=True)
     return work, os.path.join(work, "_DONE")
 
 

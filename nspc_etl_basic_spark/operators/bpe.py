@@ -25,6 +25,10 @@ the standard BPE encode loop). That inner loop is data-dependent and not
 expressible in fixed column algebra, so it runs as an Arrow-batched
 ``mapInPandas`` kernel — executor-parallel, zero shuffle, the documented
 slow-path-when-you-must pattern.
+
+Precision contract: nothing lossy crosses the Arrow boundary — inputs
+are UTF-8 strings, outputs integer token ids / counts (exact); no
+timestamps, no floats, no unit conversions inside the kernel.
 """
 
 from __future__ import annotations

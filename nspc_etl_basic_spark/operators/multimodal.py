@@ -25,6 +25,12 @@ raw bytes so the distributed plumbing — Arrow batching, schemas, batch
 iteration, partitioning — always runs end-to-end; pass
 ``require_real_decode=True`` to raise on any undecodable payload instead
 of silently faking.
+
+Precision contract (Arrow boundary): kernels carry opaque bytes and
+integer pixel/sample values — no timestamps, no unit conversions;
+integer accumulations (pixel sums, sample energy) run in int64 exactly,
+and derived means/ratios cross as float64 rounded (6 dp) JVM-side per
+the engine-wide F.round contract.
 """
 
 from __future__ import annotations

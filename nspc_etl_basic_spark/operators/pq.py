@@ -41,6 +41,11 @@ Trained codebooks (round 5) run Lloyd's in a fixed-point integer
 domain — see ``train_pq_codebooks`` — so they are ALSO bit-portable:
 with ``quantize_scale`` set on the encode kernel and ADC search, the
 full trained chain is replayed by a generated DuckDB oracle.
+
+Precision contract (Arrow boundary): kernels carry float64 vectors and
+integer codes only — no timestamps, no unit conversions; every float
+that reaches an output column crosses at full float64 and is rounded
+(6 dp) by the JVM side per the engine-wide F.round contract.
 """
 
 from __future__ import annotations

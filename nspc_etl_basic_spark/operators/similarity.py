@@ -317,7 +317,9 @@ def train_ivf_centroids(
     and only the driver reduce goes big.
 
     The plan shape is unchanged from the float version: each iteration
-    is one Arrow ``mapInPandas`` pass emitting <= k per-cell partial
+    is one Arrow ``mapInPandas`` pass (precision contract: float64
+    vectors and int64 partial sums only cross the boundary — no
+    timestamps, no unit conversions) emitting <= k per-cell partial
     (count, sum-vector) rows per batch (the treeAggregate shape), with
     a codebook-sized driver reduce — n_iter embarrassingly-parallel
     corpus scans, no shuffle at all. The matmul stays BLAS float64:

@@ -642,7 +642,9 @@ def normalize_text(
     whole-stage-codegen JVM regex. Streams through 100 TB as scan work.
     The kernel ships raw+NFC text once per row (2x text transfer); at
     production scale text dominates the row anyway and the transfer is
-    task-local.
+    task-local. Precision contract: strings in, strings out — nothing
+    lossy crosses the Arrow boundary (no timestamps, floats, or unit
+    conversions in the kernel).
     """
     # the id rides through the kernel with whatever type it arrived in
     # (string doc keys are as legitimate as longs — pinning LongType
