@@ -2067,6 +2067,82 @@ def corpus_pack_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixture draw (operators/mixing.py): target
+    proportions en:5 de:2 fr:2 es:1 zh:1 over a 30k-char budget, turned
+    into per-language integer hash thresholds (BIGINT floor division
+    end-to-end) and drawn with the shared md5 ring — membership is a
+    pure function of doc_id. Plan: one |langs|-row aggregate broadcast
+    back as a scan filter; the corpus never shuffles. The oracle
+    replays thresholds and membership with the identical integer
+    arithmetic."""
+    from nspc_etl_basic_spark.operators.mixing import mix_sources
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_sources(
+        docs, key="doc_id", strata_col="lang", weight_col="n_chars",
+        parts={"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1},
+        budget=30_000, salt="mix",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+def corpus_dsir_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style hashed importance scoring (operators/dsir.py, public
+    arXiv 2302.03169 shape): target = the English slice, source = the
+    whole corpus; 1024 hashed unigram buckets; per-doc score =
+    sum(cnt_b * w_b) with fixed-point Laplace-smoothed target/source
+    ratios — exact BIGINT end-to-end (the engine's no-transcendentals
+    oracle contract; monotone transforms don't change a top-k). Docs
+    with zero word tokens carry no score row. The weight table is 1024
+    rows — broadcast at any corpus size."""
+    from nspc_etl_basic_spark.operators.dsir import dsir_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_scores(
+        docs, docs.where(F.col("lang") == "en"),
+        id_col="doc_id", text_col="text", n_buckets=1024, salt="dsir",
+    )
+
+
+def corpus_shard_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard balance for the packed corpus (packing.shard_assign +
+    shard_report): every packed sequence hashes to one of 8 output
+    shards on the md5 ring (sequence identity, so a sequence's docs
+    stay together), and the report gives per-shard sequences / docs /
+    real tokens / fill fraction — the equal-work check before writing
+    dataloader files. The oracle reads per-bin loads straight off the
+    replayed fold state and re-hashes (bucket, bin) to shards."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        shard_assign,
+        shard_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_greedy(
+        docs, key_col="doc_id", weight_col="n_chars",
+        seq_len=512, n_buckets=32, salt="pack",
+    )
+    return shard_report(
+        shard_assign(packed, n_shards=8, salt="shard"),
+        "n_chars", seq_len=512,
+    )
+
+
+def corpus_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source 3-gram novelty profile (operators/novelty.py): for
+    each source, distinct word 3-grams present and how many appear in
+    NO lexicographically-earlier source — the corpus-growth diagnostic
+    that catches a source re-crawling what the corpus already holds.
+    Three aggregates over (source, hash) pairs; the text never
+    shuffles. Oracle replays the same md5 3-gram hashes and min-group
+    attribution in SQL."""
+    from nspc_etl_basic_spark.operators.novelty import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, group_col="source", text_col="text", n=3)
+
+
 def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental packing (packing.pack_incremental — the
     daily-corpus-drop pattern): an 80% md5-split of documents packs
@@ -4548,6 +4624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_report": corpus_pack_report_q,
         "corpus_pack_incremental": corpus_pack_incremental_q,
         "corpus_pack_materialize": corpus_pack_materialize_q,
+        "corpus_mix_sources": corpus_mix_sources_q,
+        "corpus_dsir_scores": corpus_dsir_scores_q,
+        "corpus_shard_report": corpus_shard_report_q,
+        "corpus_ngram_novelty": corpus_ngram_novelty_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -5930,6 +6010,169 @@ def _sql_pack_materialize(
                     AS VARCHAR) AS segment_ids
         FROM built
         ORDER BY bucket, bin
+    """
+
+
+def _sql_mix_sources(
+    parts: dict[str, int], budget: int, salt: str = "mix"
+) -> str:
+    """Oracle for corpus_mix_sources: recompute the per-stratum integer
+    thresholds (BIGINT floor division, // == Spark's div on positives)
+    and replay ring membership."""
+    total = sum(parts.values())
+    part_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in sorted(parts.items())
+    ) + " ELSE CAST(0 AS BIGINT) END"
+    return f"""
+        WITH totals AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS st,
+                   {part_case} AS p
+            FROM documents GROUP BY lang
+        ),
+        thr AS (
+            SELECT lang,
+                   CASE WHEN st > 0 THEN least(
+                       CAST(10000 AS BIGINT),
+                       ((CAST({int(budget)} AS BIGINT) * p
+                         // CAST({total} AS BIGINT)) * 10000) // st)
+                   ELSE CAST(0 AS BIGINT) END AS threshold
+            FROM totals
+        )
+        SELECT d.doc_id AS doc_id, d.lang AS lang,
+               d.source AS source, d.n_chars AS n_chars
+        FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE CAST('0x' || substr(md5('{salt}'
+                  || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % 10000 < thr.threshold
+        ORDER BY doc_id
+    """
+
+
+def _sql_dsir_scores(
+    n_buckets: int = 1024, salt: str = "dsir", scale: int = 1_000_000
+) -> str:
+    """Oracle for corpus_dsir_scores: same md5 token bucketing, Laplace
+    add-one fixed-point ratio weights, exact BIGINT doc scores."""
+    bucket = (
+        f"CAST('0x' || substr(md5('{salt}' || tok), 1, 8) AS BIGINT) "
+        f"% {n_buckets}"
+    )
+    toks = (
+        "SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9'']+')) AS tok FROM documents"
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id, lang, {bucket} AS bucket FROM ({toks})
+        ),
+        dc AS (
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS s_cnt
+            FROM b GROUP BY 1
+        ),
+        t AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS t_cnt
+            FROM b WHERE lang = 'en' GROUP BY 1
+        ),
+        w AS (
+            SELECT s.bucket AS bucket,
+                   ((coalesce(t.t_cnt, 0) + 1)
+                    * CAST({scale} AS BIGINT)) // (s.s_cnt + 1) AS w
+            FROM s LEFT JOIN t ON s.bucket = t.bucket
+        )
+        SELECT dc.doc_id AS doc_id,
+               CAST(sum(dc.cnt * w.w) AS BIGINT) AS score
+        FROM dc JOIN w ON dc.bucket = w.bucket
+        GROUP BY 1 ORDER BY 1
+    """
+
+
+def _sql_shard_report(
+    seq_len: int = 512, n_buckets: int = 32, salt: str = "pack",
+    n_shards: int = 8, shard_salt: str = "shard",
+) -> str:
+    """Oracle for corpus_shard_report: per-bin loads come straight off
+    the replayed fold's final state (fills/counts indexed by bin);
+    shards re-hash (bucket, bin) on the ring."""
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt)},
+        bins AS (
+            SELECT bucket,
+                   unnest(list_transform(range(1, len(st[1]) + 1),
+                       i -> struct_pack(bin := CAST(i - 1 AS BIGINT),
+                                        fill := st[1][i],
+                                        docs := st[2][i]))) AS z
+            FROM folded
+        ),
+        sh AS (
+            SELECT CAST('0x' || substr(md5('{shard_salt}'
+                       || CAST(bucket AS VARCHAR) || ':'
+                       || CAST(z.bin AS VARCHAR)), 1, 8) AS BIGINT)
+                   % {n_shards} AS shard,
+                   z.fill AS fill, z.docs AS docs
+            FROM bins
+        )
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_seqs,
+               CAST(sum(docs) AS BIGINT) AS n_docs,
+               CAST(sum(fill) AS BIGINT) AS tokens,
+               round(CAST(sum(fill) AS DOUBLE)
+                     / (count(*) * {seq_len}), 6) AS fill_frac
+        FROM sh GROUP BY 1 ORDER BY 1
+    """
+
+
+def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
+    """Oracle for corpus_ngram_novelty: same word 3-grams (1-based
+    start positions 1..len-n+1 — DuckDB's half-open range(1, len-n+2)),
+    same 32-bit md5 hash, first-seen = min(group) lexicographic."""
+    gram_parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+        WITH pairs AS (
+            SELECT g, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+            FROM (
+                SELECT {group_col} AS g,
+                       unnest(list_transform(range(1, len(w) - {n - 2}),
+                           i -> {gram_parts})) AS gram
+                FROM (
+                    SELECT {group_col},
+                           regexp_extract_all(lower(text),
+                               '[a-z0-9'']+') AS w
+                    FROM documents
+                )
+            )
+        ),
+        inst AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_instances
+            FROM pairs GROUP BY 1
+        ),
+        dp AS (SELECT DISTINCT g, h FROM pairs),
+        pg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_distinct
+            FROM dp GROUP BY 1
+        ),
+        fs AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_new
+            FROM (SELECT h, min(g) AS g FROM dp GROUP BY 1)
+            GROUP BY 1
+        ),
+        grp AS (SELECT DISTINCT {group_col} AS g FROM documents)
+        SELECT grp.g AS {group_col},
+               coalesce(inst.n_instances, 0) AS n_instances,
+               coalesce(pg.n_distinct, 0) AS n_distinct,
+               coalesce(fs.n_new, 0) AS n_new,
+               CASE WHEN coalesce(pg.n_distinct, 0) > 0 THEN
+                   round(CAST(coalesce(fs.n_new, 0) AS DOUBLE)
+                         / pg.n_distinct, 6)
+               END AS novelty_frac
+        FROM grp
+        LEFT JOIN inst ON grp.g = inst.g
+        LEFT JOIN pg ON grp.g = pg.g
+        LEFT JOIN fs ON grp.g = fs.g
+        ORDER BY 1
     """
 
 
@@ -8564,6 +8807,12 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_report": _sql_pack_report(),
         "corpus_pack_incremental": _sql_pack_incremental(),
         "corpus_pack_materialize": _sql_pack_materialize(),
+        "corpus_mix_sources": _sql_mix_sources(
+            {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}, 30_000
+        ),
+        "corpus_dsir_scores": _sql_dsir_scores(),
+        "corpus_shard_report": _sql_shard_report(),
+        "corpus_ngram_novelty": _sql_ngram_novelty(),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -16,19 +16,38 @@ from nspc_etl_basic_spark.operators.sampling import (
     take_until_budget,
     temperature_sample,
 )
+from nspc_etl_basic_spark.operators.dsir import (
+    dsir_scores,
+    dsir_weights,
+    hashed_token_counts,
+)
+from nspc_etl_basic_spark.operators.mixing import mix_rates, mix_sources
+from nspc_etl_basic_spark.operators.novelty import ngram_novelty
 from nspc_etl_basic_spark.operators.packing import (
     pack_greedy,
     pack_incremental,
+    pack_materialize,
     pack_report,
     pack_state,
+    shard_assign,
+    shard_report,
 )
 from nspc_etl_basic_spark.operators.skew import salted_count_by_key, salted_join
 
 __all__ = [
+    "dsir_scores",
+    "dsir_weights",
+    "hashed_token_counts",
+    "mix_rates",
+    "mix_sources",
+    "ngram_novelty",
     "pack_greedy",
     "pack_incremental",
+    "pack_materialize",
     "pack_report",
     "pack_state",
+    "shard_assign",
+    "shard_report",
     "ColumnStats",
     "InferredSchema",
     "infer_schema",

@@ -49,6 +49,8 @@ __all__ = [
     "pack_materialize",
     "pack_report",
     "pack_state",
+    "shard_assign",
+    "shard_report",
 ]
 
 
@@ -416,6 +418,60 @@ def pack_materialize(
         F.concat(
             segs, F.array_repeat(F.lit(pad_seg).cast("long"), pad_n)
         ).alias("segment_ids"),
+    )
+
+
+def shard_assign(
+    packed: DataFrame, n_shards: int, salt: str = "shard"
+) -> DataFrame:
+    """Assign every packed sequence to an output shard — the final hop
+    before writing dataloader files: ``shard = md5(salt || bucket:bin)
+    % n_shards``, a pure projection on the assignment (rows with a null
+    bin keep a null shard — they were never packed). Hashing the
+    SEQUENCE identity, not the document, keeps a sequence's documents
+    together and makes shard membership a pure function of the packing
+    — stable under repartitioning and retries, balanced in expectation
+    (sequences are i.i.d. across the md5 ring). Zero shuffle; a writer
+    partitions by ``shard`` to emit one file group per shard."""
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    seq_key = F.concat(
+        F.col("bucket").cast("string"), F.lit(":"), F.col("bin").cast("string")
+    )
+    h = F.md5(F.concat(F.lit(salt), seq_key))
+    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    return packed.withColumn(
+        "shard", F.when(F.col("bin").isNotNull(), shard)
+    )
+
+
+def shard_report(
+    sharded: DataFrame, weight_col: str, seq_len: int
+) -> DataFrame:
+    """Per-shard balance report over a ``shard_assign`` result:
+    sequences, documents, real tokens, and the shard's share of total
+    capacity (``n_seqs * seq_len``) — the number a dataloader owner
+    checks before declaring shards equal-work. One aggregate over the
+    assignment; unpacked rows (null shard) are excluded. token_share
+    is a double division rounded 6 (engine contract)."""
+    per = (
+        sharded.where(F.col("shard").isNotNull())
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("bucket", "bin").cast("long").alias("n_seqs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col(weight_col).cast("long")).alias("tokens"),
+        )
+    )
+    cap = F.col("n_seqs") * F.lit(int(seq_len))
+    return per.select(
+        "shard",
+        "n_seqs",
+        "n_docs",
+        "tokens",
+        F.round(F.col("tokens").cast("double") / cap.cast("double"), 6).alias(
+            "fill_frac"
+        ),
     )
 
 
