@@ -2143,6 +2143,33 @@ def corpus_ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(docs, group_col="source", text_col="text", n=3)
 
 
+def corpus_seqlen_plan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length planner (packing.seqlen_plan): for candidate
+    seq_lens 256/512/1024, the doc-fit split, packable token mass,
+    first-fit bin-count lower bound ceil(tokens/L), and the implied
+    padding-fraction floor — the numbers that pick the packing config
+    BEFORE running it. ONE map-side aggregate pass (a conditional sum
+    per candidate folded into one row, reshaped with stack); zero
+    corpus shuffle. Integer arithmetic except the final round-6."""
+    from nspc_etl_basic_spark.operators.packing import seqlen_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    return seqlen_plan(docs, "n_chars", [256, 512, 1024])
+
+
+def corpus_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (novelty.ngram_overlap_matrix):
+    distinct shared 3-grams and containment shared/min(|a|,|b|) for
+    every source pair — one (group, hash) distinct then a
+    hash-partitioned self-join (exchange reused across both sides).
+    Groups must be coarse; per-doc overlap is the LSH dedup family's
+    job. Oracle replays the same md5 3-gram hashes in SQL."""
+    from nspc_etl_basic_spark.operators.novelty import ngram_overlap_matrix
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_overlap_matrix(docs, group_col="source", text_col="text", n=3)
+
+
 def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental packing (packing.pack_incremental — the
     daily-corpus-drop pattern): an 80% md5-split of documents packs
@@ -4628,6 +4655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dsir_scores": corpus_dsir_scores_q,
         "corpus_shard_report": corpus_shard_report_q,
         "corpus_ngram_novelty": corpus_ngram_novelty_q,
+        "corpus_seqlen_plan": corpus_seqlen_plan_q,
+        "corpus_ngram_overlap": corpus_ngram_overlap_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -6173,6 +6202,68 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
         LEFT JOIN pg ON grp.g = pg.g
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
+    """
+
+
+def _sql_seqlen_plan(candidates: list[int]) -> str:
+    """Oracle for corpus_seqlen_plan: one aggregate subquery per
+    candidate, unioned — same integer fit/oversize/ceil arithmetic."""
+    parts = []
+    for L in candidates:
+        parts.append(f"""
+        SELECT seq_len, n_docs_fit, n_docs_oversize, packable_tokens,
+               (packable_tokens + seq_len - 1) // seq_len AS bins_lower_bound,
+               CASE WHEN packable_tokens > 0 THEN
+                   round(1.0 - CAST(packable_tokens AS DOUBLE)
+                       / CAST(((packable_tokens + seq_len - 1) // seq_len)
+                              * seq_len AS DOUBLE), 6)
+               END AS pad_frac_lower_bound
+        FROM (
+            SELECT CAST({L} AS BIGINT) AS seq_len,
+                   CAST(sum(CASE WHEN n_chars > 0 AND n_chars <= {L}
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
+                   CAST(sum(CASE WHEN n_chars > {L} THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_oversize,
+                   CAST(coalesce(sum(CASE WHEN n_chars > 0 AND n_chars <= {L}
+                                     THEN n_chars END), 0) AS BIGINT)
+                       AS packable_tokens
+            FROM documents
+        )""")
+    return " UNION ALL ".join(parts) + " ORDER BY seq_len"
+
+
+def _sql_ngram_overlap(n: int = 3, group_col: str = "source") -> str:
+    """Oracle for corpus_ngram_overlap: same 3-gram hashes, distinct
+    per group, self-join on the hash, containment vs the smaller set."""
+    gram_parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+        WITH gh AS (
+            SELECT DISTINCT g,
+                   CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+            FROM (
+                SELECT {group_col} AS g,
+                       unnest(list_transform(range(1, len(w) - {n - 2}),
+                           i -> {gram_parts})) AS gram
+                FROM (
+                    SELECT {group_col},
+                           regexp_extract_all(lower(text),
+                               '[a-z0-9'']+') AS w
+                    FROM documents
+                )
+            )
+        ),
+        tot AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n FROM gh GROUP BY 1
+        )
+        SELECT a.g AS {group_col}_a, b.g AS {group_col}_b,
+               CAST(count(*) AS BIGINT) AS shared,
+               round(CAST(count(*) AS DOUBLE) / least(ta.n, tb.n), 6)
+                   AS containment
+        FROM gh a JOIN gh b ON a.h = b.h AND a.g < b.g
+        JOIN tot ta ON ta.g = a.g
+        JOIN tot tb ON tb.g = b.g
+        GROUP BY a.g, b.g, ta.n, tb.n
+        ORDER BY 1, 2
     """
 
 
@@ -8813,6 +8904,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dsir_scores": _sql_dsir_scores(),
         "corpus_shard_report": _sql_shard_report(),
         "corpus_ngram_novelty": _sql_ngram_novelty(),
+        "corpus_seqlen_plan": _sql_seqlen_plan([256, 512, 1024]),
+        "corpus_ngram_overlap": _sql_ngram_overlap(),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -22,13 +22,17 @@ from nspc_etl_basic_spark.operators.dsir import (
     hashed_token_counts,
 )
 from nspc_etl_basic_spark.operators.mixing import mix_rates, mix_sources
-from nspc_etl_basic_spark.operators.novelty import ngram_novelty
+from nspc_etl_basic_spark.operators.novelty import (
+    ngram_novelty,
+    ngram_overlap_matrix,
+)
 from nspc_etl_basic_spark.operators.packing import (
     pack_greedy,
     pack_incremental,
     pack_materialize,
     pack_report,
     pack_state,
+    seqlen_plan,
     shard_assign,
     shard_report,
 )
@@ -41,11 +45,13 @@ __all__ = [
     "mix_rates",
     "mix_sources",
     "ngram_novelty",
+    "ngram_overlap_matrix",
     "pack_greedy",
     "pack_incremental",
     "pack_materialize",
     "pack_report",
     "pack_state",
+    "seqlen_plan",
     "shard_assign",
     "shard_report",
     "ColumnStats",

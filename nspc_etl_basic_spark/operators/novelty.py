@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from nspc_etl_basic_spark.operators.text import word_tokens
 
-__all__ = ["ngram_novelty"]
+__all__ = ["ngram_novelty", "ngram_overlap_matrix"]
 
 
 def _ngram_hashes(text_col, n: int):
@@ -111,5 +111,67 @@ def ngram_novelty(
                     6,
                 ),
             ).alias("novelty_frac"),
+        )
+    )
+
+
+def ngram_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairwise n-gram overlap between groups — the cross-source
+    contamination matrix: for every ordered group pair (a < b), how
+    many distinct n-grams they share and the containment fraction
+    ``shared / min(|a|, |b|)``. The number a curator reads before
+    merging two crawls or checking a benchmark's n-grams against every
+    source at once.
+
+    Plan: the same single-pass (group, hash) distinct as
+    ``ngram_novelty``, then a hash-partitioned SELF-JOIN on the n-gram
+    (both sides are the same child plan — Spark reuses the exchange),
+    counted per pair, with per-group totals broadcast in for the
+    fraction. The group column must be COARSE (sources, snapshots —
+    tens to thousands): the matrix is |groups| choose 2 and an n-gram
+    present in every group contributes |groups|^2 join rows; for
+    per-document overlap use the LSH dedup family instead.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    gh = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(_ngram_hashes(F.col(text_col), n)).alias("h"),
+        )
+        .groupBy("g", "h")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select("g", "h")
+    )
+    totals = gh.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    a = gh.select(F.col("g").alias("ga"), "h")
+    b = gh.select(F.col("g").alias("gb"), "h")
+    shared = (
+        a.join(b, "h")
+        .where(F.col("ga") < F.col("gb"))
+        .groupBy("ga", "gb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    ta = totals.select(F.col("g").alias("ga"), F.col("n_distinct").alias("__na"))
+    tb = totals.select(F.col("g").alias("gb"), F.col("n_distinct").alias("__nb"))
+    return (
+        shared.join(F.broadcast(ta), "ga")
+        .join(F.broadcast(tb), "gb")
+        .select(
+            F.col("ga").alias(f"{group_col}_a"),
+            F.col("gb").alias(f"{group_col}_b"),
+            "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("__na", "__nb").cast("double"),
+                6,
+            ).alias("containment"),
         )
     )

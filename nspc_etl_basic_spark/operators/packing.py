@@ -49,6 +49,7 @@ __all__ = [
     "pack_materialize",
     "pack_report",
     "pack_state",
+    "seqlen_plan",
     "shard_assign",
     "shard_report",
 ]
@@ -418,6 +419,64 @@ def pack_materialize(
         F.concat(
             segs, F.array_repeat(F.lit(pad_seg).cast("long"), pad_n)
         ).alias("segment_ids"),
+    )
+
+
+def seqlen_plan(
+    df: DataFrame, weight_col: str, candidates: list[int]
+) -> DataFrame:
+    """Sequence-length planner: for each candidate ``seq_len``, the
+    numbers that decide the packing configuration BEFORE running it —
+    how many documents fit whole vs must route to chunking, the
+    packable token mass, the bin-count lower bound
+    ``ceil(packable_tokens / L)`` (first-fit is guaranteed within 2x of
+    it), and the padding-fraction lower bound implied by that bound.
+    ONE map-side aggregate pass over (weight) — a conditional sum per
+    candidate folded into a single row, reshaped to one row per
+    candidate with ``stack``; zero shuffle beyond the 1-row global
+    aggregate. All integer arithmetic except the final round-6 pad
+    fraction."""
+    if not candidates or any(c <= 0 for c in candidates):
+        raise ValueError(f"candidates must be positive: {candidates}")
+    w = F.col(weight_col).cast("long")
+    aggs = []
+    for L in candidates:
+        fit = (w > 0) & (w <= L)
+        aggs += [
+            F.sum(F.when(fit, 1).otherwise(0)).cast("long").alias(f"__nf_{L}"),
+            F.sum(F.when(w > L, 1).otherwise(0)).cast("long").alias(f"__no_{L}"),
+            F.coalesce(F.sum(F.when(fit, w)), F.lit(0))
+            .cast("long")
+            .alias(f"__pt_{L}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = one.select(
+        F.expr(
+            "stack({n}, {args}) AS (seq_len, n_docs_fit, n_docs_oversize, packable_tokens)".format(
+                n=len(candidates),
+                args=", ".join(
+                    f"CAST({L} AS BIGINT), __nf_{L}, __no_{L}, __pt_{L}"
+                    for L in candidates
+                ),
+            )
+        )
+    )
+    bins_lb = F.expr("(packable_tokens + seq_len - 1) div seq_len")
+    return stacked.select(
+        "seq_len",
+        "n_docs_fit",
+        "n_docs_oversize",
+        "packable_tokens",
+        bins_lb.alias("bins_lower_bound"),
+        F.when(
+            F.col("packable_tokens") > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("packable_tokens").cast("double")
+                / (bins_lb * F.col("seq_len")).cast("double"),
+                6,
+            ),
+        ).alias("pad_frac_lower_bound"),
     )
 
 

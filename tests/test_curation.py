@@ -144,3 +144,42 @@ def test_ngram_novelty_hand_computed(spark):
     assert b["n_distinct"] == 2 and b["n_new"] == 1
     assert b["novelty_frac"] == 0.5
     assert c["n_distinct"] == 0 and c["n_new"] == 0 and c["novelty_frac"] is None
+
+
+def test_seqlen_plan_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.packing import seqlen_plan
+
+    rows = [("a", "x", "en", w) for w in [5, 8, 12, 0, None]]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    out = {r["seq_len"]: r for r in seqlen_plan(df, "n_chars", [10, 20]).collect()}
+    ten = out[10]
+    assert ten["n_docs_fit"] == 2 and ten["n_docs_oversize"] == 1
+    assert ten["packable_tokens"] == 13
+    assert ten["bins_lower_bound"] == 2  # ceil(13/10)
+    assert ten["pad_frac_lower_bound"] == round(1 - 13 / 20, 6)
+    twenty = out[20]
+    assert twenty["n_docs_fit"] == 3 and twenty["n_docs_oversize"] == 0
+    assert twenty["packable_tokens"] == 25
+    assert twenty["bins_lower_bound"] == 2  # ceil(25/20)
+    with pytest.raises(ValueError):
+        seqlen_plan(df, "n_chars", [])
+
+
+def test_ngram_overlap_matrix_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.novelty import ngram_overlap_matrix
+
+    rows = [
+        (1, "the quick brown fox jumps", "a", 0),  # grams: tqb, qbf, bfj
+        (2, "the quick brown cat", "b", 0),        # grams: tqb, qbc
+        (3, "zz yy xx ww", "c", 0),                # disjoint
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    out = {
+        (r["lang_a"], r["lang_b"]): r
+        for r in ngram_overlap_matrix(df, group_col="lang", n=3).collect()
+    }
+    # only the (a, b) pair shares anything; disjoint pairs are absent
+    assert set(out) == {("a", "b")}
+    ab = out[("a", "b")]
+    assert ab["shared"] == 1  # 'the quick brown'
+    assert ab["containment"] == round(1 / 2, 6)  # b has 2 distinct grams
