@@ -4409,6 +4409,73 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_novelty_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-seen n-gram tracking (streaming/novelty.py)
+    driver-oracled: documents replay as three doc_id terciles, each
+    micro-batch anti-joining its distinct 3-gram hashes against the
+    persistent gram store and inserting the survivors with its batch
+    id — attribution never moves, so the streamed per-batch novelty
+    equals the batch ngram_novelty with the tercile as the group
+    (first-seen == min(group)), which is the oracle SQL. The store is
+    the replay-safe bucketed differential table (grams keyed (h,
+    batch); a replayed batch re-derives exactly its own rows). Batch
+    ids normalize to 1..3 via dense_rank like the quality replay."""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators import novelty as _nov_m
+    from nspc_etl_basic_spark.streaming import novelty as _snov_m
+    from nspc_etl_basic_spark.streaming.novelty import (
+        gram_store_table,
+        novelty_from_store,
+        run_stream_novelty,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    work, done = _replay_work_dir(
+        sf_dir, "novelty", "documents",
+        code=_replay_code_hash(stream_novelty_replay_q, _snov_m, _nov_m),
+    )
+    store_path = os.path.join(work, "store")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        row = docs.agg(
+            F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        ).first()
+        lo, hi = int(row["lo"]), int(row["hi"])
+        third = (hi - lo + 1) // 3
+        b1, b2 = lo + third, lo + 2 * third
+        slices = [
+            docs.where(F.col("doc_id") < b1),
+            docs.where((F.col("doc_id") >= b1) & (F.col("doc_id") < b2)),
+            docs.where(F.col("doc_id") >= b2),
+        ]
+        store = gram_store_table(spark, store_path)
+        _drain_slices(
+            spark,
+            slices,
+            os.path.join(work, "src"),
+            lambda stream: run_stream_novelty(
+                stream, store, os.path.join(work, "ckpt")
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    rep = novelty_from_store(gram_store_table(spark, store_path))
+    return rep.select(
+        F.dense_rank().over(_W.orderBy("batch_id")).cast("long").alias(
+            "batch_seq"
+        ),
+        "n_instances",
+        "n_distinct",
+        "n_new",
+        "novelty_frac",
+    )
+
+
 def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch data-quality gate (streaming/quality.
     run_stream_quality) driver-oracled: events replay as three time
@@ -4690,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": dedup_lsh_recall_q,
         "stream_sessionize_replay": stream_sessionize_replay_q,
         "stream_quality_replay": stream_quality_replay_q,
+        "stream_novelty_replay": stream_novelty_replay_q,
         "events_partition_prune": events_partition_prune_q,
         "events_agg_pushdown": events_agg_pushdown_q,
         "events_dpp_join": events_dpp_join_q,
@@ -6267,6 +6335,64 @@ def _sql_ngram_overlap(n: int = 3, group_col: str = "source") -> str:
     """
 
 
+def _sql_stream_novelty_replay(n: int = 3) -> str:
+    """Oracle for stream_novelty_replay: label documents with their
+    doc_id tercile (same integer cuts as the replay slices), then the
+    batch first-seen attribution IS min(tercile) over each gram."""
+    gram_parts = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"""
+        WITH bounds AS (
+            SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents
+        ),
+        lab AS (
+            SELECT CASE
+                WHEN doc_id < lo + ((hi - lo + 1) // 3) THEN 1
+                WHEN doc_id < lo + 2 * ((hi - lo + 1) // 3) THEN 2
+                ELSE 3 END AS b, text
+            FROM documents, bounds
+        ),
+        pairs AS (
+            SELECT b AS g,
+                   CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) AS h
+            FROM (
+                SELECT b, unnest(list_transform(range(1, len(w) - {n - 2}),
+                           i -> {gram_parts})) AS gram
+                FROM (
+                    SELECT b, regexp_extract_all(lower(text),
+                               '[a-z0-9'']+') AS w
+                    FROM lab
+                )
+            )
+        ),
+        inst AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_instances
+            FROM pairs GROUP BY 1
+        ),
+        dp AS (SELECT DISTINCT g, h FROM pairs),
+        pg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_distinct
+            FROM dp GROUP BY 1
+        ),
+        fs AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_new
+            FROM (SELECT h, min(g) AS g FROM dp GROUP BY 1)
+            GROUP BY 1
+        )
+        SELECT CAST(inst.g AS BIGINT) AS batch_seq,
+               inst.n_instances AS n_instances,
+               pg.n_distinct AS n_distinct,
+               coalesce(fs.n_new, 0) AS n_new,
+               CASE WHEN pg.n_distinct > 0 THEN
+                   round(CAST(coalesce(fs.n_new, 0) AS DOUBLE)
+                         / pg.n_distinct, 6)
+               END AS novelty_frac
+        FROM inst
+        JOIN pg ON inst.g = pg.g
+        LEFT JOIN fs ON inst.g = fs.g
+        ORDER BY 1
+    """
+
+
 def _sql_pack_incremental(
     seq_len: int = 512,
     n_buckets: int = 32,
@@ -6839,6 +6965,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_ewma_replay": _SQL_EVENTS_EWMA,
         "stream_anomaly_replay": _sql_stream_anomaly_replay(),
         "stream_quality_replay": _sql_stream_quality_replay(),
+        "stream_novelty_replay": _sql_stream_novelty_replay(),
         # stateful sessionize replay: sentinel slice closes every real
         # session; emitted set == batch islands decomposition
         "stream_sessionize_replay": """

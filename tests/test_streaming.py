@@ -807,3 +807,43 @@ def test_stream_upsert_cdc_feed_exactly_once(spark, tmp_path):
     assert len({r.batch_id for r in rows}) == 2
     drain()
     assert wh.read("t_cdc_changes").count() == n_rows
+
+
+def test_stream_novelty_first_seen_attribution(spark, tmp_path):
+    """Two micro-batches: a gram shared across both attributes to the
+    FIRST batch; the second batch's novelty counts only its fresh gram."""
+    from nspc_etl_basic_spark.streaming.novelty import (
+        gram_store_table,
+        novelty_from_store,
+        run_stream_novelty,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    src = tmp_path / "nov_src"
+    store = gram_store_table(spark, str(tmp_path / "nov_store"), n_buckets=4)
+    ckpt = str(tmp_path / "nov_ckpt")
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        run_stream_novelty(stream, store, ckpt)
+
+    drain([(1, "the quick brown fox")])          # grams: tqb, qbf
+    drain([(2, "the quick brown cat and dog")])  # tqb(seen), qbc, bca, cad
+
+    rep = {
+        r["batch_id"]: r for r in novelty_from_store(store).collect()
+    }
+    assert len(rep) == 2
+    b0, b1 = (rep[k] for k in sorted(rep))
+    assert (b0["n_instances"], b0["n_distinct"], b0["n_new"]) == (2, 2, 2)
+    assert b0["novelty_frac"] == 1.0
+    assert (b1["n_instances"], b1["n_distinct"], b1["n_new"]) == (4, 4, 3)
+    assert b1["novelty_frac"] == 0.75
