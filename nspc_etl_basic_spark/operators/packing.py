@@ -442,9 +442,15 @@ def seqlen_plan(
     aggs = []
     for L in candidates:
         fit = (w > 0) & (w <= L)
+        # coalesce: F.sum over ZERO rows is null, and an empty corpus
+        # should plan as zeros, not nulls
         aggs += [
-            F.sum(F.when(fit, 1).otherwise(0)).cast("long").alias(f"__nf_{L}"),
-            F.sum(F.when(w > L, 1).otherwise(0)).cast("long").alias(f"__no_{L}"),
+            F.coalesce(F.sum(F.when(fit, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__nf_{L}"),
+            F.coalesce(F.sum(F.when(w > L, 1).otherwise(0)), F.lit(0))
+            .cast("long")
+            .alias(f"__no_{L}"),
             F.coalesce(F.sum(F.when(fit, w)), F.lit(0))
             .cast("long")
             .alias(f"__pt_{L}"),

@@ -183,3 +183,13 @@ def test_ngram_overlap_matrix_hand_computed(spark):
     ab = out[("a", "b")]
     assert ab["shared"] == 1  # 'the quick brown'
     assert ab["containment"] == round(1 / 2, 6)  # b has 2 distinct grams
+
+
+def test_seqlen_plan_empty_corpus_reports_zeros(spark):
+    from nspc_etl_basic_spark.operators.packing import seqlen_plan
+
+    df = spark.createDataFrame([], "doc_id long, n_chars long")
+    out = {r["seq_len"]: r for r in seqlen_plan(df, "n_chars", [10]).collect()}
+    r = out[10]
+    assert (r["n_docs_fit"], r["n_docs_oversize"], r["packable_tokens"]) == (0, 0, 0)
+    assert r["bins_lower_bound"] == 0 and r["pad_frac_lower_bound"] is None
