@@ -2036,16 +2036,14 @@ def corpus_pack_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_greedy,
         pack_materialize,
     )
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
     from nspc_etl_basic_spark.operators.text import word_tokens
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.transform(
-            word_tokens(F.col("text")),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast(
-                "long"
-            ),
+            word_tokens(F.col("text")), lambda w: md5_ring32(w)
         ).alias("tokens"),
     )
     weighted = docs.select(
@@ -4036,10 +4034,26 @@ def _replay_work_dir(
     def _sweepable(path: str) -> bool:
         if os.path.exists(os.path.join(path, "_DONE")):
             return True
+        # abandoned-build heuristic must use the NEWEST mtime in the
+        # tree: deep Spark writes never touch the top-level dir's
+        # mtime, so a top-level check would sweep a live build that has
+        # been legitimately writing nested files for an hour. Replay
+        # trees are small (hundreds of files), so the walk is cheap.
+        newest = 0.0
         try:
-            return time.time() - os.path.getmtime(path) > 3600
+            for root, _dirs, files in os.walk(path):
+                for name in files:
+                    try:
+                        newest = max(
+                            newest,
+                            os.path.getmtime(os.path.join(root, name)),
+                        )
+                    except OSError:
+                        pass
+                newest = max(newest, os.path.getmtime(root))
         except OSError:
             return False
+        return newest > 0 and time.time() - newest > 3600
 
     for stale in glob.glob(os.path.join(tmp, prefix + "*")):
         if stale != work and _sweepable(stale):
@@ -6288,10 +6302,10 @@ def _sql_seqlen_plan(candidates: list[int]) -> str:
                END AS pad_frac_lower_bound
         FROM (
             SELECT CAST({L} AS BIGINT) AS seq_len,
-                   CAST(sum(CASE WHEN n_chars > 0 AND n_chars <= {L}
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fit,
-                   CAST(sum(CASE WHEN n_chars > {L} THEN 1 ELSE 0 END)
-                        AS BIGINT) AS n_docs_oversize,
+                   CAST(coalesce(sum(CASE WHEN n_chars > 0 AND n_chars <= {L}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_docs_fit,
+                   CAST(coalesce(sum(CASE WHEN n_chars > {L} THEN 1 ELSE 0 END),
+                        0) AS BIGINT) AS n_docs_oversize,
                    CAST(coalesce(sum(CASE WHEN n_chars > 0 AND n_chars <= {L}
                                      THEN n_chars END), 0) AS BIGINT)
                        AS packable_tokens
@@ -6377,18 +6391,21 @@ def _sql_stream_novelty_replay(n: int = 3) -> str:
             SELECT g, CAST(count(*) AS BIGINT) AS n_new
             FROM (SELECT h, min(g) AS g FROM dp GROUP BY 1)
             GROUP BY 1
-        )
-        SELECT CAST(inst.g AS BIGINT) AS batch_seq,
-               inst.n_instances AS n_instances,
-               pg.n_distinct AS n_distinct,
+        ),
+        grp AS (SELECT DISTINCT b AS g FROM lab)
+        SELECT CAST(dense_rank() OVER (ORDER BY grp.g) AS BIGINT)
+                   AS batch_seq,
+               coalesce(inst.n_instances, 0) AS n_instances,
+               coalesce(pg.n_distinct, 0) AS n_distinct,
                coalesce(fs.n_new, 0) AS n_new,
-               CASE WHEN pg.n_distinct > 0 THEN
+               CASE WHEN coalesce(pg.n_distinct, 0) > 0 THEN
                    round(CAST(coalesce(fs.n_new, 0) AS DOUBLE)
                          / pg.n_distinct, 6)
                END AS novelty_frac
-        FROM inst
-        JOIN pg ON inst.g = pg.g
-        LEFT JOIN fs ON inst.g = fs.g
+        FROM grp
+        LEFT JOIN inst ON grp.g = inst.g
+        LEFT JOIN pg ON grp.g = pg.g
+        LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
     """
 

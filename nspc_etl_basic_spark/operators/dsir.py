@@ -45,10 +45,11 @@ SCALE = 1_000_000
 
 
 def _token_bucket(tok_col, n_buckets: int, salt: str):
-    """md5 32-bit ring bucket of a token — same arithmetic as
-    sampling.hash_bucket with a configurable modulus."""
-    h = F.md5(F.concat(F.lit(salt), tok_col))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_buckets
+    """md5 32-bit ring bucket of a token — the shared
+    ``sampling.md5_ring32`` with a configurable modulus."""
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+
+    return md5_ring32(tok_col, salt) % n_buckets
 
 
 def hashed_token_counts(
@@ -76,29 +77,21 @@ def hashed_token_counts(
     )
 
 
-def dsir_weights(
-    source: DataFrame,
-    target: DataFrame,
-    text_col: str = "text",
-    n_buckets: int = 1024,
-    salt: str = "dsir",
+def _corpus_bucket_counts(
+    df: DataFrame, text_col: str, n_buckets: int, salt: str, name: str
 ) -> DataFrame:
-    """Bucket-level importance weights ``(bucket, w)`` with
-    ``w = ((t_b + 1) * SCALE) div (s_b + 1)`` — Laplace-smoothed
-    fixed-point target/source ratio. Buckets unseen in both corpora
-    are absent (their smoothed ratio is the constant SCALE and no
-    document can reference them). Output is n_buckets rows — always
-    broadcastable."""
-    def corpus_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
-            .select(_token_bucket(F.col("__tok"), n_buckets, salt).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).cast("long").alias(name))
-        )
+    return (
+        df.select(F.explode(word_tokens(F.col(text_col))).alias("__tok"))
+        .select(_token_bucket(F.col("__tok"), n_buckets, salt).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias(name))
+    )
 
-    s = corpus_counts(source, "s_cnt")
-    t = corpus_counts(target, "t_cnt")
+
+def _bucket_weights(s: DataFrame, t: DataFrame) -> DataFrame:
+    """``(bucket, w)`` from (bucket, s_cnt) x (bucket, t_cnt):
+    ``w = ((t_b + 1) * SCALE) div (s_b + 1)`` — Laplace-smoothed
+    fixed-point target/source ratio, exact BIGINT."""
     joined = s.join(t, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("s_cnt", F.lit(0)).cast("long").alias("s_cnt"),
@@ -112,6 +105,24 @@ def dsir_weights(
     )
 
 
+def dsir_weights(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Bucket-level importance weights ``(bucket, w)`` with
+    ``w = ((t_b + 1) * SCALE) div (s_b + 1)`` — Laplace-smoothed
+    fixed-point target/source ratio. Buckets unseen in both corpora
+    are absent (their smoothed ratio is the constant SCALE and no
+    document can reference them). Output is n_buckets rows — always
+    broadcastable."""
+    s = _corpus_bucket_counts(source, text_col, n_buckets, salt, "s_cnt")
+    t = _corpus_bucket_counts(target, text_col, n_buckets, salt, "t_cnt")
+    return _bucket_weights(s, t)
+
+
 def dsir_scores(
     source: DataFrame,
     target: DataFrame,
@@ -119,13 +130,32 @@ def dsir_scores(
     text_col: str = "text",
     n_buckets: int = 1024,
     salt: str = "dsir",
+    caches: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Per-document target-likeness: ``(id_col, score)`` with
     ``score = sum(cnt_b * w_b)`` over the document's hashed token
     counts — exact BIGINT end-to-end. Select the top fraction by score
-    (or hash-threshold within score bands) downstream."""
-    weights = dsir_weights(source, target, text_col, n_buckets, salt)
-    doc_counts = hashed_token_counts(source, id_col, text_col, n_buckets, salt)
+    (or hash-threshold within score bands) downstream.
+
+    The source tokenizes ONCE: the per-(doc, bucket) pre-aggregation
+    is CACHED and both the source bucket distribution (``sum(cnt)``
+    per bucket) and the scoring join read it — without the cache
+    Catalyst recomputes the corpus explode + hash per branch (audited:
+    exchange reuse does NOT kick in across the two aggregation
+    shapes), and at 100 TB the tokenize + hash pass is the dominant
+    cost. Cache lifecycle follows the chi2_drift pattern: the result
+    is lazy so this function cannot unpersist; repeated callers pass
+    ``caches`` and unpersist after materializing."""
+    doc_counts = hashed_token_counts(
+        source, id_col, text_col, n_buckets, salt
+    ).cache()
+    if caches is not None:
+        caches.append(doc_counts)
+    s = doc_counts.groupBy("bucket").agg(
+        F.sum("cnt").cast("long").alias("s_cnt")
+    )
+    t = _corpus_bucket_counts(target, text_col, n_buckets, salt, "t_cnt")
+    weights = _bucket_weights(s, t)
     return (
         doc_counts.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)

@@ -53,9 +53,10 @@ def _ngram_hashes(text_col, n: int):
     ).otherwise(F.array().cast("array<int>"))
 
     def gram(i):
+        from nspc_etl_basic_spark.operators.sampling import md5_ring32
+
         parts = [F.element_at(words, i + j) for j in range(n)]
-        joined = F.concat_ws(" ", *parts)
-        return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+        return md5_ring32(F.concat_ws(" ", *parts))
 
     return F.transform(idxs, gram)
 

@@ -56,11 +56,10 @@ __all__ = [
 
 
 def _ring(key_col, salt: str):
-    """32-bit md5 ring position — same arithmetic as
-    ``sampling.hash_bucket`` before its modulus; DuckDB twin:
-    ``CAST('0x' || substr(md5(salt || key), 1, 8) AS BIGINT)``."""
-    h = F.md5(F.concat(F.lit(salt), key_col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    """32-bit md5 ring position — the shared ``sampling.md5_ring32``."""
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+
+    return md5_ring32(key_col, salt)
 
 
 def pack_greedy(
@@ -376,8 +375,12 @@ def pack_materialize(
     ``tokens`` must carry ``(key_col, tokens: array)`` where
     ``size(tokens)`` equals the assignment's packed weight — the same
     token counter must produce both, or offsets and concatenation
-    disagree. Oversize/passthrough rows (null bin) are excluded here by
-    construction; route them to the chunking path.
+    disagree. That contract is ENFORCED: a sequence whose concatenated
+    tokens exceed ``seq_len`` (weights under-counted) or whose tokens
+    column is null raises at execution rather than silently emitting a
+    mis-shaped or null sequence — the engine's nothing-silently-dropped
+    discipline. Oversize/passthrough rows (null bin) are excluded here
+    by construction; route them to the chunking path.
 
     Scale: output-proportional — the token payload moves exactly once
     (one shuffle join assignment-to-tokens on the key, then one shuffle
@@ -407,6 +410,41 @@ def pack_materialize(
     # bind fill once: F.size(ids) inlined into the two pads would
     # re-flatten per use (higher-order exprs are not CSE'd)
     with_fill = grouped.withColumn("__fill", F.size(ids).cast("long"))
+    # contract guards: null tokens null-propagate size() to -1 on some
+    # paths and null on others — catch both, and catch fill > seq_len
+    # (weights disagreeing with the token arrays) BEFORE padding, which
+    # would otherwise silently emit a too-long sequence
+    with_fill = with_fill.withColumn(
+        "__fill",
+        F.when(
+            F.col("__fill").isNull() | (F.col("__fill") < 0),
+            F.raise_error(
+                F.lit(
+                    "pack_materialize: null tokens array for a packed "
+                    "document — the tokens input must cover every key"
+                )
+            ).cast("long"),
+        )
+        .when(
+            F.col("__fill") > seq_len,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_materialize: concatenated tokens exceed "
+                        f"seq_len={seq_len} for (bucket, bin)=("
+                    ),
+                    F.col("bucket").cast("string"),
+                    F.lit(", "),
+                    F.col("bin").cast("string"),
+                    F.lit(
+                        ") — assignment weights disagree with the token "
+                        "arrays (use the same counter for both)"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__fill")),
+    )
     pad_n = (F.lit(seq_len) - F.col("__fill")).cast("int")
     return with_fill.select(
         "bucket",
@@ -500,11 +538,12 @@ def shard_assign(
     partitions by ``shard`` to emit one file group per shard."""
     if n_shards <= 0:
         raise ValueError(f"n_shards must be positive, got {n_shards}")
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+
     seq_key = F.concat(
         F.col("bucket").cast("string"), F.lit(":"), F.col("bin").cast("string")
     )
-    h = F.md5(F.concat(F.lit(salt), seq_key))
-    shard = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    shard = md5_ring32(seq_key, salt) % n_shards
     return packed.withColumn(
         "shard", F.when(F.col("bin").isNotNull(), shard)
     )

@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 __all__ = [
     "hash_bucket",
     "hash_sample",
+    "md5_ring32",
     "stratified_sample",
     "assign_split",
     "take_until_budget",
@@ -43,13 +44,22 @@ __all__ = [
 _BUCKETS = 10_000
 
 
-def hash_bucket(key_col, salt: str = "") -> "F.Column":
-    """Deterministic bucket in [0, 10000) from md5 of ``salt || key``.
-    First 8 hex chars -> 32-bit int (conv base 16 -> 10) -> mod. Pure
-    projection; identical arithmetic is expressible in DuckDB
-    (``CAST('0x' || substr(md5(..)) AS BIGINT) % 10000``)."""
+def md5_ring32(key_col, salt: str = "") -> "F.Column":
+    """THE engine-wide deterministic hash: 32-bit ring position from
+    md5 of ``salt || key`` — first 8 hex chars -> long (conv base
+    16 -> 10). Pure projection; identical arithmetic is expressible in
+    DuckDB (``CAST('0x' || substr(md5(salt || key), 1, 8) AS
+    BIGINT)``), which is what makes every hash-derived operator
+    value-replayable. Every ring consumer (bucketing, sampling,
+    packing, sharding, token/n-gram hashing) derives from this one
+    definition — change it here or nowhere."""
     h = F.md5(F.concat(F.lit(salt), key_col.cast("string")))
-    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % _BUCKETS
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def hash_bucket(key_col, salt: str = "") -> "F.Column":
+    """Deterministic bucket in [0, 10000): ``md5_ring32 % 10000``."""
+    return md5_ring32(key_col, salt) % _BUCKETS
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float, salt: str = "") -> DataFrame:

@@ -72,31 +72,39 @@ def run_stream_novelty(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        # three actions hang off the exploded grams (instance count,
+        # distinct count, anti-join feed into merge); cache the batch's
+        # distinct grams so the explode + md5 runs once per batch, and
+        # unpersist in finally (the chi2_drift/merge_changes lifecycle)
         grams = batch_df.select(
             F.explode(_ngram_hashes(F.col(text_col), n)).alias("h")
-        )
-        n_inst = grams.count()
-        dist = grams.distinct()
-        if store.exists():
-            seen = store.read().where(F.col("h") >= 0).select("h")
-            new = dist.join(seen, "h", "left_anti")
-        else:
-            new = dist
-        n_dist = dist.count()
-        rows = new.select(
-            "h",
-            F.lit(int(batch_id)).cast("long").alias("batch_id"),
-            F.lit(1).cast("long").alias("cnt"),
-        ).unionByName(
-            spark.createDataFrame(
-                [
-                    (_H_INSTANCES, int(batch_id), n_inst),
-                    (_H_DISTINCT, int(batch_id), n_dist),
-                ],
-                "h long, batch_id long, cnt long",
+        ).cache()
+        dist = grams.distinct().cache()
+        try:
+            n_inst = grams.count()
+            n_dist = dist.count()
+            if store.exists():
+                seen = store.read().where(F.col("h") >= 0).select("h")
+                new = dist.join(seen, "h", "left_anti")
+            else:
+                new = dist
+            rows = new.select(
+                "h",
+                F.lit(int(batch_id)).cast("long").alias("batch_id"),
+                F.lit(1).cast("long").alias("cnt"),
+            ).unionByName(
+                spark.createDataFrame(
+                    [
+                        (_H_INSTANCES, int(batch_id), n_inst),
+                        (_H_DISTINCT, int(batch_id), n_dist),
+                    ],
+                    "h long, batch_id long, cnt long",
+                )
             )
-        )
-        store.merge(rows)  # last-wins on (h, batch_id): replay-safe
+            store.merge(rows)  # last-wins on (h, batch_id): replay-safe
+        finally:
+            dist.unpersist()
+            grams.unpersist()
 
     q = (
         df.writeStream.foreachBatch(_track_batch)

@@ -47,6 +47,13 @@ SESSION_SCHEMA = StructType(
 # ms silently shifts session_start/session_end by the µs tail.
 # GroupState.setTimeoutTimestamp alone is millisecond-based, so only
 # the timeout derives an ms value (floor is safe: gap >> 1 ms).
+#
+# CHECKPOINT COMPATIBILITY: the state STRUCT is positionally unchanged
+# (long, long, int), so a checkpoint written by the pre-µs build would
+# restart cleanly but its ms values would be reinterpreted as µs —
+# sessions would close instantly with 1970-era bounds. Restart this
+# operator from a FRESH checkpoint after upgrading (the driver replays
+# rebuild automatically: their cache keys include this file's hash).
 STATE_SCHEMA = StructType(
     [
         StructField("start_us", LongType()),

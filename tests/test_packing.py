@@ -273,3 +273,24 @@ def test_validation(spark):
         pack_greedy(_df(spark, [("a", 1)]), "k", "w", 0)
     with pytest.raises(ValueError):
         pack_greedy(_df(spark, [("a", 1)]), "k", "w", 10, n_buckets=0)
+
+
+def test_pack_materialize_rejects_weight_token_disagreement(spark):
+    """The fixed-length contract is enforced: tokens longer than the
+    assignment weights claimed must raise, never silently emit a
+    too-long sequence."""
+    from nspc_etl_basic_spark.operators.packing import pack_materialize
+
+    rows = [("a", 6), ("b", 3)]
+    packed = pack_greedy(_df(spark, rows), "k", "w", 10, n_buckets=1)
+    bad_toks = spark.createDataFrame(
+        [("a", list(range(9))), ("b", list(range(9)))], ["k", "tokens"]
+    ).select("k", F.col("tokens").cast("array<long>").alias("tokens"))
+    with pytest.raises(Exception, match="exceed seq_len"):
+        pack_materialize(packed, bad_toks, "k", seq_len=10).collect()
+    # null tokens for a packed doc raise too
+    null_toks = spark.createDataFrame(
+        [("a", [1, 2, 3, 4, 5, 6]), ("b", None)], "k string, tokens array<long>"
+    )
+    with pytest.raises(Exception, match="null tokens"):
+        pack_materialize(packed, null_toks, "k", seq_len=10).collect()
