@@ -24,3 +24,10 @@ from nspc_etl_basic_spark.sinks.stats_index import (
 )
 
 __all__ += ["build_stats_index", "load_stats_index", "pruned_scan"]
+
+from nspc_etl_basic_spark.sinks.dataloader import (
+    read_packed_dataset,
+    write_packed_dataset,
+)
+
+__all__ += ["read_packed_dataset", "write_packed_dataset"]

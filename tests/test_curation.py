@@ -193,3 +193,46 @@ def test_seqlen_plan_empty_corpus_reports_zeros(spark):
     r = out[10]
     assert (r["n_docs_fit"], r["n_docs_oversize"], r["packable_tokens"]) == (0, 0, 0)
     assert r["bins_lower_bound"] == 0 and r["pad_frac_lower_bound"] is None
+
+
+def test_write_read_packed_dataset_roundtrip(spark, tmp_path):
+    """pack -> materialize -> write shards -> read back: every sequence
+    survives, shard ids match shard_assign, and a single-shard read
+    prunes to that shard only."""
+    from nspc_etl_basic_spark.operators.packing import pack_materialize
+    from nspc_etl_basic_spark.sinks.dataloader import (
+        read_packed_dataset,
+        write_packed_dataset,
+    )
+
+    rows = [(f"d{i}", 5) for i in range(40)]
+    packed = pack_greedy(
+        spark.createDataFrame(rows, ["k", "w"]), "k", "w", 10, n_buckets=4
+    )
+    toks = spark.createDataFrame(
+        [(f"d{i}", [i] * 5) for i in range(40)], ["k", "tokens"]
+    ).select("k", F.col("tokens").cast("array<long>").alias("tokens"))
+    mat = pack_materialize(packed, toks, "k", seq_len=10)
+    n_seqs = mat.count()
+
+    path = str(tmp_path / "packed_ds")
+    write_packed_dataset(mat, path, n_shards=3)
+    back = read_packed_dataset(spark, path)
+    assert back.count() == n_seqs
+    assert set(back.columns) == {
+        "bucket", "bin", "n_segments", "fill", "input_ids", "segment_ids",
+        "shard",
+    }
+    # shard ids equal shard_assign's over the assignment
+    expected = {
+        (r["bucket"], r["bin"]): r["shard"]
+        for r in shard_assign(packed, 3).collect()
+        if r["shard"] is not None
+    }
+    got = {(r["bucket"], r["bin"]): r["shard"] for r in back.collect()}
+    assert got == expected
+    # single-shard read returns exactly that shard's sequences
+    some_shard = next(iter(got.values()))
+    one = read_packed_dataset(spark, path, shard=some_shard)
+    assert one.count() == sum(1 for v in got.values() if v == some_shard)
+    assert {r["shard"] for r in one.collect()} == {some_shard}
