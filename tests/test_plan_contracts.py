@@ -492,3 +492,63 @@ def test_pack_report_aggregates_assignment_only(spark, sf_dir):
     plan = _plan_simple(QUERIES["corpus_pack_report"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-7 curation family
+# ---------------------------------------------------------------------------
+
+def test_pack_materialize_no_python_no_cartesian(spark, sf_dir):
+    """pack_materialize: token payload moves through joins/aggregates
+    only — JVM end-to-end, no cartesian, no Python eval."""
+    plan = _plan_simple(QUERIES["corpus_pack_materialize"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_mix_sources_is_scan_plus_broadcast_filter(spark, sf_dir):
+    """corpus_mix_sources: the per-stratum thresholds broadcast back
+    onto the scan; the corpus itself never hash-repartitions (the only
+    exchange feeds the |strata|-row aggregate)."""
+    plan = _plan_simple(QUERIES["corpus_mix_sources"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_scores_broadcasts_weights(spark, sf_dir):
+    """corpus_dsir_scores: the 1024-row weight table broadcasts; the
+    per-(doc,bucket) pre-aggregation is cached (InMemory scan) so the
+    corpus tokenizes once."""
+    plan = _plan_simple(QUERIES["corpus_dsir_scores"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_single_corpus_scan(spark, sf_dir):
+    """corpus_ngram_novelty: ONE text-bearing scan (the group-list scan
+    is column-pruned to the group column) — the naive formulation scans
+    the corpus once per metric."""
+    plan = _plan(QUERIES["corpus_ngram_novelty"](spark, sf_dir))
+    text_scans = [
+        ln for ln in plan.splitlines()
+        if "ReadSchema:" in ln and "text" in ln
+    ]
+    assert len(text_scans) == 1, f"expected 1 text scan, got {len(text_scans)}"
+
+
+def test_seqlen_plan_zero_corpus_shuffle(spark, sf_dir):
+    """corpus_seqlen_plan: one global aggregate (no hash-partitioned
+    exchange of corpus rows), reshaped driver-free with stack."""
+    plan = _plan_simple(QUERIES["corpus_seqlen_plan"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_overlap_no_cartesian(spark, sf_dir):
+    """corpus_ngram_overlap: the pair matrix comes from a hash-keyed
+    self-join, never a cartesian."""
+    plan = _plan_simple(QUERIES["corpus_ngram_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
