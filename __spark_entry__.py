@@ -2791,18 +2791,15 @@ def text_containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_on_candidates(docs, cand)
 
 
-def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BucketedTable time travel, end-to-end oracled: build a bucketed
-    customer table (keys ``c_custkey % 7 < 3``), differential-merge a
-    batch (inserts ``% 7 IN (3,4)``, updates ``% 7 == 0`` at +1000.00),
-    then read BOTH retained versions via ``read(version=k)`` and emit
-    per-version rowcount + balance total. The oracle replays both
-    states straight from the source parquet — any defect in the
-    manifest history, per-bucket pointer flips, or version-pinned reads
-    breaks parity. (The work dir is DETERMINISTIC per sf_dir and reused
-    when already valid — repeated bench/correctness runs measure the
-    version-pinned reads, not table construction, and /tmp doesn't
-    accumulate one tree per invocation.)"""
+def _tt_fixture(spark: SparkSession, sf_dir: str):
+    """The shared two-version BucketedTable fixture (customer balances
+    in cents): v0 = keys ``c_custkey % 7 < 3``; v1 = differential merge
+    of inserts ``% 7 IN (3,4)`` + updates ``% 7 == 0`` at +1000.00.
+    Deterministic work dir per SOURCE identity (mtime+size — regenerated
+    testdata must invalidate the cached table or the oracle, which
+    replays the new parquet, would red a correct engine); built
+    privately and atomically renamed into place so a concurrent builder
+    cannot half-overwrite a table another reader is using."""
     import hashlib
     import os
     import shutil
@@ -2822,9 +2819,6 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", (cents + 100000).alias("bal_cents")
     )
 
-    # fingerprint the SOURCE data (mtime+size), not just its path:
-    # regenerated testdata must invalidate the cached table or the oracle
-    # (which replays the new parquet) would red a correct engine
     try:
         st = os.stat(os.path.join(sf_dir, "customer.parquet"))
         fp = f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}"
@@ -2836,10 +2830,6 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = BucketedTable(spark, work, ["c_custkey"], n_buckets=16)
     if not (t.exists() and len(t.versions()) >= 2):
-        # absent or half-built: build privately, then atomically rename
-        # into place — a concurrent builder cannot half-overwrite the
-        # table another reader is using (loser of the race keeps its
-        # private dir; relative bucket paths make the rename safe)
         build = tempfile.mkdtemp(prefix="nspc_tt_build_")
         os.rmdir(build)
         tb = BucketedTable(spark, build, ["c_custkey"], n_buckets=16)
@@ -2851,6 +2841,20 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         except OSError:
             work = build  # lost the rename race: use the private copy
         t = BucketedTable(spark, work, ["c_custkey"], n_buckets=16)
+    return t
+
+
+def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BucketedTable time travel, end-to-end oracled: the shared
+    two-version fixture (_tt_fixture) read at BOTH retained versions
+    via ``read(version=k)``, emitting per-version rowcount + balance
+    total. The oracle replays both states straight from the source
+    parquet — any defect in the manifest history, per-bucket pointer
+    flips, or version-pinned reads breaks parity. (The work dir is
+    DETERMINISTIC per sf_dir and reused when already valid — repeated
+    bench/correctness runs measure the version-pinned reads, not table
+    construction.)"""
+    t = _tt_fixture(spark, sf_dir)
 
     def snap(vid: int) -> DataFrame:
         return t.read(version=vid).agg(
@@ -2860,6 +2864,19 @@ def bucketed_time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(0).unionByName(snap(1))
+
+
+def bucketed_version_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between BucketedTable versions
+    (BucketedTable.diff — the downstream-sync primitive): one full-outer
+    join of the v0 and v1 reads of the shared time-travel fixture,
+    emitting (key, op, old, new) for every inserted or updated key
+    (this fixture deletes nothing; the unit suite covers deletes).
+    The oracle replays both version states from the source parquet and
+    classifies the same null-safe way — a defect in version-pinned
+    reads, the join, or the change classification breaks parity."""
+    t = _tt_fixture(spark, sf_dir)
+    return t.diff(0, 1)
 
 
 def emb_pq_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4901,6 +4918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_covariance": emb_covariance_q,
         "multimodal_real_jpeg": multimodal_real_jpeg_q,
         "bucketed_time_travel": bucketed_time_travel_q,
+        "bucketed_version_diff": bucketed_version_diff_q,
         "events_kmv_distinct": events_kmv_distinct_q,
         "corpus_source_cap": corpus_source_cap_q,
         "events_resample": events_resample_q,
@@ -9824,6 +9842,22 @@ def oracle_sql() -> dict[str, str]:
                             + CASE WHEN c_custkey % 7 = 0 THEN 100000 ELSE 0 END)
                         AS BIGINT)
             FROM customer WHERE c_custkey % 7 < 5
+        """,
+        # version diff: inserts are the %7 IN (3,4) merge keys (no old
+        # value), updates the %7 = 0 keys (+1000.00); %7 IN (1,2) keys
+        # are unchanged and omitted
+        "bucketed_version_diff": """
+            SELECT c_custkey, 'insert' AS op,
+                   CAST(NULL AS BIGINT) AS bal_cents_old,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_new
+            FROM customer WHERE c_custkey % 7 IN (3, 4)
+            UNION ALL
+            SELECT c_custkey, 'update' AS op,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents_old,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+                       AS bal_cents_new
+            FROM customer WHERE c_custkey % 7 = 0
+            ORDER BY c_custkey
         """,
         # sliding 2h/1h windows on the hour grid: each event lands in
         # exactly two windows (its own hour and the previous one)

@@ -260,6 +260,58 @@ class BucketedTable:
         # are a rounding error next to the scan.
         return self.spark.read.option("mergeSchema", "true").parquet(*paths)
 
+    def diff(self, from_version: int, to_version: int) -> DataFrame:
+        """Change-data-feed between two retained versions: one row per
+        key whose state changed, ``(pk_cols..., op, <col>_old,
+        <col>_new ...)`` with ``op`` in ``insert`` / ``update`` /
+        ``delete``. Unchanged keys are omitted (null-safe comparison, so
+        a null->null column is unchanged and null->value is an update).
+
+        This is the downstream-sync primitive (what Delta calls CDF):
+        consumers replay the diff instead of re-reading the table.
+        Plan: one full-outer join of the two version reads on the key —
+        both sides are bucket-pruned scans of only the buckets either
+        manifest references; at 100 TB the join co-partitions on the
+        key like any PK merge. Both versions must still be retained
+        (``versions()``; raises like ``read(version=k)`` otherwise)."""
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        value_cols = [c for c in new.columns if c not in self.pk_cols]
+        o = old.select(
+            *self.pk_cols,
+            F.lit(True).alias("__in_old"),
+            *[F.col(c).alias(f"{c}_old") for c in value_cols],
+        )
+        nw = new.select(
+            *self.pk_cols,
+            F.lit(True).alias("__in_new"),
+            *[F.col(c).alias(f"{c}_new") for c in value_cols],
+        )
+        joined = o.join(nw, self.pk_cols, "full_outer")
+        changed = F.lit(False)
+        for c in value_cols:
+            changed = changed | ~F.col(f"{c}_old").eqNullSafe(
+                F.col(f"{c}_new")
+            )
+        op = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(changed, F.lit("update"))
+        )
+        return (
+            joined.withColumn("op", op)
+            .where(F.col("op").isNotNull())
+            .select(
+                *self.pk_cols,
+                "op",
+                *[
+                    c
+                    for vc in value_cols
+                    for c in (f"{vc}_old", f"{vc}_new")
+                ],
+            )
+        )
+
     def merge(
         self, source: DataFrame, allow_schema_evolution: bool = False
     ) -> MergeCounts:

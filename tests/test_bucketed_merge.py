@@ -390,3 +390,36 @@ def test_layout_collision_refused_both_ways(spark, tmp_path):
         wh.write(df, "bt", mode="drop_recreate")
     with pytest.raises(ValueError, match="BucketedTable"):
         wh.write(df, "bt", mode="append")
+
+
+def test_diff_classifies_insert_update_delete_and_omits_unchanged(spark, tmp_path):
+    """Change-data-feed between versions: null-safe classification,
+    unchanged keys absent, delete captured from the delete() path."""
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.init(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "gone")],
+            "id long, v string",
+        )
+    )  # v0
+    t.merge(
+        spark.createDataFrame(
+            [(2, "B"), (3, None), (5, "new")], "id long, v string"
+        )
+    )  # v1: update 2, no-op 3 (null -> null), insert 5
+    t.delete(spark.createDataFrame([(4,)], "id long"))  # v2: delete 4
+
+    d01 = {r["id"]: r for r in t.diff(0, 1).collect()}
+    assert set(d01) == {2, 5}
+    assert d01[2]["op"] == "update" and (d01[2]["v_old"], d01[2]["v_new"]) == ("b", "B")
+    assert d01[5]["op"] == "insert" and d01[5]["v_old"] is None and d01[5]["v_new"] == "new"
+
+    d12 = {r["id"]: r for r in t.diff(1, 2).collect()}
+    assert set(d12) == {4}
+    assert d12[4]["op"] == "delete" and d12[4]["v_old"] == "gone" and d12[4]["v_new"] is None
+
+    # a null -> value flip IS an update (null-safe compare)
+    t.merge(spark.createDataFrame([(3, "now")], "id long, v string"))  # v3
+    d23 = {r["id"]: r for r in t.diff(2, 3).collect()}
+    assert set(d23) == {3} and d23[3]["op"] == "update"
+    assert d23[3]["v_old"] is None and d23[3]["v_new"] == "now"
