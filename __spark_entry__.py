@@ -2168,6 +2168,26 @@ def corpus_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_matrix(docs, group_col="source", text_col="text", n=3)
 
 
+_LABEL_RULES = {
+    "joins": ["join", "merge", "hash"],
+    "streaming": ["stream", "batch", "window"],
+    "storage": ["scan", "table", "column"],
+}
+
+
+def text_keyword_labels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision keyword labeling (operators/labeling.py,
+    Snorkel-style labeling functions): three topic rules scored by
+    exact substring-occurrence counts, winner by a deterministic CASE
+    ladder (ties -> first sorted label; zero hits -> null). Pure
+    codegen projection — the text never shuffles; the oracle replays
+    the integer occurrence identity and the same ladder."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_labels(docs, "doc_id", "text", _LABEL_RULES)
+
+
 def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental packing (packing.pack_incremental — the
     daily-corpus-drop pattern): an 80% md5-split of documents packs
@@ -4755,6 +4775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ngram_novelty": corpus_ngram_novelty_q,
         "corpus_seqlen_plan": corpus_seqlen_plan_q,
         "corpus_ngram_overlap": corpus_ngram_overlap_q,
+        "text_keyword_labels": text_keyword_labels_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -6302,6 +6323,39 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
         LEFT JOIN pg ON grp.g = pg.g
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
+    """
+
+
+def _sql_keyword_labels(rules: dict[str, list[str]]) -> str:
+    """Oracle for text_keyword_labels: the same occurrence identity
+    ((len - len(replace)) // kwlen), same sorted-label CASE ladder."""
+    labels = sorted(rules)
+
+    def score(lab: str) -> str:
+        return " + ".join(
+            f"(length(__t) - length(replace(__t, '{kw}', ''))) // {len(kw)}"
+            for kw in rules[lab]
+        )
+
+    score_cols = ",\n                   ".join(
+        f"CAST({score(lab)} AS BIGINT) AS score_{lab}" for lab in labels
+    )
+    ladder = "CASE"
+    for i, lab in enumerate(labels):
+        conds = [f"score_{lab} > 0"] + [
+            f"score_{lab} >= score_{other}" for other in labels[i + 1:]
+        ]
+        ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
+    ladder += " END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   {score_cols}
+            FROM (SELECT doc_id, lower(text) AS __t FROM documents)
+        )
+        SELECT doc_id, {', '.join(f'score_{lab}' for lab in labels)},
+               {ladder} AS label
+        FROM scored ORDER BY doc_id
     """
 
 
@@ -9068,6 +9122,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_ngram_novelty": _sql_ngram_novelty(),
         "corpus_seqlen_plan": _sql_seqlen_plan([256, 512, 1024]),
         "corpus_ngram_overlap": _sql_ngram_overlap(),
+        "text_keyword_labels": _sql_keyword_labels(_LABEL_RULES),
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -1,0 +1,82 @@
+"""Weak-supervision keyword labeling — rule-based document labels for
+distant supervision / corpus routing.
+
+The simplest useful labeling-function family (Snorkel-style, public):
+each label owns a keyword list; a document's score for a label is the
+total substring-occurrence count of the label's keywords in the
+lowercased text, and the assigned label is the best-scoring one with a
+DETERMINISTIC tie-break (first label in sorted order wins ties — an
+explicit CASE ladder, never an engine-arbitrary ``arg_max``). Zero
+hits across all labels -> null label (explicitly unlabeled, same
+stance as ``stratified_sample``'s missing-stratum drop).
+
+Occurrence counting is the exact integer identity
+``(len(t) - len(replace(t, kw, ''))) / len(kw)`` — expressible
+bit-for-bit in any SQL engine, no regex dialect in play.
+
+Scale: a pure projection (text never shuffles; one pass, all
+whole-stage-codegen string ops). Keyword lists are plan literals —
+suitable for tens of labels x tens of keywords; past that, broadcast a
+keyword table and aggregate token joins instead.
+
+Reference parity: no counterpart in /root/reference — extension
+surface (LLM-pipeline family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["keyword_labels"]
+
+
+def _occurrences(text_col, kw: str):
+    return (
+        (F.length(text_col) - F.length(F.replace(text_col, F.lit(kw))))
+        / F.lit(len(kw))
+    ).cast("long")
+
+
+def keyword_labels(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    rules: dict[str, list[str]],
+) -> DataFrame:
+    """Label rows by keyword-occurrence votes: returns ``(id_col,
+    score_<label>... , label)`` with one score column per rule (sorted
+    label order) and the winning label (ties -> first sorted label;
+    all-zero -> null)."""
+    if not rules or any(not kws for kws in rules.values()):
+        raise ValueError("rules must map each label to a non-empty keyword list")
+    for kws in rules.values():
+        for kw in kws:
+            if not kw or kw != kw.lower():
+                raise ValueError(f"keywords must be non-empty lowercase: {kw!r}")
+
+    labels = sorted(rules)
+    lowered = df.select(
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+    )
+    scored = lowered.select(
+        id_col,
+        *[
+            sum(
+                (_occurrences(F.col("__t"), kw) for kw in rules[lab]),
+                F.lit(0).cast("long"),
+            ).alias(f"score_{lab}")
+            for lab in labels
+        ],
+    )
+    expr = None
+    for i, lab in enumerate(labels):
+        s = F.col(f"score_{lab}")
+        cond = s > 0
+        for other in labels[i + 1:]:
+            cond = cond & (s >= F.col(f"score_{other}"))
+        # earlier labels already lost if we got here, so only later
+        # labels need comparing — which is exactly the first-in-sorted-
+        # order tie-break
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    return scored.withColumn("label", expr)

@@ -236,3 +236,25 @@ def test_write_read_packed_dataset_roundtrip(spark, tmp_path):
     one = read_packed_dataset(spark, path, shard=some_shard)
     assert one.count() == sum(1 for v in got.values() if v == some_shard)
     assert {r["shard"] for r in one.collect()} == {some_shard}
+
+
+def test_keyword_labels_deterministic_tiebreak_and_nulls(spark):
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    rows = [
+        (1, "join the JOIN merge"),   # joins 3
+        (2, "scan scan table"),       # storage 3
+        (3, "nothing here"),          # no hits -> null
+        (4, "join scan"),             # 1-1 tie -> first sorted label
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    rules = {"joins": ["join", "merge"], "storage": ["scan", "table"]}
+    out = {r["id"]: r for r in keyword_labels(df, "id", "text", rules).collect()}
+    assert out[1]["label"] == "joins" and out[1]["score_joins"] == 3
+    assert out[2]["label"] == "storage"
+    assert out[3]["label"] is None
+    assert out[4]["label"] == "joins"  # tie -> first in sorted order
+    with pytest.raises(ValueError):
+        keyword_labels(df, "id", "text", {"x": []})
+    with pytest.raises(ValueError):
+        keyword_labels(df, "id", "text", {"x": ["UPPER"]})
