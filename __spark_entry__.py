@@ -2168,6 +2168,23 @@ def corpus_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_matrix(docs, group_col="source", text_col="text", n=3)
 
 
+def corpus_preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining (operators/preference.py): adjacent-rank
+    (chosen, rejected) pairs per language ordered by n_chars — the
+    reward-model/DPO data-prep construction, score-agnostic (swap in a
+    quality or DSIR score at will). ONE window pass (rank + lead, no
+    self-join); ties broken by doc_id so the pairing is a pure function
+    of the data. min_gap=1 drops equal-score neighbors. The oracle
+    replays the same lead window."""
+    from nspc_etl_basic_spark.operators.preference import preference_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return preference_pairs(
+        docs, id_col="doc_id", score_col="n_chars",
+        strata_col="lang", min_gap=1,
+    )
+
+
 _LABEL_RULES = {
     "joins": ["join", "merge", "hash"],
     "streaming": ["stream", "batch", "window"],
@@ -4776,6 +4793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_seqlen_plan": corpus_seqlen_plan_q,
         "corpus_ngram_overlap": corpus_ngram_overlap_q,
         "text_keyword_labels": text_keyword_labels_q,
+        "corpus_preference_pairs": corpus_preference_pairs_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -6324,6 +6342,23 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
     """
+
+
+_SQL_PREFERENCE_PAIRS = """
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               lead(doc_id) OVER w AS rejected_id,
+               lead(n_chars) OVER w AS rejected_score
+        FROM documents
+        WINDOW w AS (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC)
+    )
+    SELECT lang, doc_id AS chosen_id, rejected_id,
+           n_chars AS chosen_score, rejected_score,
+           n_chars - rejected_score AS gap
+    FROM ranked
+    WHERE rejected_id IS NOT NULL AND n_chars - rejected_score >= 1
+    ORDER BY lang, chosen_id
+"""
 
 
 def _sql_keyword_labels(rules: dict[str, list[str]]) -> str:
@@ -9123,6 +9158,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_seqlen_plan": _sql_seqlen_plan([256, 512, 1024]),
         "corpus_ngram_overlap": _sql_ngram_overlap(),
         "text_keyword_labels": _sql_keyword_labels(_LABEL_RULES),
+        "corpus_preference_pairs": _SQL_PREFERENCE_PAIRS,
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -258,3 +258,33 @@ def test_keyword_labels_deterministic_tiebreak_and_nulls(spark):
         keyword_labels(df, "id", "text", {"x": []})
     with pytest.raises(ValueError):
         keyword_labels(df, "id", "text", {"x": ["UPPER"]})
+
+
+def test_preference_pairs_adjacent_ranks_and_gap(spark):
+    from nspc_etl_basic_spark.operators.preference import preference_pairs
+
+    rows = [
+        (1, "en", 100), (2, "en", 90), (3, "en", 90), (4, "en", 50),
+        (5, "de", 10),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    out = sorted(
+        (r["chosen_id"], r["rejected_id"], r["gap"])
+        for r in preference_pairs(
+            df, "doc_id", "score", "lang", min_gap=1
+        ).collect()
+    )
+    # rank order en: 1(100), 2(90), 3(90), 4(50). Pairs: (1,2,gap10);
+    # (2,3) tie dropped by min_gap; (3,4,gap40). de has one doc: none.
+    assert out == [(1, 2, 10), (3, 4, 40)]
+    # min_gap=0 keeps the tie pair, deterministically ordered by id
+    out0 = sorted(
+        (r["chosen_id"], r["rejected_id"])
+        for r in preference_pairs(
+            df, "doc_id", "score", "lang", min_gap=0
+        ).collect()
+    )
+    assert out0 == [(1, 2), (2, 3), (3, 4)]
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        preference_pairs(df, "doc_id", "score", "lang", min_gap=-1)
