@@ -2168,6 +2168,30 @@ def corpus_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_matrix(docs, group_col="source", text_col="text", n=3)
 
 
+def events_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type value summary (operators/robust.py): exact
+    median + MAD (median absolute deviation — breakdown point 50%, vs
+    0% for stddev) and the 5/95-winsorized mean, all on the
+    exact-percentile tier DuckDB replays with quantile_cont. Two keyed
+    aggregates + a broadcast |keys|-row join; the winsorized mean adds
+    one clamp projection over the same fences shape."""
+    from nspc_etl_basic_spark.operators.robust import (
+        robust_stats_by_key,
+        winsorize_by_key,
+    )
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    stats = robust_stats_by_key(ev, "event_type", "value")
+    # order-independent mean: per-row decimal cast + exact decimal sum
+    # (_dsum contract) — a double avg drifts with partition order
+    wmean = (
+        winsorize_by_key(ev, "event_type", "value", 0.05, 0.95)
+        .groupBy("event_type")
+        .agg(_davg(F.col("value_wins")).alias("wins_mean"))
+    )
+    return stats.join(wmean, "event_type")
+
+
 def corpus_preference_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair mining (operators/preference.py): adjacent-rank
     (chosen, rejected) pairs per language ordered by n_chars — the
@@ -4794,6 +4818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_ngram_overlap": corpus_ngram_overlap_q,
         "text_keyword_labels": text_keyword_labels_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
+        "events_robust_stats": events_robust_stats_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -6342,6 +6367,35 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
     """
+
+
+_SQL_EVENTS_ROBUST_STATS = """
+    WITH vals AS (
+        SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS m,
+               CAST(count(*) AS BIGINT) AS n,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM vals GROUP BY 1
+    ),
+    dev AS (
+        SELECT v.event_type,
+               abs(v.value - med.m) AS adev,
+               round(least(greatest(v.value, med.lo), med.hi), 6) AS wins
+        FROM vals v JOIN med ON v.event_type = med.event_type
+    )
+    SELECT dev.event_type AS event_type,
+           round(any_value(med.m), 6) AS median,
+           round(quantile_cont(dev.adev, 0.5), 6) AS mad,
+           any_value(med.n) AS n,
+           round(CAST(sum(CAST(dev.wins AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS wins_mean
+    FROM dev JOIN med ON dev.event_type = med.event_type
+    GROUP BY 1 ORDER BY 1
+"""
 
 
 _SQL_PREFERENCE_PAIRS = """
@@ -9159,6 +9213,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_ngram_overlap": _sql_ngram_overlap(),
         "text_keyword_labels": _sql_keyword_labels(_LABEL_RULES),
         "corpus_preference_pairs": _SQL_PREFERENCE_PAIRS,
+        "events_robust_stats": _SQL_EVENTS_ROBUST_STATS,
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

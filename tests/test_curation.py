@@ -288,3 +288,29 @@ def test_preference_pairs_adjacent_ranks_and_gap(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         preference_pairs(df, "doc_id", "score", "lang", min_gap=-1)
+
+
+def test_robust_stats_and_winsorize_hand_computed(spark):
+    from nspc_etl_basic_spark.operators.robust import (
+        robust_stats_by_key,
+        winsorize_by_key,
+    )
+
+    rows = [("a", float(v)) for v in [1, 2, 3, 4, 100]] + [("b", 7.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    stats = {r["k"]: r for r in robust_stats_by_key(df, "k", "v").collect()}
+    # a: median 3; |dev| = [2,1,0,1,97] -> median 1
+    assert stats["a"]["median"] == 3.0 and stats["a"]["mad"] == 1.0
+    assert stats["a"]["n"] == 5
+    assert stats["b"]["median"] == 7.0 and stats["b"]["mad"] == 0.0
+    # winsorize at [0.25, 0.75]: fences for a are 2.0 and 4.0
+    wins = {
+        (r["k"], r["v"]): r["v_wins"]
+        for r in winsorize_by_key(df, "k", "v", 0.25, 0.75).collect()
+    }
+    assert wins[("a", 1.0)] == 2.0      # clamped up
+    assert wins[("a", 100.0)] == 4.0    # clamped down
+    assert wins[("a", 3.0)] == 3.0      # untouched
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winsorize_by_key(df, "k", "v", 0.9, 0.1)
