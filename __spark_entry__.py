@@ -2168,6 +2168,54 @@ def corpus_ngram_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_overlap_matrix(docs, group_col="source", text_col="text", n=3)
 
 
+def events_session_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution over the gap-sessionization islands
+    (the analytics a sessionizer exists to feed): sessions from the
+    same 30-min-gap epoch-µs islands as events_sessionize, then ONE
+    global aggregate — session count, exact median/p95 duration in
+    seconds (round 6), and the decimal-summed mean events per session.
+    Duration arithmetic stays integer µs until the final divisions.
+    Two keyed shuffles (islands window, per-session rollup) + a 1-row
+    aggregate; the oracle replays islands + quantile_cont."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(
+        prev_us.isNull()
+        | (F.unix_micros(F.col("ts")) - prev_us > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sid = F.sum("new_sess").over(
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        ev.withColumn("new_sess", new_sess)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            (
+                F.max(F.unix_micros(F.col("ts")))
+                - F.min(F.unix_micros(F.col("ts")))
+            ).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.round(
+            F.percentile(F.col("dur_us"), F.lit(0.5)) / F.lit(1_000_000.0), 6
+        ).alias("p50_duration_s"),
+        F.round(
+            F.percentile(F.col("dur_us"), F.lit(0.95)) / F.lit(1_000_000.0), 6
+        ).alias("p95_duration_s"),
+        _davg(F.col("n_events")).alias("avg_events"),
+    )
+
+
 def events_robust_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type value summary (operators/robust.py): exact
     median + MAD (median absolute deviation — breakdown point 50%, vs
@@ -4819,6 +4867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keyword_labels": text_keyword_labels_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
+        "events_session_stats": events_session_stats_q,
         "text_bpe_fertility": text_bpe_fertility_q,
         "sim_ann_ivf_trained": sim_ann_ivf_trained_q,
         "sim_ann_pq_trained": sim_ann_pq_trained_q,
@@ -6367,6 +6416,43 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
     """
+
+
+_SQL_EVENTS_SESSION_STATS = """
+    WITH seq AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess, us
+        FROM (
+            SELECT user_id, ts, epoch_us(ts) AS us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts ASC, event_id ASC) AS prev_us
+            FROM events
+        )
+    ),
+    grp AS (
+        SELECT user_id, us,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, us
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM seq
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               max(us) - min(us) AS dur_us,
+               count(*) AS n_events
+        FROM grp GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           round(quantile_cont(dur_us, 0.5) / 1000000.0, 6)
+               AS p50_duration_s,
+           round(quantile_cont(dur_us, 0.95) / 1000000.0, 6)
+               AS p95_duration_s,
+           round(CAST(sum(CAST(n_events AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS avg_events
+    FROM sess
+"""
 
 
 _SQL_EVENTS_ROBUST_STATS = """
@@ -9214,6 +9300,7 @@ def oracle_sql() -> dict[str, str]:
         "text_keyword_labels": _sql_keyword_labels(_LABEL_RULES),
         "corpus_preference_pairs": _SQL_PREFERENCE_PAIRS,
         "events_robust_stats": _SQL_EVENTS_ROBUST_STATS,
+        "events_session_stats": _SQL_EVENTS_SESSION_STATS,
         "corpus_pack_sequences": """
             SELECT doc_id, n_chars,
                    CAST(cum AS BIGINT) AS cum_chars,

@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="leave source files in place (skip processed/error moves)",
     )
     p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="validate only (read, infer/authority, cast, quality gate) "
+        "— no writes, no metadata, no file moves; exit 0 on Validated",
+    )
+    p.add_argument(
         "--master",
         default=None,
         help="Spark master (default: local[*] or $SPARK_GRAFT_CPUS)",
@@ -103,6 +109,9 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.isdir(args.input_path):
         from nspc_etl_basic_spark.plans.batch import process_directory
 
+        if args.dry_run:
+            logger.error("--dry-run is per-file: pass a file path")
+            return 1
         res = process_directory(spark, args.input_path, config, move_files=move_files)
         logger.info(
             "batch %s: %s (%d processed, %d failed of %d)",
@@ -116,7 +125,10 @@ def main(argv: list[str] | None = None) -> int:
 
     from nspc_etl_basic_spark.plans.pipeline import process_file
 
-    res = process_file(spark, args.input_path, config, move_files=move_files)
+    res = process_file(
+        spark, args.input_path, config, move_files=move_files,
+        dry_run=args.dry_run,
+    )
     logger.info(
         "%s -> table %s: %s (%d read, %d inserted, %d updated, %d failed)",
         args.input_path,
@@ -127,7 +139,8 @@ def main(argv: list[str] | None = None) -> int:
         res.rows_updated,
         res.rows_failed,
     )
-    if res.status != "Completed":
+    ok_status = "Validated" if args.dry_run else "Completed"
+    if res.status != ok_status:
         if res.error_message:
             logger.error("error: %s", res.error_message)
         return 1

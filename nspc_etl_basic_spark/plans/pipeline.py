@@ -165,7 +165,18 @@ def process_file(
     warehouse: ParquetWarehouse | None = None,
     batch_job_id: str | None = None,
     move_files: bool = True,
+    dry_run: bool = False,
 ) -> FileLoadResult:
+    """Load one file (see module docstring). ``dry_run=True`` runs the
+    FULL read -> schema-authority -> cast/validate -> quality-gate
+    chain and reports what a real load would do (inferred sql_types,
+    rows read/failed, quality values, status ``Validated``), but
+    touches NOTHING: no sink write, no metadata/statistics rows, no
+    file move. Validation failures still fail (status ``Failed`` with
+    the same error a real load would raise) — the preflight a batch
+    owner runs on a new feed before pointing it at a live table."""
+    if dry_run:
+        move_files = False
     config = config or load_config()
     t0 = time.time()
     job_run_id = config.get("job_run_id") or str(uuid.uuid4())
@@ -211,7 +222,7 @@ def process_file(
         if rows_read == 0 or not [c for c in df.columns if not c.startswith("__")]:
             # A5: empty file — valid no-op in upsert mode (loader.py:1420-1432)
             if mode == "upsert":
-                result.status = "Completed"
+                result.status = "Validated" if dry_run else "Completed"
                 if move_files:
                     result.moved_to = _move_file(file_path, "processed")
                 return result
@@ -330,7 +341,7 @@ def process_file(
                 f"max-row-errors={max_row_errors}"
             )
 
-        if invalid_count > 0:
+        if invalid_count > 0 and not dry_run:
             meta.write_invalid_rows(invalid, job_run_id, table_name)
             logger.info("%d invalid row(s) recorded for %s", invalid_count, table_name)
             if log_artifacts:
@@ -357,7 +368,8 @@ def process_file(
                 r.asDict()
                 for r in run_checks(valid, checks_from_config(q_specs)).collect()
             ]
-            meta.write_quality_results(q_rows, job_run_id, table_name)
+            if not dry_run:
+                meta.write_quality_results(q_rows, job_run_id, table_name)
             failed_checks = [r["check_name"] for r in q_rows if not r["passed"]]
             result.details["quality"] = {
                 r["check_name"]: r["value"] for r in q_rows
@@ -370,6 +382,16 @@ def process_file(
                     raise ValueError(
                         f"quality gate: checks failed: {failed_checks}"
                     )
+
+        if dry_run:
+            # preflight stops here: everything a real load would have
+            # validated has run; nothing has been written or moved
+            result.status = "Validated"
+            logger.info(
+                "dry-run validated %s: %d read, %d failed (no writes)",
+                table_name, result.rows_read, result.rows_failed,
+            )
+            return result
 
         if use_jdbc:
             # reference deployment shape: data lands in the database; the
@@ -499,7 +521,7 @@ def process_file(
         except Exception:  # noqa: BLE001
             pass
         result.duration_seconds = time.time() - t0
-        if config.get("job_statistics", {}).get("enabled", True):
+        if not dry_run and config.get("job_statistics", {}).get("enabled", True):
             end_ts = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
             meta.write_statistics(
                 {
