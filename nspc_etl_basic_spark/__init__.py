@@ -33,11 +33,19 @@ def process_directory(*args, **kwargs):
     return fn(*args, **kwargs)
 
 
+def run_curation(*args, **kwargs):
+    """Lazy re-export of plans.curation.run_curation."""
+    from nspc_etl_basic_spark.plans.curation import run_curation as fn
+
+    return fn(*args, **kwargs)
+
+
 __all__ = [
     "load_config",
     "generate_table_name",
     "get_spark",
     "process_file",
+    "run_curation",
     "process_directory",
 ]
 

@@ -1,0 +1,126 @@
+"""Config-driven corpus curation — the training-data counterpart of the
+reference's config-driven file loads (`file-to-sql-loader.py` reads a
+YAML and derives every load decision from it; this runner does the same
+for the curation surface, so a pipeline owner declares the recipe
+instead of hand-wiring operators).
+
+Stages, each gated by the presence of its config key and composed from
+the independently driver-oracled operators:
+
+  quality        text.quality_filter over the configured thresholds
+  dedup          minhash -> LSH candidates -> connected components ->
+                 keep-best representative (quality_col configurable)
+  split          assign_split on the near-dup CLUSTER id when dedup ran
+                 (leakage-safe: a test doc's near-copy can never land
+                 in train) else on the doc id
+  pack           pack_greedy assignment + pack_report over the kept set
+
+``run_curation`` returns every stage's DataFrame in a dict, so callers
+materialize only what they need; nothing is written (pair with the
+warehouse / dataloader sinks downstream). The composed semantics are
+pinned end-to-end by the ``corpus_end_to_end`` driver query — the
+equality test in tests/test_curation_runner.py holds this runner to
+that oracled output.
+
+Scale: inherits each operator's documented shape; the runner adds one
+repartition after the quality gate (the filter may leave skewed
+partitions ahead of the signature projection) and the same bounded
+cache/unpersist handoff the end-to-end query uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_SPLIT = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def run_curation(
+    spark: SparkSession,
+    docs: DataFrame,
+    config: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """Execute the configured curation stages over ``docs``; returns
+    ``{stage: DataFrame}`` for every stage that ran (see module
+    docstring for the stage inventory and keys)."""
+    from pyspark.sql import functions as F
+
+    cur = (config or {}).get("curation", {}) or {}
+    out: dict[str, DataFrame] = {}
+    kept = docs
+
+    q_cfg = cur.get("quality")
+    if q_cfg is not None:
+        from nspc_etl_basic_spark.operators.text import quality_filter
+
+        good_ids = quality_filter(docs, **q_cfg).select(id_col)
+        kept = docs.join(good_ids, id_col, "left_semi").repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        out["quality"] = kept
+
+    comp = None
+    d_cfg = cur.get("dedup")
+    if d_cfg is not None:
+        from nspc_etl_basic_spark.operators.dedup import (
+            keep_best_representative,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            neardup_components,
+        )
+
+        sigs = minhash_signatures(kept).cache()
+        cand = lsh_candidate_pairs(sigs).cache()
+        cand.count()
+        sigs.unpersist()
+        comp = neardup_components(kept.select(id_col), cand)
+        cand.unpersist()
+        out["clusters"] = comp
+        quality_col = d_cfg.get("quality_col", "n_chars")
+        kept = keep_best_representative(
+            comp, kept.select(id_col, quality_col), quality_col=quality_col
+        )
+        out["kept"] = kept
+
+    s_cfg = cur.get("split")
+    if s_cfg is not None:
+        from nspc_etl_basic_spark.operators.sampling import assign_split
+
+        weights = s_cfg.get("weights", DEFAULT_SPLIT)
+        # leakage safety: when dedup ran, membership hashes the CLUSTER
+        # id so near-copies stay on one side of every boundary
+        split_key = "component_id" if comp is not None else id_col
+        kept = assign_split(kept, split_key, weights)
+        out["split"] = kept
+
+    p_cfg = cur.get("pack")
+    if p_cfg is not None:
+        from nspc_etl_basic_spark.operators.packing import (
+            pack_greedy,
+            pack_report,
+        )
+
+        weight_col = p_cfg.get("weight_col", "n_chars")
+        seq_len = int(p_cfg["seq_len"])
+        pack_input = kept
+        if weight_col not in kept.columns and id_col in kept.columns:
+            pack_input = kept.join(
+                docs.select(id_col, weight_col), id_col
+            )
+        train_only = p_cfg.get("split", "train")
+        if "split" in pack_input.columns and train_only:
+            pack_input = pack_input.where(F.col("split") == train_only)
+        assignment = pack_greedy(
+            pack_input,
+            key_col=p_cfg.get("key_col", id_col),
+            weight_col=weight_col,
+            seq_len=seq_len,
+            n_buckets=int(p_cfg.get("n_buckets", 64)),
+            salt=p_cfg.get("salt", "pack"),
+        )
+        out["assignment"] = assignment
+        out["pack_report"] = pack_report(assignment, weight_col, seq_len)
+
+    return out

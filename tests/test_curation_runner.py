@@ -1,0 +1,67 @@
+"""Config-driven curation runner (plans/curation.py): the declared
+recipe must reproduce the independently-oracled composed pipeline."""
+
+from __future__ import annotations
+
+import os
+
+from nspc_etl_basic_spark.plans.curation import run_curation
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_runner_matches_oracled_end_to_end_query(spark):
+    """quality -> dedup -> leakage-safe split configured to the same
+    parameters as corpus_end_to_end must produce the SAME rows — the
+    runner inherits that query's driver-verified semantics."""
+    import __spark_entry__ as entrymod
+
+    cfg = {
+        "curation": {
+            "quality": {
+                "min_chars": 100, "max_chars": 20000, "min_tokens": 20,
+                "max_punct_ratio": 0.1, "min_stopword_ratio": 0.02,
+                "lang": "en",
+            },
+            "dedup": {"quality_col": "n_chars"},
+            "split": {"weights": {"train": 0.8, "val": 0.1, "test": 0.1}},
+        }
+    }
+    got = run_curation(spark, _docs(spark), cfg)["split"]
+    want = entrymod.queries()["corpus_end_to_end"](spark, SF_DIR)
+    assert sorted(got.columns) == sorted(want.columns)
+    g = {tuple(r) for r in got.select(*sorted(got.columns)).collect()}
+    w = {tuple(r) for r in want.select(*sorted(want.columns)).collect()}
+    assert g == w
+
+
+def test_runner_stage_gating_and_pack(spark):
+    """Stages run only when configured; without dedup the split keys on
+    the doc id and packing covers exactly the train split."""
+    cfg = {
+        "curation": {
+            "split": {"weights": {"train": 0.5, "val": 0.5}},
+            "pack": {"seq_len": 512, "n_buckets": 8, "split": "train"},
+        }
+    }
+    out = run_curation(spark, _docs(spark), cfg)
+    assert set(out) == {"split", "assignment", "pack_report"}
+    split = out["split"]
+    n_train = split.where("split = 'train'").count()
+    assert 0 < n_train < split.count()
+    # one assignment row per train doc, nothing else
+    assert out["assignment"].count() == n_train
+    rep = out["pack_report"]
+    assert rep.count() > 0
+    # packing only ran over packable docs; report totals reconcile
+    tot = rep.groupBy().sum("n_docs", "n_oversize").collect()[0]
+    assert tot[0] + tot[1] <= n_train
+
+
+def test_runner_empty_config_is_identity(spark):
+    out = run_curation(spark, _docs(spark), {})
+    assert out == {}
