@@ -6420,11 +6420,11 @@ def _sql_ngram_novelty(n: int = 3, group_col: str = "source") -> str:
 
 _SQL_EVENTS_SESSION_STATS = """
     WITH seq AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
                     THEN 1 ELSE 0 END AS new_sess, us
         FROM (
-            SELECT user_id, ts, epoch_us(ts) AS us,
+            SELECT user_id, ts, event_id, epoch_us(ts) AS us,
                    lag(epoch_us(ts)) OVER (
                        PARTITION BY user_id
                        ORDER BY ts ASC, event_id ASC) AS prev_us
@@ -6434,7 +6434,7 @@ _SQL_EVENTS_SESSION_STATS = """
     grp AS (
         SELECT user_id, us,
                sum(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY ts, us
+                   PARTITION BY user_id ORDER BY ts, event_id
                    ROWS UNBOUNDED PRECEDING) AS sid
         FROM seq
     ),

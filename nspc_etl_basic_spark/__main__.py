@@ -101,6 +101,10 @@ def main(argv: list[str] | None = None) -> int:
     if not os.path.exists(args.input_path):
         logger.error("Input path does not exist: %s", args.input_path)
         return 1
+    if args.dry_run and os.path.isdir(args.input_path):
+        # fail before paying SparkSession startup for an argument error
+        logger.error("--dry-run is per-file: pass a file path")
+        return 1
 
     config = _config_from_args(args)
     spark = get_spark(master=args.master)
@@ -109,9 +113,6 @@ def main(argv: list[str] | None = None) -> int:
     if os.path.isdir(args.input_path):
         from nspc_etl_basic_spark.plans.batch import process_directory
 
-        if args.dry_run:
-            logger.error("--dry-run is per-file: pass a file path")
-            return 1
         res = process_directory(spark, args.input_path, config, move_files=move_files)
         logger.info(
             "batch %s: %s (%d processed, %d failed of %d)",

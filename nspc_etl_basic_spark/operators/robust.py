@@ -31,16 +31,27 @@ from pyspark.sql import functions as F
 __all__ = ["robust_stats_by_key", "winsorize_by_key"]
 
 
+def _null_safe_key_join(df: DataFrame, small: DataFrame, key_col: str):
+    """Broadcast equi-join that keeps the NULL-key group: a plain
+    ``join(key)`` drops null-key rows (NULL != NULL), silently losing a
+    legitimate group from the stats."""
+    other = small.withColumnRenamed(key_col, "__k")
+    return df.join(
+        F.broadcast(other), F.col(key_col).eqNullSafe(F.col("__k"))
+    ).drop("__k")
+
+
 def robust_stats_by_key(
     df: DataFrame, key_col: str, value_col: str
 ) -> DataFrame:
     """Per-key ``(median, mad, n)`` — MAD = median(|v - median_k|),
-    both medians exact-interpolated, rounded 6."""
+    both medians exact-interpolated, rounded 6. A NULL key is a real
+    group and is retained (null-safe join)."""
     med = df.groupBy(key_col).agg(
         F.percentile(F.col(value_col), F.lit(0.5)).alias("__med"),
         F.count(F.lit(1)).alias("n"),
     )
-    dev = df.join(F.broadcast(med), key_col).select(
+    dev = _null_safe_key_join(df, med, key_col).select(
         key_col,
         "__med",
         "n",
@@ -71,7 +82,7 @@ def winsorize_by_key(
         F.percentile(F.col(value_col), F.lit(hi_q)).alias("__hi"),
     )
     return (
-        df.join(F.broadcast(fences), key_col)
+        _null_safe_key_join(df, fences, key_col)
         .withColumn(
             f"{value_col}_wins",
             F.round(

@@ -50,12 +50,17 @@ def run_curation(
     cur = (config or {}).get("curation", {}) or {}
     out: dict[str, DataFrame] = {}
     kept = docs
+    # the id column TRAVELS: keep_best_representative renames it to
+    # kept_<id_col>, and every later stage must follow the rename
+    current_id = id_col
 
     q_cfg = cur.get("quality")
     if q_cfg is not None:
         from nspc_etl_basic_spark.operators.text import quality_filter
 
-        good_ids = quality_filter(docs, **q_cfg).select(id_col)
+        good_ids = quality_filter(
+            docs, text_col=text_col, id_col=id_col, **q_cfg
+        ).select(id_col)
         kept = docs.join(good_ids, id_col, "left_semi").repartition(
             spark.sparkContext.defaultParallelism
         )
@@ -71,17 +76,23 @@ def run_curation(
             neardup_components,
         )
 
-        sigs = minhash_signatures(kept).cache()
-        cand = lsh_candidate_pairs(sigs).cache()
+        sigs = minhash_signatures(
+            kept, text_col=text_col, id_col=id_col
+        ).cache()
+        cand = lsh_candidate_pairs(sigs, id_col=id_col).cache()
         cand.count()
         sigs.unpersist()
-        comp = neardup_components(kept.select(id_col), cand)
+        comp = neardup_components(kept.select(id_col), cand, id_col=id_col)
         cand.unpersist()
         out["clusters"] = comp
         quality_col = d_cfg.get("quality_col", "n_chars")
         kept = keep_best_representative(
-            comp, kept.select(id_col, quality_col), quality_col=quality_col
+            comp,
+            kept.select(id_col, quality_col),
+            quality_col=quality_col,
+            id_col=id_col,
         )
+        current_id = f"kept_{id_col}"
         out["kept"] = kept
 
     s_cfg = cur.get("split")
@@ -91,7 +102,7 @@ def run_curation(
         weights = s_cfg.get("weights", DEFAULT_SPLIT)
         # leakage safety: when dedup ran, membership hashes the CLUSTER
         # id so near-copies stay on one side of every boundary
-        split_key = "component_id" if comp is not None else id_col
+        split_key = "component_id" if comp is not None else current_id
         kept = assign_split(kept, split_key, weights)
         out["split"] = kept
 
@@ -105,16 +116,21 @@ def run_curation(
         weight_col = p_cfg.get("weight_col", "n_chars")
         seq_len = int(p_cfg["seq_len"])
         pack_input = kept
-        if weight_col not in kept.columns and id_col in kept.columns:
+        if weight_col not in kept.columns:
+            # re-join the weight from the source docs on the SOURCE id,
+            # aliased to whatever the id column is called by now
             pack_input = kept.join(
-                docs.select(id_col, weight_col), id_col
+                docs.select(
+                    F.col(id_col).alias(current_id), weight_col
+                ),
+                current_id,
             )
         train_only = p_cfg.get("split", "train")
         if "split" in pack_input.columns and train_only:
             pack_input = pack_input.where(F.col("split") == train_only)
         assignment = pack_greedy(
             pack_input,
-            key_col=p_cfg.get("key_col", id_col),
+            key_col=p_cfg.get("key_col", current_id),
             weight_col=weight_col,
             seq_len=seq_len,
             n_buckets=int(p_cfg.get("n_buckets", 64)),

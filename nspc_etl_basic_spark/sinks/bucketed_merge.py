@@ -276,17 +276,32 @@ class BucketedTable:
         (``versions()``; raises like ``read(version=k)`` otherwise)."""
         old = self.read(version=from_version)
         new = self.read(version=to_version)
-        value_cols = [c for c in new.columns if c not in self.pk_cols]
-        o = old.select(
-            *self.pk_cols,
-            F.lit(True).alias("__in_old"),
-            *[F.col(c).alias(f"{c}_old") for c in value_cols],
-        )
-        nw = new.select(
-            *self.pk_cols,
-            F.lit(True).alias("__in_new"),
-            *[F.col(c).alias(f"{c}_new") for c in value_cols],
-        )
+        # value columns span BOTH versions: an additive schema
+        # evolution between them means one side lacks a column — that
+        # side reads as NULL (the same NULL-fill contract read() applies
+        # within a version), so the evolution itself surfaces as updates
+        types = {f.name: f.dataType for f in [*old.schema, *new.schema]}
+        value_cols = [
+            c
+            for c in dict.fromkeys([*old.columns, *new.columns])
+            if c not in self.pk_cols
+        ]
+
+        def side(df: DataFrame, marker: str, suffix: str) -> DataFrame:
+            cols = []
+            for c in value_cols:
+                if c in df.columns:
+                    cols.append(F.col(c).alias(f"{c}{suffix}"))
+                else:
+                    cols.append(
+                        F.lit(None).cast(types[c]).alias(f"{c}{suffix}")
+                    )
+            return df.select(
+                *self.pk_cols, F.lit(True).alias(marker), *cols
+            )
+
+        o = side(old, "__in_old", "_old")
+        nw = side(new, "__in_new", "_new")
         joined = o.join(nw, self.pk_cols, "full_outer")
         changed = F.lit(False)
         for c in value_cols:

@@ -45,15 +45,14 @@ def write_packed_dataset(
     identical to ``packing.shard_assign``'s assignment, so a report run
     on the assignment describes exactly these files) and writes
     ``path/shard=K/...``."""
-    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+    # the ONE shard definition: packing.shard_assign — reusing it (not
+    # re-deriving the hash) is what makes the docstring's identity claim
+    # hold by construction. Materialized rows always carry a non-null
+    # bin, so every row gets a shard.
+    from nspc_etl_basic_spark.operators.packing import shard_assign
 
-    if n_shards <= 0:
-        raise ValueError(f"n_shards must be positive, got {n_shards}")
-    seq_key = F.concat(
-        F.col("bucket").cast("string"), F.lit(":"), F.col("bin").cast("string")
-    )
     (
-        materialized.withColumn("shard", md5_ring32(seq_key, salt) % n_shards)
+        shard_assign(materialized, n_shards, salt=salt)
         .write.mode(mode)
         .partitionBy("shard")
         .parquet(path)

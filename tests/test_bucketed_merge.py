@@ -423,3 +423,21 @@ def test_diff_classifies_insert_update_delete_and_omits_unchanged(spark, tmp_pat
     d23 = {r["id"]: r for r in t.diff(2, 3).collect()}
     assert set(d23) == {3} and d23[3]["op"] == "update"
     assert d23[3]["v_old"] is None and d23[3]["v_new"] == "now"
+
+
+def test_diff_spans_additive_schema_evolution(spark, tmp_path):
+    """diff across a version pair where a column was added: the old
+    side NULL-fills the new column (read()'s own contract) instead of
+    crashing, and the evolution surfaces as updates."""
+    t = BucketedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.init(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.merge(
+        spark.createDataFrame([(2, "b", "W")], "id long, v string, w string"),
+        allow_schema_evolution=True,
+    )
+    d = {r["id"]: r for r in t.diff(0, 1).collect()}
+    assert set(d) == {2}
+    r = d[2]
+    assert r["op"] == "update"
+    assert r["w_old"] is None and r["w_new"] == "W"
+    assert r["v_old"] == "b" and r["v_new"] == "b"

@@ -314,3 +314,18 @@ def test_robust_stats_and_winsorize_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         winsorize_by_key(df, "k", "v", 0.9, 0.1)
+
+
+def test_robust_stats_keeps_null_key_group(spark):
+    from nspc_etl_basic_spark.operators.robust import (
+        robust_stats_by_key,
+        winsorize_by_key,
+    )
+
+    rows = [("a", 1.0), ("a", 3.0), (None, 5.0), (None, 7.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    stats = {r["k"]: r for r in robust_stats_by_key(df, "k", "v").collect()}
+    assert set(stats) == {"a", None}
+    assert stats[None]["median"] == 6.0 and stats[None]["n"] == 2
+    wins = winsorize_by_key(df, "k", "v", 0.0, 1.0)
+    assert wins.count() == 4  # every input row returned, null key included

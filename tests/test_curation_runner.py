@@ -65,3 +65,43 @@ def test_runner_stage_gating_and_pack(spark):
 def test_runner_empty_config_is_identity(spark):
     out = run_curation(spark, _docs(spark), {})
     assert out == {}
+
+
+def test_runner_full_recipe_dedup_then_pack(spark):
+    """The natural full recipe quality -> dedup -> split -> pack must
+    work end-to-end: the id column travels through keep_best's rename
+    and the weight re-joins on the renamed id."""
+    cfg = {
+        "curation": {
+            "quality": {
+                "min_chars": 100, "max_chars": 20000, "min_tokens": 20,
+                "max_punct_ratio": 0.1, "min_stopword_ratio": 0.02,
+                "lang": "en",
+            },
+            "dedup": {"quality_col": "n_chars"},
+            "split": {"weights": {"train": 0.8, "val": 0.1, "test": 0.1}},
+            "pack": {"seq_len": 512, "n_buckets": 8, "split": "train"},
+        }
+    }
+    out = run_curation(spark, _docs(spark), cfg)
+    n_train = out["split"].where("split = 'train'").count()
+    assert out["assignment"].count() == n_train > 0
+    assert "kept_doc_id" in out["assignment"].columns
+
+
+def test_runner_forwards_column_names(spark):
+    """Non-default id/text column names reach every operator."""
+    docs = _docs(spark).selectExpr(
+        "doc_id AS id", "text AS body", "lang", "n_chars"
+    )
+    cfg = {
+        "curation": {
+            "quality": {"min_chars": 10, "min_tokens": 2,
+                        "max_punct_ratio": 1.0, "min_stopword_ratio": 0.0},
+            "dedup": {"quality_col": "n_chars"},
+            "split": {"weights": {"train": 1.0}},
+        }
+    }
+    out = run_curation(spark, docs, cfg, id_col="id", text_col="body")
+    assert "kept_id" in out["split"].columns
+    assert out["split"].count() > 0
