@@ -1,8 +1,8 @@
 """Config-driven corpus curation — the training-data counterpart of the
-reference's config-driven file loads (`file-to-sql-loader.py` reads a
-YAML and derives every load decision from it; this runner does the same
-for the curation surface, so a pipeline owner declares the recipe
-instead of hand-wiring operators).
+reference's config-driven file loads (`file-to-sql-loader.py:145`
+``load_config`` reads a YAML and every load decision derives from it;
+this runner applies the same contract to the curation surface, so a
+pipeline owner declares the recipe instead of hand-wiring operators).
 
 Stages, each gated by the presence of its config key and composed from
 the independently driver-oracled operators:
