@@ -2065,6 +2065,50 @@ def corpus_pack_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_dataset_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL dataloader chain value-hashed in one query: greedy
+    packing over word-token counts -> materialized padded sequences ->
+    the md5-ring shard id each sequence lands in (identical to what
+    write_packed_dataset writes, by construction — the sink calls the
+    same shard_assign). One row per packed sequence with its shard:
+    exactly the content of the shard-partitioned training files. Oracle
+    extends the materialize replay with the same shard hash."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize,
+        shard_assign,
+    )
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+    from nspc_etl_basic_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.transform(
+            word_tokens(F.col("text")), lambda w: md5_ring32(w)
+        ).alias("tokens"),
+    )
+    weighted = docs.select(
+        "doc_id",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    assignment = pack_greedy(
+        weighted, key_col="doc_id", weight_col="n_toks",
+        seq_len=128, n_buckets=32, salt="pack",
+    )
+    packed = pack_materialize(assignment, toks, "doc_id", seq_len=128)
+    sharded = shard_assign(packed, n_shards=8, salt="shard")
+    return sharded.select(
+        "bucket",
+        "bin",
+        "shard",
+        "n_segments",
+        "fill",
+        F.to_json("input_ids").alias("input_ids"),
+        F.to_json("segment_ids").alias("segment_ids"),
+    )
+
+
 def corpus_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus mixture draw (operators/mixing.py): target
     proportions en:5 de:2 fr:2 es:1 zh:1 over a 30k-char budget, turned
@@ -4858,6 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_report": corpus_pack_report_q,
         "corpus_pack_incremental": corpus_pack_incremental_q,
         "corpus_pack_materialize": corpus_pack_materialize_q,
+        "corpus_pack_dataset": corpus_pack_dataset_q,
         "corpus_mix_sources": corpus_mix_sources_q,
         "corpus_dsir_scores": corpus_dsir_scores_q,
         "corpus_shard_report": corpus_shard_report_q,
@@ -6654,6 +6699,56 @@ def _sql_stream_novelty_replay(n: int = 3) -> str:
         LEFT JOIN pg ON grp.g = pg.g
         LEFT JOIN fs ON grp.g = fs.g
         ORDER BY 1
+    """
+
+
+def _sql_pack_dataset(
+    seq_len: int = 128, n_buckets: int = 32, salt: str = "pack",
+    n_shards: int = 8, shard_salt: str = "shard",
+) -> str:
+    """Oracle for corpus_pack_dataset: the materialize replay plus the
+    same md5-ring shard hash over (bucket, bin)."""
+    w_expr = "CAST(len(regexp_extract_all(lower(text), '[a-z0-9'']+')) AS BIGINT)"
+    pad = f"list_transform(range(1, {seq_len} - fill + 1), p -> CAST({{v}} AS BIGINT))"
+    shard = (
+        f"CAST('0x' || substr(md5('{shard_salt}' || CAST(bucket AS VARCHAR)"
+        f" || ':' || CAST(bin AS VARCHAR)), 1, 8) AS BIGINT) % {n_shards}"
+    )
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt, w_expr=w_expr)},
+        {_SQL_PACK_ASSIGNED},
+        tok AS (
+            SELECT doc_id AS k,
+                   list_transform(
+                       regexp_extract_all(lower(text), '[a-z0-9'']+'),
+                       w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                   ) AS toks
+            FROM documents
+        ),
+        seqs AS (
+            SELECT a.bucket AS bucket, a.z.bin AS bin,
+                   list(struct_pack(seg := a.z.seg, toks := t.toks)
+                        ORDER BY a.z.seg) AS segs
+            FROM assigned a JOIN tok t ON a.z.k = t.k
+            GROUP BY 1, 2
+        ),
+        built AS (
+            SELECT bucket, bin,
+                   CAST(len(segs) AS BIGINT) AS n_segments,
+                   flatten(list_transform(segs, s -> s.toks)) AS ids,
+                   flatten(list_transform(segs,
+                       s -> list_transform(s.toks, x -> s.seg))) AS sids,
+                   CAST(len(flatten(list_transform(segs, s -> s.toks)))
+                        AS BIGINT) AS fill
+            FROM seqs
+        )
+        SELECT bucket, bin, {shard} AS shard, n_segments, fill,
+               CAST(to_json(list_concat(ids, {pad.format(v=0)}))
+                    AS VARCHAR) AS input_ids,
+               CAST(to_json(list_concat(sids, {pad.format(v=-1)}))
+                    AS VARCHAR) AS segment_ids
+        FROM built
+        ORDER BY bucket, bin
     """
 
 
@@ -9289,6 +9384,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_report": _sql_pack_report(),
         "corpus_pack_incremental": _sql_pack_incremental(),
         "corpus_pack_materialize": _sql_pack_materialize(),
+        "corpus_pack_dataset": _sql_pack_dataset(),
         "corpus_mix_sources": _sql_mix_sources(
             {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}, 30_000
         ),
