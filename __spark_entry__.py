@@ -2128,6 +2128,24 @@ def corpus_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def corpus_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN (mixing.mix_rates) as its own auditable row set:
+    per language, the corpus token mass, the integer budget share, and
+    the ring threshold the draw will use — what a pipeline owner reviews
+    before sampling (a capped-at-10000 threshold means the stratum is
+    smaller than its share and the recipe needs re-normalizing). One
+    |strata|-row aggregate; same BIGINT floor-division arithmetic as the
+    draw, replayed by the oracle."""
+    from nspc_etl_basic_spark.operators.mixing import mix_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return mix_rates(
+        docs, strata_col="lang", weight_col="n_chars",
+        parts={"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1},
+        budget=30_000,
+    )
+
+
 def corpus_dsir_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style hashed importance scoring (operators/dsir.py, public
     arXiv 2302.03169 shape): target = the English slice, source = the
@@ -4904,6 +4922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_materialize": corpus_pack_materialize_q,
         "corpus_pack_dataset": corpus_pack_dataset_q,
         "corpus_mix_sources": corpus_mix_sources_q,
+        "corpus_mix_report": corpus_mix_report_q,
         "corpus_dsir_scores": corpus_dsir_scores_q,
         "corpus_shard_report": corpus_shard_report_q,
         "corpus_ngram_novelty": corpus_ngram_novelty_q,
@@ -6333,6 +6352,35 @@ def _sql_mix_sources(
                   || CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
               % 10000 < thr.threshold
         ORDER BY doc_id
+    """
+
+
+def _sql_mix_report(
+    parts: dict[str, int], budget: int
+) -> str:
+    """Oracle for corpus_mix_report: the thresholds CTE from the mix
+    draw emitted as the report rows."""
+    total = sum(parts.values())
+    part_case = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN CAST({v} AS BIGINT)"
+        for k, v in sorted(parts.items())
+    ) + " ELSE CAST(0 AS BIGINT) END"
+    return f"""
+        WITH totals AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS stratum_tokens,
+                   {part_case} AS p
+            FROM documents GROUP BY lang
+        )
+        SELECT lang, stratum_tokens,
+               CAST({int(budget)} AS BIGINT) * p
+                   // CAST({total} AS BIGINT) AS target_tokens,
+               CASE WHEN stratum_tokens > 0 THEN least(
+                   CAST(10000 AS BIGINT),
+                   ((CAST({int(budget)} AS BIGINT) * p
+                     // CAST({total} AS BIGINT)) * 10000)
+                   // stratum_tokens)
+               ELSE CAST(0 AS BIGINT) END AS threshold
+        FROM totals ORDER BY lang
     """
 
 
@@ -9386,6 +9434,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_materialize": _sql_pack_materialize(),
         "corpus_pack_dataset": _sql_pack_dataset(),
         "corpus_mix_sources": _sql_mix_sources(
+            {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}, 30_000
+        ),
+        "corpus_mix_report": _sql_mix_report(
             {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}, 30_000
         ),
         "corpus_dsir_scores": _sql_dsir_scores(),
