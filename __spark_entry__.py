@@ -2128,6 +2128,45 @@ def corpus_mix_sources_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source", "n_chars")
 
 
+def corpus_dup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplication rate — the curation dashboard number
+    that decides which feed gets throttled: docs, distinct near-dup
+    clusters, docs sitting in multi-member clusters, and the dup
+    fraction (round 6). Same MinHash/LSH + connected-components tier as
+    dedup_components, then one cluster-size join and a per-source
+    rollup; the oracle wraps the recursive-reachability replay."""
+    from nspc_etl_basic_spark.operators.dedup import neardup_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(_docs_wide(spark, sf_dir)).cache()
+    cand = lsh_candidate_pairs(sigs).cache()
+    cand.count()
+    sigs.unpersist()
+    comp = neardup_components(docs.select("doc_id"), cand)
+    cand.unpersist()
+    sizes = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("__csize")
+    )
+    j = (
+        comp.join(sizes, "component_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("component_id").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("__csize") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("__csize") > 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
 def corpus_mix_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mixture PLAN (mixing.mix_rates) as its own auditable row set:
     per language, the corpus token mass, the integer budget share, and
@@ -4923,6 +4962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_dataset": corpus_pack_dataset_q,
         "corpus_mix_sources": corpus_mix_sources_q,
         "corpus_mix_report": corpus_mix_report_q,
+        "corpus_dup_rate_by_source": corpus_dup_rate_by_source_q,
         "corpus_dsir_scores": corpus_dsir_scores_q,
         "corpus_shard_report": corpus_shard_report_q,
         "corpus_ngram_novelty": corpus_ngram_novelty_q,
@@ -8372,6 +8412,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
             FROM reach GROUP BY node
+        """,
+        # per-source dup rate: the components replay joined to cluster
+        # sizes and documents.source, rolled up per source
+        "corpus_dup_rate_by_source": f"""
+            WITH RECURSIVE pairs AS ({_sql_lsh_pairs()}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS doc_id,
+                       CAST(min(label) AS BIGINT) AS component_id
+                FROM reach GROUP BY node
+            ),
+            sizes AS (
+                SELECT component_id, count(*) AS csize
+                FROM comp GROUP BY 1
+            )
+            SELECT d.source AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT c.component_id) AS BIGINT)
+                       AS n_clusters,
+                   CAST(sum(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_dup_docs,
+                   round(CAST(sum(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*), 6) AS dup_frac
+            FROM comp c
+            JOIN sizes s ON c.component_id = s.component_id
+            JOIN documents d ON c.doc_id = d.doc_id
+            GROUP BY d.source ORDER BY d.source
         """,
         # 6h resample+ffill: bucket-last by arg-max (epoch_us, value),
         # per-user grid via range(), last_value IGNORE NULLS carries
