@@ -6399,28 +6399,43 @@ def _sql_mix_report(
     parts: dict[str, int], budget: int
 ) -> str:
     """Oracle for corpus_mix_report: the thresholds CTE from the mix
-    draw emitted as the report rows."""
+    draw emitted as the report rows — full-outer with the parts table
+    so recipe keys missing from the data still surface (round 8), plus
+    the quantized_to_zero audit flag."""
     total = sum(parts.values())
-    part_case = "CASE " + " ".join(
-        f"WHEN lang = '{k}' THEN CAST({v} AS BIGINT)"
-        for k, v in sorted(parts.items())
-    ) + " ELSE CAST(0 AS BIGINT) END"
+    part_values = ", ".join(
+        f"('{k}', CAST({int(v)} AS BIGINT))" for k, v in sorted(parts.items())
+    )
     return f"""
-        WITH totals AS (
-            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS stratum_tokens,
-                   {part_case} AS p
+        WITH pt AS (
+            SELECT * FROM (VALUES {part_values}) AS v(lang, pw)
+        ),
+        totals AS (
+            SELECT lang, CAST(sum(n_chars) AS BIGINT) AS st
             FROM documents GROUP BY lang
+        ),
+        merged AS (
+            SELECT coalesce(t.lang, pt.lang) AS lang,
+                   coalesce(t.st, CAST(0 AS BIGINT)) AS stratum_tokens,
+                   coalesce(pt.pw, CAST(0 AS BIGINT)) AS p
+            FROM totals t FULL OUTER JOIN pt ON t.lang = pt.lang
+        ),
+        rep AS (
+            SELECT lang, stratum_tokens,
+                   CAST({int(budget)} AS BIGINT) * p
+                       // CAST({total} AS BIGINT) AS target_tokens,
+                   CASE WHEN stratum_tokens > 0 THEN least(
+                       CAST(10000 AS BIGINT),
+                       ((CAST({int(budget)} AS BIGINT) * p
+                         // CAST({total} AS BIGINT)) * 10000)
+                       // stratum_tokens)
+                   ELSE CAST(0 AS BIGINT) END AS threshold
+            FROM merged
         )
-        SELECT lang, stratum_tokens,
-               CAST({int(budget)} AS BIGINT) * p
-                   // CAST({total} AS BIGINT) AS target_tokens,
-               CASE WHEN stratum_tokens > 0 THEN least(
-                   CAST(10000 AS BIGINT),
-                   ((CAST({int(budget)} AS BIGINT) * p
-                     // CAST({total} AS BIGINT)) * 10000)
-                   // stratum_tokens)
-               ELSE CAST(0 AS BIGINT) END AS threshold
-        FROM totals ORDER BY lang
+        SELECT lang, stratum_tokens, target_tokens, threshold,
+               (stratum_tokens > 0 AND target_tokens > 0 AND threshold = 0)
+                   AS quantized_to_zero
+        FROM rep ORDER BY lang
     """
 
 

@@ -137,27 +137,45 @@ def dsir_scores(
     counts — exact BIGINT end-to-end. Select the top fraction by score
     (or hash-threshold within score bands) downstream.
 
-    The source tokenizes ONCE: the per-(doc, bucket) pre-aggregation
-    is CACHED and both the source bucket distribution (``sum(cnt)``
-    per bucket) and the scoring join read it — without the cache
-    Catalyst recomputes the corpus explode + hash per branch (audited:
-    exchange reuse does NOT kick in across the two aggregation
-    shapes), and at 100 TB the tokenize + hash pass is the dominant
-    cost. Cache lifecycle follows the chi2_drift pattern: the result
-    is lazy so this function cannot unpersist; repeated callers pass
-    ``caches`` and unpersist after materializing."""
-    doc_counts = hashed_token_counts(
-        source, id_col, text_col, n_buckets, salt
-    ).cache()
-    if caches is not None:
-        caches.append(doc_counts)
-    s = doc_counts.groupBy("bucket").agg(
-        F.sum("cnt").cast("long").alias("s_cnt")
-    )
+    Two execution shapes, same exact values:
+
+    - ``caches`` given (the scale path): the per-(doc, bucket)
+      pre-aggregation is CACHED and both the source bucket
+      distribution (``sum(cnt)`` per bucket) and the scoring join
+      read it — without the cache Catalyst recomputes the corpus
+      explode + hash per branch (audited: exchange reuse does NOT
+      kick in across the two aggregation shapes), and at 100 TB the
+      tokenize + hash pass is the dominant cost. ONE tokenize pass;
+      the caller owns the cache (chi2_drift pattern: the result is
+      lazy so this function cannot unpersist — materialize, then
+      unpersist every frame in ``caches``).
+    - ``caches=None`` (the default, leak-free path): the ≤n_buckets
+      weight rows are computed EAGERLY (one tokenize pass) and
+      re-attached as a broadcast local relation, so the returned lazy
+      plan re-tokenizes once more at materialization — TWO passes
+      total, but nothing is pinned in the CacheManager across
+      repeated invocations (an un-owned corpus-sized cache leaked per
+      call here until round 8), and the scoring scan keeps its
+      parquet pushdown."""
+    doc_counts = hashed_token_counts(source, id_col, text_col, n_buckets, salt)
     t = _corpus_bucket_counts(target, text_col, n_buckets, salt, "t_cnt")
-    weights = _bucket_weights(s, t)
+    if caches is not None:
+        doc_counts = doc_counts.cache()
+        caches.append(doc_counts)
+        s = doc_counts.groupBy("bucket").agg(
+            F.sum("cnt").cast("long").alias("s_cnt")
+        )
+        weights = F.broadcast(_bucket_weights(s, t))
+    else:
+        s = doc_counts.groupBy("bucket").agg(
+            F.sum("cnt").cast("long").alias("s_cnt")
+        )
+        rows = _bucket_weights(s, t).collect()
+        weights = F.broadcast(
+            source.sparkSession.createDataFrame(rows, "bucket bigint, w bigint")
+        )
     return (
-        doc_counts.join(F.broadcast(weights), "bucket")
+        doc_counts.join(weights, "bucket")
         .groupBy(id_col)
         .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("score"))
     )

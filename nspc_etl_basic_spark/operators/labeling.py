@@ -25,6 +25,8 @@ surface (LLM-pipeline family).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -50,10 +52,24 @@ def keyword_labels(
     all-zero -> null)."""
     if not rules or any(not kws for kws in rules.values()):
         raise ValueError("rules must map each label to a non-empty keyword list")
+    # [a-z0-9 ] only: lower() is a no-op on quotes/punctuation, and a
+    # keyword like "don't" would be interpolated into single-quoted
+    # oracle SQL downstream — reject at the boundary instead of
+    # escaping in every consumer.
+    kw_re = re.compile(r"^[a-z0-9 ]+$")
+    lab_re = re.compile(r"^[a-z0-9_]+$")
+    for lab in rules:
+        if not lab_re.fullmatch(lab):
+            raise ValueError(
+                f"labels must be non-empty [a-z0-9_] only (they become "
+                f"column names and SQL literals): {lab!r}"
+            )
     for kws in rules.values():
         for kw in kws:
-            if not kw or kw != kw.lower():
-                raise ValueError(f"keywords must be non-empty lowercase: {kw!r}")
+            if not kw or not kw_re.fullmatch(kw):
+                raise ValueError(
+                    f"keywords must be non-empty [a-z0-9 ] only: {kw!r}"
+                )
 
     labels = sorted(rules)
     lowered = df.select(

@@ -45,24 +45,38 @@ def mix_rates(
     budget: int,
 ) -> DataFrame:
     """Per-stratum mixture plan: ``(strata_col, stratum_tokens,
-    target_tokens, threshold)`` where ``threshold`` is the integer
-    hash-bucket cut (0..10000) implementing
+    target_tokens, threshold, quantized_to_zero)`` where ``threshold``
+    is the integer hash-bucket cut (0..10000) implementing
     ``min(1, budget*parts_s/(total_parts*tokens_s))``. ``parts`` are
     INTEGER mixture weights (e.g. {"en": 5, "de": 2, ...}); strata
     absent from ``parts`` get threshold 0 (explicitly dropped, same
     contract as ``stratified_sample``). All arithmetic is BIGINT floor
-    division — replayable exactly."""
+    division — replayable exactly.
+
+    Recipe-audit completeness (round 8): a ``parts`` key absent from
+    the data still gets a row (stratum_tokens 0, its target_tokens
+    share, threshold 0) — a silently-missing stratum previously
+    vanished from the plan with its budget share unspent.
+    ``quantized_to_zero`` flags the other silent drop: a stratum WITH
+    data and positive target_tokens whose effective rate floors below
+    1/10000 on the ring, so the draw keeps NOTHING of it despite a
+    positive share (missing strata are already visible via
+    stratum_tokens = 0 and stay unflagged). Both conditions are the recipe owner's signal to
+    re-normalize, not something this operator should paper over."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     total_parts = sum(parts.values())
     if total_parts <= 0 or any(p < 0 for p in parts.values()):
         raise ValueError(f"parts must be non-negative with a positive sum: {parts}")
 
-    part_expr = F.lit(0).cast("long")
-    for value, p in sorted(parts.items()):
-        part_expr = F.when(
-            F.col(strata_col) == value, F.lit(int(p)).cast("long")
-        ).otherwise(part_expr)
+    strata_type = df.schema[strata_col].dataType.simpleString()
+    parts_df = df.sparkSession.createDataFrame(
+        [(str(k), int(p)) for k, p in sorted(parts.items())],
+        "__k string, __p_in long",
+    ).select(
+        F.col("__k").cast(strata_type).alias(strata_col),
+        F.col("__p_in"),
+    )
 
     totals = df.groupBy(strata_col).agg(
         F.sum(F.col(weight_col).cast("long")).alias("stratum_tokens")
@@ -70,11 +84,15 @@ def mix_rates(
     # integer plan: target = budget*parts_s div total_parts;
     # threshold = min(10000, target*10000 div stratum_tokens). `div` is
     # exact BIGINT floor division (a double `/` would drift from the
-    # DuckDB `//` replay at large budgets).
-    return totals.select(
+    # DuckDB `//` replay at large budgets). Full-outer with the parts
+    # table: data-only strata keep __p = 0, parts-only strata keep
+    # stratum_tokens = 0.
+    return totals.join(parts_df, strata_col, "full_outer").select(
         strata_col,
-        "stratum_tokens",
-        part_expr.alias("__p"),
+        F.coalesce("stratum_tokens", F.lit(0).cast("long")).alias(
+            "stratum_tokens"
+        ),
+        F.coalesce("__p_in", F.lit(0).cast("long")).alias("__p"),
     ).select(
         strata_col,
         "stratum_tokens",
@@ -90,6 +108,11 @@ def mix_rates(
                 f"div stratum_tokens"
             ),
         )).otherwise(F.lit(0).cast("long")).alias("threshold"),
+    ).withColumn(
+        "quantized_to_zero",
+        (F.col("stratum_tokens") > 0)
+        & (F.col("target_tokens") > 0)
+        & (F.col("threshold") == 0),
     )
 
 

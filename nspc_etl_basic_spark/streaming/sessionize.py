@@ -48,19 +48,33 @@ SESSION_SCHEMA = StructType(
 # GroupState.setTimeoutTimestamp alone is millisecond-based, so only
 # the timeout derives an ms value (floor is safe: gap >> 1 ms).
 #
-# CHECKPOINT COMPATIBILITY: the state STRUCT is positionally unchanged
-# (long, long, int), so a checkpoint written by the pre-µs build would
-# restart cleanly but its ms values would be reinterpreted as µs —
-# sessions would close instantly with 1970-era bounds. Restart this
-# operator from a FRESH checkpoint after upgrading (the driver replays
-# rebuild automatically: their cache keys include this file's hash).
+# CHECKPOINT COMPATIBILITY: the pre-µs build stored a positionally
+# identical (long, long, int) struct holding MILLISECOND values; a
+# checkpoint from that build restoring into µs arithmetic would close
+# every session instantly with 1970-era bounds. The leading ``v``
+# field makes old checkpoints incompatible BY CONSTRUCTION: Spark's
+# state-schema compatibility check rejects the 3-field stored schema
+# against this 4-field one at query start, and even if a store skipped
+# that check, ``_require_version`` raises before any bound is emitted.
+STATE_VERSION = 2  # 1 = ms-era (implicit, unversioned); 2 = epoch-µs
+
 STATE_SCHEMA = StructType(
     [
+        StructField("v", IntegerType()),
         StructField("start_us", LongType()),
         StructField("end_us", LongType()),
         StructField("n", IntegerType()),
     ]
 )
+
+
+def _require_version(v: int) -> None:
+    if v != STATE_VERSION:
+        raise ValueError(
+            f"sessionize state version {v} != {STATE_VERSION}: checkpoint "
+            "was written by an incompatible build (ms-era state would be "
+            "reinterpreted as µs). Restart from a fresh checkpoint."
+        )
 
 
 def _session_fn_factory(gap_us: int):
@@ -70,7 +84,8 @@ def _session_fn_factory(gap_us: int):
         (user_id,) = key
         if state.hasTimedOut:
             if state.exists:
-                start_us, end_us, n = state.get
+                v, start_us, end_us, n = state.get
+                _require_version(v)
                 state.remove()
                 yield _emit(user_id, start_us, end_us, n)
             return
@@ -86,7 +101,8 @@ def _session_fn_factory(gap_us: int):
 
         closed: list[tuple[int, int, int]] = []
         if state.exists:
-            start_us, end_us, n = state.get
+            v, start_us, end_us, n = state.get
+            _require_version(v)
         else:
             start_us, end_us, n = ts_us[0], ts_us[0], 0
 
@@ -97,7 +113,7 @@ def _session_fn_factory(gap_us: int):
             end_us = max(end_us, t)
             n += 1
 
-        state.update((start_us, end_us, n))
+        state.update((STATE_VERSION, start_us, end_us, n))
         # setTimeoutTimestamp is ms-based; floor(end/1000) + gap_ms is
         # still >= end + gap - 1ms, and the sentinel-slice replay never
         # relies on timeout firing order anyway.

@@ -329,3 +329,52 @@ def test_robust_stats_keeps_null_key_group(spark):
     assert stats[None]["median"] == 6.0 and stats[None]["n"] == 2
     wins = winsorize_by_key(df, "k", "v", 0.0, 1.0)
     assert wins.count() == 4  # every input row returned, null key included
+
+
+def test_mix_rates_surfaces_missing_and_quantized_strata(spark):
+    rows = [
+        (1, "a", "en", 6000),
+        (2, "b", "en", 6000),
+    ]
+    # "fr" is in the recipe but absent from the data: it must still get
+    # a row (budget share visibly unspent), not vanish from the plan.
+    rates = {
+        r["lang"]: r
+        for r in mix_rates(
+            _docs(spark, rows), "lang", "n_chars", {"en": 2, "fr": 1}, 6000
+        ).collect()
+    }
+    fr = rates["fr"]
+    assert fr["stratum_tokens"] == 0 and fr["target_tokens"] == 2000
+    assert fr["threshold"] == 0 and fr["quantized_to_zero"] is False
+    assert rates["en"]["quantized_to_zero"] is False
+
+    # effective rate below 1/10000 floors the ring cut to 0: positive
+    # share, nothing drawn — the flag is the audit signal.
+    big = [(i, "x", "en", 10_000_000) for i in range(3)] + [
+        (99, "y", "de", 10_000_000)
+    ]
+    rates2 = {
+        r["lang"]: r
+        for r in mix_rates(
+            _docs(spark, big), "lang", "n_chars", {"en": 999, "de": 1}, 10_000
+        ).collect()
+    }
+    de = rates2["de"]
+    assert de["target_tokens"] > 0 and de["threshold"] == 0
+    assert de["quantized_to_zero"] is True
+
+
+def test_keyword_labels_rejects_sql_hostile_rules(spark):
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    df = spark.createDataFrame([(1, "hello")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match=r"\[a-z0-9 \]"):
+        keyword_labels(df, "doc_id", "text", {"ok": ["don't"]})
+    with pytest.raises(ValueError, match=r"\[a-z0-9 \]"):
+        keyword_labels(df, "doc_id", "text", {"ok": ["a'b"]})
+    with pytest.raises(ValueError, match=r"\[a-z0-9_\]"):
+        keyword_labels(df, "doc_id", "text", {"bad label'": ["fine"]})
+    # plain lowercase keywords still pass
+    out = keyword_labels(df, "doc_id", "text", {"greet": ["hello"]}).collect()
+    assert out[0]["label"] == "greet"

@@ -847,3 +847,20 @@ def test_stream_novelty_first_seen_attribution(spark, tmp_path):
     assert b0["novelty_frac"] == 1.0
     assert (b1["n_instances"], b1["n_distinct"], b1["n_new"]) == (4, 4, 3)
     assert b1["novelty_frac"] == 0.75
+
+
+def test_sessionize_state_version_rejects_old_checkpoints():
+    # A ms-era (v=1 / unversioned) checkpoint restoring into µs
+    # arithmetic must fail fast, never emit 1970-era bounds.
+    import pytest as _pytest
+
+    from nspc_etl_basic_spark.streaming.sessionize import (
+        STATE_SCHEMA,
+        STATE_VERSION,
+        _require_version,
+    )
+
+    assert STATE_SCHEMA.fieldNames()[0] == "v"  # arity break vs ms-era
+    _require_version(STATE_VERSION)
+    with _pytest.raises(ValueError, match="incompatible build"):
+        _require_version(1)
