@@ -1,0 +1,225 @@
+"""Train-and-score quality classifier over hashed token features — the
+fasttext-style curation stage between keyword heuristics and importance
+resampling: weak labels (``labeling.keyword_labels``) train a
+one-vs-rest linear scorer whose weights are Laplace-smoothed
+CLASS-CONDITIONAL TOKEN RATES in fixed-point, and every document in the
+corpus gets per-class scores plus an argmax label.
+
+Published pipelines (CCNet / LLaMA "quality classifier", fasttext
+supervised) train a linear model over hashed n-gram features from a
+small labeled seed and score the whole corpus. This implementation keeps
+that shape but swaps learned float weights for the engine's FIXED-POINT
+integer arithmetic (the ``dsir.py`` precedent), so train + score is
+exact BIGINT end-to-end and a DuckDB oracle replays every value:
+
+    w(c, b)     = ((cnt(b, c) + 1) * CLF_SCALE) div (n_c + n_buckets)
+    score(d, c) = sum over d's buckets b of cnt(d, b) * w(c, b)
+    label(d)    = argmax_c score(d, c)  (ties -> first sorted label;
+                  zero-token docs -> null, same ladder as
+                  keyword_labels)
+
+where ``n_c`` is the class's total training-token count — i.e. w is
+the Laplace-smoothed rate p(b | c) at CLF_SCALE fixed-point. The
+per-class NORMALIZATION is load-bearing: a first cut used unnormalized
+class-vs-rest count ratios, and because ratio weights are all positive
+and additive, every class-NEUTRAL token contributed a bias proportional
+to class share — on a real corpus the argmax degenerated to the
+majority class for all 500 documents. With conditional rates a neutral
+token contributes (near-)equally to every class and cancels in the
+argmax, so the discriminative vocabulary decides. (Sums of rates, not
+products of probabilities — this is a linear scorer in NB clothing, not
+a probabilistic NB; no transcendentals, no floats.)
+
+Scale: training aggregates the LABELED slice to EXACTLY
+``n_labels * n_buckets`` weight rows (the full grid, a few thousand —
+broadcast at any corpus size; full coverage is what lets scoring use a
+plain inner join with no per-class smoothing fallback). Scoring is one
+explode + per-(doc, bucket) pre-aggregate over the corpus, a broadcast
+join against the weight table, and one groupBy(doc). The corpus text
+never shuffles; only (doc, bucket, cnt) triples do.
+
+n_buckets sizing: keep n_buckets well BELOW the per-class training
+token count. In the opposite regime (n_buckets >> n_c) the +1 Laplace
+mass dominates the rates and itself skews neutral tokens by class
+size; with n_c >> n_buckets a neutral token's rate converges to its
+corpus share for every class and the +1 contributes only an O(1/n_c)
+minority-ward drift.
+
+CLF_SCALE sizing: score(d, c) <= n_tokens(d) * CLF_SCALE and weights
+quantize at CLF_SCALE / (n_c + n_buckets) resolution, so 1e9 keeps
+~4 significant digits on a 1e5-token training class while bounding
+per-doc scores around 1e13 for 10k-token documents — far inside BIGINT
+on both engines. (dsir's 1e6 underflows to 0 once a class holds ~1e6+
+training tokens; at 100 TB raise CLF_SCALE, not the token budget.)
+
+Reference parity: no counterpart in /root/reference — extension surface
+(LLM-pipeline family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.dsir import hashed_token_counts
+
+__all__ = ["train_token_classifier", "classify_tokens", "quality_classifier"]
+
+CLF_SCALE = 1_000_000_000
+
+
+def _label_buckets(
+    labeled: DataFrame,
+    text_col: str,
+    label_col: str,
+    n_buckets: int,
+    salt: str,
+) -> DataFrame:
+    """One row per (label, bucket) token occurrence in the labeled
+    slice — the training token stream."""
+    from nspc_etl_basic_spark.operators.dsir import _token_bucket
+    from nspc_etl_basic_spark.operators.text import word_tokens
+
+    return labeled.where(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"),
+        F.explode(word_tokens(F.col(text_col))).alias("__tok"),
+    ).select(
+        "label", _token_bucket(F.col("__tok"), n_buckets, salt).alias("bucket")
+    )
+
+
+def train_token_classifier(
+    labeled: DataFrame,
+    labels: list[str],
+    text_col: str = "text",
+    label_col: str = "label",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """``(label, bucket, w)`` fixed-point Laplace-smoothed
+    class-conditional token rates from a labeled corpus slice:
+    ``w = ((cnt(b, c) + 1) * CLF_SCALE) div (n_c + n_buckets)``.
+    ``labels`` is the full class list; the output covers the COMPLETE
+    ``len(labels) * n_buckets`` grid (every class x every possible
+    bucket), so scoring never needs a smoothing fallback — a class that
+    never saw a bucket carries its smoothed zero-count rate explicitly.
+    A few thousand rows — always broadcastable."""
+    if not labels or len(set(labels)) != len(labels):
+        raise ValueError(f"labels must be non-empty and unique: {labels}")
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+
+    b = _label_buckets(labeled, text_col, label_col, n_buckets, salt)
+    lb = b.groupBy("label", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("c_cnt")
+    )
+    nc = b.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c")
+    )
+    # full labels x buckets grid via range + literal-array explode
+    # (pure projection — no cartesian join enters the plan)
+    spark = labeled.sparkSession
+    grid = spark.range(n_buckets).select(
+        F.explode(F.lit(sorted(labels))).alias("label"),
+        F.col("id").cast("long").alias("bucket"),
+    )
+    return (
+        grid.join(lb, ["label", "bucket"], "left")
+        .join(nc, "label", "left")
+        .select(
+            "label",
+            "bucket",
+            F.expr(
+                f"(coalesce(c_cnt, CAST(0 AS BIGINT)) + 1) "
+                f"* CAST({CLF_SCALE} AS BIGINT) "
+                f"div (coalesce(n_c, CAST(0 AS BIGINT)) + {int(n_buckets)})"
+            ).alias("w"),
+        )
+    )
+
+
+def classify_tokens(
+    df: DataFrame,
+    weights: DataFrame,
+    labels: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """Score every row of ``df``: ``(id_col, score_<label>...,
+    pred_label)`` with one BIGINT score column per class (sorted label
+    order) and the argmax label (ties -> first sorted label; docs with
+    zero word tokens score 0 everywhere and get a null label).
+    ``weights`` must cover the full labels x buckets grid (what
+    ``train_token_classifier`` emits) — the join is inner, so a
+    missing (label, bucket) row would silently drop that bucket's
+    contribution for that class. One row out per row in."""
+    labels = sorted(labels)
+    dc = hashed_token_counts(df, id_col, text_col, n_buckets, salt)
+    expanded = dc.select(
+        id_col, "bucket", "cnt", F.explode(F.lit(labels)).alias("label")
+    )
+    parts = expanded.join(
+        F.broadcast(weights), ["label", "bucket"]
+    ).select(
+        id_col,
+        "label",
+        (F.col("cnt") * F.col("w")).alias("__part"),
+    )
+    scores = parts.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("label") == lab, F.col("__part")))
+            .cast("long")
+            .alias(f"score_{lab}")
+            for lab in labels
+        ]
+    )
+    full = df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        *[
+            F.coalesce(F.col(f"score_{lab}"), F.lit(0).cast("long")).alias(
+                f"score_{lab}"
+            )
+            for lab in labels
+        ],
+    )
+    # same first-in-sorted-order tie-break ladder as keyword_labels
+    expr = None
+    for i, lab in enumerate(labels):
+        s = F.col(f"score_{lab}")
+        cond = s > 0
+        for other in labels[i + 1 :]:
+            cond = cond & (s >= F.col(f"score_{other}"))
+        expr = F.when(cond, lab) if expr is None else expr.when(cond, lab)
+    return full.withColumn("pred_label", expr)
+
+
+def quality_classifier(
+    df: DataFrame,
+    rules: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """The composed curation stage: weak-label the corpus with keyword
+    rules, train the one-vs-rest scorer on the rows the rules decided,
+    and score EVERY row — including the ones the keyword heuristics
+    left unlabeled, which is the whole point of promoting heuristics to
+    a classifier. Returns ``(id_col, score_<label>..., pred_label)``,
+    one row per input row."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    labeled = keyword_labels(df, id_col, text_col, rules).select(
+        id_col, "label"
+    )
+    train = df.select(id_col, text_col).join(labeled, id_col).where(
+        F.col("label").isNotNull()
+    )
+    weights = train_token_classifier(
+        train, sorted(rules), text_col, "label", n_buckets, salt
+    )
+    return classify_tokens(
+        df, weights, sorted(rules), id_col, text_col, n_buckets, salt
+    )

@@ -681,6 +681,116 @@ def neardup_components(
     )
 
 
+def incremental_components(
+    new_nodes: DataFrame,
+    batch_pairs: DataFrame,
+    existing_labels: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Merge a new batch into existing near-dup components WITHOUT
+    recomputing the corpus fixpoint — the missing half of the
+    continuous-ingest dedup story (``incremental_lsh_pairs`` already
+    gets batch candidate pairs without a corpus rescan; this absorbs
+    them). Returns ``(id_col, component_id)`` for EVERY document,
+    existing and new.
+
+    Correctness by CONTRACTION: every existing component is already a
+    connected blob under the old edges, so collapse it to one
+    super-node named by its ``component_id`` — map each endpoint of
+    the batch pairs through ``existing_labels`` (absent endpoints,
+    i.e. genuinely new docs, map to themselves) and drop the edges
+    that fall inside one blob. Components of the full graph
+    (old edges + batch edges) correspond 1:1 to components of the
+    contracted graph, and because a component_id is the MIN doc id of
+    its members, the min label over merged super-nodes and new ids IS
+    the min doc id over all merged members — so running the ordinary
+    min-label fixpoint (``neardup_components``) on the contracted
+    batch graph and remapping yields exactly the batch-rebuild answer
+    (pinned by tests/test_dedup.py against a from-scratch rebuild,
+    including batch edges that chain two old components through a new
+    doc).
+
+    100 TB stance: the fixpoint runs on the CONTRACTED batch graph
+    (at most 2x|batch pairs| nodes). The corpus-sized label table is
+    scanned exactly twice, both times against broadcast batch-sized
+    sides — (a) a broadcast-semi to pull the touched endpoints' labels,
+    (b) a broadcast-left against the fixpoint result (only touched
+    component ids relabel; everything else keeps its label untouched).
+    No corpus shuffle, no corpus text, no global fixpoint. A re-ingested
+    doc id already present in ``existing_labels`` contracts to its
+    existing component, so replays are idempotent."""
+    pairs = batch_pairs.select("id_a", "id_b")
+    endpoints = (
+        pairs.select(F.col("id_a").alias("__n"))
+        .unionByName(pairs.select(F.col("id_b").alias("__n")))
+        .distinct()
+    )
+    # (a) one corpus-label scan, broadcast-semi down to touched ids
+    touched = existing_labels.select(
+        F.col(id_col).alias("__n"), F.col("component_id").alias("__c")
+    ).join(F.broadcast(endpoints), "__n", "semi")
+
+    lab_a = touched.select(
+        F.col("__n").alias("id_a"), F.col("__c").alias("__ca")
+    )
+    lab_b = touched.select(
+        F.col("__n").alias("id_b"), F.col("__c").alias("__cb")
+    )
+    contracted = (
+        pairs.join(F.broadcast(lab_a), "id_a", "left")
+        .join(F.broadcast(lab_b), "id_b", "left")
+        .select(
+            F.coalesce("__ca", F.col("id_a")).alias("id_a"),
+            F.coalesce("__cb", F.col("id_b")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .cache()
+    )
+    sub_nodes = (
+        contracted.select(F.col("id_a").alias(id_col))
+        .unionByName(contracted.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    # localCheckpoint, not cache(): materialized once for the two
+    # broadcast joins below, and its blocks are released by the
+    # ContextCleaner when the result frame is dropped — nothing stays
+    # pinned in the CacheManager across repeated calls
+    merged = neardup_components(
+        sub_nodes, contracted, id_col=id_col, max_iter=max_iter
+    ).select(
+        F.col(id_col).alias("__m"), F.col("component_id").alias("__ml")
+    ).localCheckpoint(eager=True)
+    contracted.unpersist()
+
+    # (b) second corpus-label scan: relabel only touched components
+    relabeled_existing = (
+        existing_labels.select(id_col, "component_id")
+        .join(
+            F.broadcast(merged),
+            F.col("component_id") == F.col("__m"),
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("__ml", F.col("component_id")).alias("component_id"),
+        )
+    )
+    new_labeled = (
+        new_nodes.select(id_col)
+        .join(F.broadcast(merged), F.col(id_col) == F.col("__m"), "left")
+        .select(
+            id_col,
+            F.coalesce("__ml", F.col(id_col)).alias("component_id"),
+        )
+    )
+    # a re-ingested id is already in existing_labels — emit it once
+    truly_new = new_labeled.join(
+        existing_labels.select(id_col), id_col, "left_anti"
+    )
+    return relabeled_existing.unionByName(truly_new)
+
+
 def keep_best_representative(
     components: DataFrame,
     quality: DataFrame,

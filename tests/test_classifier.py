@@ -1,0 +1,150 @@
+"""Unit tests for the round-8 quality classifier: fixed-point
+one-vs-rest token scorer trained on weak labels."""
+
+from __future__ import annotations
+
+import pytest
+
+from nspc_etl_basic_spark.operators.classifier import (
+    CLF_SCALE,
+    classify_tokens,
+    quality_classifier,
+    train_token_classifier,
+)
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+
+def test_train_and_classify_hand_computed(spark):
+    # tokens x/y/z/q land in distinct 1024-buckets (md5 with salt "t":
+    # 256 / 866 / 903 / 854 — fixed, so deterministic test data)
+    train = _labeled(spark, [(1, "x x y", "a"), (2, "y z", "b")])
+    w = train_token_classifier(train, ["a", "b"], "text", "label", 1024, "t")
+    wm = {(r["label"], r["bucket"]): r["w"] for r in w.collect()}
+    # FULL grid: every class x every bucket
+    assert len(wm) == 2 * 1024
+    # smoothed conditional rates: n_a=3 tokens -> denom 1027; n_b=2 ->
+    # denom 1026. x seen 2x under a; y once each; z once under b.
+    S = CLF_SCALE
+    assert wm[("a", 256)] == 3 * S // 1027  # x: (2+1)S/(3+1024)
+    assert wm[("a", 866)] == 2 * S // 1027  # y
+    assert wm[("a", 903)] == 1 * S // 1027  # z unseen under a
+    assert wm[("a", 854)] == 1 * S // 1027  # q never trained
+    assert wm[("b", 256)] == 1 * S // 1026
+    assert wm[("b", 866)] == 2 * S // 1026
+    assert wm[("b", 903)] == 2 * S // 1026
+
+    docs = spark.createDataFrame(
+        [(10, "x"), (11, "z z"), (12, "q"), (13, "")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in classify_tokens(
+            docs, w, ["a", "b"], "doc_id", "text", 1024, "t"
+        ).collect()
+    }
+    assert len(got) == 4  # one row out per row in, empty doc included
+    r10 = got[10]
+    assert r10["score_a"] == 3 * S // 1027 and r10["score_b"] == S // 1026
+    assert r10["pred_label"] == "a"
+    r11 = got[11]
+    assert r11["score_a"] == 2 * (S // 1027)
+    assert r11["score_b"] == 2 * (2 * S // 1026)
+    assert r11["pred_label"] == "b"
+    # never-trained token: both classes get their smoothed zero-count
+    # rate; the SMALLER class's flatter distribution rates it higher
+    # (the standard NB small-sample property)
+    r12 = got[12]
+    assert r12["score_a"] == S // 1027 and r12["score_b"] == S // 1026
+    assert r12["pred_label"] == "b"
+    # zero-token doc: all-zero scores, null label (keyword_labels ladder)
+    r13 = got[13]
+    assert r13["score_a"] == 0 and r13["score_b"] == 0
+    assert r13["pred_label"] is None
+
+
+def test_classifier_not_degenerate_on_balanced_vocab(spark):
+    # the round-8 regression that motivated rate normalization: with
+    # unnormalized ratio weights, shared (class-neutral) vocabulary
+    # biased every doc toward the majority class. Here every doc
+    # shares 3 neutral tokens and carries its discriminative token 3x;
+    # class "a" has 2x the training docs — the minority class must
+    # still win its own docs. (n_buckets is deliberately well below
+    # the training token count: in the B >> n_c regime the +1
+    # smoothing mass itself skews rates by class size.)
+    rows = []
+    for i in range(40):
+        rows.append((i, "red blue green alpha alpha alpha", "a"))
+    for i in range(40, 60):
+        rows.append((i, "red blue green beta beta beta", "b"))
+    train = _labeled(spark, rows)
+    w = train_token_classifier(train, ["a", "b"], "text", "label", 64, "d")
+    docs = spark.createDataFrame(
+        [
+            (100, "red blue green beta beta beta"),
+            (101, "red blue green alpha alpha alpha"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["pred_label"]
+        for r in classify_tokens(
+            docs, w, ["a", "b"], n_buckets=64, salt="d"
+        ).collect()
+    }
+    assert got[101] == "a"
+    assert got[100] == "b"  # ratio weights mislabeled this one "a"
+
+
+def test_classify_deterministic_under_repartition(spark):
+    train = _labeled(
+        spark,
+        [(i, f"alpha beta tok{i % 7}", "a" if i % 2 else "b") for i in range(40)],
+    )
+    w = train_token_classifier(train, ["a", "b"], "text", "label", 64, "s")
+    docs = train.select("doc_id", "text")
+    a = sorted(map(tuple, classify_tokens(docs, w, ["a", "b"], n_buckets=64, salt="s").collect()))
+    b = sorted(
+        map(
+            tuple,
+            classify_tokens(
+                docs.repartition(7), w, ["a", "b"], n_buckets=64, salt="s"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_quality_classifier_scores_unlabeled_docs(spark):
+    # the keyword rules only decide docs containing the keywords; the
+    # trained scorer must extend coverage to docs sharing their
+    # co-occurring vocabulary
+    rules = {"pos": ["good"], "neg": ["bad"]}
+    docs = spark.createDataFrame(
+        [
+            (1, "good shiny clean prose"),
+            (2, "bad broken garbled junk"),
+            (3, "shiny clean prose here"),  # unlabeled, pos-vocab
+            (4, "broken garbled junk here"),  # unlabeled, neg-vocab
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["pred_label"]
+        for r in quality_classifier(docs, rules, n_buckets=256, salt="q").collect()
+    }
+    assert got[1] == "pos" and got[2] == "neg"
+    assert got[3] == "pos" and got[4] == "neg"
+
+
+def test_train_validation(spark):
+    train = _labeled(spark, [(1, "x", "a")])
+    with pytest.raises(ValueError):
+        train_token_classifier(train, [], "text", "label")
+    with pytest.raises(ValueError):
+        train_token_classifier(train, ["a", "a"], "text", "label")
+    with pytest.raises(ValueError):
+        train_token_classifier(train, ["a"], "text", "label", n_buckets=0)

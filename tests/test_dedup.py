@@ -330,3 +330,74 @@ def test_minhash_xxhash64_tier(spark):
 
     with _pt.raises(ValueError):
         minhash_signatures(df, hash_fn="sha1")
+
+
+def test_incremental_components_matches_batch_rebuild(spark):
+    from nspc_etl_basic_spark.operators.dedup import (
+        incremental_components,
+        neardup_components,
+    )
+
+    old_nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    existing = neardup_components(old_nodes, old_pairs)
+
+    new_nodes = spark.createDataFrame(
+        [(100,), (101,), (102,)], "doc_id long"
+    )
+    # 100 joins old {1,2,3}; 101 chains to 100 AND to old {5,6}: the
+    # batch bridges TWO existing components through new docs; 102 has
+    # no pairs (singleton)
+    batch_pairs = spark.createDataFrame(
+        [(100, 3), (100, 101), (101, 5)], "id_a long, id_b long"
+    )
+    incr = {
+        r.doc_id: r.component_id
+        for r in incremental_components(
+            new_nodes, batch_pairs, existing
+        ).collect()
+    }
+
+    rebuild = {
+        r.doc_id: r.component_id
+        for r in neardup_components(
+            old_nodes.unionByName(new_nodes),
+            old_pairs.unionByName(batch_pairs),
+        ).collect()
+    }
+    assert incr == rebuild
+    assert incr[101] == 1 and incr[5] == 1 and incr[6] == 1  # bridged
+    assert incr[102] == 102 and incr[4] == 4  # singletons untouched
+    assert len(incr) == 13  # one row per doc, existing + new
+
+
+def test_incremental_components_empty_batch_and_reingest(spark):
+    from nspc_etl_basic_spark.operators.dedup import (
+        incremental_components,
+        neardup_components,
+    )
+
+    old_nodes = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    old_pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    existing = neardup_components(old_nodes, old_pairs)
+
+    # empty batch: labels unchanged, no extra rows
+    empty_nodes = spark.createDataFrame([], "doc_id long")
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = {
+        r.doc_id: r.component_id
+        for r in incremental_components(
+            empty_nodes, empty_pairs, existing
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 3}
+
+    # re-ingesting an existing doc id emits it ONCE, with its (possibly
+    # merged) label
+    reingest = spark.createDataFrame([(3,)], "doc_id long")
+    pairs = spark.createDataFrame([(3, 2)], "id_a long, id_b long")
+    rows = incremental_components(reingest, pairs, existing).collect()
+    got = {r.doc_id: r.component_id for r in rows}
+    assert len(rows) == 3 and got == {1: 1, 2: 1, 3: 1}

@@ -517,13 +517,53 @@ def test_mix_sources_is_scan_plus_broadcast_filter(spark, sf_dir):
 
 
 def test_dsir_scores_broadcasts_weights(spark, sf_dir):
-    """corpus_dsir_scores: the 1024-row weight table broadcasts; the
-    per-(doc,bucket) pre-aggregation is cached (InMemory scan) so the
-    corpus tokenizes once."""
-    plan = _plan_simple(QUERIES["corpus_dsir_scores"](spark, sf_dir))
+    """corpus_dsir_scores: the 1024-row weight table (eagerly collected
+    on the leak-free default path, so it enters as a local relation)
+    broadcasts; NOTHING is pinned in the CacheManager afterwards —
+    round 8 closed an unowned corpus-sized cache leak here. (The spark
+    fixture is session-scoped, so clear leftovers from earlier tests
+    before asserting on the CacheManager.)"""
+    spark.catalog.clearCache()
+    df = QUERIES["corpus_dsir_scores"](spark, sf_dir)
+    plan = _plan_simple(df)
+    assert "BroadcastHashJoin" in plan
+    assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+    assert "CartesianProduct" not in plan
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_dsir_scores_caches_path_tokenizes_once(spark, sf_dir):
+    """dsir_scores with a caller-owned caches list: the per-(doc,
+    bucket) pre-aggregation is cached (InMemory scan) so the corpus
+    tokenizes once, and the caller can unpersist."""
+    from nspc_etl_basic_spark.operators.dsir import dsir_scores
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    caches = []
+    df = dsir_scores(
+        docs, docs.where(F.col("lang") == "en"), caches=caches
+    )
+    plan = _plan_simple(df)
     assert "BroadcastHashJoin" in plan
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert len(caches) == 1
+    for c in caches:
+        c.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_quality_classifier_plan(spark, sf_dir):
+    """corpus_quality_classifier: the <=3*512-row weight grid
+    broadcasts onto the (doc, bucket) pre-aggregate; no cartesian (the
+    labels x buckets grid is a range + literal-array explode, not a
+    join); the corpus text stays JVM-side."""
+    plan = _plan_simple(QUERIES["corpus_quality_classifier"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_ngram_novelty_single_corpus_scan(spark, sf_dir):
