@@ -2461,6 +2461,76 @@ def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_pack_multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved multimodal packing (round 8,
+    packing.pack_materialize_multimodal): every 5th document carries an
+    image whose 4 "patch tokens" are deterministic md5-ring ids (the
+    stand-in for a VQ/PQ patch-codebook id stream — the real decode ->
+    patch-tokenize step is the multimodal kernel family's job; the
+    PACKING plumbing under test here is modality-blind), so a doc's
+    sequence is its text token ids followed by its patch token ids with
+    a position-aligned modality array (0 = text, 1 = image). Greedy
+    first-fit assignment over the COMBINED length, then one
+    token-moves-once materialization emitting input_ids, segment_ids
+    AND modality_ids, each padded to 128 (pad 0 / -1 / -1) — the three
+    aligned arrays a multimodal dataloader feeds embedding routing and
+    block-diagonal attention. Alignment and fill contracts raise rather
+    than emit skewed rows. The oracle replays the fold and all three
+    flattened arrays."""
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize_multimodal,
+    )
+    from nspc_etl_basic_spark.operators.sampling import md5_ring32
+    from nspc_etl_basic_spark.operators.text import word_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    ttoks = F.transform(
+        word_tokens(F.col("text")), lambda w: md5_ring32(w)
+    )
+    patches = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: md5_ring32(
+                F.concat(
+                    F.lit("img"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    j.cast("string"),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    parts = docs.select(
+        "doc_id",
+        F.concat(ttoks, patches).alias("tokens"),
+        F.concat(
+            F.array_repeat(F.lit(0).cast("long"), F.size(ttoks)),
+            F.array_repeat(F.lit(1).cast("long"), F.size(patches)),
+        ).alias("modality"),
+    )
+    weighted = parts.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_toks")
+    )
+    assignment = pack_greedy(
+        weighted, key_col="doc_id", weight_col="n_toks",
+        seq_len=128, n_buckets=32, salt="packmm",
+    )
+    packed = pack_materialize_multimodal(
+        assignment, parts, "doc_id", seq_len=128
+    )
+    return packed.select(
+        "bucket",
+        "bin",
+        "n_segments",
+        "fill",
+        F.to_json("input_ids").alias("input_ids"),
+        F.to_json("segment_ids").alias("segment_ids"),
+        F.to_json("modality_ids").alias("modality_ids"),
+    )
+
+
 def corpus_pack_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental packing (packing.pack_incremental — the
     daily-corpus-drop pattern): an 80% md5-split of documents packs
@@ -5042,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_report": corpus_pack_report_q,
         "corpus_pack_incremental": corpus_pack_incremental_q,
         "corpus_pack_materialize": corpus_pack_materialize_q,
+        "corpus_pack_multimodal": corpus_pack_multimodal_q,
         "corpus_pack_dataset": corpus_pack_dataset_q,
         "corpus_mix_sources": corpus_mix_sources_q,
         "corpus_mix_report": corpus_mix_report_q,
@@ -6439,6 +6510,85 @@ def _sql_pack_materialize(
                     AS VARCHAR) AS input_ids,
                CAST(to_json(list_concat(sids, {pad.format(v=-1)}))
                     AS VARCHAR) AS segment_ids
+        FROM built
+        ORDER BY bucket, bin
+    """
+
+
+def _sql_pack_multimodal(
+    seq_len: int = 128, n_buckets: int = 32, salt: str = "packmm"
+) -> str:
+    """Oracle for corpus_pack_multimodal: the pack fold over COMBINED
+    text+patch token counts, per-doc token lists = md5 word ids ||
+    deterministic patch ids (docs with doc_id % 5 = 0 carry 4), the
+    aligned modality list (0 text / 1 image), and all three arrays
+    flattened in segment order and padded — same integer arithmetic as
+    the Spark side, to_json'd for the driver hash."""
+    text_len = "len(regexp_extract_all(lower(text), '[a-z0-9'']+'))"
+    w_expr = (
+        f"CAST({text_len} + CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 0 END "
+        "AS BIGINT)"
+    )
+    patch_list = (
+        "list_transform(range(0, 4), j -> "
+        "CAST('0x' || substr(md5('img' || CAST(doc_id AS VARCHAR) || ':' "
+        "|| CAST(j AS VARCHAR)), 1, 8) AS BIGINT))"
+    )
+    pad = (
+        f"list_transform(range(1, {seq_len} - fill + 1), "
+        "p -> CAST({v} AS BIGINT))"
+    )
+    return f"""
+        WITH {_sql_pack_docs_cte(seq_len, n_buckets, salt, w_expr=w_expr)},
+        {_SQL_PACK_ASSIGNED},
+        tok AS (
+            SELECT doc_id AS k,
+                   list_concat(
+                       list_transform(
+                           regexp_extract_all(lower(text), '[a-z0-9'']+'),
+                           w -> CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                       ),
+                       CASE WHEN doc_id % 5 = 0 THEN {patch_list}
+                            ELSE CAST([] AS BIGINT[]) END
+                   ) AS toks,
+                   list_concat(
+                       list_transform(
+                           regexp_extract_all(lower(text), '[a-z0-9'']+'),
+                           w -> CAST(0 AS BIGINT)
+                       ),
+                       CASE WHEN doc_id % 5 = 0 THEN
+                            list_transform(range(0, 4),
+                                j -> CAST(1 AS BIGINT))
+                            ELSE CAST([] AS BIGINT[]) END
+                   ) AS mods
+            FROM documents
+        ),
+        seqs AS (
+            SELECT a.bucket AS bucket, a.z.bin AS bin,
+                   list(struct_pack(seg := a.z.seg, toks := t.toks,
+                                    mods := t.mods)
+                        ORDER BY a.z.seg) AS segs
+            FROM assigned a JOIN tok t ON a.z.k = t.k
+            GROUP BY 1, 2
+        ),
+        built AS (
+            SELECT bucket, bin,
+                   CAST(len(segs) AS BIGINT) AS n_segments,
+                   flatten(list_transform(segs, s -> s.toks)) AS ids,
+                   flatten(list_transform(segs,
+                       s -> list_transform(s.toks, x -> s.seg))) AS sids,
+                   flatten(list_transform(segs, s -> s.mods)) AS mids,
+                   CAST(len(flatten(list_transform(segs, s -> s.toks)))
+                        AS BIGINT) AS fill
+            FROM seqs
+        )
+        SELECT bucket, bin, n_segments, fill,
+               CAST(to_json(list_concat(ids, {pad.format(v=0)}))
+                    AS VARCHAR) AS input_ids,
+               CAST(to_json(list_concat(sids, {pad.format(v=-1)}))
+                    AS VARCHAR) AS segment_ids,
+               CAST(to_json(list_concat(mids, {pad.format(v=-1)}))
+                    AS VARCHAR) AS modality_ids
         FROM built
         ORDER BY bucket, bin
     """
@@ -9801,6 +9951,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pack_report": _sql_pack_report(),
         "corpus_pack_incremental": _sql_pack_incremental(),
         "corpus_pack_materialize": _sql_pack_materialize(),
+        "corpus_pack_multimodal": _sql_pack_multimodal(),
         "corpus_pack_dataset": _sql_pack_dataset(),
         "corpus_mix_sources": _sql_mix_sources(
             {"en": 5, "de": 2, "fr": 2, "es": 1, "zh": 1}, 30_000

@@ -460,6 +460,121 @@ def pack_materialize(
     )
 
 
+def pack_materialize_multimodal(
+    assignment: DataFrame,
+    parts: DataFrame,
+    key_col: str,
+    seq_len: int,
+    pad_id: int = 0,
+    pad_seg: int = -1,
+    pad_mod: int = -1,
+) -> DataFrame:
+    """Interleaved MULTIMODAL packing (round 8): like
+    ``pack_materialize``, but each document carries a position-aligned
+    ``modality`` array alongside ``tokens`` (e.g. 0 = text token,
+    1 = image patch token), and the packed output adds
+    ``modality_ids`` — the third aligned array a multimodal dataloader
+    needs to route positions to the right embedding table and build
+    modality-aware attention. One row per packed sequence:
+    ``(bucket, bin, n_segments, fill, input_ids, segment_ids,
+    modality_ids)``, all three arrays padded to exactly ``seq_len``
+    (``pad_id`` / ``pad_seg`` / ``pad_mod``).
+
+    ``parts`` must carry ``(key_col, tokens: array, modality: array)``
+    with the SAME length — a doc's combined sequence is its text tokens
+    followed by its media tokens, already concatenated by the caller,
+    with ``modality`` saying which is which. The alignment contract is
+    ENFORCED like pack_materialize's fill contracts: misaligned arrays
+    raise at execution instead of silently emitting skewed
+    modality_ids, and fill > seq_len / null tokens raise identically.
+
+    Scale: identical shape to pack_materialize — the (token, modality)
+    payload moves exactly once; adding the aligned array changes bytes
+    per row, not the shuffle count."""
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    placed = assignment.where(F.col("bin").isNotNull()).select(
+        key_col, "bucket", "bin", "seg_id"
+    )
+    src = parts.select(
+        key_col,
+        "tokens",
+        F.when(
+            F.size("modality") != F.size("tokens"),
+            F.raise_error(
+                F.lit(
+                    "pack_materialize_multimodal: modality array length "
+                    "!= tokens length — the two must be position-aligned"
+                )
+            ).cast(parts.schema["modality"].dataType),
+        )
+        .otherwise(F.col("modality"))
+        .alias("modality"),
+    )
+    joined = placed.join(src, key_col)
+    grouped = joined.groupBy("bucket", "bin").agg(
+        F.sort_array(
+            F.collect_list(F.struct("seg_id", "tokens", "modality"))
+        ).alias("__segs")
+    )
+    ids = F.flatten(F.transform("__segs", lambda s: s["tokens"]))
+    segs = F.flatten(
+        F.transform(
+            "__segs",
+            lambda s: F.array_repeat(s["seg_id"], F.size(s["tokens"])),
+        )
+    )
+    mods = F.flatten(F.transform("__segs", lambda s: s["modality"]))
+    with_fill = grouped.withColumn("__fill", F.size(ids).cast("long"))
+    with_fill = with_fill.withColumn(
+        "__fill",
+        F.when(
+            F.col("__fill").isNull() | (F.col("__fill") < 0),
+            F.raise_error(
+                F.lit(
+                    "pack_materialize_multimodal: null tokens array for "
+                    "a packed document — parts must cover every key"
+                )
+            ).cast("long"),
+        )
+        .when(
+            F.col("__fill") > seq_len,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_materialize_multimodal: concatenated tokens "
+                        f"exceed seq_len={seq_len} for (bucket, bin)=("
+                    ),
+                    F.col("bucket").cast("string"),
+                    F.lit(", "),
+                    F.col("bin").cast("string"),
+                    F.lit(
+                        ") — assignment weights disagree with the token "
+                        "arrays (use the same counter for both)"
+                    ),
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__fill")),
+    )
+    pad_n = (F.lit(seq_len) - F.col("__fill")).cast("int")
+    return with_fill.select(
+        "bucket",
+        "bin",
+        F.size("__segs").cast("long").alias("n_segments"),
+        F.col("__fill").alias("fill"),
+        F.concat(
+            ids, F.array_repeat(F.lit(pad_id).cast("long"), pad_n)
+        ).alias("input_ids"),
+        F.concat(
+            segs, F.array_repeat(F.lit(pad_seg).cast("long"), pad_n)
+        ).alias("segment_ids"),
+        F.concat(
+            mods, F.array_repeat(F.lit(pad_mod).cast("long"), pad_n)
+        ).alias("modality_ids"),
+    )
+
+
 def seqlen_plan(
     df: DataFrame, weight_col: str, candidates: list[int]
 ) -> DataFrame:

@@ -294,3 +294,72 @@ def test_pack_materialize_rejects_weight_token_disagreement(spark):
     )
     with pytest.raises(Exception, match="null tokens"):
         pack_materialize(packed, null_toks, "k", seq_len=10).collect()
+
+
+def test_pack_materialize_multimodal_alignment_and_padding(spark):
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize_multimodal,
+    )
+    from pyspark.sql import functions as F
+
+    # doc 1: 3 text tokens + 2 patch tokens; doc 2: text only
+    parts = spark.createDataFrame(
+        [
+            (1, [11, 12, 13, 901, 902], [0, 0, 0, 1, 1]),
+            (2, [21, 22], [0, 0]),
+        ],
+        "k long, tokens array<long>, modality array<long>",
+    )
+    weights = parts.select(
+        "k", F.size("tokens").cast("long").alias("w")
+    )
+    assignment = pack_greedy(
+        weights, key_col="k", weight_col="w", seq_len=8, n_buckets=1
+    )
+    out = pack_materialize_multimodal(
+        assignment, parts, "k", seq_len=8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["fill"] == 7 and r["n_segments"] == 2
+    assert len(r["input_ids"]) == 8
+    assert len(r["segment_ids"]) == 8
+    assert len(r["modality_ids"]) == 8
+    # per-position alignment: each doc's modality block rides with its
+    # tokens; padding gets pad_id/pad_seg/pad_mod
+    by_seg = {}
+    for tok, seg, mod in zip(
+        r["input_ids"], r["segment_ids"], r["modality_ids"]
+    ):
+        by_seg.setdefault(seg, []).append((tok, mod))
+    assert by_seg[-1] == [(0, -1)]  # one pad position
+    flat = sorted(
+        (tok, mod) for seg, tm in by_seg.items() if seg >= 0 for tok, mod in tm
+    )
+    assert flat == sorted(
+        [(11, 0), (12, 0), (13, 0), (901, 1), (902, 1), (21, 0), (22, 0)]
+    )
+
+
+def test_pack_materialize_multimodal_rejects_misaligned(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize_multimodal,
+    )
+
+    parts = spark.createDataFrame(
+        [(1, [11, 12], [0])],  # modality shorter than tokens
+        "k long, tokens array<long>, modality array<long>",
+    )
+    weights = parts.select("k", F.size("tokens").cast("long").alias("w"))
+    assignment = pack_greedy(
+        weights, key_col="k", weight_col="w", seq_len=8, n_buckets=1
+    )
+    with _pytest.raises(Exception) as ei:
+        pack_materialize_multimodal(assignment, parts, "k", seq_len=8).collect()
+    assert "position-aligned" in str(ei.value)
