@@ -98,6 +98,14 @@ def _canon(v) -> str:
         return "{" + ",".join(sorted(_canon(x) for x in v)) + "}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_canon(x) for x in v) + "]"
+    if callable(v):
+        # repr(fn) embeds the process-random memory address; render the
+        # stable identity instead. The function's SOURCE is deliberately
+        # not pulled in here — a registry dict mapping names to query
+        # functions (the round-8 _QUERY_REGISTRY) must not glue every
+        # query's hash to every other query's source.
+        return f"<callable {getattr(v, '__module__', '?')}." \
+               f"{getattr(v, '__qualname__', repr(type(v)))}>"
     return repr(v)
 
 
@@ -107,6 +115,17 @@ def _attr_source(obj) -> str | None:
             return inspect.getsource(obj)
         except (OSError, TypeError):
             return None
+    if isinstance(obj, dict) and obj and all(
+        callable(x) for x in obj.values()
+    ):
+        # a registry dict mapping names to functions (round 8:
+        # __spark_entry__._QUERY_REGISTRY). Its MEMBERSHIP is not part
+        # of any query's semantics — each query's own source and oracle
+        # are hashed directly — and indexing it would re-couple every
+        # query whose closure reaches the registry to every
+        # registration, the exact churn the module-level registry
+        # exists to remove.
+        return None
     if isinstance(obj, (str, int, float, bool, list, tuple, dict, set)):
         return _canon(obj)
     return None
