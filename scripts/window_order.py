@@ -208,6 +208,24 @@ def _closure_sources(module, seed_names: list[str]) -> list[str]:
             work.append((origin, oname))
             continue
         else:
+            # `name` may be a SUBMODULE of `mod` that no import in this
+            # process has bound as a package attribute yet (a query's
+            # `from pkg import writer as _w` binds it lazily at call
+            # time). vars(mod) misses it in a bare process but finds it
+            # after a long test session has imported everything — the
+            # hash then depends on IMPORT STATE (round 8: the full
+            # pytest run flagged stream_mv/novelty_replay as changed
+            # while a bare --check did not). Import explicitly so the
+            # closure is the same in every process.
+            if mod.__name__.startswith(_PKG):
+                try:
+                    sub = importlib.import_module(f"{mod.__name__}.{name}")
+                except Exception:
+                    continue
+                try:
+                    out.append(inspect.getsource(sub))
+                except OSError:
+                    out.append(sub.__name__)
             continue
         for other in attrs:
             if other != name and other in toks:
