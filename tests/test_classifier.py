@@ -148,3 +148,21 @@ def test_train_validation(spark):
         train_token_classifier(train, ["a", "a"], "text", "label")
     with pytest.raises(ValueError):
         train_token_classifier(train, ["a"], "text", "label", n_buckets=0)
+
+
+def test_classifier_handles_null_text(spark):
+    # a null text column must not drop the row: zero scores, null label
+    from pyspark.sql import functions as F
+
+    train = _labeled(spark, [(1, "alpha beta", "a"), (2, "gamma", "b")])
+    w = train_token_classifier(train, ["a", "b"], "text", "label", 64, "n")
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, None)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in classify_tokens(docs, w, ["a", "b"], n_buckets=64, salt="n").collect()
+    }
+    assert len(got) == 2
+    assert got[2]["score_a"] == 0 and got[2]["score_b"] == 0
+    assert got[2]["pred_label"] is None

@@ -401,3 +401,54 @@ def test_incremental_components_empty_batch_and_reingest(spark):
     rows = incremental_components(reingest, pairs, existing).collect()
     got = {r.doc_id: r.component_id for r in rows}
     assert len(rows) == 3 and got == {1: 1, 2: 1, 3: 1}
+
+
+def test_incremental_components_randomized_equivalence(spark):
+    # seeded random graphs: old corpus with random pairs, a batch with
+    # random old-new and new-new pairs — the contraction path must
+    # equal the from-scratch rebuild on every draw (the hand-built
+    # cases can't cover chain/bridge shapes exhaustively)
+    import random
+
+    from nspc_etl_basic_spark.operators.dedup import (
+        incremental_components,
+        neardup_components,
+    )
+
+    rng = random.Random(80823)
+    for _ in range(3):
+        n_old, n_new = 30, 12
+        old_ids = list(range(1, n_old + 1))
+        new_ids = list(range(101, 101 + n_new))
+        old_pairs = [
+            (a, b)
+            for a in old_ids
+            for b in old_ids
+            if a < b and rng.random() < 0.05
+        ]
+        batch_pairs = [
+            (n, rng.choice(old_ids + new_ids))
+            for n in new_ids
+            if rng.random() < 0.7
+        ]
+        batch_pairs = [(a, b) for a, b in batch_pairs if a != b]
+        old_nodes = spark.createDataFrame([(i,) for i in old_ids], "doc_id long")
+        new_nodes = spark.createDataFrame([(i,) for i in new_ids], "doc_id long")
+        op = spark.createDataFrame(
+            old_pairs or [(1, 1)], "id_a long, id_b long"
+        ).where("id_a != id_b")
+        bp = spark.createDataFrame(
+            batch_pairs or [(101, 101)], "id_a long, id_b long"
+        ).where("id_a != id_b")
+        existing = neardup_components(old_nodes, op)
+        incr = {
+            r.doc_id: r.component_id
+            for r in incremental_components(new_nodes, bp, existing).collect()
+        }
+        rebuild = {
+            r.doc_id: r.component_id
+            for r in neardup_components(
+                old_nodes.unionByName(new_nodes), op.unionByName(bp)
+            ).collect()
+        }
+        assert incr == rebuild
