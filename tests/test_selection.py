@@ -1,0 +1,82 @@
+"""Unit tests for the sort-free exact top-fraction selection
+(operators/selection.py) — the classifier-score keep stage."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nspc_etl_basic_spark.operators.selection import top_fraction
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, score long")
+
+
+def _expected(rows, frac):
+    n = len([r for r in rows if r[1] is not None])
+    k = int(n * frac)
+    ordered = sorted(
+        (r for r in rows if r[1] is not None),
+        key=lambda r: (-r[1], r[0]),
+    )
+    return {r[0] for r in ordered[:k]}
+
+
+def test_top_fraction_hand_case(spark):
+    rows = [(1, 10), (2, 30), (3, 20), (4, 30), (5, 5)]
+    got = {
+        r.doc_id
+        for r in top_fraction(_df(spark, rows), 0.6, "doc_id", "score").collect()
+    }
+    # k = 3: scores 30 (ids 2,4) then 20 (id 3)
+    assert got == {2, 3, 4}
+
+
+def test_top_fraction_tie_break_by_id(spark):
+    rows = [(i, 7) for i in range(1, 11)]  # all tied
+    got = {
+        r.doc_id
+        for r in top_fraction(_df(spark, rows), 0.5, "doc_id", "score").collect()
+    }
+    assert got == {1, 2, 3, 4, 5}  # smallest ids win the boundary
+
+
+def test_top_fraction_edges_and_nulls(spark):
+    rows = [(1, 10), (2, None), (3, 20)]
+    df = _df(spark, rows)
+    assert top_fraction(df, 0.0).count() == 0
+    kept_all = {r.doc_id for r in top_fraction(df, 1.0).collect()}
+    assert kept_all == {1, 3}  # null score never qualifies
+    with pytest.raises(ValueError):
+        top_fraction(df, 1.5)
+
+
+def test_top_fraction_randomized_vs_sort(spark):
+    rng = random.Random(80824)
+    for trial in range(3):
+        # heavy ties + wide magnitudes to cross bucket boundaries, plus
+        # values past 2^53 to catch double-division bucketing
+        rows = [
+            (i, rng.choice([0, 1, 5, 5, 5, 10**6, 2**55 + rng.randrange(100)]))
+            for i in range(1, 301)
+        ]
+        frac = rng.choice([0.1, 0.33, 0.77])
+        got = {
+            r.doc_id
+            for r in top_fraction(
+                _df(spark, rows), frac, "doc_id", "score"
+            ).collect()
+        }
+        assert got == _expected(rows, frac), f"trial {trial}"
+
+
+def test_top_fraction_result_is_scan_filter(spark):
+    # the selection must compile to a filter on the scan — no global
+    # sort, no window, no exchange in the RESULT plan
+    rows = [(i, i % 97) for i in range(1, 501)]
+    out = top_fraction(_df(spark, rows), 0.25, "doc_id", "score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "Window" not in plan
+    assert "Exchange" not in plan
