@@ -42,8 +42,11 @@ HEAVY = [
     "dedup_components",       # cold tier build: MinHash -> LSH -> CC
     "dedup_keep_best",        # warm tier read + argmax
     "corpus_dup_rate_by_source",
+    "dedup_components_incr",  # cold tier90 build + live batch fixpoint
     "corpus_span_dedup",
     "corpus_pack_materialize",
+    "corpus_pack_multimodal",
+    "corpus_quality_classifier",
     "sim_ann_ivf_trained",
 ]
 
