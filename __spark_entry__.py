@@ -2487,6 +2487,38 @@ def corpus_quality_classifier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-targeted selection — the KEEP stage after classifier
+    scoring (operators/selection.py, round 8): retain exactly the top
+    25% of the corpus by the trained classifier's joins-class score
+    (ties at the boundary -> lowest doc_id), i.e. the row set of
+    ``QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= n//4``
+    — computed WITHOUT a global sort: top_fraction finds the boundary
+    by iterative <=4096-bucket histogram narrowing (BIGINT-div
+    bucketing; a handful of narrow-projection aggregates with one
+    histogram row set on the driver per pass) and applies it as a pure
+    scan filter. frac = 0.25 is exactly representable, so Python's
+    int(n*frac) and the oracle's ``count(*)//4`` agree for every n.
+    The scored frame is localCheckpoint'ed once so the narrowing
+    passes do not re-run the scoring pipeline (blocks are
+    ContextCleaner-freed, nothing pinned in the CacheManager)."""
+    from nspc_etl_basic_spark.operators.classifier import quality_classifier
+    from nspc_etl_basic_spark.operators.selection import top_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        quality_classifier(
+            docs, _LABEL_RULES, id_col="doc_id", text_col="text",
+            n_buckets=512, salt="clf",
+        )
+        .select("doc_id", "score_joins")
+        .localCheckpoint(eager=True)
+    )
+    return top_fraction(
+        scored, 0.25, id_col="doc_id", score_col="score_joins"
+    )
+
+
 def corpus_pack_multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved multimodal packing (round 8,
     packing.pack_materialize_multimodal): every 5th document carries an
@@ -5155,6 +5187,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_ngram_overlap": corpus_ngram_overlap_q,
         "text_keyword_labels": text_keyword_labels_q,
         "corpus_quality_classifier": corpus_quality_classifier_q,
+        "corpus_quality_select": corpus_quality_select_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
         "events_session_stats": events_session_stats_q,
@@ -6957,12 +6990,15 @@ def _sql_quality_classifier(
     n_buckets: int = 512,
     salt: str = "clf",
     scale: int = 1_000_000_000,
+    final: str | None = None,
 ) -> str:
     """Oracle for corpus_quality_classifier: replay the keyword-label
     ladder, the Laplace-smoothed class-CONDITIONAL token rates over the
     full labels x md5-bucket grid, and the per-doc BIGINT scores +
     argmax — the same integer arithmetic end-to-end (// == Spark div on
-    positives)."""
+    positives). ``final`` overrides the closing SELECT over the
+    ``filled`` CTE (corpus_quality_select reuses the whole scoring
+    replay with a QUALIFY top-fraction tail)."""
     labels = sorted(rules)
 
     def occ(lab: str) -> str:
@@ -7003,6 +7039,11 @@ def _sql_quality_classifier(
         ]
         pred_ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
     pred_ladder += " END"
+    default_final = (
+        f"SELECT doc_id, {', '.join(f'score_{lab}' for lab in labels)},\n"
+        f"               {pred_ladder} AS pred_label\n"
+        "        FROM filled ORDER BY doc_id"
+    )
 
     return f"""
         WITH lab_scored AS (
@@ -7064,9 +7105,7 @@ def _sql_quality_classifier(
                    {full_cols}
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
         )
-        SELECT doc_id, {', '.join(f'score_{lab}' for lab in labels)},
-               {pred_ladder} AS pred_label
-        FROM filled ORDER BY doc_id
+        {final or default_final}
     """
 
 
@@ -10002,6 +10041,16 @@ def oracle_sql() -> dict[str, str]:
         "text_keyword_labels": _sql_keyword_labels(_LABEL_RULES),
         "corpus_quality_classifier": _sql_quality_classifier(
             _LABEL_RULES, n_buckets=512, salt="clf"
+        ),
+        # the same scoring replay, closed by the exact top-25% QUALIFY
+        # (frac 0.25 is binary-exact: Python int(n*0.25) == n // 4)
+        "corpus_quality_select": _sql_quality_classifier(
+            _LABEL_RULES, n_buckets=512, salt="clf",
+            final="""SELECT doc_id, score_joins
+        FROM filled
+        QUALIFY row_number() OVER (ORDER BY score_joins DESC, doc_id)
+            <= (SELECT count(*) // 4 FROM documents)
+        ORDER BY doc_id""",
         ),
         "corpus_preference_pairs": _SQL_PREFERENCE_PAIRS,
         "events_robust_stats": _SQL_EVENTS_ROBUST_STATS,
