@@ -70,10 +70,35 @@ def mix_rates(
         raise ValueError(f"parts must be non-negative with a positive sum: {parts}")
 
     strata_type = df.schema[strata_col].dataType.simpleString()
-    parts_df = df.sparkSession.createDataFrame(
+    parts_raw = df.sparkSession.createDataFrame(
         [(str(k), int(p)) for k, p in sorted(parts.items())],
         "__k string, __p_in long",
-    ).select(
+    )
+    # fail fast if a key does not survive the cast to the strata
+    # column's type: an un-castable key becomes NULL (never joins — a
+    # confusing null-stratum row instead of an error) and distinct keys
+    # that collapse under the cast ('1' and '01' to int 1) would
+    # double-count a stratum's rows and budget. parts is recipe-sized,
+    # so this is a bounded driver-side check.
+    cast_rows = parts_raw.select(
+        "__k",
+        F.expr(f"try_cast(__k AS {strata_type})").alias("__c"),
+    ).collect()
+    null_keys = [r["__k"] for r in cast_rows if r["__c"] is None]
+    if null_keys:
+        raise ValueError(
+            f"parts keys {null_keys} do not cast to {strata_col}'s "
+            f"type {strata_type}"
+        )
+    seen: dict = {}
+    for r in cast_rows:
+        if r["__c"] in seen:
+            raise ValueError(
+                f"parts keys {seen[r['__c']]!r} and {r['__k']!r} "
+                f"collapse to the same {strata_type} value {r['__c']!r}"
+            )
+        seen[r["__c"]] = r["__k"]
+    parts_df = parts_raw.select(
         F.col("__k").cast(strata_type).alias(strata_col),
         F.col("__p_in"),
     )

@@ -394,7 +394,12 @@ def pack_materialize(
     placed = assignment.where(F.col("bin").isNotNull()).select(
         key_col, "bucket", "bin", "seg_id"
     )
-    joined = placed.join(tokens.select(key_col, "tokens"), key_col)
+    # LEFT join from the assignment: an inner join would silently DROP
+    # a packed key absent from the tokens table (fill/n_segments shrink
+    # with no error), while a left join surfaces it as null tokens →
+    # null flatten → the null-fill raise below actually enforces the
+    # "tokens must cover every key" contract
+    joined = placed.join(tokens.select(key_col, "tokens"), key_col, "left")
     grouped = joined.groupBy("bucket", "bin").agg(
         F.sort_array(
             F.collect_list(F.struct("seg_id", "tokens"))
@@ -511,7 +516,10 @@ def pack_materialize_multimodal(
         .otherwise(F.col("modality"))
         .alias("modality"),
     )
-    joined = placed.join(src, key_col)
+    # left join for the same reason as pack_materialize: a key missing
+    # from parts must surface as null tokens and trip the raise, not
+    # silently shrink the packed sequence
+    joined = placed.join(src, key_col, "left")
     grouped = joined.groupBy("bucket", "bin").agg(
         F.sort_array(
             F.collect_list(F.struct("seg_id", "tokens", "modality"))

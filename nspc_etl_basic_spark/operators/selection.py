@@ -44,6 +44,8 @@ surface (LLM-pipeline family).
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -124,7 +126,7 @@ def _kth_smallest(df: DataFrame, col: str, k: int, lo: int, hi: int) -> int:
 
 def top_fraction(
     df: DataFrame,
-    frac: float,
+    frac: float | Fraction,
     id_col: str = "doc_id",
     score_col: str = "score",
 ) -> DataFrame:
@@ -142,7 +144,14 @@ def top_fraction(
         F.max(score_col).alias("hi"),
     ).collect()[0]
     n = int(stats["n"] or 0)
-    k = int(n * frac)
+    # floor(n * frac) in exact arithmetic — float multiplication can
+    # disagree with the true floor for large n (n * 0.1 landing one ULP
+    # past an integer), which would break the exact-k contract the
+    # oracle replays. A float frac is read as the DECIMAL literal the
+    # caller typed (str() round-trips the shortest repr: 0.6 -> 3/5),
+    # not its binary expansion; pass a Fraction for full control.
+    frac_exact = frac if isinstance(frac, Fraction) else Fraction(str(frac))
+    k = int(frac_exact * n)
     if k <= 0:
         return df.where(F.lit(False))
     if k >= n:

@@ -123,7 +123,10 @@ def main() -> None:
     # both scales pay the dedup tier cold
     import glob
 
-    for d in glob.glob("/tmp/nspc_replay_deduptier_*"):
+    # no underscore after 'deduptier': the tier90 work dirs are named
+    # nspc_replay_deduptier90_* and must go cold too, or the
+    # dedup_components_incr datapoint measures a warm tier
+    for d in glob.glob("/tmp/nspc_replay_deduptier*"):
         shutil.rmtree(d, ignore_errors=True)
 
     import __spark_entry__ as entry

@@ -109,7 +109,16 @@ def _canon(v) -> str:
     return repr(v)
 
 
-def _attr_source(obj) -> str | None:
+# dicts-of-callables exempt from hashing, BY NAME: only the entry
+# module's query registry. Its membership is not part of any query's
+# semantics (each query's own source and oracle are hashed directly),
+# and indexing it would re-couple every query whose closure reaches the
+# registry to every registration. Any OTHER dispatch dict a query
+# closes over IS semantic — its membership is hashed via its key set.
+_REGISTRY_EXEMPT = {"_QUERY_REGISTRY"}
+
+
+def _attr_source(obj, name: str | None = None) -> str | None:
     if inspect.isfunction(obj) or inspect.isclass(obj):
         try:
             return inspect.getsource(obj)
@@ -118,14 +127,13 @@ def _attr_source(obj) -> str | None:
     if isinstance(obj, dict) and obj and all(
         callable(x) for x in obj.values()
     ):
-        # a registry dict mapping names to functions (round 8:
-        # __spark_entry__._QUERY_REGISTRY). Its MEMBERSHIP is not part
-        # of any query's semantics — each query's own source and oracle
-        # are hashed directly — and indexing it would re-couple every
-        # query whose closure reaches the registry to every
-        # registration, the exact churn the module-level registry
-        # exists to remove.
-        return None
+        if name in _REGISTRY_EXEMPT:
+            return None
+        # a genuine dispatch table: hash the sorted key set so
+        # membership changes invalidate dependent queries' identity
+        # (values are callables whose sources are followed by the
+        # closure walk when referenced by name)
+        return "<dispatch " + ",".join(sorted(map(repr, obj))) + ">"
     if isinstance(obj, (str, int, float, bool, list, tuple, dict, set)):
         return _canon(obj)
     return None
@@ -166,7 +174,7 @@ def _module_index(module) -> tuple[dict, dict, dict]:
                         sys.modules[origin],
                         getattr(obj, "__name__", name),
                     )
-            elif (s := _attr_source(obj)) is not None:
+            elif (s := _attr_source(obj, name)) is not None:
                 attrs[name] = s
         tokens = {
             name: frozenset(_WORD_RE.findall(src))

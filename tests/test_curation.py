@@ -365,6 +365,29 @@ def test_mix_rates_surfaces_missing_and_quantized_strata(spark):
     assert de["quantized_to_zero"] is True
 
 
+def test_mix_rates_rejects_keys_that_do_not_survive_the_cast(spark):
+    """parts keys are cast to the strata column's type: a key that
+    casts to NULL would never join (confusing null-stratum row), and
+    two keys collapsing to one cast value would double-count a stratum
+    — both must fail fast instead."""
+    rows = [(1, "a", 7, 6000), (2, "b", 8, 6000)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, src string, lang int, n_chars long"
+    )
+    with pytest.raises(ValueError, match="do not cast"):
+        mix_rates(df, "lang", "n_chars", {"7": 1, "xx": 1}, 6000)
+    with pytest.raises(ValueError, match="collapse"):
+        mix_rates(df, "lang", "n_chars", {"7": 1, "07": 1}, 6000)
+    # round-trippable keys still work
+    out = {
+        r["lang"]: r
+        for r in mix_rates(
+            df, "lang", "n_chars", {"7": 1, "8": 1}, 6000
+        ).collect()
+    }
+    assert out[7]["target_tokens"] == 3000
+
+
 def test_keyword_labels_rejects_sql_hostile_rules(spark):
     from nspc_etl_basic_spark.operators.labeling import keyword_labels
 

@@ -296,6 +296,43 @@ def test_pack_materialize_rejects_weight_token_disagreement(spark):
         pack_materialize(packed, null_toks, "k", seq_len=10).collect()
 
 
+def test_pack_materialize_missing_key_raises(spark):
+    """A packed key entirely ABSENT from the tokens table must raise,
+    not silently shrink the sequence (the join is left-outer from the
+    assignment precisely so the null-tokens guard sees missing keys)."""
+    from nspc_etl_basic_spark.operators.packing import pack_materialize
+
+    rows = [("a", 6), ("b", 3)]
+    packed = pack_greedy(_df(spark, rows), "k", "w", 10, n_buckets=1)
+    missing_b = spark.createDataFrame(
+        [("a", [1, 2, 3, 4, 5, 6])], "k string, tokens array<long>"
+    )
+    with pytest.raises(Exception, match="cover every key"):
+        pack_materialize(packed, missing_b, "k", seq_len=10).collect()
+
+
+def test_pack_materialize_multimodal_missing_key_raises(spark):
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.packing import (
+        pack_greedy,
+        pack_materialize_multimodal,
+    )
+
+    parts = spark.createDataFrame(
+        [(1, [11, 12], [0, 0]), (2, [21], [0])],
+        "k long, tokens array<long>, modality array<long>",
+    )
+    weights = parts.select("k", F.size("tokens").cast("long").alias("w"))
+    assignment = pack_greedy(
+        weights, key_col="k", weight_col="w", seq_len=8, n_buckets=1
+    )
+    with pytest.raises(Exception, match="cover every key"):
+        pack_materialize_multimodal(
+            assignment, parts.where("k = 1"), "k", seq_len=8
+        ).collect()
+
+
 def test_pack_materialize_multimodal_alignment_and_padding(spark):
     from nspc_etl_basic_spark.operators.packing import (
         pack_greedy,

@@ -72,6 +72,25 @@ def test_top_fraction_randomized_vs_sort(spark):
         assert got == _expected(rows, frac), f"trial {trial}"
 
 
+def test_top_fraction_k_is_exact_floor_not_float_product(spark):
+    """k must be floor(frac * n) in exact decimal arithmetic. With
+    frac = 1/3 (the float 0.3333333333333333) and n = 3 the float
+    product rounds to exactly 1.0 (int() -> 1) while the exact decimal
+    product is just below 1 — the floor contract keeps 0. A Fraction
+    gives the caller full control (1/3 of 3 keeps exactly 1)."""
+    from fractions import Fraction
+
+    rows = [(1, 10), (2, 20), (3, 30)]
+    assert top_fraction(_df(spark, rows), 1 / 3, "doc_id", "score").count() == 0
+    got = {
+        r.doc_id
+        for r in top_fraction(
+            _df(spark, rows), Fraction(1, 3), "doc_id", "score"
+        ).collect()
+    }
+    assert got == {3}
+
+
 def test_top_fraction_result_is_scan_filter(spark):
     # the selection must compile to a filter on the scan — no global
     # sort, no window, no exchange in the RESULT plan
