@@ -2519,6 +2519,134 @@ def corpus_quality_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-vs-weak-labels agreement (operators/classifier.
+    classifier_agreement, round 9): per class, how well the trained
+    hashed-token scorer recovers the keyword labeling function on the
+    labeled slice — (label, n_true, n_pred, n_correct, precision_ppm,
+    recall_ppm, f1_ppm), all ratios integer ppm. The sanity gate a
+    curation pipeline reads before trusting classifier scores for
+    selection (corpus_quality_select). Plan: quality_classifier's
+    broadcast-scoring plan + ONE map-side-combined groupBy to a
+    |labels|^2-row confusion matrix; the per-class reshape is a literal
+    explode over that tiny frame. The oracle replays scoring via the
+    corpus_quality_classifier CTE chain and closes with the same
+    confusion/ppm arithmetic."""
+    from nspc_etl_basic_spark.operators.classifier import classifier_agreement
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier_agreement(
+        docs, _LABEL_RULES, id_col="doc_id", text_col="text",
+        n_buckets=512, salt="clf",
+    )
+
+
+def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (operators/semdedup.py, round 9;
+    Abbas et al. arXiv:2303.09540): fixed-point-k-means-cluster the
+    embedding corpus (16 cells, 3 Lloyd iterations — the trained
+    codebook is bit-identical cross-engine), form candidate pairs ONLY
+    within a cell (one self-join keyed by the 8-byte cell id), verify
+    with exact round-6 cosine >= 0.3, and map every vector to its
+    duplicate group (min-label components over the candidate graph) —
+    keep = group representative. One row per vector: (vec_id, cell,
+    group_id, keep). This is the meaning-level dedup stage MinHash
+    cannot see (paraphrases/translations); at production scale n_cells
+    grows with the corpus so the in-cell quadratic stays bounded. The
+    oracle replays k-means, assignment, pairs, and components (recursive
+    reachability) value-for-value."""
+    from nspc_etl_basic_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_cells=16, n_iter=3, threshold=0.3)
+
+
+def sim_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed index (operators/pq.ivfpq_topk, round 9) — the
+    FAISS-style IVFADC deployment: trained IVF coarse quantizer prunes
+    the corpus to 4/16 probed cells per query, trained PQ codes ADC-
+    score the survivors (m=16 table lookups per row), shortlist k=25,
+    recall measured in-query against the exact-L2 top-5; one row
+    (n_queries, micro_recall_ppm, min_recall_ppm). Cell assignment is
+    fused into the scan feeding the Arrow encode kernel (cell id rides
+    through as a passthrough column — corpus vectors read once, never
+    joined back); probe filtering lands before any ADC lookup. Encode +
+    ADC run in the fixed-point integer-micros domain, so the oracle
+    replays both trainings and every distance exactly."""
+    from nspc_etl_basic_spark.operators.pq import (
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+    from nspc_etl_basic_spark.operators.similarity import (
+        KMEANS_SCALE,
+        train_ivf_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+    books = train_pq_codebooks(emb, m=16, k=16, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_topk(
+        emb, queries, cents, books, k=25, n_probe=4,
+        quantize_scale=KMEANS_SCALE,
+    )
+
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators.similarity import dot as _dot
+
+    q = queries.select(
+        "query_id",
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    ).withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    ).withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+    dist = (
+        F.col("__qq")
+        - F.lit(2.0) * _dot(F.col("__qv"), F.col("__cv"))
+        + F.col("__cc")
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", F.round(dist, 6).alias("__d"))
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("vec_id").asc()
+    )
+    exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= 5
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("(1000000 * sum(n_hit)) div sum(n_exact)")
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+    )
+
+
 def corpus_pack_multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved multimodal packing (round 8,
     packing.pack_materialize_multimodal): every 5th document carries an
@@ -5188,6 +5316,9 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "text_keyword_labels": text_keyword_labels_q,
         "corpus_quality_classifier": corpus_quality_classifier_q,
         "corpus_quality_select": corpus_quality_select_q,
+        "corpus_classifier_eval": corpus_classifier_eval_q,
+        "corpus_semantic_dedup": corpus_semantic_dedup_q,
+        "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
         "events_session_stats": events_session_stats_q,
@@ -5709,25 +5840,31 @@ def _sql_pq_trained_ctes(
     n_iter: int = 3,
     dim: int = 64,
     scale: int = 1_000_000,
+    include_vq: bool = True,
 ) -> str:
     """CTE chain replaying pq.train_pq_codebooks + quantized encode +
     quantized ADC (operators/pq.py, quantize_scale tier) exactly: all
     distances are integer-micro L2 (exact < 2^53), assignment ties to
     the lowest cell, updates are round-half-up integer floor-div. Ends
-    in ``pq_enc(vec_id, sub, code)`` and ``pq_books(sub, cell, c)``."""
+    in ``pq_enc(vec_id, sub, code)`` and ``pq_books(sub, cell, c)``.
+    ``include_vq=False`` omits the ``__vq`` quantization CTE for
+    composition with ``_sql_ivf_kmeans_ctes``, which defines the
+    identical ``__vq`` (same scale) — a WITH list rejects duplicates."""
     w = dim // m
     d2 = (
         "list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[]) "
         "- 2 * list_dot_product(s.sv::DOUBLE[], b.c::DOUBLE[]) "
         "+ list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[])"
     )
-    parts = [
+    vq_part = [
         f"""__vq AS (
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS v
             FROM embeddings
         )""",
+    ]
+    parts = (vq_part if include_vq else []) + [
         f"""__psubs AS (
             SELECT vec_id, CAST(j.j AS INTEGER) AS sub,
                    list_slice(v, j.j * {w} + 1, j.j * {w} + {w}) AS sv
@@ -7107,6 +7244,64 @@ def _sql_quality_classifier(
         )
         {final or default_final}
     """
+
+
+def _sql_classifier_eval(
+    rules: dict[str, list[str]],
+    n_buckets: int = 512,
+    salt: str = "clf",
+) -> str:
+    """Oracle for corpus_classifier_eval: the full
+    corpus_quality_classifier scoring replay, closed by the pred-label
+    ladder, a confusion aggregate over the labeled slice, and the same
+    integer-ppm precision/recall/F1 arithmetic as
+    classifier_agreement (// == Spark div on non-negatives)."""
+    labels = sorted(rules)
+    label_values = ", ".join(f"('{lab}')" for lab in labels)
+    pred_ladder = "CASE"
+    for i, lab in enumerate(labels):
+        conds = [f"score_{lab} > 0"] + [
+            f"score_{lab} >= score_{other}" for other in labels[i + 1:]
+        ]
+        pred_ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
+    pred_ladder += " END"
+    final = f""", pred AS (
+            SELECT doc_id, {pred_ladder} AS pred_label FROM filled
+        ),
+        conf AS (
+            SELECT l.label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+            FROM lab l JOIN pred p USING (doc_id)
+            WHERE l.label IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        cls AS (SELECT * FROM (VALUES {label_values}) AS v(cls)),
+        agg AS (
+            SELECT c.cls AS label,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_true,
+                   CAST(coalesce(sum(CASE WHEN f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_pred,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                      AND f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_correct
+            FROM cls c LEFT JOIN conf f ON TRUE
+            GROUP BY c.cls
+        )
+        SELECT label, n_true, n_pred, n_correct,
+               CASE WHEN n_pred > 0
+                    THEN CAST((1000000 * n_correct) // n_pred AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN n_true > 0
+                    THEN CAST((1000000 * n_correct) // n_true AS BIGINT)
+               END AS recall_ppm,
+               CASE WHEN n_pred + n_true > 0
+                    THEN CAST((2000000 * n_correct) // (n_pred + n_true)
+                              AS BIGINT)
+               END AS f1_ppm
+        FROM agg ORDER BY label"""
+    return _sql_quality_classifier(
+        rules, n_buckets=n_buckets, salt=salt, final=final
+    )
 
 
 def _sql_seqlen_plan(candidates: list[int]) -> str:
@@ -10052,6 +10247,122 @@ def oracle_sql() -> dict[str, str]:
             <= (SELECT count(*) // 4 FROM documents)
         ORDER BY doc_id""",
         ),
+        # scoring replay + confusion over the labeled slice + integer
+        # ppm precision/recall/F1 (the classifier_agreement arithmetic)
+        "corpus_classifier_eval": _sql_classifier_eval(
+            _LABEL_RULES, n_buckets=512, salt="clf"
+        ),
+        # SemDeDup: trained k-means (bit-exact fixed-point replay) ->
+        # within-cell round-6 cosine pairs -> recursive-reachability
+        # components -> min-id representative
+        "corpus_semantic_dedup": f"""
+            WITH RECURSIVE {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            sem_pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM c_assign a JOIN c_assign b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine('a.cv', 'b.cv')} >= 0.3
+            ),
+            sem_edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sem_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM sem_pairs
+            ),
+            reach(node, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN sem_edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS group_id
+                FROM reach GROUP BY node
+            )
+            SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell,
+                   m.group_id, (c.vec_id = m.group_id) AS keep
+            FROM c_assign c JOIN comp m USING (vec_id)
+            ORDER BY c.vec_id
+        """,
+        # IVF-PQ: both trainings replayed bit-exactly; the ADC aggregate
+        # is restricted to the query's 4 probed cells before ranking
+        "sim_ann_ivfpq": f"""
+            WITH {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            {_sql_pq_trained_ctes(m=16, k=16, n_iter=3, include_vq=False)},
+            c_assign AS (
+                SELECT e.vec_id, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            q_probe AS (
+                SELECT e.vec_id AS query_id, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 50 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) <= 4
+            ),
+            __qtab AS (
+                SELECT s.vec_id AS query_id, s.sub, b.cell,
+                       list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+                       - 2 * list_dot_product(s.sv::DOUBLE[], b.c::DOUBLE[])
+                       + list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]) AS d
+                FROM __psubs s JOIN pq_books b ON b.sub = s.sub
+                WHERE s.vec_id % 50 = 0
+            ),
+            approx AS (
+                SELECT t.query_id, e.vec_id
+                FROM pq_enc e
+                JOIN c_assign c ON c.vec_id = e.vec_id
+                JOIN q_probe qp ON qp.cent_id = c.cent_id
+                JOIN __qtab t ON t.query_id = qp.query_id
+                             AND t.sub = e.sub AND t.cell = e.code
+                WHERE t.query_id != e.vec_id
+                GROUP BY t.query_id, e.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY t.query_id
+                    ORDER BY SUM(t.d) ASC, e.vec_id ASC) <= 25
+            ),
+            qx AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            cx AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            exact AS (
+                SELECT query_id, vec_id,
+                       round(list_dot_product(qv, qv)
+                             - 2 * list_dot_product(qv, cv)
+                             + list_dot_product(cv, cv), 6) AS d
+                FROM qx CROSS JOIN cx WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id ORDER BY d ASC, vec_id ASC) <= 5
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_exact,
+                       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+                       AS micro_recall_ppm,
+                   CAST(MIN((1000000 * n_hit) // n_exact) AS BIGINT)
+                       AS min_recall_ppm
+            FROM perq
+        """,
         "corpus_preference_pairs": _SQL_PREFERENCE_PAIRS,
         "events_robust_stats": _SQL_EVENTS_ROBUST_STATS,
         "events_session_stats": _SQL_EVENTS_SESSION_STATS,

@@ -63,7 +63,12 @@ from pyspark.sql import functions as F
 
 from nspc_etl_basic_spark.operators.dsir import hashed_token_counts
 
-__all__ = ["train_token_classifier", "classify_tokens", "quality_classifier"]
+__all__ = [
+    "train_token_classifier",
+    "classify_tokens",
+    "quality_classifier",
+    "classifier_agreement",
+]
 
 CLF_SCALE = 1_000_000_000
 
@@ -222,4 +227,100 @@ def quality_classifier(
     )
     return classify_tokens(
         df, weights, sorted(rules), id_col, text_col, n_buckets, salt
+    )
+
+
+def classifier_agreement(
+    df: DataFrame,
+    rules: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """Per-class agreement of the trained scorer with its weak labels —
+    the evaluation row a curation pipeline reads before trusting
+    classifier scores to select data: one row per class,
+    ``(label, n_true, n_pred, n_correct, precision_ppm, recall_ppm,
+    f1_ppm)``, computed over the LABELED slice (docs where the keyword
+    rules fired). High agreement means the hashed-token model
+    recovered the rules' signal (and generalizes it to the unlabeled
+    rest); a class with low recall is under-represented in the hash
+    space — grow n_buckets or the rule list.
+
+    This is train-set agreement, not held-out accuracy: the weak labels
+    are the only supervision that exists at this stage, so the metric
+    reads as "did the model capture the labeling function", the
+    standard sanity gate before fasttext-style corpus scoring.
+
+    All ratios are integer ppm (truncating div on non-negative BIGINTs
+    — exact on both engines); ``f1_ppm`` uses the identity
+    F1 = 2*correct / (pred + true), so no intermediate rounding
+    compounds. Classes never predicted get null precision (0/0), and
+    f1 is null only when pred + true = 0 (cannot happen for a class
+    with training rows).
+
+    Scale: the confusion matrix is ONE groupBy over (label, pred_label)
+    — at most ``len(rules)^2`` rows out of a corpus-sized input, fully
+    map-side combined; the per-class reshape is a literal explode over
+    that tiny frame. Everything upstream is quality_classifier's
+    broadcast-join scoring plan."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    labels = sorted(rules)
+    weak = keyword_labels(df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    pred = quality_classifier(
+        df, rules, id_col, text_col, n_buckets, salt
+    ).select(id_col, "pred_label")
+    conf = (
+        weak.join(pred, id_col)
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_class = (
+        conf.select(
+            "label", "pred_label", "n",
+            F.explode(F.lit(labels)).alias("cls"),
+        )
+        .groupBy("cls")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("label") == F.col("cls"), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("n_true"),
+            F.coalesce(
+                F.sum(F.when(F.col("pred_label") == F.col("cls"), F.col("n"))),
+                F.lit(0),
+            ).cast("long").alias("n_pred"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("label") == F.col("cls"))
+                        & (F.col("pred_label") == F.col("cls")),
+                        F.col("n"),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_correct"),
+        )
+    )
+    return per_class.select(
+        F.col("cls").alias("label"),
+        "n_true",
+        "n_pred",
+        "n_correct",
+        F.when(
+            F.col("n_pred") > 0,
+            F.expr("(1000000 * n_correct) div n_pred"),
+        ).cast("long").alias("precision_ppm"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("(1000000 * n_correct) div n_true"),
+        ).cast("long").alias("recall_ppm"),
+        F.when(
+            (F.col("n_pred") + F.col("n_true")) > 0,
+            F.expr("(2000000 * n_correct) div (n_pred + n_true)"),
+        ).cast("long").alias("f1_ppm"),
     )

@@ -292,6 +292,7 @@ def pq_encode_kernel(
     id_col: str = "vec_id",
     out_col: str = "pq_code",
     quantize_scale: int | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Arrow ``mapInPandas`` encode for production-size codebooks
     (thousands of centroids x hundreds of dims never compile as plan
@@ -302,11 +303,18 @@ def pq_encode_kernel(
     scale), the argmin runs in the fixed-point integer domain: both the
     vector and the codebook are quantized to integer micros, so every
     distance is an exact integer and the codes are deterministic across
-    engines — the oracle-replayable tier for TRAINED codebooks."""
+    engines — the oracle-replayable tier for TRAINED codebooks.
+
+    ``passthrough_cols`` ride through the kernel unchanged (e.g. an IVF
+    cell id computed by the upstream projection): carrying them in the
+    Arrow batch costs bytes-per-row, while the alternative — a separate
+    (id, col) frame joined back on id — costs a corpus-wide SHUFFLE of
+    both sides. Returns (id_col, *passthrough_cols, out_col)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
+    extra = list(passthrough_cols or [])
     cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
     if quantize_scale:
         # codebook entries are micros/scale; this recovers the exact
@@ -316,6 +324,7 @@ def pq_encode_kernel(
     schema = T.StructType(
         [
             df.schema[id_col],
+            *[df.schema[c] for c in extra],
             T.StructField(out_col, T.ArrayType(T.IntegerType())),
         ]
     )
@@ -337,11 +346,13 @@ def pq_encode_kernel(
                 )
                 cols.append(np.argmin(d, axis=1))
             codes = np.stack(cols, axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], out_col: list(codes.tolist())}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in extra:
+                out[c] = pdf[c]
+            out[out_col] = list(codes.tolist())
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, schema)
+    return df.select(id_col, *extra, vec_col).mapInPandas(kernel, schema)
 
 
 def pq_topk(
@@ -437,6 +448,182 @@ def pq_topk(
                 F.aggregate(
                     F.zip_with(
                         F.col(code_col),
+                        F.col("__tbl"),
+                        lambda c, row: F.element_at(row, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    wdw = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wdw))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "adc_dist", F.col("__rk").alias("rank"))
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    max_queries: int = 1000,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """IVF-PQ: the composed FAISS-style index (Jégou et al. 2011,
+    "IVFADC") that is the standard 100 TB ANN deployment — IVF's coarse
+    quantizer prunes WHICH vectors are scored (n_probe/n_cells of the
+    corpus per query) while PQ's codes decide HOW each survivor is
+    scored (m table lookups on an ~8-byte code instead of d float
+    multiplies on a 256-byte vector). Together: compute AND storage drop
+    by orders of magnitude, recall tuned by (n_probe, m, k_sub).
+
+    This variant encodes RAW vectors, not residuals-vs-centroid (FAISS's
+    default refinement): residual encoding changes the training/encode
+    arithmetic but not the distributed plan shape, and the raw-vector
+    form is what the fixed-point determinism contract already covers —
+    the DuckDB oracle replays every code and distance.
+
+    Plan shape (the part that must survive 100 TB):
+    - cell assignment is a PROJECTION (centroid codebook as plan
+      literals — no shuffle), fused into the same scan that feeds the
+      Arrow encode kernel; the cell id rides THROUGH the kernel as a
+      passthrough column, so corpus vectors are read once and never
+      joined back;
+    - the probed-cell filter (``array_contains`` on a per-query literal
+      probe list) lands BEFORE the ADC fold, so non-probed rows are
+      dropped for the cost of a set test, not m lookups;
+    - per-query ADC tables and probe lists are constant-folded literals
+      (the pq_topk contract): the code table is scanned ONCE for all
+      queries, no join anywhere, one window top-k per query id.
+
+    Queries' probe assignment runs SPARK-SIDE with the same round-6
+    sequential-fold cosine as corpus assignment (then collects the
+    bounded query set), so probe boundaries match the oracle's QUALIFY
+    exactly — a driver-side numpy dot could disagree at the 6th digit.
+    """
+    import numpy as np
+
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+    from nspc_etl_basic_spark.operators.similarity import (
+        _ivf_cells_sorted,
+        norm,
+    )
+    from pyspark.sql.window import Window
+
+    cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        id_col,
+        vec_col,
+        F.element_at(
+            _ivf_cells_sorted(F.col(vec_col), centroids, F.col("__n")), 1
+        )["cent_id"].alias("__cell"),
+    )
+    enc = pq_encode_kernel(
+        cells,
+        codebooks,
+        vec_col=vec_col,
+        id_col=id_col,
+        quantize_scale=quantize_scale,
+        passthrough_cols=["__cell"],
+    )
+
+    q_rows = (
+        queries.select(
+            query_id_col,
+            F.col(vec_col),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+        .select(
+            query_id_col,
+            vec_col,
+            F.transform(
+                F.slice(
+                    _ivf_cells_sorted(
+                        F.col(vec_col), centroids, F.col("__n")
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["cent_id"],
+            ).alias("__probes"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_topk: query side exceeds max_queries={max_queries}; "
+            "batch the queries or raise the bound explicitly"
+        )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, adc_dist double, rank int",
+        )
+
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    if quantize_scale:
+        cb = np.floor(cb * quantize_scale + 0.5)
+    m, _kc, w = cb.shape
+    per_query = []
+    for r in q_rows:
+        qv = np.array(r[vec_col], dtype=np.float64)
+        if quantize_scale:
+            qv = np.floor(qv * quantize_scale + 0.5)
+        table = [
+            ((cb[j] - qv[j * w : (j + 1) * w]) ** 2).sum(axis=1).tolist()
+            for j in range(m)
+        ]
+        per_query.append((r[query_id_col], table, list(r["__probes"])))
+
+    qids_lit = F.lit([int(qid) for qid, _t, _p in per_query])
+    tbls_lit = nested_lit(
+        [
+            [[float(x) for x in row] for row in table]
+            for _qid, table, _p in per_query
+        ],
+        "array<array<array<double>>>",
+    )
+    probes_lit = nested_lit(
+        [[int(c) for c in probes] for _qid, _t, probes in per_query],
+        "array<array<bigint>>",
+    )
+    scored = (
+        enc.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.lit(len(per_query))))
+        )
+        # probe filter FIRST: rows outside the query's probed cells are
+        # dropped before any table lookup happens
+        .filter(
+            F.array_contains(
+                F.element_at(probes_lit, F.col("__i")),
+                F.col("__cell").cast("long"),
+            )
+        )
+        .withColumn("__tbl", F.element_at(tbls_lit, F.col("__i")))
+        .select(
+            F.element_at(qids_lit, F.col("__i")).alias(query_id_col),
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("pq_code"),
                         F.col("__tbl"),
                         lambda c, row: F.element_at(row, c + F.lit(1)),
                     ),

@@ -1,0 +1,146 @@
+"""SemDeDup-style SEMANTIC deduplication over an embedding column: the
+curation stage that removes *meaning-level* duplicates MinHash/LSH text
+dedup cannot see (translations, paraphrases, templated rewrites), per
+Abbas et al., "SemDeDup: Data-efficient learning at web-scale through
+semantic deduplication" (arXiv:2303.09540).
+
+The published recipe: k-means-cluster the corpus embeddings, then
+within each cluster mark pairs above a cosine threshold as semantic
+duplicates and keep ONE representative per duplicate group. Clustering
+is what makes the quadratic pair step tractable — pairs are only ever
+formed INSIDE a cluster, so the cost is sum over clusters of |cell|^2
+instead of |corpus|^2.
+
+Engine mapping (every stage an existing, oracle-proven primitive):
+
+1. ``train_ivf_centroids`` (operators/similarity.py) — fixed-point
+   integer Lloyd iterations, so the trained codebook is bit-identical
+   cross-engine and a DuckDB oracle replays it;
+2. cell assignment is a pure PROJECTION (the codebook rides the plan as
+   literals — no shuffle, no join; same contract as ``ivf_topk``);
+3. within-cell candidate pairs: ONE self-equi-join keyed by the 8-byte
+   cell id, ``id_a < id_b``, exact round-6 cosine >= threshold — the
+   same verify arithmetic as ``embedding_neardup``;
+4. duplicate groups: ``neardup_components`` min-label propagation with
+   pointer jumping (pairs never cross cells, so components are
+   cell-local by construction — the iteration runs on the candidate
+   graph, never the corpus);
+5. keep rule: the group's MINIMUM id survives (deterministic; the
+   paper keeps a random/centroid-farthest member — min-id is the
+   engine-wide tie rule and equally valid for dedup semantics).
+
+100 TB stance: the embedding payload is touched by exactly two corpus
+passes (training partials + assignment projection) and ONE shuffle (the
+cell-keyed self-join); propagation shuffles only (id, label) pairs of
+the candidate graph. ``n_cells`` must grow with the corpus — the paper
+uses tens of thousands of clusters at web scale so each cell holds
+O(10^4) vectors and the in-cell quadratic stays bounded; 16 cells is
+the test-scale setting, not the production one. A degenerate cell
+(zero vectors, saturated embeddings) concentrating the self-join is the
+same hot-key shape as LSH's ``max_bucket_size`` guard — cap cells with
+``max_cell_size`` when the embedding distribution is untrusted.
+
+Reference parity: no counterpart in /root/reference — extension surface
+(LLM-pipeline family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nspc_etl_basic_spark.operators.dedup import neardup_components
+from nspc_etl_basic_spark.operators.similarity import (
+    _ivf_cells_sorted,
+    dot,
+    norm,
+    train_ivf_centroids,
+)
+
+__all__ = ["semantic_dedup"]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 3,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """One row per input vector: ``(id_col, cell, group_id, keep)``
+    where ``cell`` is the trained-k-means cluster, ``group_id`` is the
+    minimum id in the vector's semantic-duplicate group (connected
+    component of the within-cell cosine >= threshold graph; singletons
+    map to themselves), and ``keep`` marks the group representative —
+    filtering on ``keep`` IS the SemDeDup corpus.
+
+    Pass ``centroids`` to reuse an already-trained codebook (e.g. the
+    one IVF search trained); otherwise ``train_ivf_centroids`` runs
+    here with the engine's fixed-point determinism contract.
+    ``max_cell_size`` drops cells larger than the cap BEFORE the
+    self-join (dropped vectors keep cell/group/keep semantics as
+    singletons) — the hot-key guard for degenerate clusterings.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cents = centroids or train_ivf_centroids(
+        emb, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
+    )
+    assigned = emb.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        id_col,
+        "__v",
+        "__n",
+        F.element_at(
+            _ivf_cells_sorted(F.col("__v"), cents, F.col("__n")), 1
+        )["cent_id"].alias("cell"),
+    )
+    pairable = assigned
+    if max_cell_size is not None:
+        w = Window.partitionBy("cell")
+        pairable = (
+            assigned.withColumn("__csz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__csz") <= max_cell_size)
+            .drop("__csz")
+        )
+    a = pairable.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = pairable.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    comps = neardup_components(
+        assigned.select(id_col), pairs, id_col=id_col
+    ).select(F.col(id_col), F.col("component_id").alias("group_id"))
+    return (
+        assigned.select(id_col, "cell")
+        .join(comps, id_col)
+        .select(
+            id_col,
+            F.col("cell").cast("long").alias("cell"),
+            F.col("group_id").cast("long").alias("group_id"),
+            (F.col(id_col) == F.col("group_id")).alias("keep"),
+        )
+    )

@@ -150,6 +150,92 @@ def test_train_validation(spark):
         train_token_classifier(train, ["a"], "text", "label", n_buckets=0)
 
 
+def test_classifier_agreement_hand_computed(spark):
+    """Agreement metrics against a corpus where the rules separate
+    perfectly: the scorer must recover its own labeling function, so
+    every per-class row reads precision = recall = f1 = 1e6 ppm."""
+    from nspc_etl_basic_spark.operators.classifier import classifier_agreement
+
+    rows = [
+        (1, "apple apple fruit"), (2, "apple pie"),
+        (3, "motor engine"), (4, "motor oil"),
+        (5, "nothing relevant here"),  # unlabeled: excluded from eval
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rules = {"fruitish": ["apple"], "carish": ["motor"]}
+    got = {
+        r["label"]: r
+        for r in classifier_agreement(
+            docs, rules, n_buckets=256, salt="agree"
+        ).collect()
+    }
+    assert set(got) == {"carish", "fruitish"}
+    for lab, r in got.items():
+        assert r["n_true"] == 2 and r["n_pred"] == 2 and r["n_correct"] == 2
+        assert r["precision_ppm"] == 1_000_000
+        assert r["recall_ppm"] == 1_000_000
+        assert r["f1_ppm"] == 1_000_000
+
+
+def test_classifier_agreement_matches_reference_confusion(spark):
+    """The agreement row set must equal a confusion matrix computed
+    directly from keyword_labels + quality_classifier outputs — the
+    operator is an aggregation, not a new model."""
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_agreement,
+        quality_classifier,
+    )
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    rows = [
+        (i, t) for i, t in enumerate(
+            ["zeta zeta rare", "zeta zeta", "rare rare", "zeta rare rare",
+             "nothing", "zeta", "rare", "zeta zeta zeta rare rare"]
+        )
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    rules = {"common": ["zeta"], "rare": ["rare"]}
+    weak = {
+        r["doc_id"]: r["label"]
+        for r in keyword_labels(docs, "doc_id", "text", rules).collect()
+    }
+    pred = {
+        r["doc_id"]: r["pred_label"]
+        for r in quality_classifier(
+            docs, rules, n_buckets=64, salt="dis"
+        ).collect()
+    }
+    expected = {}
+    for lab in rules:
+        labeled = [d for d, w in weak.items() if w is not None]
+        n_true = sum(1 for d in labeled if weak[d] == lab)
+        n_pred = sum(1 for d in labeled if pred[d] == lab)
+        n_corr = sum(1 for d in labeled if weak[d] == lab and pred[d] == lab)
+        expected[lab] = (n_true, n_pred, n_corr)
+    got = {
+        r["label"]: r
+        for r in classifier_agreement(
+            docs, rules, n_buckets=64, salt="dis"
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for lab, (n_true, n_pred, n_corr) in expected.items():
+        r = got[lab]
+        assert (r["n_true"], r["n_pred"], r["n_correct"]) == (
+            n_true, n_pred, n_corr
+        )
+        assert r["precision_ppm"] == (
+            1_000_000 * n_corr // n_pred if n_pred else None
+        )
+        assert r["recall_ppm"] == (
+            1_000_000 * n_corr // n_true if n_true else None
+        )
+        assert r["f1_ppm"] == (
+            2_000_000 * n_corr // (n_pred + n_true)
+            if n_pred + n_true else None
+        )
+
+
 def test_classifier_handles_null_text(spark):
     # a null text column must not drop the row: zero scores, null label
     from pyspark.sql import functions as F

@@ -122,3 +122,72 @@ def test_adc_topk_recall_vs_exact(emb):
 def test_dim_not_divisible_raises(emb):
     with pytest.raises(ValueError):
         pq_seed_codebooks(emb, m=7, k=4)
+
+
+def test_encode_kernel_passthrough_cols(emb):
+    books = pq_seed_codebooks(emb, m=8, k=16)
+    tagged = emb.withColumn("tag", (F.col("vec_id") % 7).cast("long"))
+    out = pq_encode_kernel(tagged, books, passthrough_cols=["tag"])
+    assert out.columns == ["vec_id", "tag", "pq_code"]
+    rows = out.collect()
+    assert all(r["tag"] == r["vec_id"] % 7 for r in rows)
+    # codes identical to the no-passthrough encode
+    plain = {
+        r["vec_id"]: r["pq_code"]
+        for r in pq_encode_kernel(emb, books).collect()
+    }
+    assert all(plain[r["vec_id"]] == r["pq_code"] for r in rows)
+
+
+def test_ivfpq_topk_probed_subset_and_recall(emb):
+    """IVF-PQ results must be a SUBSET of the unpruned ADC ranking
+    universe (only probed cells are scored) and still carry most of the
+    exact top-5 — the composed-index contract."""
+    from nspc_etl_basic_spark.operators.pq import ivfpq_topk
+    from nspc_etl_basic_spark.operators.similarity import (
+        KMEANS_SCALE,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, n_cells=8, n_iter=3)
+    books = train_pq_codebooks(emb, m=16, k=16, n_iter=3)
+    queries = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    got = ivfpq_topk(
+        emb, queries, cents, books, k=25, n_probe=8,
+        quantize_scale=KMEANS_SCALE,
+    ).cache()
+    try:
+        # n_probe == n_cells scores the whole corpus: must equal the
+        # flat ADC ranking over kernel-encoded codes
+        flat = pq_topk(
+            pq_encode_kernel(emb, books, quantize_scale=KMEANS_SCALE),
+            queries, books, k=25, quantize_scale=KMEANS_SCALE,
+        )
+        a = {(r["query_id"], r["vec_id"], r["rank"]) for r in got.collect()}
+        b = {(r["query_id"], r["vec_id"], r["rank"]) for r in flat.collect()}
+        assert a == b
+    finally:
+        got.unpersist()
+    # pruned probes: every query still yields rows, and fewer cells
+    # scored means results only come from probed cells
+    pruned = ivfpq_topk(
+        emb, queries, cents, books, k=25, n_probe=2,
+        quantize_scale=KMEANS_SCALE,
+    )
+    counts = {r["query_id"]: r["count"]
+              for r in pruned.groupBy("query_id").count().collect()}
+    assert counts and all(c <= 25 for c in counts.values())
+
+
+def test_ivfpq_query_bound_raises(emb):
+    from nspc_etl_basic_spark.operators.pq import ivfpq_topk
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=4, n_iter=1)
+    books = pq_seed_codebooks(emb, m=8, k=8)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        ivfpq_topk(emb, queries, cents, books, max_queries=3)

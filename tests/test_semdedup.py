@@ -1,0 +1,89 @@
+"""SemDeDup semantic dedup (operators/semdedup.py): keep/drop
+semantics, group transitivity, cell locality, hot-cell guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nspc_etl_basic_spark.operators.semdedup import semantic_dedup
+
+
+@pytest.fixture(scope="module")
+def emb(request):
+    spark = request.getfixturevalue("spark")
+    sf_dir = request.getfixturevalue("sf_dir")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _hand_emb(spark):
+    # two tight direction-clusters + one outlier; 4-dim vectors
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+        (3, [0.98, 0.0, 0.02, 0.0]),   # near-dup of 1
+        (4, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.0, 0.97, 0.03, 0.0]),   # near-dup of 4
+        (6, [0.0, 0.0, 0.0, 1.0]),     # singleton
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_hand_groups_and_keep(spark):
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            _hand_emb(spark), n_cells=3, n_iter=2, threshold=0.9
+        ).collect()
+    }
+    assert len(out) == 6  # one row per vector, singletons included
+    # group ids are min-id representatives; keep marks exactly them
+    for vid, r in out.items():
+        assert r["keep"] == (vid == r["group_id"])
+    # 1-2-3 share a group iff they share a cell (pairs never cross
+    # cells); whatever the clustering did, group members must be
+    # cell-consistent and every group id must be a member's id
+    groups: dict = {}
+    for vid, r in out.items():
+        groups.setdefault(r["group_id"], []).append(vid)
+    for gid, members in groups.items():
+        assert gid == min(members)
+        cells = {out[m]["cell"] for m in members}
+        assert len(cells) == 1, f"group {gid} spans cells {cells}"
+    # the orthogonal outlier can never join a >=0.9-cosine group
+    assert out[6]["group_id"] == 6 and out[6]["keep"] is True
+
+
+def test_keep_count_matches_group_count(emb):
+    sd = semantic_dedup(emb, n_cells=16, n_iter=2, threshold=0.3)
+    sd = sd.cache()
+    try:
+        n = sd.count()
+        assert n == emb.count()
+        n_groups = sd.select("group_id").distinct().count()
+        assert sd.filter("keep").count() == n_groups
+    finally:
+        sd.unpersist()
+
+
+def test_reused_centroids_and_hot_cell_guard(spark):
+    df = _hand_emb(spark)
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(df, n_cells=2, n_iter=2)
+    base = semantic_dedup(df, threshold=0.9, centroids=cents)
+    # max_cell_size below any cell size -> no pairs form, everyone a
+    # singleton representative, but every vector still gets a row
+    guarded = semantic_dedup(
+        df, threshold=0.9, centroids=cents, max_cell_size=1
+    )
+    assert guarded.count() == 6
+    assert guarded.filter("keep").count() == 6
+    assert base.count() == 6
+
+
+def test_threshold_validation(spark):
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(_hand_emb(spark), threshold=0.0)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(_hand_emb(spark), threshold=1.5)
