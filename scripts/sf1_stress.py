@@ -48,6 +48,10 @@ HEAVY = [
     "corpus_pack_multimodal",
     "corpus_quality_classifier",
     "sim_ann_ivf_trained",
+    # round 9 additions
+    "corpus_semantic_dedup",  # trained k-means + within-cell pairs + CC
+    "sim_ann_ivfpq",          # IVF prune + PQ ADC + exact-recall tier
+    "corpus_classifier_eval",
 ]
 
 
