@@ -279,6 +279,15 @@ def classifier_agreement(
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    # seed a zero row per class so every class emits a row even when NO
+    # rule fired anywhere (an empty confusion frame would otherwise
+    # yield an empty eval instead of all-zero metrics — the oracle's
+    # labels-table left join keeps the per-class rows, so must we)
+    zero_rows = df.sparkSession.createDataFrame(
+        [(lab, None, 0) for lab in labels],
+        "label string, pred_label string, n long",
+    )
+    conf = conf.unionByName(zero_rows)
     per_class = (
         conf.select(
             "label", "pred_label", "n",

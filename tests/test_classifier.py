@@ -236,6 +236,29 @@ def test_classifier_agreement_matches_reference_confusion(spark):
         )
 
 
+def test_classifier_agreement_no_labels_yields_zero_rows(spark):
+    """When no rule fires anywhere, the eval must still emit one
+    all-zero row per class (null ratios), not an empty frame."""
+    from nspc_etl_basic_spark.operators.classifier import classifier_agreement
+
+    docs = spark.createDataFrame(
+        [(1, "nothing matches"), (2, "still nothing")], ["doc_id", "text"]
+    )
+    rules = {"a": ["qqq"], "b": ["zzz"]}
+    got = {
+        r["label"]: r
+        for r in classifier_agreement(
+            docs, rules, n_buckets=64, salt="none"
+        ).collect()
+    }
+    assert set(got) == {"a", "b"}
+    for r in got.values():
+        assert (r["n_true"], r["n_pred"], r["n_correct"]) == (0, 0, 0)
+        assert r["precision_ppm"] is None
+        assert r["recall_ppm"] is None
+        assert r["f1_ppm"] is None
+
+
 def test_classifier_handles_null_text(spark):
     # a null text column must not drop the row: zero scores, null label
     from pyspark.sql import functions as F
