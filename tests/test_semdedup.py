@@ -82,6 +82,77 @@ def test_reused_centroids_and_hot_cell_guard(spark):
     assert base.count() == 6
 
 
+def test_randomized_vs_bruteforce_reference(spark):
+    """With a FIXED centroid list (assignment replicated in numpy:
+    round-6 cosine argmax, ties to the lowest cell), the operator must
+    equal a brute-force union-find over within-cell threshold pairs."""
+    import numpy as np
+
+    rng = np.random.default_rng(90816)
+    n, dim = 60, 8
+    vecs = rng.normal(size=(n, dim))
+    cents = [(c, [float(x) for x in rng.normal(size=dim)]) for c in range(4)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            df, threshold=0.35, centroids=cents
+        ).collect()
+    }
+
+    # reference: same assignment rule
+    def cell_of(v):
+        scores = []
+        for cid, cv in cents:
+            cva = np.array(cv)
+            s = round(float(np.dot(v, cva))
+                      / (float(np.linalg.norm(v)) * float(np.linalg.norm(cva))), 6)
+            scores.append((-s, cid))
+        return min(scores)[1]
+
+    cells = {i: cell_of(vecs[i]) for i in range(n)}
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cells[i] != cells[j]:
+                continue
+            cos = round(
+                float(np.dot(vecs[i], vecs[j]))
+                / (float(np.linalg.norm(vecs[i])) * float(np.linalg.norm(vecs[j]))),
+                6,
+            )
+            if cos >= 0.35:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    groups: dict = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    expected = {}
+    for members in groups.values():
+        rep = min(members)
+        for m in members:
+            expected[m] = rep
+    assert len(got) == n
+    mismatches = [
+        i for i in range(n)
+        if got[i]["group_id"] != expected[i]
+        or got[i]["cell"] != cells[i]
+        or got[i]["keep"] != (i == expected[i])
+    ]
+    assert not mismatches, mismatches
+
+
 def test_threshold_validation(spark):
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(_hand_emb(spark), threshold=0.0)
