@@ -2561,6 +2561,37 @@ def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=16, n_iter=3, threshold=0.3)
 
 
+def corpus_semantic_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest SemDeDup (semdedup.semantic_dedup_incremental,
+    round 9): vec_id % 10 == 0 arrives as the new batch against the
+    rest as the existing deduped corpus. The coarse codebook is trained
+    ONCE on the base (frozen — the incremental contract), the base run's
+    group labels are merged with the batch's batch-batch and batch-base
+    within-cell pairs via incremental_components' contraction (corpus
+    label table scanned exactly twice against broadcast batch-sized
+    sides; the fixpoint runs on the contracted batch graph only), and
+    the result is EXACTLY the from-scratch semantic_dedup over the full
+    corpus with the same codebook — which is what the oracle replays
+    (k-means trained on the base slice, assignment/pairs/components
+    over everything)."""
+    from nspc_etl_basic_spark.operators.semdedup import (
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = train_ivf_centroids(base, n_cells=16, n_iter=3)
+    existing = semantic_dedup(base, centroids=cents, threshold=0.3).select(
+        "vec_id", "group_id"
+    )
+    return semantic_dedup_incremental(
+        base, batch, existing, cents, threshold=0.3
+    )
+
+
 def sim_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index (operators/pq.ivfpq_topk, round 9) — the
     FAISS-style IVFADC deployment: trained IVF coarse quantizer prunes
@@ -5318,6 +5349,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_quality_select": corpus_quality_select_q,
         "corpus_classifier_eval": corpus_classifier_eval_q,
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
+        "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
@@ -5776,7 +5808,11 @@ def _materialize_ctes(parts: list[str]) -> str:
 
 
 def _sql_ivf_kmeans_ctes(
-    n_cells: int = 16, n_iter: int = 3, dim: int = 64, scale: int = 1_000_000
+    n_cells: int = 16,
+    n_iter: int = 3,
+    dim: int = 64,
+    scale: int = 1_000_000,
+    table: str = "embeddings",
 ) -> str:
     """CTE chain (no WITH keyword) replaying train_ivf_centroids'
     fixed-point Lloyd iterations exactly: quantize to integer micros,
@@ -5784,18 +5820,19 @@ def _sql_ivf_kmeans_ctes(
     (dots of integer-micro vectors are exact < 2^53, so engine
     summation order is irrelevant), update by round-half-up integer
     floor-div. Ends in ``ivf_cents(cent_id, cvec)`` — the bit-identical
-    twin of the Spark-trained codebook."""
+    twin of the Spark-trained codebook. ``table`` is the training
+    SOURCE (a table name or parenthesized subquery) — the incremental
+    semantic-dedup oracle trains on the base slice only."""
     parts = [
         f"""__vq AS (
             SELECT vec_id,
                    list_transform(embedding::DOUBLE[],
                        x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS v
-            FROM embeddings
+            FROM {table}
         )""",
         f"""__dims AS (SELECT unnest(generate_series(1, {dim})) AS d)""",
         f"""__cb0 AS (
-            SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-                   v AS c
+            SELECT CAST(vec_id AS INTEGER) AS cell, v AS c
             FROM (SELECT vec_id, v FROM __vq ORDER BY vec_id LIMIT {n_cells})
         )""",
     ]
@@ -10257,6 +10294,49 @@ def oracle_sql() -> dict[str, str]:
         # components -> min-id representative
         "corpus_semantic_dedup": f"""
             WITH RECURSIVE {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            sem_pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM c_assign a JOIN c_assign b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine('a.cv', 'b.cv')} >= 0.3
+            ),
+            sem_edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sem_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM sem_pairs
+            ),
+            reach(node, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN sem_edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS group_id
+                FROM reach GROUP BY node
+            )
+            SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell,
+                   m.group_id, (c.vec_id = m.group_id) AS keep
+            FROM c_assign c JOIN comp m USING (vec_id)
+            ORDER BY c.vec_id
+        """,
+        # incremental SemDeDup == from-scratch rebuild with the frozen
+        # base-trained codebook (the incremental_components contraction
+        # contract), so the oracle IS the from-scratch replay: k-means
+        # over the base slice, assignment/pairs/components over all
+        "corpus_semantic_dedup_incr": f"""
+            WITH RECURSIVE {_sql_ivf_kmeans_ctes(
+                n_cells=16, n_iter=3,
+                table="(SELECT * FROM embeddings WHERE vec_id % 10 != 0)",
+            )},
             c_assign AS (
                 SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
                 FROM embeddings e CROSS JOIN ivf_cents

@@ -50,7 +50,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nspc_etl_basic_spark.operators.dedup import neardup_components
+from nspc_etl_basic_spark.operators.dedup import (
+    incremental_components,
+    neardup_components,
+)
 from nspc_etl_basic_spark.operators.similarity import (
     _ivf_cells_sorted,
     dot,
@@ -58,7 +61,29 @@ from nspc_etl_basic_spark.operators.similarity import (
     train_ivf_centroids,
 )
 
-__all__ = ["semantic_dedup"]
+__all__ = ["semantic_dedup", "semantic_dedup_incremental"]
+
+
+def _assign_cells(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __v, __n, cell): frozen-codebook cell assignment — a pure
+    projection (the codebook rides the plan as literals)."""
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        id_col,
+        "__v",
+        "__n",
+        F.element_at(
+            _ivf_cells_sorted(F.col("__v"), centroids, F.col("__n")), 1
+        )["cent_id"].alias("cell"),
+    )
 
 
 def semantic_dedup(
@@ -90,18 +115,7 @@ def semantic_dedup(
     cents = centroids or train_ivf_centroids(
         emb, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
     )
-    assigned = emb.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("__v"),
-        norm(F.col(vec_col)).alias("__n"),
-    ).select(
-        id_col,
-        "__v",
-        "__n",
-        F.element_at(
-            _ivf_cells_sorted(F.col("__v"), cents, F.col("__n")), 1
-        )["cent_id"].alias("cell"),
-    )
+    assigned = _assign_cells(emb, cents, id_col, vec_col)
     # materialize the assignment ONCE: three consumers read it (both
     # self-join branches and the final group attach), and the n_cells
     # higher-order-fold scoring is the dominant compute — recomputing
@@ -151,4 +165,96 @@ def semantic_dedup(
             F.col("group_id").cast("long").alias("group_id"),
             (F.col(id_col) == F.col("group_id")).alias("keep"),
         )
+    )
+
+
+def semantic_dedup_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    existing_labels: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Continuous-ingest SemDeDup: merge a NEW embedding batch into
+    EXISTING semantic-duplicate groups without recomputing the corpus
+    fixpoint — the same incremental story the text tier already has
+    (``incremental_lsh_pairs`` + ``incremental_components``), now for
+    the embedding tier. Returns ``(id_col, cell, group_id, keep)`` for
+    EVERY vector, existing and new.
+
+    ``centroids`` must be the base run's FROZEN codebook (coarse
+    quantizers are trained once and reused — retraining per batch
+    would move cell boundaries and silently change which pairs are
+    even candidates); ``existing_labels`` is the base run's
+    ``(id_col, group_id)`` output. Under that contract the result is
+    EXACTLY the from-scratch ``semantic_dedup(base ∪ batch,
+    centroids=centroids)`` (pinned by tests/test_semdedup.py): the
+    batch contributes batch-batch and batch-base within-cell pairs,
+    and base-base connectivity is already encoded in the labels, so
+    ``incremental_components``' contraction argument applies verbatim
+    (group ids are min member ids, the invariant contraction needs).
+
+    Scale: the batch assignment is a projection over the BATCH; the
+    only corpus-proportional work is re-deriving the base assignment
+    projection for the batch-base candidate join and the final cell
+    attach (at production scale persist the base run's (id, cell)
+    table and hand it in as ``base`` with the vectors — the join
+    structure is unchanged). The candidate joins key on the 8-byte
+    cell id with the BATCH side broadcast; the fixpoint runs on the
+    contracted batch graph only; the corpus-sized label table is
+    scanned exactly twice against broadcast batch-sized sides
+    (the ``incremental_components`` contract)."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base_a = _assign_cells(base, centroids, id_col, vec_col)
+    # the batch is read by three consumers (two pair joins + the cell
+    # attach) and is small by definition — materialize once
+    batch_a = _assign_cells(batch, centroids, id_col, vec_col)
+    batch_a = batch_a.localCheckpoint(eager=True)
+
+    def _side(df: DataFrame, suffix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"id_{suffix}"),
+            F.col("__v").alias(f"__v{suffix}"),
+            F.col("__n").alias(f"__n{suffix}"),
+            "cell",
+        )
+
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6
+    )
+    batch_batch = (
+        _side(batch_a, "a")
+        .join(_side(batch_a, "b"), "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    # batch x base: orientation is irrelevant to the component merge;
+    # the batch side is broadcast so the corpus never shuffles
+    batch_base = (
+        F.broadcast(_side(batch_a, "a"))
+        .join(_side(base_a, "b"), "cell")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    pairs = batch_batch.unionByName(batch_base).select("id_a", "id_b")
+    labels = incremental_components(
+        batch_a.select(id_col),
+        pairs,
+        existing_labels.select(
+            F.col(id_col), F.col("group_id").alias("component_id")
+        ),
+        id_col=id_col,
+    )
+    cells = base_a.select(id_col, "cell").unionByName(
+        batch_a.select(id_col, "cell")
+    )
+    return cells.join(labels, id_col).select(
+        id_col,
+        F.col("cell").cast("long").alias("cell"),
+        F.col("component_id").cast("long").alias("group_id"),
+        (F.col(id_col) == F.col("component_id")).alias("keep"),
     )

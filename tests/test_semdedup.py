@@ -153,6 +153,80 @@ def test_randomized_vs_bruteforce_reference(spark):
     assert not mismatches, mismatches
 
 
+def test_incremental_equals_from_scratch(emb):
+    """semantic_dedup_incremental(base, batch, labels(base), frozen
+    cents) must equal semantic_dedup(base ∪ batch, same cents) EXACTLY
+    — the incremental_components contraction contract, end to end."""
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = train_ivf_centroids(base, n_cells=8, n_iter=2)
+    existing = semantic_dedup(base, centroids=cents, threshold=0.3).select(
+        "vec_id", "group_id"
+    )
+    incr = {
+        r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+        for r in semantic_dedup_incremental(
+            base, batch, existing, cents, threshold=0.3
+        ).collect()
+    }
+    full = {
+        r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+        for r in semantic_dedup(
+            emb, centroids=cents, threshold=0.3
+        ).collect()
+    }
+    assert incr == full
+
+
+def test_incremental_merges_across_old_components(spark):
+    """A batch doc chaining two old groups must merge them under the
+    min id, and a batch doc with a smaller id than its group's old
+    representative must TAKE the representation."""
+    from nspc_etl_basic_spark.operators.semdedup import (
+        semantic_dedup_incremental,
+    )
+
+    # one centroid -> one cell: connectivity is purely threshold-driven
+    cents = [(0, [1.0, 0.0, 0.0, 0.0])]
+    base = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0, 0.0]),
+            (11, [0.999, 0.045, 0.0, 0.0]),   # ~cos 0.999 with 10
+            (20, [0.0, 0.0, 1.0, 0.0]),
+            (21, [0.0, 0.0, 0.999, 0.045]),   # ~cos 0.999 with 20
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    existing = spark.createDataFrame(
+        [(10, 10), (11, 10), (20, 20), (21, 20)],
+        "vec_id long, group_id long",
+    )
+    # batch doc 5: halfway between the two groups' directions, close
+    # enough to both to chain them; its id is the new global min
+    import math
+
+    s = 1 / math.sqrt(2)
+    batch = spark.createDataFrame(
+        [(5, [s, 0.0, s, 0.0])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup_incremental(
+            base, batch, existing, cents, threshold=0.7
+        ).collect()
+    }
+    assert len(out) == 5
+    assert {r["group_id"] for r in out.values()} == {5}
+    assert [v for v, r in out.items() if r["keep"]] == [5]
+
+
 def test_threshold_validation(spark):
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(_hand_emb(spark), threshold=0.0)
