@@ -50,6 +50,7 @@ HEAVY = [
     "sim_ann_ivf_trained",
     # round 9 additions
     "corpus_semantic_dedup",  # trained k-means + within-cell pairs + CC
+    "corpus_semantic_dedup_incr",  # frozen codebook + contraction merge
     "sim_ann_ivfpq",          # IVF prune + PQ ADC + exact-recall tier
     "corpus_classifier_eval",
 ]
