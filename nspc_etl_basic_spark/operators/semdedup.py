@@ -188,7 +188,11 @@ def semantic_dedup_incremental(
     quantizers are trained once and reused — retraining per batch
     would move cell boundaries and silently change which pairs are
     even candidates); ``existing_labels`` is the base run's
-    ``(id_col, group_id)`` output. Under that contract the result is
+    ``(id_col, group_id)`` output. ``base`` and ``batch`` must be
+    id-DISJOINT: a re-ingested id already lives in ``base`` /
+    ``existing_labels`` (where ``incremental_components`` contracts it
+    to its existing component and stays idempotent) — feeding it
+    through ``batch`` as well would emit its cell row twice. Under that contract the result is
     EXACTLY the from-scratch ``semantic_dedup(base ∪ batch,
     centroids=centroids)`` (pinned by tests/test_semdedup.py): the
     batch contributes batch-batch and batch-base within-cell pairs,
