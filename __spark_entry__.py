@@ -2561,6 +2561,26 @@ def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, n_cells=16, n_iter=3, threshold=0.3)
 
 
+def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (operators/retrieval.bm25_topk, round 9):
+    every 100th document's text as a query against the full corpus —
+    the dedup-by-retrieval / decontamination-sweep search tier. Per-term
+    contributions are rounded to integer micros and summed as BIGINTs,
+    so the score — and therefore the ranking — is exactly
+    order-independent and the oracle replays it bit-for-bit (ln rides
+    the tfidf precedent; the micros rounding absorbs it). Plan: one
+    corpus text scan; DF/doc-length as windows over the TF triples; the
+    query-terms probe is a broadcast inverted-index join; N/avgdl are
+    1-row scalar broadcasts."""
+    from nspc_etl_basic_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def corpus_semantic_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest SemDeDup (semdedup.semantic_dedup_incremental,
     round 9): vec_id % 10 == 0 arrives as the new batch against the
@@ -5351,6 +5371,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
+        "text_bm25_topk": text_bm25_topk_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
         "events_session_stats": events_session_stats_q,
@@ -9876,6 +9897,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             )
             SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 5
+        """,
+        # BM25 with integer-micros per-term contributions: the BIGINT
+        # score sum is order-independent, so value-hash parity is exact
+        "text_bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            stats AS (
+                SELECT doc_id, token, tf,
+                       SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+                       COUNT(*) OVER (PARTITION BY token) AS df
+                FROM tf
+            ),
+            g AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM toks)
+                           AS total_tokens
+            ),
+            qt AS (
+                SELECT DISTINCT query_id, token
+                FROM (
+                    SELECT doc_id AS query_id,
+                           unnest({_sql_word_tokens('text')}) AS token
+                    FROM documents WHERE doc_id % 100 = 0
+                )
+            ),
+            scored AS (
+                SELECT q.query_id, s.doc_id,
+                       CAST(SUM(CAST(round(
+                           ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+                           * (s.tf * 2.2
+                              / (s.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                  / (CAST(g.total_tokens AS DOUBLE) / g.n))))
+                           * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+                FROM stats s JOIN qt q USING (token) CROSS JOIN g
+                GROUP BY q.query_id, s.doc_id
+            )
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id ASC) AS INTEGER)
+                       AS rank
+            FROM scored
+            QUALIFY rank <= 5
         """,
         "text_bigrams": f"""
             SELECT bigram, count(*) AS n

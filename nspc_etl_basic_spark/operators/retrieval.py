@@ -1,0 +1,119 @@
+"""BM25 ranked retrieval over the document corpus — the lexical search
+tier a training-data pipeline uses for dedup-by-retrieval, test-set
+decontamination sweeps, and targeted corpus audits ("show me documents
+like this one"), per Robertson & Zaragoza, "The Probabilistic Relevance
+Framework: BM25 and Beyond" (2009); the idf form is Lucene's
+non-negative variant.
+
+    score(q, d) = sum over terms t in q of
+        idf(t) * tf(t, d) * (k1 + 1)
+                 / (tf(t, d) + k1 * (1 - b + b * dl(d) / avgdl))
+    idf(t) = ln((N - df(t) + 0.5) / (df(t) + 0.5) + 1)
+
+Determinism contract: each TERM's contribution is rounded to integer
+MICROS (``round(x * 1e6)`` as BIGINT — the pq.py quantization-error
+precedent) and the per-(query, doc) score is an INTEGER sum, so the
+ranking is exactly order-independent and a DuckDB oracle replays every
+score bit-for-bit. (A raw double sum would depend on engine summation
+order; ln itself is IEEE-stable across both engines at the inputs the
+micros rounding then absorbs — the ``tfidf_topk`` precedent.)
+
+Scale: the same shuffle inventory as ``text.tfidf_topk`` plus one
+token-keyed join — (doc, token) for TF (map-side combined), token for
+DF, token for the query-terms inverted-index probe (query side
+broadcast — it is query-sized, never corpus-sized), (query, doc) for
+the score aggregate, query for the final top-k window. One corpus text
+scan; N and avgdl are 1-row aggregates broadcast into the plan
+(scalar-subquery shape). Nothing is all-pairs: a query only meets the
+documents that share a term with it.
+
+Reference parity: no counterpart in /root/reference — extension surface
+(LLM-pipeline family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from nspc_etl_basic_spark.operators.text import word_tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Top-k documents per query by BM25: ``(query_id, doc_id,
+    score_micro, rank)`` with ``score_micro`` the integer-micros BM25
+    score (see module contract) and rank ties broken by ascending
+    doc id. Queries with no term overlap anywhere yield no rows —
+    retrieval semantics, not an error."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = docs.select(
+        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    # doc length and document frequency as windows over the TF triples:
+    # one corpus scan feeds everything (the tfidf_topk plan argument)
+    with_stats = tf.withColumn(
+        "dl", F.sum("tf").over(Window.partitionBy(id_col))
+    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    globals_row = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+    ).crossJoin(
+        F.broadcast(
+            toks.agg(F.count(F.lit(1)).cast("long").alias("__total_tokens"))
+        )
+    )
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(word_tokens(F.col(query_text_col))).alias("token"),
+    ).distinct()
+    # inverted-index probe: the (query, token) side is query-sized
+    hits = with_stats.join(F.broadcast(q_terms), "token")
+    idf = F.log(
+        (
+            (F.col("__n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        + F.lit(1.0)
+    )
+    # avgdl = total corpus tokens / N, exact in double (both BIGINT)
+    avgdl = F.col("__total_tokens") / F.col("__n")
+    saturation = (
+        F.col("tf")
+        * F.lit(float(k1) + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (F.lit(1.0 - float(b)) + F.lit(float(b)) * F.col("dl") / avgdl)
+        )
+    )
+    contrib = F.round(idf * saturation * F.lit(1e6)).cast("long")
+    scored = (
+        hits.crossJoin(F.broadcast(globals_row))
+        .select(query_id_col, id_col, contrib.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("__c").cast("long").alias("score_micro"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score_micro", F.col("rank").cast("int").alias("rank"))
+    )
