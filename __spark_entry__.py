@@ -5107,6 +5107,67 @@ def stream_novelty_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_semdedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup (streaming/semdedup.py) driver-oracled:
+    embeddings replay as three vec_id terciles, each micro-batch
+    assigned with the FROZEN full-corpus codebook, paired within cells
+    against the batch and the persistent label store (store side pruned
+    by cell, batch side broadcast), and absorbed via
+    incremental_components' contraction; only moved labels rewrite
+    store buckets. By induction the union of pair sets over batches is
+    the full within-cell pair set, so the drained store equals the
+    from-scratch semantic_dedup with the same codebook — the oracle IS
+    corpus_semantic_dedup's replay SQL. Store merges are last-wins on
+    vec_id and re-ingested ids contract to their existing components,
+    so batch replays are idempotent."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.operators import semdedup as _sd_m
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+    from nspc_etl_basic_spark.streaming import semdedup as _ssd_m
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work, done = _replay_work_dir(
+        sf_dir, "semdedup", "embeddings",
+        code=_replay_code_hash(stream_semdedup_replay_q, _ssd_m, _sd_m),
+    )
+    store_path = os.path.join(work, "store")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+        row = emb.agg(
+            F.min("vec_id").alias("lo"), F.max("vec_id").alias("hi")
+        ).first()
+        lo, hi = int(row["lo"]), int(row["hi"])
+        third = (hi - lo + 1) // 3
+        b1, b2 = lo + third, lo + 2 * third
+        slices = [
+            emb.where(F.col("vec_id") < b1),
+            emb.where((F.col("vec_id") >= b1) & (F.col("vec_id") < b2)),
+            emb.where(F.col("vec_id") >= b2),
+        ]
+        store = label_store_table(spark, store_path)
+        _drain_slices(
+            spark,
+            slices,
+            os.path.join(work, "src"),
+            lambda stream: run_stream_semdedup(
+                stream, store, os.path.join(work, "ckpt"), cents,
+                threshold=0.3,
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return semdedup_from_store(label_store_table(spark, store_path))
+
+
 def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch data-quality gate (streaming/quality.
     run_stream_quality) driver-oracled: events replay as three time
@@ -5409,6 +5470,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_sessionize_replay": stream_sessionize_replay_q,
         "stream_quality_replay": stream_quality_replay_q,
         "stream_novelty_replay": stream_novelty_replay_q,
+        "stream_semdedup_replay": stream_semdedup_replay_q,
         "events_partition_prune": events_partition_prune_q,
         "events_agg_pushdown": events_agg_pushdown_q,
         "events_dpp_join": events_dpp_join_q,
@@ -7302,6 +7364,53 @@ def _sql_quality_classifier(
         )
         {final or default_final}
     """
+
+
+def _sql_semantic_dedup(train_table: str = "embeddings") -> str:
+    """Oracle for the SemDeDup family: trained k-means (bit-exact
+    fixed-point replay over ``train_table``) -> within-cell round-6
+    cosine pairs -> recursive-reachability components -> min-id
+    representative. Shared by corpus_semantic_dedup (full-corpus
+    training), corpus_semantic_dedup_incr (base-slice training; the
+    incremental merge provably equals this from-scratch replay), and
+    stream_semdedup_replay (the drained store equals it too)."""
+    return f"""
+            WITH RECURSIVE {_sql_ivf_kmeans_ctes(
+                n_cells=16, n_iter=3, table=train_table)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            sem_pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM c_assign a JOIN c_assign b
+                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+                WHERE {_sql_cosine('a.cv', 'b.cv')} >= 0.3
+            ),
+            sem_edges AS (
+                SELECT id_a AS src, id_b AS dst FROM sem_pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM sem_pairs
+            ),
+            reach(node, label) AS (
+                SELECT vec_id, vec_id FROM embeddings
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN sem_edges e ON r.node = e.dst
+            ),
+            comp AS (
+                SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS group_id
+                FROM reach GROUP BY node
+            )
+            SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell,
+                   m.group_id, (c.vec_id = m.group_id) AS keep
+            FROM c_assign c JOIN comp m USING (vec_id)
+            ORDER BY c.vec_id
+        """
 
 
 def _sql_classifier_eval(
@@ -10362,85 +10471,18 @@ def oracle_sql() -> dict[str, str]:
         # SemDeDup: trained k-means (bit-exact fixed-point replay) ->
         # within-cell round-6 cosine pairs -> recursive-reachability
         # components -> min-id representative
-        "corpus_semantic_dedup": f"""
-            WITH RECURSIVE {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
-            c_assign AS (
-                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
-                FROM embeddings e CROSS JOIN ivf_cents
-                QUALIFY row_number() OVER (
-                    PARTITION BY e.vec_id
-                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
-                             cent_id ASC) = 1
-            ),
-            sem_pairs AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM c_assign a JOIN c_assign b
-                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-                WHERE {_sql_cosine('a.cv', 'b.cv')} >= 0.3
-            ),
-            sem_edges AS (
-                SELECT id_a AS src, id_b AS dst FROM sem_pairs
-                UNION ALL
-                SELECT id_b AS src, id_a AS dst FROM sem_pairs
-            ),
-            reach(node, label) AS (
-                SELECT vec_id, vec_id FROM embeddings
-                UNION
-                SELECT e.src, r.label
-                FROM reach r JOIN sem_edges e ON r.node = e.dst
-            ),
-            comp AS (
-                SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS group_id
-                FROM reach GROUP BY node
-            )
-            SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell,
-                   m.group_id, (c.vec_id = m.group_id) AS keep
-            FROM c_assign c JOIN comp m USING (vec_id)
-            ORDER BY c.vec_id
-        """,
+        "corpus_semantic_dedup": _sql_semantic_dedup(),
+        # the streamed store provably equals the same from-scratch
+        # replay (induction over micro-batches via the contraction
+        # argument) — full-corpus-trained codebook, same params
+        "stream_semdedup_replay": _sql_semantic_dedup(),
         # incremental SemDeDup == from-scratch rebuild with the frozen
         # base-trained codebook (the incremental_components contraction
         # contract), so the oracle IS the from-scratch replay: k-means
         # over the base slice, assignment/pairs/components over all
-        "corpus_semantic_dedup_incr": f"""
-            WITH RECURSIVE {_sql_ivf_kmeans_ctes(
-                n_cells=16, n_iter=3,
-                table="(SELECT * FROM embeddings WHERE vec_id % 10 != 0)",
-            )},
-            c_assign AS (
-                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
-                FROM embeddings e CROSS JOIN ivf_cents
-                QUALIFY row_number() OVER (
-                    PARTITION BY e.vec_id
-                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
-                             cent_id ASC) = 1
-            ),
-            sem_pairs AS (
-                SELECT a.vec_id AS id_a, b.vec_id AS id_b
-                FROM c_assign a JOIN c_assign b
-                  ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
-                WHERE {_sql_cosine('a.cv', 'b.cv')} >= 0.3
-            ),
-            sem_edges AS (
-                SELECT id_a AS src, id_b AS dst FROM sem_pairs
-                UNION ALL
-                SELECT id_b AS src, id_a AS dst FROM sem_pairs
-            ),
-            reach(node, label) AS (
-                SELECT vec_id, vec_id FROM embeddings
-                UNION
-                SELECT e.src, r.label
-                FROM reach r JOIN sem_edges e ON r.node = e.dst
-            ),
-            comp AS (
-                SELECT node AS vec_id, CAST(min(label) AS BIGINT) AS group_id
-                FROM reach GROUP BY node
-            )
-            SELECT c.vec_id, CAST(c.cent_id AS BIGINT) AS cell,
-                   m.group_id, (c.vec_id = m.group_id) AS keep
-            FROM c_assign c JOIN comp m USING (vec_id)
-            ORDER BY c.vec_id
-        """,
+        "corpus_semantic_dedup_incr": _sql_semantic_dedup(
+            train_table="(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"
+        ),
         # IVF-PQ: both trainings replayed bit-exactly; the ADC aggregate
         # is restricted to the query's 4 probed cells before ranking
         "sim_ann_ivfpq": f"""

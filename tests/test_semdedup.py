@@ -227,6 +227,69 @@ def test_incremental_merges_across_old_components(spark):
     assert [v for v, r in out.items() if r["keep"]] == [5]
 
 
+def test_stream_semdedup_equals_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    """Draining micro-batches into the label store must equal the
+    from-scratch semantic_dedup with the same frozen codebook, and a
+    FULL REPLAY (fresh checkpoint over the same source files, so every
+    batch reprocesses) must leave the store unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    emb = spark.read.parquet(
+        os.environ.get(
+            "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+        )
+        + "/embeddings.parquet"
+    ).select("vec_id", "embedding").limit(200)
+    emb = emb.localCheckpoint(eager=True)  # pin the limit's row set
+    cents = train_ivf_centroids(emb, n_cells=4, n_iter=2)
+    src = str(tmp_path / "src")
+    store_path = str(tmp_path / "store")
+    slices = [
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+    ]
+    store = label_store_table(spark, store_path, n_buckets=4)
+    schema = slices[0].schema
+    for i, sl in enumerate(slices):
+        sl.coalesce(1).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        run_stream_semdedup(
+            stream, store, str(tmp_path / "ckpt"), cents, threshold=0.3
+        )
+    got = {
+        r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+        for r in semdedup_from_store(store).collect()
+    }
+    expected = {
+        r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+        for r in semantic_dedup(emb, centroids=cents, threshold=0.3).collect()
+    }
+    assert got == expected
+
+    # full replay: fresh checkpoint, same files -> both batches
+    # reprocess against the already-populated store
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    run_stream_semdedup(
+        stream, store, str(tmp_path / "ckpt2"), cents, threshold=0.3
+    )
+    again = {
+        r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+        for r in semdedup_from_store(store).collect()
+    }
+    assert again == expected
+
+
 def test_threshold_validation(spark):
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(_hand_emb(spark), threshold=0.0)
