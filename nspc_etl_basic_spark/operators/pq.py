@@ -513,6 +513,12 @@ def ivfpq_topk(
     sequential-fold cosine as corpus assignment (then collects the
     bounded query set), so probe boundaries match the oracle's QUALIFY
     exactly — a driver-side numpy dot could disagree at the 6th digit.
+
+    Query ids must be INTEGERS (the same convention as ``pq_topk``):
+    they ride the plan as a bigint literal array, so the output
+    ``query_id`` column is always BIGINT and a non-integer id raises at
+    the ``int()`` coercion. The corpus ``id_col`` keeps its input type
+    on both the scored and the empty path.
     """
     import numpy as np
 
@@ -572,9 +578,26 @@ def ivfpq_topk(
             "batch the queries or raise the bound explicitly"
         )
     if not q_rows:
+        # schema must match the scored path exactly: query_id is always
+        # bigint (it comes from the literal id array), id_col keeps the
+        # CORPUS column's type, adc_dist/rank are double/int
+        from pyspark.sql import types as T
+
         return corpus.sparkSession.createDataFrame(
             [],
-            f"{query_id_col} long, {id_col} long, adc_dist double, rank int",
+            T.StructType(
+                [
+                    T.StructField(query_id_col, T.LongType(), True),
+                    T.StructField(
+                        id_col,
+                        corpus.schema[id_col].dataType,
+                        corpus.schema[id_col].nullable,
+                    ),
+                    T.StructField("adc_dist", T.DoubleType(), True),
+                    # row_number never yields null on the scored path
+                    T.StructField("rank", T.IntegerType(), False),
+                ]
+            ),
         )
 
     cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
@@ -592,7 +615,11 @@ def ivfpq_topk(
         ]
         per_query.append((r[query_id_col], table, list(r["__probes"])))
 
-    qids_lit = F.lit([int(qid) for qid, _t, _p in per_query])
+    # explicit array<bigint>: F.lit infers array<int> when every id
+    # happens to fit in int32, making the output type value-dependent
+    qids_lit = F.lit([int(qid) for qid, _t, _p in per_query]).cast(
+        "array<bigint>"
+    )
     tbls_lit = nested_lit(
         [
             [[float(x) for x in row] for row in table]

@@ -112,9 +112,18 @@ def semantic_dedup(
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    cents = centroids or train_ivf_centroids(
-        emb, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col, id_col=id_col
-    )
+    # `is None`, not truthiness: an empty codebook from a caller that
+    # expected reuse must raise, never silently retrain (retraining
+    # would unfreeze cell boundaries behind the caller's back)
+    if centroids is None:
+        cents = train_ivf_centroids(
+            emb, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col,
+            id_col=id_col,
+        )
+    elif not centroids:
+        raise ValueError("centroids was provided but is empty")
+    else:
+        cents = centroids
     assigned = _assign_cells(emb, cents, id_col, vec_col)
     # materialize the assignment ONCE: three consumers read it (both
     # self-join branches and the final group attach), and the n_cells

@@ -26,8 +26,14 @@ oracle replays.
 Replay safety: a replayed batch re-derives pairs among rows already in
 the store; ``incremental_components`` contracts re-ingested ids to
 their existing components (idempotent), the relabel set is empty or
-identical, and the store merge is last-wins on vec_id — the same
-idempotency scheme as the span-dedup and novelty gram stores.
+identical, and a re-ingested vec_id's STORE ROW is excluded from the
+upsert (left_anti against the store), so its original vector and cell
+are kept — first-write-wins on the vector payload. Vector UPDATES are
+therefore unsupported: re-ingesting an id with a changed embedding
+silently keeps the original vector (only group labels can move, via
+the relabel path). This is the contract replay idempotency requires —
+a replayed batch must not perturb the store; ingest a changed vector
+under a new id (or rebuild from scratch) instead.
 
 State size: one row per corpus vector (id, cell, double vector,
 group_id) — the same asymptotic state as any exact semantic-dup

@@ -191,3 +191,18 @@ def test_ivfpq_query_bound_raises(emb):
     queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
     with pytest.raises(ValueError, match="max_queries"):
         ivfpq_topk(emb, queries, cents, books, max_queries=3)
+
+
+def test_ivfpq_empty_queries_schema_matches_scored_path(emb):
+    from nspc_etl_basic_spark.operators.pq import ivfpq_topk
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(emb, n_cells=4, n_iter=1)
+    books = pq_seed_codebooks(emb, m=8, k=8)
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    scored = ivfpq_topk(emb, queries, cents, books, k=3)
+    empty = ivfpq_topk(emb, queries.limit(0), cents, books, k=3)
+    assert empty.schema == scored.schema
+    assert empty.count() == 0

@@ -295,3 +295,10 @@ def test_threshold_validation(spark):
         semantic_dedup(_hand_emb(spark), threshold=0.0)
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(_hand_emb(spark), threshold=1.5)
+
+
+def test_empty_centroids_raise_instead_of_retraining(spark):
+    # `centroids=[]` is a caller bug (a degenerate codebook expecting
+    # reuse) — silently retraining would unfreeze cell boundaries
+    with pytest.raises(ValueError, match="empty"):
+        semantic_dedup(_hand_emb(spark), centroids=[])
