@@ -185,6 +185,7 @@ def semantic_dedup_incremental(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    base_assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Continuous-ingest SemDeDup: merge a NEW embedding batch into
     EXISTING semantic-duplicate groups without recomputing the corpus
@@ -212,16 +213,27 @@ def semantic_dedup_incremental(
     Scale: the batch assignment is a projection over the BATCH; the
     only corpus-proportional work is re-deriving the base assignment
     projection for the batch-base candidate join and the final cell
-    attach (at production scale persist the base run's (id, cell)
-    table and hand it in as ``base`` with the vectors — the join
-    structure is unchanged). The candidate joins key on the 8-byte
-    cell id with the BATCH side broadcast; the fixpoint runs on the
-    contracted batch graph only; the corpus-sized label table is
+    attach. At production scale persist the base run's ASSIGNED frame
+    — ``(id_col, __v float64-cast vector, __n norm, cell)``, exactly
+    ``_assign_cells``' output — and hand it in as ``base_assigned``:
+    the base is then never re-projected through the codebook fold (the
+    per-plan cost of that n_cells × dim expression is what dominates a
+    warm incremental run), and ``base`` is ignored. The caller owns
+    the invariant that ``base_assigned`` equals
+    ``_assign_cells(base, centroids)`` for the SAME frozen codebook —
+    a stale or foreign assignment silently changes which pairs are
+    candidates (the entry-side asset cache keys it on source+code
+    identity for exactly this reason). The candidate joins key on the
+    8-byte cell id with the BATCH side broadcast; the fixpoint runs on
+    the contracted batch graph only; the corpus-sized label table is
     scanned exactly twice against broadcast batch-sized sides
     (the ``incremental_components`` contract)."""
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    base_a = _assign_cells(base, centroids, id_col, vec_col)
+    if base_assigned is not None:
+        base_a = base_assigned.select(id_col, "__v", "__n", "cell")
+    else:
+        base_a = _assign_cells(base, centroids, id_col, vec_col)
     # the batch is read by three consumers (two pair joins + the cell
     # attach) and is small by definition — materialize once
     batch_a = _assign_cells(batch, centroids, id_col, vec_col)

@@ -302,3 +302,32 @@ def test_empty_centroids_raise_instead_of_retraining(spark):
     # reuse) — silently retraining would unfreeze cell boundaries
     with pytest.raises(ValueError, match="empty"):
         semantic_dedup(_hand_emb(spark), centroids=[])
+
+
+def test_incremental_base_assigned_equals_inline_assignment(spark):
+    # the production persisted-assignment path must be value-identical
+    # to re-projecting the base through the codebook in-query
+    from nspc_etl_basic_spark.operators.semdedup import (
+        _assign_cells,
+        semantic_dedup,
+        semantic_dedup_incremental,
+    )
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    emb = _hand_emb(spark)
+    base = emb.filter(F.col("vec_id") <= 4)
+    batch = emb.filter(F.col("vec_id") > 4)
+    cents = train_ivf_centroids(base, n_cells=2, n_iter=2)
+    existing = semantic_dedup(base, centroids=cents, threshold=0.9).select(
+        "vec_id", "group_id"
+    )
+    inline = semantic_dedup_incremental(
+        base, batch, existing, cents, threshold=0.9
+    )
+    assigned = _assign_cells(base, cents, "vec_id", "embedding")
+    pre = semantic_dedup_incremental(
+        base, batch, existing, cents, threshold=0.9, base_assigned=assigned
+    )
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, pre.collect())
+    )
