@@ -61,7 +61,26 @@ from nspc_etl_basic_spark.operators.similarity import (
     train_ivf_centroids,
 )
 
-__all__ = ["semantic_dedup", "semantic_dedup_incremental"]
+__all__ = ["auto_n_cells", "semantic_dedup", "semantic_dedup_incremental"]
+
+# Default in-cell population the auto n_cells derivation targets. The
+# paper's web-scale runs keep cells at O(10^4) vectors; 1024 keeps the
+# per-cell quadratic at ~1M cosine verifies per cell (task-sized on any
+# executor) while matching the measured sf1 lever (n_cells ∝ n: 64
+# cells cut the sf1 wall 170.7 s -> 155 s, and the win grows with n).
+DEFAULT_TARGET_CELL_SIZE = 1024
+
+
+def auto_n_cells(n: int, target_cell_size: int = DEFAULT_TARGET_CELL_SIZE) -> int:
+    """Corpus-derived cell count: ``max(16, n // target_cell_size)`` —
+    n_cells must GROW with the corpus or the in-cell quadratic does
+    (SemDeDup trains tens of thousands of clusters at web scale). The
+    16 floor keeps toy corpora from degenerating to one cell."""
+    if target_cell_size < 1:
+        raise ValueError(
+            f"target_cell_size must be >= 1, got {target_cell_size}"
+        )
+    return max(16, int(n) // int(target_cell_size))
 
 
 def _assign_cells(
@@ -88,13 +107,16 @@ def _assign_cells(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_iter: int = 3,
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     max_cell_size: int | None = None,
+    target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
+    train_fraction: float | None = None,
+    train_salt: str = "semdedup_train",
 ) -> DataFrame:
     """One row per input vector: ``(id_col, cell, group_id, keep)``
     where ``cell`` is the trained-k-means cluster, ``group_id`` is the
@@ -109,6 +131,18 @@ def semantic_dedup(
     ``max_cell_size`` drops cells larger than the cap BEFORE the
     self-join (dropped vectors keep cell/group/keep semantics as
     singletons) — the hot-key guard for degenerate clusterings.
+
+    Scale-safe defaults (both levers MEASURED at the sf1 stress tier,
+    SCALE.md): with ``n_cells=None`` the cell count derives from the
+    corpus — ``auto_n_cells(count, target_cell_size)`` — so the
+    in-cell quadratic stays bounded as the corpus grows instead of
+    relying on caller discipline; ``train_fraction`` trains the
+    codebook on a deterministic hash-sample of the corpus (the
+    standard k-means practice — codebook quality saturates long before
+    full-corpus coverage) while assignment still covers every vector.
+    The sample is ``hash_bucket``-membership (pure projection,
+    engine-replayable), so sampled training keeps the determinism
+    contract: same data, same codebook, any partitioning.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -116,8 +150,15 @@ def semantic_dedup(
     # expected reuse must raise, never silently retrain (retraining
     # would unfreeze cell boundaries behind the caller's back)
     if centroids is None:
+        if n_cells is None:
+            n_cells = auto_n_cells(emb.count(), target_cell_size)
+        train = emb
+        if train_fraction is not None:
+            from nspc_etl_basic_spark.operators.sampling import hash_sample
+
+            train = hash_sample(emb, id_col, train_fraction, train_salt)
         cents = train_ivf_centroids(
-            emb, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col,
+            train, n_cells=n_cells, n_iter=n_iter, vec_col=vec_col,
             id_col=id_col,
         )
     elif not centroids:

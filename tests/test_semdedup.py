@@ -331,3 +331,33 @@ def test_incremental_base_assigned_equals_inline_assignment(spark):
     assert sorted(map(tuple, inline.collect())) == sorted(
         map(tuple, pre.collect())
     )
+
+
+def test_auto_n_cells_derivation():
+    from nspc_etl_basic_spark.operators.semdedup import auto_n_cells
+
+    assert auto_n_cells(500) == 16                      # floor
+    assert auto_n_cells(1024 * 64) == 64                # n // target
+    assert auto_n_cells(100_000_000) == 97656           # grows with n
+    assert auto_n_cells(5000, target_cell_size=100) == 50
+    with pytest.raises(ValueError, match="target_cell_size"):
+        auto_n_cells(100, target_cell_size=0)
+
+
+def test_auto_defaults_and_sampled_training(emb):
+    from nspc_etl_basic_spark.operators.semdedup import semantic_dedup
+
+    # 500 sf0.01 vectors -> auto floor of 16 cells: result must equal
+    # the explicit n_cells=16 run (same codebook, same groups)
+    auto = semantic_dedup(emb, threshold=0.3)
+    explicit = semantic_dedup(emb, n_cells=16, n_iter=3, threshold=0.3)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # sampled training: deterministic (same sample -> same codebook),
+    # covers every vector, keep-representatives are group minima
+    sampled = semantic_dedup(emb, threshold=0.3, train_fraction=0.5)
+    rows = sampled.collect()
+    assert len(rows) == emb.count()
+    again = semantic_dedup(emb, threshold=0.3, train_fraction=0.5)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
