@@ -2684,6 +2684,30 @@ def corpus_semantic_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_semantic_decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination (semdedup.
+    semantic_contaminated_ids, round 10): vec_id % 20 == 0 plays the
+    held-out eval set; the rest is the training corpus. Corpus vectors
+    whose embedding sits within cosine 0.3 of ANY same-cell eval
+    embedding are flagged — (vec_id, n_eval_hits, max_cos_sim) — the
+    paraphrase-level leakage sweep word-n-gram decontamination
+    (corpus_decontaminate) is structurally blind to. The codebook is
+    trained on the corpus slice (fixed-point k-means, frozen for the
+    sweep); both sides assign by projection, the eval side broadcasts
+    into ONE cell-keyed join, and the corpus never shuffles. The oracle
+    replays training, both assignments, and every round-6 cosine."""
+    from nspc_etl_basic_spark.operators.semdedup import (
+        semantic_contaminated_ids,
+    )
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 20 != 0)
+    eval_set = emb.filter(F.col("vec_id") % 20 == 0)
+    cents = train_ivf_centroids(corpus, n_cells=16, n_iter=3)
+    return semantic_contaminated_ids(corpus, eval_set, cents, threshold=0.3)
+
+
 def sim_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composed index (operators/pq.ivfpq_topk, round 9) — the
     FAISS-style IVFADC deployment: trained IVF coarse quantizer prunes
@@ -5504,6 +5528,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_classifier_eval": corpus_classifier_eval_q,
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
+        "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "text_bm25_topk": text_bm25_topk_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
@@ -7483,6 +7508,43 @@ def _sql_semantic_dedup(train_table: str = "embeddings") -> str:
                    m.group_id, (c.vec_id = m.group_id) AS keep
             FROM c_assign c JOIN comp m USING (vec_id)
             ORDER BY c.vec_id
+        """
+
+
+def _sql_semantic_decontaminate() -> str:
+    """Oracle for corpus_semantic_decontaminate: k-means trained on the
+    corpus slice (bit-exact fixed-point replay), both sides assigned to
+    their argmax cell, same-cell corpus x eval round-6 cosines >=
+    threshold aggregated per corpus vector."""
+    train = "(SELECT * FROM embeddings WHERE vec_id % 20 != 0)"
+    return f"""
+            WITH {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3, table=train)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 20 != 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            e_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS ev, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 20 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            hits AS (
+                SELECT c.vec_id, {_sql_cosine('c.cv', 'e.ev')} AS cs
+                FROM c_assign c JOIN e_assign e ON c.cent_id = e.cent_id
+                WHERE {_sql_cosine('c.cv', 'e.ev')} >= 0.3
+            )
+            SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+                   max(cs) AS max_cos_sim
+            FROM hits GROUP BY vec_id ORDER BY vec_id
         """
 
 
@@ -10545,6 +10607,7 @@ def oracle_sql() -> dict[str, str]:
         # within-cell round-6 cosine pairs -> recursive-reachability
         # components -> min-id representative
         "corpus_semantic_dedup": _sql_semantic_dedup(),
+        "corpus_semantic_decontaminate": _sql_semantic_decontaminate(),
         # the streamed store provably equals the same from-scratch
         # replay (induction over micro-batches via the contraction
         # argument) — full-corpus-trained codebook, same params

@@ -61,7 +61,12 @@ from nspc_etl_basic_spark.operators.similarity import (
     train_ivf_centroids,
 )
 
-__all__ = ["auto_n_cells", "semantic_dedup", "semantic_dedup_incremental"]
+__all__ = [
+    "auto_n_cells",
+    "semantic_contaminated_ids",
+    "semantic_dedup",
+    "semantic_dedup_incremental",
+]
 
 # Default in-cell population the auto n_cells derivation targets. The
 # paper's web-scale runs keep cells at O(10^4) vectors; 1024 keeps the
@@ -323,4 +328,67 @@ def semantic_dedup_incremental(
         F.col("cell").cast("long").alias("cell"),
         F.col("component_id").cast("long").alias("group_id"),
         (F.col(id_col) == F.col("component_id")).alias("keep"),
+    )
+
+
+def semantic_contaminated_ids(
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination: one row per corpus vector
+    whose embedding sits within the cosine threshold of ANY held-out
+    eval-set embedding — ``(id_col, n_eval_hits, max_cos_sim)``. This
+    is the embedding-tier twin of ``decontaminate.contaminated_ids``:
+    word-n-gram overlap cannot see a PARAPHRASED or translated benchmark
+    item (zero shared 5-grams), but its embedding still lands next to
+    the eval item's — exactly the leak SemDeDup's machinery detects.
+    Published pipelines run both sweeps (n-gram for verbatim leakage,
+    embedding-similarity for semantic leakage) before training.
+
+    The sweep is CELL-LOCAL, never all-pairs: both sides assign to the
+    same FROZEN coarse codebook (a pure projection — the codebook rides
+    the plan as literals), and only same-cell (corpus, eval) pairs are
+    cosine-verified with the eval side broadcast — eval sets are
+    benchmark-suite-sized, so per-corpus-row work is
+    |eval ∩ cell|-sized and the corpus never shuffles. An eval item
+    whose near-paraphrase fell in a NEIGHBORING cell is missed — the
+    same boundary approximation semantic_dedup itself makes; raise
+    coverage by probing with a finer codebook or a lower
+    ``target_cell_size`` upstream, not by widening this join.
+
+    ``centroids`` must be frozen (train once on the corpus, reuse for
+    every eval sweep) so repeated sweeps are comparable; passing an
+    empty codebook raises (the semantic_dedup reuse contract).
+    ``eval_id_col`` defaults to ``id_col``; corpus and eval ids may
+    overlap — identity is never used to prune, only geometry.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not centroids:
+        raise ValueError("centroids must be a non-empty frozen codebook")
+    c = _assign_cells(corpus_emb, centroids, id_col, vec_col)
+    e = _assign_cells(
+        eval_emb, centroids, eval_id_col or id_col, vec_col
+    ).select(
+        F.col("__v").alias("__ev"),
+        F.col("__n").alias("__en"),
+        "cell",
+    )
+    cos = F.round(
+        dot(F.col("__v"), F.col("__ev")) / (F.col("__n") * F.col("__en")), 6
+    )
+    return (
+        c.join(F.broadcast(e), "cell")
+        .select(id_col, cos.alias("__cs"))
+        .filter(F.col("__cs") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("__cs").alias("max_cos_sim"),
+        )
     )

@@ -361,3 +361,51 @@ def test_auto_defaults_and_sampled_training(emb):
     assert len(rows) == emb.count()
     again = semantic_dedup(emb, threshold=0.3, train_fraction=0.5)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_semantic_decontaminate_catches_paraphrase_ngrams_miss(spark):
+    from nspc_etl_basic_spark.operators.decontaminate import contaminated_ids
+    from nspc_etl_basic_spark.operators.semdedup import (
+        semantic_contaminated_ids,
+    )
+
+    # a benchmark item and its PARAPHRASE: zero shared word 5-grams
+    # (every content word differs), near-identical embeddings
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus_docs = spark.createDataFrame(
+        [
+            (1, "a speedy russet vulpine leaps above an idle canine"),
+            (2, "tax law changed substantially in nineteen eighty six"),
+        ],
+        "doc_id long, text string",
+    )
+    # n-gram sweep: blind to the paraphrase
+    assert contaminated_ids(corpus_docs, eval_docs, n=5).count() == 0
+
+    eval_emb = spark.createDataFrame(
+        [(100, [0.9, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus_emb = spark.createDataFrame(
+        [
+            (1, [0.89, 0.11, 0.01, 0.0]),   # the paraphrase's embedding
+            (2, [0.0, 0.0, 1.0, 0.0]),      # unrelated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(corpus_emb, n_cells=2, n_iter=2)
+    flagged = semantic_contaminated_ids(
+        corpus_emb, eval_emb, cents, threshold=0.9
+    ).collect()
+    assert [r["vec_id"] for r in flagged] == [1]
+    assert flagged[0]["n_eval_hits"] == 1
+    assert flagged[0]["max_cos_sim"] >= 0.99
+
+    with pytest.raises(ValueError, match="non-empty"):
+        semantic_contaminated_ids(corpus_emb, eval_emb, [], threshold=0.9)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_contaminated_ids(corpus_emb, eval_emb, cents, threshold=0.0)
