@@ -2541,6 +2541,40 @@ def corpus_classifier_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_classifier_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT classifier evaluation (classifier.
+    classifier_holdout_eval, round 10) — the generalization upgrade
+    over corpus_classifier_eval's train-set agreement: the corpus
+    splits leakage-safely (sampling.leakage_safe_split — membership
+    hashes the near-dup CLUSTER id from the materialized dedup tier,
+    so an eval document's near-copy can never train the model), the
+    scorer trains only on the train slice's weak labels, and per-class
+    precision/recall/F1 are reported on the untouched test slice. The
+    oracle replays the full chain: LSH pairs -> recursive-CTE
+    components -> md5-bucket split CASE -> train-slice weight grid ->
+    test-slice scoring -> confusion -> integer-ppm metrics."""
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_holdout_eval,
+    )
+    from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    _, comp = _dedup_tier(spark, sf_dir)
+    split = leakage_safe_split(
+        docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    train_df = docs.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    eval_df = docs.join(
+        split.filter(F.col("split") == "test").select("doc_id"), "doc_id"
+    )
+    return classifier_holdout_eval(
+        train_df, eval_df, _LABEL_RULES, id_col="doc_id", text_col="text",
+        n_buckets=512, salt="clf",
+    )
+
+
 def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (operators/semdedup.py, round 9;
     Abbas et al. arXiv:2303.09540): fixed-point-k-means-cluster the
@@ -5526,6 +5560,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_quality_classifier": corpus_quality_classifier_q,
         "corpus_quality_select": corpus_quality_select_q,
         "corpus_classifier_eval": corpus_classifier_eval_q,
+        "corpus_classifier_holdout": corpus_classifier_holdout_q,
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
         "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
@@ -7604,6 +7639,189 @@ def _sql_classifier_eval(
     return _sql_quality_classifier(
         rules, n_buckets=n_buckets, salt=salt, final=final
     )
+
+
+def _sql_classifier_holdout(
+    rules: dict[str, list[str]],
+    n_buckets: int = 512,
+    salt: str = "clf",
+    scale: int = 1_000_000_000,
+) -> str:
+    """Oracle for corpus_classifier_holdout: the full leakage-safe
+    held-out chain from scratch — LSH pairs -> recursive-reachability
+    components -> md5('split' || component_id) bucket CASE (test <
+    1000, train < 9000, else val — the sorted-weights ordering
+    assign_split uses) -> weight grid trained on the TRAIN slice's
+    weak labels -> scoring restricted to the TEST slice -> confusion
+    -> integer-ppm metrics. Standalone rather than composed from
+    _sql_quality_classifier so that builder's train/score scope (the
+    whole corpus) stays byte-identical for its three green queries."""
+    labels = sorted(rules)
+
+    def occ(lab: str) -> str:
+        return " + ".join(
+            f"(length(__t) - length(replace(__t, '{kw}', ''))) // {len(kw)}"
+            for kw in rules[lab]
+        )
+
+    lab_scores = ",\n                   ".join(
+        f"CAST({occ(lab)} AS BIGINT) AS ls_{lab}" for lab in labels
+    )
+    lab_ladder = "CASE"
+    for i, lab in enumerate(labels):
+        conds = [f"ls_{lab} > 0"] + [
+            f"ls_{lab} >= ls_{other}" for other in labels[i + 1:]
+        ]
+        lab_ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
+    lab_ladder += " END"
+    label_values = ", ".join(f"('{lab}')" for lab in labels)
+    bucket = (
+        f"CAST('0x' || substr(md5('{salt}' || tok), 1, 8) AS BIGINT) "
+        f"% {n_buckets}"
+    )
+    split_hash = (
+        "CAST('0x' || substr(md5('split' || CAST(component_id AS VARCHAR)),"
+        " 1, 8) AS BIGINT) % 10000"
+    )
+    sc_cols = ",\n                   ".join(
+        f"CAST(coalesce(sum(CASE WHEN label = '{lab}' THEN part END), 0) "
+        f"AS BIGINT) AS score_{lab}"
+        for lab in labels
+    )
+    full_cols = ",\n                   ".join(
+        f"coalesce(sc.score_{lab}, CAST(0 AS BIGINT)) AS score_{lab}"
+        for lab in labels
+    )
+    pred_ladder = "CASE"
+    for i, lab in enumerate(labels):
+        conds = [f"score_{lab} > 0"] + [
+            f"score_{lab} >= score_{other}" for other in labels[i + 1:]
+        ]
+        pred_ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
+    pred_ladder += " END"
+
+    return f"""
+        WITH RECURSIVE lsh_pairs AS ({_sql_lsh_pairs()}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM lsh_pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM lsh_pairs
+        ),
+        reach(node, label) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.label
+            FROM reach r JOIN edges e ON r.node = e.dst
+        ),
+        comp AS (
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+            FROM reach GROUP BY node
+        ),
+        spl AS (
+            SELECT doc_id,
+                   CASE WHEN {split_hash} < 1000 THEN 'test'
+                        WHEN {split_hash} < 9000 THEN 'train'
+                        ELSE 'val' END AS split
+            FROM comp
+        ),
+        lab_scored AS (
+            SELECT doc_id,
+                   {lab_scores}
+            FROM (SELECT doc_id, lower(text) AS __t FROM documents)
+        ),
+        lab AS (
+            SELECT doc_id, {lab_ladder} AS label FROM lab_scored
+        ),
+        tb AS (
+            SELECT doc_id, {bucket} AS bucket
+            FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                      '[a-z0-9'']+')) AS tok FROM documents)
+        ),
+        trb AS (
+            SELECT l.label, b.bucket
+            FROM tb b JOIN lab l USING (doc_id) JOIN spl s USING (doc_id)
+            WHERE l.label IS NOT NULL AND s.split = 'train'
+        ),
+        lb AS (
+            SELECT label, bucket, CAST(count(*) AS BIGINT) AS c_cnt
+            FROM trb GROUP BY 1, 2
+        ),
+        nc AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_c
+            FROM trb GROUP BY 1
+        ),
+        labels AS (SELECT * FROM (VALUES {label_values}) AS v(label)),
+        grid AS (
+            SELECT l.label, CAST(r.range AS BIGINT) AS bucket
+            FROM labels l CROSS JOIN range({n_buckets}) r
+        ),
+        w AS (
+            SELECT g.label, g.bucket,
+                   (coalesce(lb.c_cnt, CAST(0 AS BIGINT)) + 1)
+                       * CAST({scale} AS BIGINT)
+                       // (coalesce(nc.n_c, CAST(0 AS BIGINT))
+                           + {n_buckets}) AS w
+            FROM grid g
+            LEFT JOIN lb ON lb.label = g.label AND lb.bucket = g.bucket
+            LEFT JOIN nc ON nc.label = g.label
+        ),
+        dc AS (
+            SELECT b.doc_id, b.bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM tb b JOIN spl s USING (doc_id)
+            WHERE s.split = 'test'
+            GROUP BY 1, 2
+        ),
+        parts AS (
+            SELECT dc.doc_id, w.label, dc.cnt * w.w AS part
+            FROM dc JOIN w ON w.bucket = dc.bucket
+        ),
+        sc AS (
+            SELECT doc_id,
+                   {sc_cols}
+            FROM parts GROUP BY doc_id
+        ),
+        filled AS (
+            SELECT d.doc_id,
+                   {full_cols}
+            FROM documents d JOIN spl s ON d.doc_id = s.doc_id
+            LEFT JOIN sc ON d.doc_id = sc.doc_id
+            WHERE s.split = 'test'
+        ),
+        pred AS (
+            SELECT doc_id, {pred_ladder} AS pred_label FROM filled
+        ),
+        conf AS (
+            SELECT l.label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+            FROM lab l JOIN pred p USING (doc_id)
+            WHERE l.label IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        cls AS (SELECT * FROM (VALUES {label_values}) AS v(cls)),
+        agg AS (
+            SELECT c.cls AS label,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_true,
+                   CAST(coalesce(sum(CASE WHEN f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_pred,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                      AND f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_correct
+            FROM cls c LEFT JOIN conf f ON TRUE
+            GROUP BY c.cls
+        )
+        SELECT label, n_true, n_pred, n_correct,
+               CASE WHEN n_pred > 0
+                    THEN CAST((1000000 * n_correct) // n_pred AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN n_true > 0
+                    THEN CAST((1000000 * n_correct) // n_true AS BIGINT)
+               END AS recall_ppm,
+               CASE WHEN n_pred + n_true > 0
+                    THEN CAST((2000000 * n_correct) // (n_pred + n_true)
+                              AS BIGINT)
+               END AS f1_ppm
+        FROM agg ORDER BY label
+    """
 
 
 def _sql_seqlen_plan(candidates: list[int]) -> str:
@@ -10601,6 +10819,9 @@ def oracle_sql() -> dict[str, str]:
         # scoring replay + confusion over the labeled slice + integer
         # ppm precision/recall/F1 (the classifier_agreement arithmetic)
         "corpus_classifier_eval": _sql_classifier_eval(
+            _LABEL_RULES, n_buckets=512, salt="clf"
+        ),
+        "corpus_classifier_holdout": _sql_classifier_holdout(
             _LABEL_RULES, n_buckets=512, salt="clf"
         ),
         # SemDeDup: trained k-means (bit-exact fixed-point replay) ->

@@ -68,6 +68,7 @@ __all__ = [
     "classify_tokens",
     "quality_classifier",
     "classifier_agreement",
+    "classifier_holdout_eval",
 ]
 
 CLF_SCALE = 1_000_000_000
@@ -279,11 +280,18 @@ def classifier_agreement(
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+    return _per_class_metrics(conf, labels)
+
+
+def _per_class_metrics(conf: DataFrame, labels: list[str]) -> DataFrame:
+    """Per-class (n_true, n_pred, n_correct, precision/recall/f1 ppm)
+    from a ``(label, pred_label, n)`` confusion frame — the shared tail
+    of ``classifier_agreement`` and ``classifier_holdout_eval``."""
     # seed a zero row per class so every class emits a row even when NO
     # rule fired anywhere (an empty confusion frame would otherwise
     # yield an empty eval instead of all-zero metrics — the oracle's
     # labels-table left join keeps the per-class rows, so must we)
-    zero_rows = df.sparkSession.createDataFrame(
+    zero_rows = conf.sparkSession.createDataFrame(
         [(lab, None, 0) for lab in labels],
         "label string, pred_label string, n long",
     )
@@ -333,3 +341,60 @@ def classifier_agreement(
             F.expr("(2000000 * n_correct) div (n_pred + n_true)"),
         ).cast("long").alias("f1_ppm"),
     )
+
+
+def classifier_holdout_eval(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    rules: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """HELD-OUT classifier evaluation — the generalization upgrade over
+    ``classifier_agreement``'s train-set metric: the scorer is trained
+    ONLY on ``train_df``'s weak-labeled rows and evaluated ONLY on
+    ``eval_df``'s, so the per-class precision/recall/F1 measure whether
+    the hashed-token model generalizes the labeling function to
+    documents it never saw, not merely whether it memorized it. Same
+    output row shape and integer-ppm arithmetic as
+    ``classifier_agreement``.
+
+    The SPLIT is the caller's responsibility, and it must be
+    leakage-safe: pass slices from ``sampling.leakage_safe_split``
+    (membership hashed on the near-dup CLUSTER id) — a plain doc-id
+    split leaks near-copies of eval documents into training and
+    inflates every metric, which is the exact failure mode this
+    evaluation exists to catch. ``train_df`` and ``eval_df`` must be
+    disjoint; rows whose keyword rules fire in neither slice contribute
+    nothing (train) / are excluded from metrics (eval), same as
+    agreement.
+
+    Scale: identical plan inventory to ``classifier_agreement`` — the
+    weight grid is ``len(rules) * n_buckets`` rows (broadcast at any
+    corpus size), scoring is one explode + broadcast join over the
+    EVAL slice only, and the confusion matrix is one map-side-combined
+    groupBy to ``len(rules)^2`` rows."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    labels = sorted(rules)
+    train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    train = train_df.select(id_col, text_col).join(train_weak, id_col)
+    weights = train_token_classifier(
+        train, labels, text_col, "label", n_buckets, salt
+    )
+    pred = classify_tokens(
+        eval_df, weights, labels, id_col, text_col, n_buckets, salt
+    ).select(id_col, "pred_label")
+    eval_weak = keyword_labels(eval_df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    conf = (
+        eval_weak.join(pred, id_col)
+        .groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return _per_class_metrics(conf, labels)

@@ -275,3 +275,54 @@ def test_classifier_handles_null_text(spark):
     assert len(got) == 2
     assert got[2]["score_a"] == 0 and got[2]["score_b"] == 0
     assert got[2]["pred_label"] is None
+
+
+def test_holdout_eval_scores_only_the_eval_slice(spark):
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_agreement,
+        classifier_holdout_eval,
+    )
+
+    rules = {"cats": ["cat", "kitten"], "dogs": ["dog", "puppy"]}
+    train = spark.createDataFrame(
+        [
+            (1, "cat cat kitten purrs"),
+            (2, "dog dog puppy barks"),
+            (3, "kitten naps on the cat tree"),
+            (4, "puppy chews the dog toy"),
+        ],
+        "doc_id long, text string",
+    )
+    # eval docs share VOCABULARY but not ids with train; doc 12 has no
+    # keyword -> excluded from metrics (null weak label)
+    evald = spark.createDataFrame(
+        [
+            (10, "a sleepy cat"),
+            (11, "a loud dog"),
+            (12, "a quiet afternoon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["label"]: r
+        for r in classifier_holdout_eval(
+            train, evald, rules, n_buckets=64, salt="h"
+        ).collect()
+    }
+    assert set(rows) == {"cats", "dogs"}
+    # only the two weak-labeled eval docs count: one true per class
+    assert rows["cats"]["n_true"] == 1 and rows["dogs"]["n_true"] == 1
+    for r in rows.values():
+        assert r["n_correct"] <= min(r["n_pred"], r["n_true"])
+    # the model trained on 1-4 generalizes the keyword signal to 10/11
+    assert rows["cats"]["n_correct"] == 1
+    assert rows["dogs"]["n_correct"] == 1
+    # and the metric is computed on the EVAL slice only: train-set
+    # agreement over the same 4 train docs sees 2 per class
+    agree = {
+        r["label"]: r
+        for r in classifier_agreement(
+            train, rules, n_buckets=64, salt="h"
+        ).collect()
+    }
+    assert agree["cats"]["n_true"] == 2 and agree["dogs"]["n_true"] == 2
