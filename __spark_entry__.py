@@ -2683,6 +2683,44 @@ def _semdedup_base90(spark: SparkSession, sf_dir: str):
     return cents, spark.read.parquet(table_path)
 
 
+def text_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion (retrieval.rrf_fuse, round 10): the
+    standard two-tier retrieval stack — BM25 lexical shortlist fused
+    with the trained-IVF dense shortlist by reciprocal-rank fusion —
+    over the same every-100th-document query set (doc_id == vec_id in
+    the corpus). Each leg runs at depth 10; RRF (rrf_k=60) consumes
+    only ranks, so no score calibration crosses the tiers, and the
+    integer reciprocal (RRF_SCALE div (60 + rank)) keeps the fused
+    score a BIGINT sum — exactly order-independent, bit-replayable.
+    n_lists marks the docs both tiers agree on (the BM25 leg ranks the
+    query document itself first; the dense leg excludes self — RRF
+    fuses the lists as given). The oracle replays both legs (BM25
+    integer micros; k-means training + probed assignment) and the RRF
+    arithmetic."""
+    from nspc_etl_basic_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from nspc_etl_basic_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    lexical = bm25_topk(docs, queries, k=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+    qemb = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = ivf_topk(
+        emb, qemb, k=10, n_cells=16, n_probe=4, centroids=cents
+    ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    return rrf_fuse([lexical, dense], k=10, rrf_k=60)
+
+
 def corpus_semantic_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest SemDeDup (semdedup.semantic_dedup_incremental,
     round 9): vec_id % 10 == 0 arrives as the new batch against the
@@ -5566,6 +5604,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "text_bm25_topk": text_bm25_topk_q,
+        "text_hybrid_topk": text_hybrid_topk_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
         "events_robust_stats": events_robust_stats_q,
         "events_session_stats": events_session_stats_q,
@@ -10408,6 +10447,104 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
             FROM scored
             QUALIFY rank <= 5
+        """,
+        # hybrid RRF: the BM25 leg (integer micros, depth 10), the
+        # trained-IVF dense leg (k-means replay + probed assignment,
+        # depth 10), fused by integer reciprocal ranks
+        "text_hybrid_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            stats AS (
+                SELECT doc_id, token, tf,
+                       SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+                       COUNT(*) OVER (PARTITION BY token) AS df
+                FROM tf
+            ),
+            g AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM toks)
+                           AS total_tokens
+            ),
+            qt AS (
+                SELECT DISTINCT query_id, token
+                FROM (
+                    SELECT doc_id AS query_id,
+                           unnest({_sql_word_tokens('text')}) AS token
+                    FROM documents WHERE doc_id % 100 = 0
+                )
+            ),
+            bm25 AS (
+                SELECT q.query_id, s.doc_id,
+                       CAST(SUM(CAST(round(
+                           ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+                           * (s.tf * 2.2
+                              / (s.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                  / (CAST(g.total_tokens AS DOUBLE) / g.n))))
+                           * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+                FROM stats s JOIN qt q USING (token) CROSS JOIN g
+                GROUP BY q.query_id, s.doc_id
+            ),
+            lex AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score_micro DESC, doc_id ASC) AS rank
+                FROM bm25
+                QUALIFY rank <= 10
+            ),
+            {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            c_assign AS (
+                SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            q_assign AS (
+                SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 100 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) <= 4
+            ),
+            dense AS (
+                SELECT q.query_id, c.vec_id AS doc_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_sql_cosine('q.qv', 'c.cv')} DESC,
+                                    c.vec_id ASC) AS rank
+                FROM q_assign q JOIN c_assign c ON q.cent_id = c.cent_id
+                WHERE q.query_id != c.vec_id
+                QUALIFY rank <= 10
+            ),
+            both_legs AS (
+                SELECT query_id, doc_id, rank FROM lex
+                UNION ALL
+                SELECT query_id, doc_id, rank FROM dense
+            ),
+            fused AS (
+                SELECT query_id, doc_id,
+                       CAST(SUM(1000000000 // (60 + rank)) AS BIGINT)
+                           AS rrf_score,
+                       CAST(count(*) AS BIGINT) AS n_lists
+                FROM both_legs GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, rrf_score, n_lists,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY rrf_score DESC, doc_id ASC) AS INTEGER)
+                       AS rank
+            FROM fused
+            QUALIFY rank <= 10
         """,
         "text_bigrams": f"""
             SELECT bigram, count(*) AS n

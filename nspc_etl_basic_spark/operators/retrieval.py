@@ -117,3 +117,75 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "score_micro", F.col("rank").cast("int").alias("rank"))
     )
+
+
+RRF_SCALE = 1_000_000_000
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    rrf_k: int = 60,
+    query_id_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of N
+    ranked lists — the standard way to combine a lexical (BM25) and a
+    dense (ANN) retrieval tier without score calibration, since RRF
+    consumes only RANKS: ``rrf(q, d) = sum over lists of
+    1 / (rrf_k + rank(q, d))``. Returns ``(query_id, doc_id,
+    rrf_score, n_lists, rank)`` — top-k per query, ties by ascending
+    doc id; ``n_lists`` is how many input lists ranked the doc (the
+    both-tiers-agree signal a dedup-by-retrieval audit reads first).
+
+    Determinism contract: each reciprocal is the INTEGER
+    ``RRF_SCALE div (rrf_k + rank)`` and the fused score is a BIGINT
+    sum — exactly order-independent and bit-replayable in any SQL
+    engine (the bm25_topk integer-micros precedent). With rrf_k=60 and
+    RRF_SCALE=1e9 distinct (rank, depth<=~1e5) profiles never collide
+    by rounding: reciprocals differ by >= 1e9/(60+r)^2 > 1 for any
+    realistic shortlist depth.
+
+    Scale: the inputs are already top-k-per-query shortlists (query-
+    sized, never corpus-sized), so the whole operator is one union +
+    one (query, doc)-keyed aggregate + one per-query window — the
+    corpus is never touched. Input lists must share the three column
+    names (rename before fusing); a doc absent from a list simply
+    contributes nothing for it."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty list")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if rrf_k < 0:
+        raise ValueError(f"rrf_k must be >= 0, got {rrf_k}")
+    contrib = F.expr(
+        f"CAST({RRF_SCALE} AS BIGINT) div "
+        f"(CAST({rrf_k} AS BIGINT) + CAST({rank_col} AS BIGINT))"
+    )
+    legs = [
+        r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            contrib.alias("__c"),
+        )
+        for r in rankings
+    ]
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    fused = allc.groupBy(query_id_col, id_col).agg(
+        F.sum("__c").cast("long").alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "rrf_score", "n_lists",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -99,3 +99,38 @@ def test_bm25_validation(spark):
         bm25_topk(
             _docs(spark, [(1, "a")]), _queries(spark, [(1, "a")]), k=0
         )
+
+
+def test_rrf_fuse_hand_case(spark):
+    import pytest
+
+    from nspc_etl_basic_spark.operators.retrieval import RRF_SCALE, rrf_fuse
+
+    schema = "query_id long, doc_id long, rank long"
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], schema
+    )
+    dense = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)], schema
+    )
+    rows = {
+        r["doc_id"]: r for r in rrf_fuse([lex, dense], k=10, rrf_k=60).collect()
+    }
+    # doc 11 appears in both lists (ranks 2 and 1) and must win
+    assert rows[11]["rank"] == 1 and rows[11]["n_lists"] == 2
+    assert rows[11]["rrf_score"] == RRF_SCALE // 62 + RRF_SCALE // 61
+    # single-list docs carry exactly their one reciprocal
+    assert rows[10]["rrf_score"] == RRF_SCALE // 61
+    assert rows[13]["rrf_score"] == RRF_SCALE // 62
+    assert rows[12]["rrf_score"] == RRF_SCALE // 63
+    # equal scores tie-break by ascending doc id: 10 (lex r1) vs
+    # 13 (dense r2) -> 16393442 vs 16129032, no tie here; check order
+    got = sorted(rows.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in got] == [11, 10, 13, 12]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([], k=5)
+    with pytest.raises(ValueError, match="k must be positive"):
+        rrf_fuse([lex], k=0)
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([lex], k=5, rrf_k=-1)
