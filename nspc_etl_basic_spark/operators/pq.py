@@ -519,6 +519,15 @@ def ivfpq_topk(
     ``query_id`` column is always BIGINT and a non-integer id raises at
     the ``int()`` coercion. The corpus ``id_col`` keeps its input type
     on both the scored and the empty path.
+
+    Design note on the fan-out: each corpus row explodes over
+    ``sequence(1..n_queries)`` BEFORE the probe filter. Codegen fuses
+    explode+filter so nothing materializes, but the per-row cost is
+    O(n_queries) probe-set tests — fine under the ``max_queries``
+    bound this function enforces; if that bound is ever raised
+    substantially, restructure to a cell-keyed join against a
+    (query, probed_cell) table so non-probed (row, query) pairs are
+    pruned by the join instead of tested per row.
     """
     import numpy as np
 

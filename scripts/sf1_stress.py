@@ -130,9 +130,18 @@ def main() -> None:
 
     # no underscore after 'deduptier': the tier90 work dirs are named
     # nspc_replay_deduptier90_* and must go cold too, or the
-    # dedup_components_incr datapoint measures a warm tier
-    for d in glob.glob("/tmp/nspc_replay_deduptier*"):
-        shutil.rmtree(d, ignore_errors=True)
+    # dedup_components_incr datapoint measures a warm tier. Round 10
+    # added two more materialized corpus assets with the same staleness
+    # contract — the semdedup base tier and the trained IVF/PQ
+    # codebooks — which must equally go cold here or the
+    # corpus_semantic_dedup* / sim_ann_* datapoints measure warm reads.
+    for pat in (
+        "/tmp/nspc_replay_deduptier*",
+        "/tmp/nspc_replay_semdedupbase90_*",
+        "/tmp/nspc_replay_codebooks16_*",
+    ):
+        for d in glob.glob(pat):
+            shutil.rmtree(d, ignore_errors=True)
 
     import __spark_entry__ as entry
     from nspc_etl_basic_spark import get_spark
