@@ -2754,9 +2754,13 @@ def text_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     score a BIGINT sum — exactly order-independent, bit-replayable.
     n_lists marks the docs both tiers agree on (the BM25 leg ranks the
     query document itself first; the dense leg excludes self — RRF
-    fuses the lists as given). The oracle replays both legs (BM25
-    integer micros; k-means training + probed assignment) and the RRF
-    arithmetic."""
+    fuses the lists as given). Document-as-query workloads carry
+    hundreds of terms each, so the BM25 leg prunes to the 32 RAREST
+    query terms (max_query_terms — the high-idf mass that decides
+    rankings; measured at sf1 the exact probe was 452M rows). The
+    oracle replays both legs (BM25 integer micros with the same
+    rarest-32 pruning; k-means training + probed assignment) and the
+    RRF arithmetic."""
     from nspc_etl_basic_spark.operators.retrieval import bm25_topk, rrf_fuse
     from nspc_etl_basic_spark.operators.similarity import ivf_topk
 
@@ -2765,7 +2769,7 @@ def text_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
-    lexical = bm25_topk(docs, queries, k=10).select(
+    lexical = bm25_topk(docs, queries, k=10, max_query_terms=32).select(
         "query_id", "doc_id", "rank"
     )
     cents, _books = _trained_codebooks(spark, sf_dir)
@@ -10523,13 +10527,28 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT CAST(count(*) AS BIGINT) FROM toks)
                            AS total_tokens
             ),
-            qt AS (
+            qt0 AS (
                 SELECT DISTINCT query_id, token
                 FROM (
                     SELECT doc_id AS query_id,
                            unnest({_sql_word_tokens('text')}) AS token
                     FROM documents WHERE doc_id % 100 = 0
                 )
+            ),
+            dfs AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS qdf
+                FROM tf GROUP BY token
+            ),
+            qt AS (
+                SELECT query_id, token
+                FROM (
+                    SELECT q.query_id, q.token,
+                           row_number() OVER (
+                               PARTITION BY q.query_id
+                               ORDER BY d.qdf ASC, q.token ASC) AS qrk
+                    FROM qt0 q JOIN dfs d USING (token)
+                )
+                WHERE qrk <= 32
             ),
             bm25 AS (
                 SELECT q.query_id, s.doc_id,

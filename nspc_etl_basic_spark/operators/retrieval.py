@@ -52,14 +52,38 @@ def bm25_topk(
     text_col: str = "text",
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
+    max_query_terms: int | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25: ``(query_id, doc_id,
     score_micro, rank)`` with ``score_micro`` the integer-micros BM25
     score (see module contract) and rank ties broken by ascending
     doc id. Queries with no term overlap anywhere yield no rows —
-    retrieval semantics, not an error."""
+    retrieval semantics, not an error.
+
+    ``max_query_terms`` keeps only each query's N RAREST terms (lowest
+    corpus df; ties by token) — the standard query-pruning lever for
+    DOCUMENT-AS-QUERY workloads (dedup-by-retrieval, decontamination
+    sweeps), where a long query's probe volume is sum over its terms
+    of df(term) and the rare terms carry the high-idf mass that
+    decides rankings. Scores CHANGE when pruning fires (dropped terms
+    contribute nothing), so this is an explicit retrieval variant, not
+    an optimization of the exact operator; the default None stays
+    exact. Pruning costs one extra corpus TF pass for the df table,
+    joined query-side via a broadcast of the query terms, never a
+    corpus shuffle. Know the regime before reaching for it (measured,
+    SCALE.md): the lever cuts VOCABULARY-RICH long queries; against a
+    degenerate vocabulary where every query term is corpus-common
+    (the sf1 stand-in: ~25 distinct terms/query, mean df 36k over 50k
+    docs -> a 452M-row probe and a 25M-key aggregate), no query-side
+    pruning can shrink the probe — the per-(query, doc) aggregate IS
+    the exact-scoring cost, and the fix is corpus-side (a real
+    Zipfian vocabulary probes sparsely by construction)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
+    if max_query_terms is not None and max_query_terms < 1:
+        raise ValueError(
+            f"max_query_terms must be >= 1, got {max_query_terms}"
+        )
     toks = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
     )
@@ -82,6 +106,22 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(word_tokens(F.col(query_text_col))).alias("token"),
     ).distinct()
+    if max_query_terms is not None:
+        dfs = tf.groupBy("token").agg(
+            F.count(F.lit(1)).cast("long").alias("__df")
+        )
+        # broadcast the QUERY side into the vocab-sized df table (the
+        # vocabulary can be huge at corpus scale; the query terms never
+        # are), then rank per query — the ranked frame is query-sized
+        wq = Window.partitionBy(query_id_col).orderBy(
+            F.col("__df").asc(), F.col("token").asc()
+        )
+        q_terms = (
+            dfs.join(F.broadcast(q_terms), "token")
+            .withColumn("__qrk", F.row_number().over(wq))
+            .filter(F.col("__qrk") <= max_query_terms)
+            .select(query_id_col, "token")
+        )
     # inverted-index probe: the (query, token) side is query-sized
     hits = with_stats.join(F.broadcast(q_terms), "token")
     idf = F.log(

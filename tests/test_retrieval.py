@@ -134,3 +134,38 @@ def test_rrf_fuse_hand_case(spark):
         rrf_fuse([lex], k=0)
     with pytest.raises(ValueError, match="rrf_k"):
         rrf_fuse([lex], k=5, rrf_k=-1)
+
+
+def test_bm25_max_query_terms_prunes_rarest(spark):
+    import pytest
+
+    from nspc_etl_basic_spark.operators.retrieval import bm25_topk
+
+    # 'common' appears in every doc (df=4, max); 'rare1'/'rare2' in one
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 alpha"),
+            (2, "common rare2 beta"),
+            (3, "common alpha beta"),
+            (4, "common gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, "common rare1 rare2")], "query_id long, query_text string"
+    )
+    exact = {r["doc_id"]: r["score_micro"]
+             for r in bm25_topk(docs, q, k=10).collect()}
+    pruned = {r["doc_id"]: r["score_micro"]
+              for r in bm25_topk(docs, q, k=10, max_query_terms=2).collect()}
+    # rarest-2 = rare1, rare2 (df=1 each) -> 'common' drops: docs 3/4
+    # (matched only via 'common') disappear, 1/2 lose its contribution
+    assert set(exact) == {1, 2, 3, 4}
+    assert set(pruned) == {1, 2}
+    assert pruned[1] < exact[1] and pruned[2] < exact[2]
+    # N >= distinct query terms -> no-op, scores equal exact
+    noop = {r["doc_id"]: r["score_micro"]
+            for r in bm25_topk(docs, q, k=10, max_query_terms=3).collect()}
+    assert noop == exact
+    with pytest.raises(ValueError, match="max_query_terms"):
+        bm25_topk(docs, q, k=10, max_query_terms=0)
