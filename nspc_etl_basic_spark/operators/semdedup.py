@@ -64,6 +64,7 @@ from nspc_etl_basic_spark.operators.similarity import (
 __all__ = [
     "auto_n_cells",
     "semantic_contaminated_ids",
+    "semantic_decontaminate",
     "semantic_dedup",
     "semantic_dedup_incremental",
 ]
@@ -392,3 +393,27 @@ def semantic_contaminated_ids(
             F.max("__cs").alias("max_cos_sim"),
         )
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    corpus_emb: DataFrame,
+    eval_emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.3,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus minus semantically contaminated documents — the
+    embedding-tier twin of ``decontaminate.decontaminate``: flag ids
+    with :func:`semantic_contaminated_ids` over ``corpus_emb`` (rows
+    keyed ``vec_id_col`` == the corpus ``id_col``), then drop them with
+    a broadcast LEFT ANTI join (the flagged set is bounded by the
+    eval-adjacent population — small by construction; the corpus never
+    shuffles)."""
+    bad = semantic_contaminated_ids(
+        corpus_emb, eval_emb, centroids, threshold,
+        id_col=vec_id_col, vec_col=vec_col,
+    ).select(F.col(vec_id_col).alias(id_col))
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")

@@ -105,3 +105,93 @@ def test_runner_forwards_column_names(spark):
     out = run_curation(spark, docs, cfg, id_col="id", text_col="body")
     assert "kept_id" in out["split"].columns
     assert out["split"].count() > 0
+
+
+def _emb(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def test_runner_semantic_dedup_stage(spark):
+    """The semantic_dedup stage must equal a hand-run semantic_dedup on
+    the kept docs' embeddings, and docs WITHOUT an embedding row must
+    pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.semdedup import semantic_dedup
+
+    docs = _docs(spark)
+    emb = _emb(spark).filter(F.col("vec_id") < 400)  # coverage gap
+    out = run_curation(
+        spark, docs,
+        {"curation": {"semantic_dedup": {"n_cells": 8, "threshold": 0.3}}},
+        embeddings=emb,
+    )
+    labels = semantic_dedup(
+        emb.join(docs.select(F.col("doc_id").alias("vec_id")),
+                 "vec_id", "left_semi"),
+        n_cells=8, threshold=0.3,
+    )
+    dropped = {r["vec_id"] for r in labels.where(~F.col("keep")).collect()}
+    kept_ids = {r["doc_id"] for r in out["semantic_kept"].select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept_ids == all_ids - dropped
+    # every doc id >= 400 (no embedding row) survived
+    assert {i for i in all_ids if i >= 400} <= kept_ids
+
+
+def test_runner_decontaminate_stage_and_raises_without_side_inputs(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    # eval set: one real corpus document -> its n-grams flag at least
+    # that document itself
+    eval_docs = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    out = run_curation(
+        spark, docs,
+        {"curation": {"decontaminate": {"ngram_n": 5}}},
+        eval_docs=eval_docs,
+    )
+    kept_ids = {r["doc_id"] for r in out["decontaminate"].select("doc_id").collect()}
+    assert 0 not in kept_ids
+    assert len(kept_ids) < docs.count()
+
+    with pytest.raises(ValueError, match="eval_docs"):
+        run_curation(
+            spark, docs, {"curation": {"decontaminate": {"ngram_n": 5}}}
+        )
+    with pytest.raises(ValueError, match="embeddings"):
+        run_curation(
+            spark, docs,
+            {"curation": {"decontaminate": {"ngram_n": 5, "semantic": {}}}},
+            eval_docs=eval_docs,
+        )
+    with pytest.raises(ValueError, match="embeddings"):
+        run_curation(
+            spark, docs,
+            {"curation": {"semantic_dedup": {"n_cells": 8}}},
+        )
+
+
+def test_runner_semantic_decontaminate_semantic_sweep(spark):
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark)
+    emb = _emb(spark)
+    eval_docs = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    eval_emb = emb.filter(F.col("vec_id") % 20 == 0)
+    out = run_curation(
+        spark, docs,
+        {"curation": {"decontaminate": {
+            "ngram_n": 5,
+            "semantic": {"threshold": 0.3, "n_cells": 8},
+        }}},
+        embeddings=emb, eval_docs=eval_docs, eval_embeddings=eval_emb,
+    )
+    n = out["decontaminate"].count()
+    # the semantic sweep drops strictly more than the n-gram sweep alone
+    ngram_only = run_curation(
+        spark, docs, {"curation": {"decontaminate": {"ngram_n": 5}}},
+        eval_docs=eval_docs,
+    )["decontaminate"].count()
+    assert n < ngram_only
