@@ -2743,6 +2743,25 @@ def _semdedup_base90(spark: SparkSession, sf_dir: str):
     return cents, spark.read.parquet(table_path)
 
 
+def corpus_semantic_dedup_auto_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup under the round-10 PRODUCTION defaults, driver-oracled:
+    n_cells derives from the corpus (auto_n_cells(count,
+    target_cell_size=25) — 20 cells at the sf0.01 oracle scale, growing
+    with the corpus) and the codebook trains on the deterministic
+    50% hash-sample (train_fraction=0.5, hash_bucket membership on
+    vec_id) while assignment covers every vector — the two measured
+    sf1 levers (SCALE.md) exercised through the driver gate rather
+    than only pytest. The oracle replays the hash-sample predicate,
+    k-means over the sampled slice at the derived cell count, and the
+    usual assignment/pairs/components chain."""
+    from nspc_etl_basic_spark.operators.semdedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, threshold=0.3, target_cell_size=25, train_fraction=0.5
+    )
+
+
 def text_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval fusion (retrieval.rrf_fuse, round 10): the
     standard two-tier retrieval stack — BM25 lexical shortlist fused
@@ -5658,6 +5677,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
         "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
+        "corpus_semantic_dedup_auto": corpus_semantic_dedup_auto_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "text_bm25_topk": text_bm25_topk_q,
         "text_hybrid_topk": text_hybrid_topk_q,
@@ -7594,17 +7614,21 @@ def _sql_quality_classifier(
     """
 
 
-def _sql_semantic_dedup(train_table: str = "embeddings") -> str:
+def _sql_semantic_dedup(
+    train_table: str = "embeddings", n_cells: int = 16
+) -> str:
     """Oracle for the SemDeDup family: trained k-means (bit-exact
     fixed-point replay over ``train_table``) -> within-cell round-6
     cosine pairs -> recursive-reachability components -> min-id
     representative. Shared by corpus_semantic_dedup (full-corpus
     training), corpus_semantic_dedup_incr (base-slice training; the
-    incremental merge provably equals this from-scratch replay), and
-    stream_semdedup_replay (the drained store equals it too)."""
+    incremental merge provably equals this from-scratch replay),
+    stream_semdedup_replay (the drained store equals it too), and
+    corpus_semantic_dedup_auto (hash-sampled training slice +
+    corpus-derived n_cells)."""
     return f"""
             WITH RECURSIVE {_sql_ivf_kmeans_ctes(
-                n_cells=16, n_iter=3, table=train_table)},
+                n_cells=n_cells, n_iter=3, table=train_table)},
             c_assign AS (
                 SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
                 FROM embeddings e CROSS JOIN ivf_cents
@@ -11037,6 +11061,17 @@ def oracle_sql() -> dict[str, str]:
         # components -> min-id representative
         "corpus_semantic_dedup": _sql_semantic_dedup(),
         "corpus_semantic_decontaminate": _sql_semantic_decontaminate(),
+        # production-defaults SemDeDup: n_cells = auto_n_cells(500, 25)
+        # = 20 at the sf0.01 oracle scale; training on the 50%
+        # hash-sample (same md5-bucket rule as sampling.hash_sample)
+        "corpus_semantic_dedup_auto": _sql_semantic_dedup(
+            train_table=(
+                "(SELECT * FROM embeddings WHERE CAST('0x' || "
+                "substr(md5('semdedup_train' || CAST(vec_id AS VARCHAR)),"
+                " 1, 8) AS BIGINT) % 10000 < 5000)"
+            ),
+            n_cells=20,
+        ),
         # the streamed store provably equals the same from-scratch
         # replay (induction over micro-batches via the contraction
         # argument) — full-corpus-trained codebook, same params
