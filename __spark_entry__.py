@@ -2941,6 +2941,94 @@ def sim_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (pq.ivfpq_residual_topk, round 10) — IVFADC as
+    FAISS actually ships it: corpus vectors PQ-encode their RESIDUAL
+    against the coarse centroid (residuals concentrate near the
+    origin, so the same m=16, k=16 budget resolves finer structure —
+    recall is measurably above the raw-vector sim_ann_ivfpq at the
+    same knobs, pinned in tests/test_pq.py), and each query builds a
+    separate ADC table per probed cell from its own residual. Same
+    one-row recall report vs the exact-L2 top-5: (n_queries,
+    micro_recall_ppm, min_recall_ppm). The coarse codebook reads from
+    the materialized trained asset; the residual PQ codebooks train
+    in-query over the residual projection (fixed-point end-to-end, so
+    the oracle replays coarse training, residuals, PQ training on
+    residuals, encode, and every per-(query, cell) ADC table exactly)."""
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators.pq import (
+        ivf_residual_frame,
+        ivfpq_residual_topk,
+        train_pq_codebooks,
+    )
+    from nspc_etl_basic_spark.operators.similarity import KMEANS_SCALE
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents, _books = _trained_codebooks(spark, sf_dir)
+    resid = ivf_residual_frame(emb, cents)
+    books = train_pq_codebooks(
+        resid, m=16, k=16, n_iter=3, vec_col="__resid", id_col="vec_id"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    approx = ivfpq_residual_topk(
+        emb, queries, cents, books, k=25, n_probe=4,
+        quantize_scale=KMEANS_SCALE,
+    )
+
+    from nspc_etl_basic_spark.operators.similarity import dot as _dot
+
+    q = queries.select(
+        "query_id", F.col("embedding").cast("array<double>").alias("__qv")
+    ).withColumn("__qq", _dot(F.col("__qv"), F.col("__qv")))
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    ).withColumn("__cc", _dot(F.col("__cv"), F.col("__cv")))
+    dist = (
+        F.col("__qq")
+        - F.lit(2.0) * _dot(F.col("__qv"), F.col("__cv"))
+        + F.col("__cc")
+    )
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id", F.round(dist, 6).alias("__d"))
+    )
+    w = _W.partitionBy("query_id").orderBy(
+        F.col("__d").asc(), F.col("vec_id").asc()
+    )
+    exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= 5
+    )
+    hits = exact.join(
+        approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("(1000000 * sum(n_hit)) div sum(n_exact)")
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+    )
+
+
 def corpus_pack_multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved multimodal packing (round 8,
     packing.pack_materialize_multimodal): every 5th document carries an
@@ -5679,6 +5767,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
         "corpus_semantic_dedup_auto": corpus_semantic_dedup_auto_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
+        "sim_ann_ivfpq_residual": sim_ann_ivfpq_residual_q,
         "text_bm25_topk": text_bm25_topk_q,
         "text_hybrid_topk": text_hybrid_topk_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
@@ -6209,15 +6298,24 @@ def _sql_pq_trained_ctes(
     dim: int = 64,
     scale: int = 1_000_000,
     include_vq: bool = True,
+    source: str = "__vq",
+    prefix: str = "__p",
+    books: str = "pq_books",
+    enc: str = "pq_enc",
 ) -> str:
     """CTE chain replaying pq.train_pq_codebooks + quantized encode +
     quantized ADC (operators/pq.py, quantize_scale tier) exactly: all
     distances are integer-micro L2 (exact < 2^53), assignment ties to
     the lowest cell, updates are round-half-up integer floor-div. Ends
-    in ``pq_enc(vec_id, sub, code)`` and ``pq_books(sub, cell, c)``.
+    in ``{enc}(vec_id, sub, code)`` and ``{books}(sub, cell, c)``.
     ``include_vq=False`` omits the ``__vq`` quantization CTE for
     composition with ``_sql_ivf_kmeans_ctes``, which defines the
-    identical ``__vq`` (same scale) — a WITH list rejects duplicates."""
+    identical ``__vq`` (same scale) — a WITH list rejects duplicates.
+    ``source`` names the integer-vector CTE to train/encode over
+    (``(vec_id, v)`` with v integer micros), and ``prefix``/``books``/
+    ``enc`` rename the internal chain so a residual-PQ replay can
+    coexist with the raw chain in one WITH list (the residual oracle
+    passes its residual CTE as ``source``)."""
     w = dim // m
     d2 = (
         "list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[]) "
@@ -6232,52 +6330,53 @@ def _sql_pq_trained_ctes(
             FROM embeddings
         )""",
     ]
+    p = prefix
     parts = (vq_part if include_vq else []) + [
-        f"""__psubs AS (
+        f"""{p}subs AS (
             SELECT vec_id, CAST(j.j AS INTEGER) AS sub,
                    list_slice(v, j.j * {w} + 1, j.j * {w} + {w}) AS sv
-            FROM __vq CROSS JOIN
+            FROM {source} CROSS JOIN
                  (SELECT unnest(generate_series(0, {m - 1})) AS j) j
         )""",
-        f"""__pdims AS (SELECT unnest(generate_series(1, {w})) AS d)""",
-        f"""__pcb0 AS (
+        f"""{p}dims AS (SELECT unnest(generate_series(1, {w})) AS d)""",
+        f"""{p}cb0 AS (
             SELECT sub,
                    CAST(row_number() OVER (PARTITION BY sub ORDER BY vec_id) - 1
                         AS INTEGER) AS cell,
                    sv AS c
-            FROM __psubs
+            FROM {p}subs
             WHERE vec_id IN
                   (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
         )""",
     ]
     for t in range(n_iter):
-        parts.append(f"""__pasg{t} AS (
+        parts.append(f"""{p}asg{t} AS (
             SELECT s.vec_id, s.sub, s.sv, b.cell
-            FROM __psubs s JOIN __pcb{t} b ON b.sub = s.sub
+            FROM {p}subs s JOIN {p}cb{t} b ON b.sub = s.sub
             QUALIFY row_number() OVER (
                 PARTITION BY s.vec_id, s.sub
                 ORDER BY {d2} ASC, b.cell ASC) = 1
         )""")
-        parts.append(f"""__psum{t} AS (
+        parts.append(f"""{p}sum{t} AS (
             SELECT a.sub, a.cell, dm.d, CAST(SUM(a.sv[dm.d]) AS BIGINT) AS sq,
                    CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM __pasg{t} a CROSS JOIN __pdims dm
+            FROM {p}asg{t} a CROSS JOIN {p}dims dm
             GROUP BY a.sub, a.cell, dm.d
         )""")
         upd = _sql_floor_div("2 * s.sq + s.cnt", "2 * s.cnt")
-        parts.append(f"""__pcb{t + 1} AS (
+        parts.append(f"""{p}cb{t + 1} AS (
             SELECT b.sub, b.cell,
                    list(CASE WHEN s.cnt IS NULL THEN b.c[dm.d]
                              ELSE CAST({upd} AS BIGINT) END ORDER BY dm.d) AS c
-            FROM __pcb{t} b CROSS JOIN __pdims dm
-            LEFT JOIN __psum{t} s
+            FROM {p}cb{t} b CROSS JOIN {p}dims dm
+            LEFT JOIN {p}sum{t} s
               ON s.sub = b.sub AND s.cell = b.cell AND s.d = dm.d
             GROUP BY b.sub, b.cell
         )""")
-    parts.append(f"pq_books AS (SELECT sub, cell, c FROM __pcb{n_iter})")
-    parts.append(f"""pq_enc AS (
+    parts.append(f"{books} AS (SELECT sub, cell, c FROM {p}cb{n_iter})")
+    parts.append(f"""{enc} AS (
         SELECT s.vec_id, s.sub, b.cell AS code
-        FROM __psubs s JOIN pq_books b ON b.sub = s.sub
+        FROM {p}subs s JOIN {books} b ON b.sub = s.sub
         QUALIFY row_number() OVER (
             PARTITION BY s.vec_id, s.sub
             ORDER BY {d2} ASC, b.cell ASC) = 1
@@ -11119,6 +11218,105 @@ def oracle_sql() -> dict[str, str]:
                 JOIN c_assign c ON c.vec_id = e.vec_id
                 JOIN q_probe qp ON qp.cent_id = c.cent_id
                 JOIN __qtab t ON t.query_id = qp.query_id
+                             AND t.sub = e.sub AND t.cell = e.code
+                WHERE t.query_id != e.vec_id
+                GROUP BY t.query_id, e.vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY t.query_id
+                    ORDER BY SUM(t.d) ASC, e.vec_id ASC) <= 25
+            ),
+            qx AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            cx AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),
+            exact AS (
+                SELECT query_id, vec_id,
+                       round(list_dot_product(qv, qv)
+                             - 2 * list_dot_product(qv, cv)
+                             + list_dot_product(cv, cv), 6) AS d
+                FROM qx CROSS JOIN cx WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id ORDER BY d ASC, vec_id ASC) <= 5
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_exact,
+                       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN approx a
+                  ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+                       AS micro_recall_ppm,
+                   CAST(MIN((1000000 * n_hit) // n_exact) AS BIGINT)
+                       AS min_recall_ppm
+            FROM perq
+        """,
+        # residual IVFADC: coarse k-means replay -> integer residuals
+        # (v_int - centroid_int, exact) -> PQ trained/encoded on the
+        # residual chain (renamed CTEs) -> per-(query, probed-cell)
+        # residual ADC tables -> shortlist -> exact-recall report
+        "sim_ann_ivfpq_residual": f"""
+            WITH {_sql_ivf_kmeans_ctes(n_cells=16, n_iter=3)},
+            r_assign AS (
+                SELECT e.vec_id, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) = 1
+            ),
+            __cint AS (
+                SELECT cent_id,
+                       list_transform(cvec,
+                           x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))
+                           AS cq
+                FROM ivf_cents
+            ),
+            __rvq AS (
+                SELECT v.vec_id,
+                       list_transform(generate_series(1, 64),
+                           i -> v.v[i] - c.cq[i]) AS v
+                FROM __vq v
+                JOIN r_assign a ON a.vec_id = v.vec_id
+                JOIN __cint c ON c.cent_id = a.cent_id
+            ),
+            {_sql_pq_trained_ctes(m=16, k=16, n_iter=3, include_vq=False,
+                                  source="__rvq", prefix="__r",
+                                  books="pq_books_r", enc="pq_enc_r")},
+            q_probe AS (
+                SELECT e.vec_id AS query_id, cent_id
+                FROM embeddings e CROSS JOIN ivf_cents
+                WHERE e.vec_id % 50 = 0
+                QUALIFY row_number() OVER (
+                    PARTITION BY e.vec_id
+                    ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
+                             cent_id ASC) <= 4
+            ),
+            __qres AS (
+                SELECT qp.query_id, qp.cent_id, CAST(j.j AS INTEGER) AS sub,
+                       list_slice(list_transform(generate_series(1, 64),
+                           i -> v.v[i] - c.cq[i]),
+                           j.j * 4 + 1, j.j * 4 + 4) AS sv
+                FROM q_probe qp
+                JOIN __vq v ON v.vec_id = qp.query_id
+                JOIN __cint c ON c.cent_id = qp.cent_id
+                CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j) j
+            ),
+            qrtab AS (
+                SELECT s.query_id, s.cent_id, s.sub, b.cell,
+                       list_dot_product(s.sv::DOUBLE[], s.sv::DOUBLE[])
+                       - 2 * list_dot_product(s.sv::DOUBLE[], b.c::DOUBLE[])
+                       + list_dot_product(b.c::DOUBLE[], b.c::DOUBLE[]) AS d
+                FROM __qres s JOIN pq_books_r b ON b.sub = s.sub
+            ),
+            approx AS (
+                SELECT t.query_id, e.vec_id
+                FROM pq_enc_r e
+                JOIN r_assign c ON c.vec_id = e.vec_id
+                JOIN qrtab t ON t.cent_id = c.cent_id
                              AND t.sub = e.sub AND t.cell = e.code
                 WHERE t.query_id != e.vec_id
                 GROUP BY t.query_id, e.vec_id

@@ -679,3 +679,247 @@ def ivfpq_topk(
         .filter(F.col("__rk") <= k)
         .select(query_id_col, id_col, "adc_dist", F.col("__rk").alias("rank"))
     )
+
+
+def ivf_residual_frame(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = KMEANS_SCALE,
+    resid_col: str = "__resid",
+    cell_col: str = "__cell",
+) -> DataFrame:
+    """``(id_col, cell_col, resid_col)``: frozen-codebook cell
+    assignment plus the FIXED-POINT residual ``v - centroid(cell(v))``
+    — the input representation of residual IVF-PQ (FAISS's default
+    IVFADC refinement: residuals concentrate near the origin, so the
+    same (m, k) PQ budget quantizes them with far less error than raw
+    vectors).
+
+    Determinism: both operands quantize to integer micros first
+    (``floor(x*scale + 0.5)``), the subtraction is exact integer
+    arithmetic, and the emitted double is ``r_int / scale`` — whose
+    re-quantization ``floor(r*scale + 0.5)`` in ``train_pq_codebooks``
+    / ``pq_encode_kernel`` recovers ``r_int`` exactly (the relative
+    error of one correctly-rounded divide+multiply is orders below the
+    0.5 rounding margin). So the full residual chain stays in the
+    engine's bit-portable fixed-point domain and a DuckDB oracle
+    replays it.
+
+    Plan: a pure projection — the codebook rides as two literals (the
+    assignment fold + a constant map cell -> centroid vector); no
+    shuffle, no UDF, no join."""
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+    from nspc_etl_basic_spark.operators.similarity import (
+        _ivf_cells_sorted,
+        norm,
+    )
+
+    if not centroids:
+        raise ValueError("centroids must be a non-empty frozen codebook")
+    cmap = F.map_from_arrays(
+        F.lit([int(cid) for cid, _ in centroids]).cast("array<bigint>"),
+        nested_lit(
+            [[float(x) for x in vec] for _cid, vec in centroids],
+            "array<array<double>>",
+        ),
+    )
+    s = float(scale)
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    ).select(
+        id_col,
+        "__v",
+        F.element_at(
+            _ivf_cells_sorted(F.col("__v"), centroids, F.col("__n")), 1
+        )["cent_id"].alias(cell_col),
+    )
+    resid = F.zip_with(
+        F.col("__v"),
+        F.element_at(cmap, F.col(cell_col).cast("bigint")),
+        lambda a, b: (
+            F.floor(a * F.lit(s) + F.lit(0.5))
+            - F.floor(b * F.lit(s) + F.lit(0.5))
+        ) / F.lit(s),
+    )
+    return assigned.select(id_col, cell_col, resid.alias(resid_col))
+
+
+def ivfpq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    max_queries: int = 200,
+    quantize_scale: int | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ (IVFADC as FAISS actually ships it, Jégou et
+    al. 2011 §IV): corpus vectors are PQ-encoded as RESIDUALS against
+    their coarse cell's centroid, and each query builds a SEPARATE ADC
+    table per probed cell from its own residual ``q - centroid(cell)``
+    — because the residual space is cell-relative, a (query, cell)
+    pair owns its table. Same recall knobs as ``ivfpq_topk`` with
+    materially better recall per code byte (residuals are small, so
+    the k centroids per subspace resolve finer structure; measured in
+    the driver query against the raw-vector variant).
+
+    ``codebooks`` MUST be trained on the residual frame
+    (``train_pq_codebooks(ivf_residual_frame(corpus, centroids), ...,
+    vec_col=resid_col)``) with the SAME frozen ``centroids`` — raw-
+    vector codebooks silently mis-scale every table.
+
+    Plan shape: identical inventory to ``ivfpq_topk`` — the residual
+    projection fuses into the scan feeding the Arrow encode kernel
+    (cell rides through as a passthrough column), and the scored scan
+    explodes over the (query, probed-cell) PAIR list with the cell
+    equality test FIRST, so each corpus row meets at most one pair per
+    query and no table lookup happens outside probed cells. The pair
+    tables are per-(query, cell), so the literal payload is n_probe
+    times ``ivfpq_topk``'s — ``max_queries`` defaults 5x lower (200)
+    to keep the plan the same size. Query ids must be integers (the
+    ``pq_topk`` convention; output query_id is BIGINT)."""
+    import numpy as np
+
+    from nspc_etl_basic_spark.functions.fastlit import nested_lit
+    from nspc_etl_basic_spark.operators.similarity import (
+        _ivf_cells_sorted,
+        norm,
+    )
+    from pyspark.sql.window import Window
+
+    enc = pq_encode_kernel(
+        ivf_residual_frame(
+            corpus, centroids, vec_col=vec_col, id_col=id_col,
+            scale=quantize_scale or KMEANS_SCALE,
+        ),
+        codebooks,
+        vec_col="__resid",
+        id_col=id_col,
+        quantize_scale=quantize_scale,
+        passthrough_cols=["__cell"],
+    )
+
+    q_rows = (
+        queries.select(
+            query_id_col,
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+            norm(F.col(vec_col)).alias("__n"),
+        )
+        .select(
+            query_id_col,
+            "__qv",
+            F.transform(
+                F.slice(
+                    _ivf_cells_sorted(F.col("__qv"), centroids, F.col("__n")),
+                    1,
+                    n_probe,
+                ),
+                lambda st: st["cent_id"],
+            ).alias("__probes"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"ivfpq_residual_topk: query side exceeds "
+            f"max_queries={max_queries}; batch the queries or raise "
+            "the bound explicitly"
+        )
+    if not q_rows:
+        from pyspark.sql import types as T
+
+        return corpus.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(query_id_col, T.LongType(), True),
+                    T.StructField(
+                        id_col,
+                        corpus.schema[id_col].dataType,
+                        corpus.schema[id_col].nullable,
+                    ),
+                    T.StructField("adc_dist", T.DoubleType(), True),
+                    T.StructField("rank", T.IntegerType(), False),
+                ]
+            ),
+        )
+
+    s = quantize_scale
+    cb = np.array(codebooks, dtype=np.float64)  # (m, k, w)
+    if s:
+        cb = np.floor(cb * s + 0.5)
+    m, _kc, w = cb.shape
+    cent_int = {
+        int(cid): np.floor(
+            np.array(vec, dtype=np.float64) * (s or KMEANS_SCALE) + 0.5
+        )
+        for cid, vec in centroids
+    }
+    pairs = []  # (qid, cell, table)
+    for r in q_rows:
+        qv = np.array(r["__qv"], dtype=np.float64)
+        qint = np.floor(qv * (s or KMEANS_SCALE) + 0.5)
+        for cell in r["__probes"]:
+            qres = qint - cent_int[int(cell)]
+            if not s:
+                qres = qres / KMEANS_SCALE
+            table = [
+                ((cb[j] - qres[j * w : (j + 1) * w]) ** 2)
+                .sum(axis=1)
+                .tolist()
+                for j in range(m)
+            ]
+            pairs.append((int(r[query_id_col]), int(cell), table))
+
+    qids_lit = F.lit([q for q, _c, _t in pairs]).cast("array<bigint>")
+    cells_lit = F.lit([c for _q, c, _t in pairs]).cast("array<bigint>")
+    tbls_lit = nested_lit(
+        [[[float(x) for x in row] for row in t] for _q, _c, t in pairs],
+        "array<array<array<double>>>",
+    )
+    scored = (
+        enc.withColumn(
+            "__i", F.explode(F.sequence(F.lit(1), F.lit(len(pairs))))
+        )
+        # cell equality FIRST: a corpus row only pays the m lookups for
+        # pairs probing ITS cell — at most one pair per query
+        .filter(
+            F.element_at(cells_lit, F.col("__i"))
+            == F.col("__cell").cast("bigint")
+        )
+        .withColumn("__tbl", F.element_at(tbls_lit, F.col("__i")))
+        .select(
+            F.element_at(qids_lit, F.col("__i")).alias(query_id_col),
+            id_col,
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("pq_code"),
+                        F.col("__tbl"),
+                        lambda c, row: F.element_at(row, c + F.lit(1)),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc_dist"),
+        )
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    wdw = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(wdw))
+        .filter(F.col("__rk") <= k)
+        .select(query_id_col, id_col, "adc_dist", F.col("__rk").alias("rank"))
+    )

@@ -206,3 +206,58 @@ def test_ivfpq_empty_queries_schema_matches_scored_path(emb):
     empty = ivfpq_topk(emb, queries.limit(0), cents, books, k=3)
     assert empty.schema == scored.schema
     assert empty.count() == 0
+
+
+def test_ivfpq_residual_beats_raw_and_matches_schema(emb):
+    from pyspark.sql import functions as F
+
+    from nspc_etl_basic_spark.operators.pq import (
+        ivf_residual_frame,
+        ivfpq_residual_topk,
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+    from nspc_etl_basic_spark.operators.similarity import (
+        KMEANS_SCALE,
+        cosine_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+    resid = ivf_residual_frame(emb, cents)
+    books_res = train_pq_codebooks(
+        resid, m=16, k=16, n_iter=3, vec_col="__resid", id_col="vec_id"
+    )
+    books_raw = train_pq_codebooks(emb, m=16, k=16, n_iter=3)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivfpq_residual_topk(
+        emb, queries, cents, books_res, k=25, n_probe=4,
+        quantize_scale=KMEANS_SCALE,
+    )
+    raw = ivfpq_topk(
+        emb, queries, cents, books_raw, k=25, n_probe=4,
+        quantize_scale=KMEANS_SCALE,
+    )
+    assert res.schema == raw.schema
+    # shortlist k bound holds per query
+    per_q = {r["query_id"]: r["count"]
+             for r in res.groupBy("query_id").count().collect()}
+    assert per_q and all(c <= 25 for c in per_q.values())
+    # residual encoding resolves finer structure: recall of the exact
+    # cosine top-5 within the shortlist must be >= the raw variant's
+    # (strictly greater on this corpus: 27 vs 23 of 50 when pinned)
+    exact = cosine_topk(emb, queries, k=5)
+    def hits(approx):
+        return exact.join(
+            approx.select("query_id", "vec_id"),
+            ["query_id", "vec_id"], "left_semi",
+        ).count()
+    assert hits(res) >= hits(raw)
+    # empty query side: schema identical to the scored path
+    empty = ivfpq_residual_topk(
+        emb, queries.limit(0), cents, books_res, k=25, n_probe=4,
+        quantize_scale=KMEANS_SCALE,
+    )
+    assert empty.schema == res.schema and empty.count() == 0
