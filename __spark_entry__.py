@@ -3029,6 +3029,60 @@ def sim_ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sim_dim_truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation retrieval eval (round 10) — the
+    matryoshka-style deployment question every large-scale ANN store
+    asks before fixing its vector width: search on the FIRST HALF of
+    the embedding (32 of 64 dims — half the storage, half the
+    dot-product compute), shortlist k=25, and measure recall of the
+    full-width exact cosine top-5 within that shortlist (the
+    search-truncated-rerank-full pattern). One row: (n_queries,
+    micro_recall_ppm, min_recall_ppm) — the same report shape as the
+    ANN tiers, so width sits beside IVF/PQ/IVFPQ in the same
+    recall-per-cost comparison. Pure composition of the exact-guarded
+    cosine_topk over a sliced projection; the oracle replays both
+    tiers with list_slice."""
+    from pyspark.sql.window import Window as _W
+
+    from nspc_etl_basic_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    half = F.slice(F.col("embedding").cast("array<double>"), 1, 32)
+    trunc_corpus = emb.select("vec_id", half.alias("embedding"))
+    trunc_q = queries.select("query_id", half.alias("embedding"))
+    shortlist = cosine_topk(trunc_corpus, trunc_q, k=25)
+    exact = cosine_topk(emb, queries, k=5)
+    hits = exact.join(
+        shortlist.select("query_id", "vec_id"),
+        ["query_id", "vec_id"], "left_semi",
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+        )
+        .withColumn("recall_ppm", F.expr("(1000000 * n_hit) div n_exact"))
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr("(1000000 * sum(n_hit)) div sum(n_exact)")
+        .cast("long")
+        .alias("micro_recall_ppm"),
+        F.min("recall_ppm").cast("long").alias("min_recall_ppm"),
+    )
+
+
 def corpus_pack_multimodal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interleaved multimodal packing (round 8,
     packing.pack_materialize_multimodal): every 5th document carries an
@@ -5768,6 +5822,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_semantic_dedup_auto": corpus_semantic_dedup_auto_q,
         "sim_ann_ivfpq": sim_ann_ivfpq_q,
         "sim_ann_ivfpq_residual": sim_ann_ivfpq_residual_q,
+        "sim_dim_truncation_recall": sim_dim_truncation_recall_q,
         "text_bm25_topk": text_bm25_topk_q,
         "text_hybrid_topk": text_hybrid_topk_q,
         "corpus_preference_pairs": corpus_preference_pairs_q,
@@ -11344,6 +11399,48 @@ def oracle_sql() -> dict[str, str]:
                        CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit
                 FROM exact e LEFT JOIN approx a
                   ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+                GROUP BY e.query_id
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+                   CAST((1000000 * SUM(n_hit)) // SUM(n_exact) AS BIGINT)
+                       AS micro_recall_ppm,
+                   CAST(MIN((1000000 * n_hit) // n_exact) AS BIGINT)
+                       AS min_recall_ppm
+            FROM perq
+        """,
+        # matryoshka-style width eval: truncated-32-dim shortlist vs
+        # full-width exact top-5, same recall aggregate as the ANN tiers
+        "sim_dim_truncation_recall": f"""
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+                       list_slice(embedding::DOUBLE[], 1, 32) AS qh
+                FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (
+                SELECT vec_id, embedding::DOUBLE[] AS cv,
+                       list_slice(embedding::DOUBLE[], 1, 32) AS ch
+                FROM embeddings
+            ),
+            short AS (
+                SELECT query_id, vec_id
+                FROM q CROSS JOIN c WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY {_sql_cosine('qh', 'ch')} DESC, vec_id ASC) <= 25
+            ),
+            exact AS (
+                SELECT query_id, vec_id
+                FROM q CROSS JOIN c WHERE query_id != vec_id
+                QUALIFY row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY {_sql_cosine('qv', 'cv')} DESC, vec_id ASC) <= 5
+            ),
+            perq AS (
+                SELECT e.query_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_exact,
+                       CAST(COUNT(s.vec_id) AS BIGINT) AS n_hit
+                FROM exact e LEFT JOIN short s
+                  ON s.query_id = e.query_id AND s.vec_id = e.vec_id
                 GROUP BY e.query_id
             )
             SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
