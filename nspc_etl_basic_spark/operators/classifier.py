@@ -69,6 +69,7 @@ __all__ = [
     "quality_classifier",
     "classifier_agreement",
     "classifier_holdout_eval",
+    "classifier_pr_curve",
 ]
 
 CLF_SCALE = 1_000_000_000
@@ -343,6 +344,24 @@ def _per_class_metrics(conf: DataFrame, labels: list[str]) -> DataFrame:
     )
 
 
+def _check_slices_disjoint(
+    train_df: DataFrame, eval_df: DataFrame, id_col: str
+) -> None:
+    """Raise if any id appears in both slices — the overlap silently
+    inflates every held-out metric, which is the exact failure mode
+    the held-out evaluations exist to catch. One id-only semi-join
+    count (an eager action; that is why callers gate it on a flag)."""
+    n = train_df.select(id_col).join(
+        eval_df.select(id_col), id_col, "left_semi"
+    ).count()
+    if n:
+        raise ValueError(
+            f"train/eval slices overlap on {n} {id_col} value(s); "
+            "a held-out evaluation requires disjoint slices "
+            "(use sampling.leakage_safe_split)"
+        )
+
+
 def classifier_holdout_eval(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -351,6 +370,7 @@ def classifier_holdout_eval(
     text_col: str = "text",
     n_buckets: int = 1024,
     salt: str = "clf",
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """HELD-OUT classifier evaluation — the generalization upgrade over
     ``classifier_agreement``'s train-set metric: the scorer is trained
@@ -367,9 +387,12 @@ def classifier_holdout_eval(
     split leaks near-copies of eval documents into training and
     inflates every metric, which is the exact failure mode this
     evaluation exists to catch. ``train_df`` and ``eval_df`` must be
-    disjoint; rows whose keyword rules fire in neither slice contribute
-    nothing (train) / are excluded from metrics (eval), same as
-    agreement.
+    disjoint — ``check_disjoint=True`` verifies that with one id-only
+    semi-join count and raises on overlap (an extra eager action, so
+    it is opt-in; leave it off when the slices provably come from one
+    split call). Rows whose keyword rules fire in neither slice
+    contribute nothing (train) / are excluded from metrics (eval),
+    same as agreement.
 
     Scale: identical plan inventory to ``classifier_agreement`` — the
     weight grid is ``len(rules) * n_buckets`` rows (broadcast at any
@@ -378,6 +401,8 @@ def classifier_holdout_eval(
     groupBy to ``len(rules)^2`` rows."""
     from nspc_etl_basic_spark.operators.labeling import keyword_labels
 
+    if check_disjoint:
+        _check_slices_disjoint(train_df, eval_df, id_col)
     labels = sorted(rules)
     train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
         F.col("label").isNotNull()
@@ -398,3 +423,123 @@ def classifier_holdout_eval(
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     return _per_class_metrics(conf, labels)
+
+
+def classifier_pr_curve(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    rules: dict[str, list[str]],
+    positive_label: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+    check_disjoint: bool = False,
+) -> DataFrame:
+    """Held-out precision/recall sweep over SCORE THRESHOLDS for one
+    class — the curve that turns ``top_fraction``'s keep-fraction from
+    an arbitrary knob into a measured operating point: before keeping
+    "the top 25% by score_joins", read the row whose keep_frac_ppm is
+    nearest 250000 and see what precision/recall that threshold buys
+    on data the scorer never trained on.
+
+    Trains on ``train_df``'s weak labels exactly like
+    ``classifier_holdout_eval``, scores the eval slice, and sweeps the
+    decision rule ``keep iff score_<positive_label> >= t`` over every
+    DISTINCT observed score t on the weak-labeled eval rows (the exact
+    PR curve — no binning error). One row per distinct score,
+    descending::
+
+        (threshold, n_keep, n_pos_kept, precision_ppm, recall_ppm,
+         f1_ppm, keep_frac_ppm)
+
+    where n_keep / n_pos_kept count weak-labeled eval docs at or above
+    the threshold (n_pos_kept those whose weak label IS the positive
+    class), precision = n_pos_kept/n_keep, recall vs the slice's total
+    positives, F1 via 2*tp/(kept+pos) so nothing rounds twice, and
+    keep_frac is n_keep over all weak-labeled eval docs — every ratio
+    integer ppm (truncating div on BIGINTs, exact on both engines).
+    Ground truth is the weak label (positive iff it equals
+    ``positive_label``); unlabeled eval rows are excluded, same
+    contract as the holdout eval.
+
+    Scale: training and scoring are the holdout plan (broadcast weight
+    grid; the corpus text never shuffles). The sweep itself is one
+    groupBy(score) over the eval slice — map-side combined to the
+    distinct-score count — and the cumulative sums run in ONE
+    unpartitioned window over that AGGREGATED frame, which is at most
+    eval-slice-sized (a fixed-size sample in production, never the
+    corpus); the slice totals ride a 1-row scalar broadcast."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    if positive_label not in rules:
+        raise ValueError(
+            f"positive_label {positive_label!r} not in rules "
+            f"{sorted(rules)}"
+        )
+    if check_disjoint:
+        _check_slices_disjoint(train_df, eval_df, id_col)
+    labels = sorted(rules)
+    train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    train = train_df.select(id_col, text_col).join(train_weak, id_col)
+    weights = train_token_classifier(
+        train, labels, text_col, "label", n_buckets, salt
+    )
+    scored = classify_tokens(
+        eval_df, weights, labels, id_col, text_col, n_buckets, salt
+    ).select(id_col, f"score_{positive_label}")
+    eval_weak = keyword_labels(eval_df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    per_score = (
+        eval_weak.join(scored, id_col)
+        .select(
+            F.col(f"score_{positive_label}").alias("threshold"),
+            (F.col("label") == F.lit(positive_label))
+            .cast("long")
+            .alias("__pos"),
+        )
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__pos").cast("long").alias("__npos"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = per_score.agg(
+        F.sum("__n").cast("long").alias("__n_eval"),
+        F.sum("__npos").cast("long").alias("__n_pos_total"),
+    )
+    return (
+        per_score.withColumn("n_keep", F.sum("__n").over(w).cast("long"))
+        .withColumn("n_pos_kept", F.sum("__npos").over(w).cast("long"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "threshold",
+            "n_keep",
+            "n_pos_kept",
+            F.expr("(1000000 * n_pos_kept) div n_keep")
+            .cast("long")
+            .alias("precision_ppm"),
+            F.when(
+                F.col("__n_pos_total") > 0,
+                F.expr("(1000000 * n_pos_kept) div __n_pos_total"),
+            ).cast("long").alias("recall_ppm"),
+            F.when(
+                (F.col("n_keep") + F.col("__n_pos_total")) > 0,
+                F.expr(
+                    "(2000000 * n_pos_kept) div (n_keep + __n_pos_total)"
+                ),
+            ).cast("long").alias("f1_ppm"),
+            F.expr("(1000000 * n_keep) div __n_eval")
+            .cast("long")
+            .alias("keep_frac_ppm"),
+        )
+    )

@@ -53,6 +53,7 @@ def bm25_topk(
     query_id_col: str = "query_id",
     query_text_col: str = "query_text",
     max_query_terms: int | None = None,
+    max_df_fraction: float | None = None,
 ) -> DataFrame:
     """Top-k documents per query by BM25: ``(query_id, doc_id,
     score_micro, rank)`` with ``score_micro`` the integer-micros BM25
@@ -75,14 +76,35 @@ def bm25_topk(
     degenerate vocabulary where every query term is corpus-common
     (the sf1 stand-in: ~25 distinct terms/query, mean df 36k over 50k
     docs -> a 452M-row probe and a 25M-key aggregate), no query-side
-    pruning can shrink the probe — the per-(query, doc) aggregate IS
-    the exact-scoring cost, and the fix is corpus-side (a real
-    Zipfian vocabulary probes sparsely by construction)."""
+    RANK-based pruning can shrink the probe — the per-(query, doc)
+    aggregate IS the exact-scoring cost.
+
+    ``max_df_fraction`` is the lever for exactly that degenerate
+    regime: SKIP every query term whose corpus document frequency
+    exceeds ``fraction * N`` — the Elasticsearch cutoff-frequency /
+    dynamic-stopword cap. Unlike ``max_query_terms`` (a per-query
+    RANK, which always keeps its N terms no matter how common they
+    are), the df-cap is an absolute bound on probe volume: a term
+    with df > fraction*N would alone touch that fraction of the
+    corpus, and its idf — ln((N-df+0.5)/(df+0.5)+1) — is already near
+    the floor, so dropping it removes the bulk of the probe while
+    moving scores least. The predicate is exact integer arithmetic
+    (``df * 1e6 <= round(fraction * 1e6) * N``, all BIGINT), so an
+    SQL oracle replays the kept-term set bit-for-bit. Composes with
+    ``max_query_terms``: the cap filters first, the rarest-N rank
+    runs on the survivors. Like the rank lever this is a retrieval
+    VARIANT (dropped terms contribute nothing to scores); a query
+    whose every term is capped yields no rows — retrieval semantics,
+    not an error."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if max_query_terms is not None and max_query_terms < 1:
         raise ValueError(
             f"max_query_terms must be >= 1, got {max_query_terms}"
+        )
+    if max_df_fraction is not None and not 0 < max_df_fraction <= 1:
+        raise ValueError(
+            f"max_df_fraction must be in (0, 1], got {max_df_fraction}"
         )
     toks = docs.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
@@ -106,22 +128,34 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(word_tokens(F.col(query_text_col))).alias("token"),
     ).distinct()
-    if max_query_terms is not None:
+    if max_query_terms is not None or max_df_fraction is not None:
         dfs = tf.groupBy("token").agg(
             F.count(F.lit(1)).cast("long").alias("__df")
         )
         # broadcast the QUERY side into the vocab-sized df table (the
         # vocabulary can be huge at corpus scale; the query terms never
-        # are), then rank per query — the ranked frame is query-sized
-        wq = Window.partitionBy(query_id_col).orderBy(
-            F.col("__df").asc(), F.col("token").asc()
-        )
-        q_terms = (
-            dfs.join(F.broadcast(q_terms), "token")
-            .withColumn("__qrk", F.row_number().over(wq))
-            .filter(F.col("__qrk") <= max_query_terms)
-            .select(query_id_col, "token")
-        )
+        # are) — from here every frame is query-sized
+        q_terms = dfs.join(F.broadcast(q_terms), "token")
+        if max_df_fraction is not None:
+            # absolute cutoff first: df * 1e6 <= ppm * N, exact BIGINT
+            ppm = round(max_df_fraction * 1_000_000)
+            q_terms = q_terms.crossJoin(
+                F.broadcast(
+                    docs.agg(F.count(F.lit(1)).cast("long").alias("__capn"))
+                )
+            ).filter(
+                F.col("__df") * F.lit(1_000_000).cast("long")
+                <= F.lit(int(ppm)).cast("long") * F.col("__capn")
+            ).drop("__capn")
+        if max_query_terms is not None:
+            # then the per-query rarest-N rank over the survivors
+            wq = Window.partitionBy(query_id_col).orderBy(
+                F.col("__df").asc(), F.col("token").asc()
+            )
+            q_terms = q_terms.withColumn(
+                "__qrk", F.row_number().over(wq)
+            ).filter(F.col("__qrk") <= max_query_terms)
+        q_terms = q_terms.select(query_id_col, "token")
     # inverted-index probe: the (query, token) side is query-sized
     hits = with_stats.join(F.broadcast(q_terms), "token")
     idf = F.log(
@@ -183,9 +217,12 @@ def rrf_fuse(
     ``RRF_SCALE div (rrf_k + rank)`` and the fused score is a BIGINT
     sum — exactly order-independent and bit-replayable in any SQL
     engine (the bm25_topk integer-micros precedent). With rrf_k=60 and
-    RRF_SCALE=1e9 distinct (rank, depth<=~1e5) profiles never collide
-    by rounding: reciprocals differ by >= 1e9/(60+r)^2 > 1 for any
-    realistic shortlist depth.
+    RRF_SCALE=1e9 adjacent-rank reciprocals stay distinct while
+    ``1e9/(60+r)^2 >= 1``, i.e. up to rank ~31.6k; beyond that depth
+    adjacent ranks can floor to the same integer, and the resulting
+    ties resolve deterministically via the ascending-doc-id tiebreak
+    (top-k shortlists in practice sit 3 orders of magnitude below the
+    bound).
 
     Scale: the inputs are already top-k-per-query shortlists (query-
     sized, never corpus-sized), so the whole operator is one union +

@@ -123,6 +123,7 @@ def semantic_dedup(
     target_cell_size: int = DEFAULT_TARGET_CELL_SIZE,
     train_fraction: float | None = None,
     train_salt: str = "semdedup_train",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """One row per input vector: ``(id_col, cell, group_id, keep)``
     where ``cell`` is the trained-k-means cluster, ``group_id`` is the
@@ -149,6 +150,18 @@ def semantic_dedup(
     The sample is ``hash_bucket``-membership (pure projection,
     engine-replayable), so sampled training keeps the determinism
     contract: same data, same codebook, any partitioning.
+
+    CHANGED in round 10 — ``n_cells`` default went ``16`` -> ``None``
+    (auto). Two consequences a default-arg caller must know: (1) the
+    auto path runs an eager ``emb.count()`` Spark action at PLAN-BUILD
+    time (pass ``corpus_count`` when the size is already known — e.g.
+    from an upstream count or a table statistic — and no extra action
+    runs); (2) for corpora past ~16k vectors the derived cell count
+    GROWS with n, so a default-arg call clusters at a different — and
+    deliberately scale-correct — granularity than the old fixed 16;
+    pass ``n_cells=16`` explicitly to reproduce pre-round-10 output.
+    ``corpus_count`` is trusted as given (it only sizes the codebook;
+    a stale count degrades cell balance, never correctness).
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -157,7 +170,8 @@ def semantic_dedup(
     # would unfreeze cell boundaries behind the caller's back)
     if centroids is None:
         if n_cells is None:
-            n_cells = auto_n_cells(emb.count(), target_cell_size)
+            n = corpus_count if corpus_count is not None else emb.count()
+            n_cells = auto_n_cells(n, target_cell_size)
         train = emb
         if train_fraction is not None:
             from nspc_etl_basic_spark.operators.sampling import hash_sample

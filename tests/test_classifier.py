@@ -4,6 +4,7 @@ one-vs-rest token scorer trained on weak labels."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from nspc_etl_basic_spark.operators.classifier import (
     CLF_SCALE,
@@ -326,3 +327,123 @@ def test_holdout_eval_scores_only_the_eval_slice(spark):
         ).collect()
     }
     assert agree["cats"]["n_true"] == 2 and agree["dogs"]["n_true"] == 2
+
+
+def test_pr_curve_matches_python_reference(spark):
+    """classifier_pr_curve's sweep must equal a Python cumulative
+    recomputation from the SAME scores and weak labels the component
+    operators produce (scoring itself is pinned elsewhere)."""
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_pr_curve,
+        classify_tokens,
+        train_token_classifier,
+    )
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    rules = {"cats": ["cat", "kitten"], "dogs": ["dog", "puppy"]}
+    train = spark.createDataFrame(
+        [
+            (1, "cat cat kitten purrs"),
+            (2, "dog dog puppy barks"),
+            (3, "kitten naps on the cat tree"),
+            (4, "puppy chews the dog toy"),
+        ],
+        "doc_id long, text string",
+    )
+    evald = spark.createDataFrame(
+        [
+            (10, "a sleepy cat cat"),
+            (11, "a loud dog"),
+            (12, "the kitten and the cat nap"),
+            (13, "dog puppy dog"),
+            (14, "a quiet afternoon"),  # no keyword: excluded
+        ],
+        "doc_id long, text string",
+    )
+    got = (
+        classifier_pr_curve(
+            train, evald, rules, "cats", n_buckets=64, salt="h"
+        )
+        .orderBy(F.col("threshold").desc())
+        .collect()
+    )
+
+    # independent recomputation from the component operators
+    labels = sorted(rules)
+    train_weak = keyword_labels(train, "doc_id", "text", rules).where(
+        F.col("label").isNotNull()
+    ).select("doc_id", "label")
+    w = train_token_classifier(
+        train.join(train_weak, "doc_id"), labels, "text", "label", 64, "h"
+    )
+    scores = {
+        r["doc_id"]: r["score_cats"]
+        for r in classify_tokens(
+            evald, w, labels, "doc_id", "text", 64, "h"
+        ).collect()
+    }
+    weak = {
+        r["doc_id"]: r["label"]
+        for r in keyword_labels(evald, "doc_id", "text", rules)
+        .where(F.col("label").isNotNull())
+        .collect()
+    }
+    pts = sorted(
+        ((scores[d], weak[d] == "cats") for d in weak), reverse=True
+    )
+    n_pos = sum(p for _, p in pts)
+    n_eval = len(pts)
+    expected, n_keep, n_pos_kept = [], 0, 0
+    for t in sorted({s for s, _ in pts}, reverse=True):
+        grp = [(s, p) for s, p in pts if s == t]
+        n_keep += len(grp)
+        n_pos_kept += sum(p for _, p in grp)
+        expected.append(
+            (
+                t,
+                n_keep,
+                n_pos_kept,
+                (1_000_000 * n_pos_kept) // n_keep,
+                (1_000_000 * n_pos_kept) // n_pos if n_pos else None,
+                (2_000_000 * n_pos_kept) // (n_keep + n_pos),
+                (1_000_000 * n_keep) // n_eval,
+            )
+        )
+    assert [tuple(r) for r in got] == expected
+    # curve invariants: keep set grows, recall never decreases
+    keeps = [r["n_keep"] for r in got]
+    recalls = [r["recall_ppm"] for r in got]
+    assert keeps == sorted(keeps)
+    assert recalls == sorted(recalls)
+    # the full-keep row recovers every positive
+    assert got[-1]["recall_ppm"] == 1_000_000
+    assert got[-1]["keep_frac_ppm"] == 1_000_000
+
+
+def test_pr_curve_and_holdout_validation_guards(spark):
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_holdout_eval,
+        classifier_pr_curve,
+    )
+
+    rules = {"cats": ["cat"], "dogs": ["dog"]}
+    a = spark.createDataFrame(
+        [(1, "cat one"), (2, "dog two")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(2, "dog two"), (3, "cat three")], "doc_id long, text string"
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="positive_label"):
+        classifier_pr_curve(a, b, rules, "birds")
+    # the disjointness guard: id 2 overlaps
+    with pytest.raises(ValueError, match="overlap"):
+        classifier_pr_curve(a, b, rules, "cats", check_disjoint=True)
+    with pytest.raises(ValueError, match="overlap"):
+        classifier_holdout_eval(a, b, rules, check_disjoint=True)
+    # disjoint slices pass the guard
+    c = spark.createDataFrame([(3, "cat three")], "doc_id long, text string")
+    assert classifier_holdout_eval(
+        a, c, rules, n_buckets=16, check_disjoint=True
+    ).count() == 2

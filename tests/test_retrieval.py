@@ -169,3 +169,70 @@ def test_bm25_max_query_terms_prunes_rarest(spark):
     assert noop == exact
     with pytest.raises(ValueError, match="max_query_terms"):
         bm25_topk(docs, q, k=10, max_query_terms=0)
+
+
+def test_bm25_max_df_fraction_caps_common_terms(spark):
+    import pytest
+
+    from nspc_etl_basic_spark.operators.retrieval import bm25_topk
+
+    # df profile over N=4: common=4 (100%), mid=2 (50%), rare1/rare2=1
+    docs = spark.createDataFrame(
+        [
+            (1, "common mid rare1"),
+            (2, "common mid rare2"),
+            (3, "common alpha beta"),
+            (4, "common gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(100, "common mid rare1")], "query_id long, query_text string"
+    )
+    exact = {r["doc_id"]: r["score_micro"]
+             for r in bm25_topk(docs, q, k=10).collect()}
+    assert set(exact) == {1, 2, 3, 4}
+
+    # cap at 50%: 'common' (df 4 > 2) drops, 'mid' (df 2 == 2) KEPT —
+    # the predicate is <=, exactly df*1e6 <= ppm*N
+    capped = {r["doc_id"]: r["score_micro"]
+              for r in bm25_topk(docs, q, k=10, max_df_fraction=0.5).collect()}
+    assert set(capped) == {1, 2}  # docs 3/4 matched only via 'common'
+    assert capped[1] < exact[1] and capped[2] < exact[2]
+    # the kept terms' contributions are unchanged: capped score equals
+    # the exact score of the same query WITHOUT the capped term
+    q_nocommon = spark.createDataFrame(
+        [(100, "mid rare1")], "query_id long, query_text string"
+    )
+    manual = {r["doc_id"]: r["score_micro"]
+              for r in bm25_topk(docs, q_nocommon, k=10).collect()}
+    assert capped == manual
+
+    # cap at 100%: nothing can exceed df=N -> no-op
+    noop = {r["doc_id"]: r["score_micro"]
+            for r in bm25_topk(docs, q, k=10, max_df_fraction=1.0).collect()}
+    assert noop == exact
+
+    # composes with max_query_terms: cap first (drops 'common'), then
+    # rarest-1 keeps 'rare1' (df 1 < mid's 2)
+    combo = {r["doc_id"]: r["score_micro"]
+             for r in bm25_topk(
+                 docs, q, k=10, max_df_fraction=0.5, max_query_terms=1
+             ).collect()}
+    q_rare1 = spark.createDataFrame(
+        [(100, "rare1")], "query_id long, query_text string"
+    )
+    rare_only = {r["doc_id"]: r["score_micro"]
+                 for r in bm25_topk(docs, q_rare1, k=10).collect()}
+    assert combo == rare_only
+
+    # every term capped -> no rows, retrieval semantics
+    q_common = spark.createDataFrame(
+        [(100, "common")], "query_id long, query_text string"
+    )
+    assert bm25_topk(docs, q_common, k=10, max_df_fraction=0.5).count() == 0
+
+    with pytest.raises(ValueError, match="max_df_fraction"):
+        bm25_topk(docs, q, k=10, max_df_fraction=0.0)
+    with pytest.raises(ValueError, match="max_df_fraction"):
+        bm25_topk(docs, q, k=10, max_df_fraction=1.5)

@@ -290,6 +290,111 @@ def test_stream_semdedup_equals_batch_and_replays_idempotently(
     assert again == expected
 
 
+def test_stream_semdedup_vector_updates_equal_from_scratch(spark, tmp_path):
+    """The dirty-cell rebuild: re-ingesting an id with a CHANGED vector
+    must leave the store equal to the from-scratch semantic_dedup of
+    the LATEST vector per id — including a component SPLIT when the
+    departing vector was a cut vertex, a cross-cell move that merges
+    into (and takes, by min id) another cell's group, a min-id
+    departure relabel, and a mixed batch carrying an unchanged
+    re-ingest. Re-executing the in-flight batch (fresh checkpoint over
+    the same file) must be a no-op."""
+    import math
+
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+
+    def v(deg, plane=0):
+        c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+        return [c, s, 0.0, 0.0] if plane == 0 else [0.0, 0.0, c, s]
+
+    # b1: chain 10-11-12 in cell 0 (11 is the cut vertex: cos(10,12)
+    # = cos 50deg < 0.9) plus pair 20-21 in cell 1
+    b1 = [
+        (10, v(0)),
+        (11, v(25)),
+        (12, v(50)),
+        (20, v(0, plane=1)),
+        (21, v(5, plane=1)),
+    ]
+    # b2: 11 re-embeds INTO cell 1 (splits {10,11,12}; merges with and
+    # takes over {20,21} as the new min id); 30 arrives fresh in the
+    # now-dirty cell 0 (pairs with 10 only: cos 18 >= 0.9, cos 32 < 0.9)
+    b2 = [(11, v(-5, plane=1)), (30, v(18))]
+    # b3: 10 (a group MIN) re-embeds away from everyone within cell 0
+    # (cos to the centroid 0.6 keeps the cell; cos to 30/12 < 0.9);
+    # 21 rides along as an unchanged re-ingest
+    b3 = [(10, [0.6, -0.8, 0.0, 0.0]), (21, v(5, plane=1))]
+
+    schema = "vec_id long, embedding array<double>"
+    store = label_store_table(spark, str(tmp_path / "store"), n_buckets=2)
+
+    n_drains = [0]
+
+    def drain(rows, name):
+        src = str(tmp_path / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        n_drains[0] += 1  # fresh checkpoint per call so re-drains of
+        # the same file genuinely re-execute the batch
+        run_stream_semdedup(
+            stream, store, str(tmp_path / f"ckpt_{n_drains[0]}"), cents,
+            threshold=0.9,
+        )
+
+    def store_now():
+        return {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semdedup_from_store(store).collect()
+        }
+
+    def scratch(latest):
+        df = spark.createDataFrame(sorted(latest.items()), schema)
+        return {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semantic_dedup(
+                df, centroids=cents, threshold=0.9
+            ).collect()
+        }
+
+    latest = dict(b1)
+    drain(b1, "b1")
+    assert store_now() == scratch(latest)
+    assert store_now()[12][1] == 10  # the chain is one group pre-update
+
+    latest.update(dict(b2))
+    drain(b2, "b2")
+    after_b2 = store_now()
+    assert after_b2 == scratch(latest)
+    assert after_b2[12] == (0, 12, True)   # split: 12 is its own group
+    assert after_b2[20][1] == 11           # 11 took over cell 1's group
+    assert after_b2[21][1] == 11
+    assert after_b2[11][0] == 1            # and moved cells
+    assert after_b2[30][1] == 10           # fresh row joined 10
+
+    # re-execute the in-flight batch: fresh checkpoint, same file
+    drain(b2, "b2")
+    assert store_now() == after_b2
+
+    latest.update(dict(b3))
+    drain(b3, "b3")
+    after_b3 = store_now()
+    assert after_b3 == scratch(latest)
+    assert after_b3[10] == (0, 10, True)   # 10 now a singleton
+    assert after_b3[30] == (0, 30, True)   # min-id departure relabel
+    assert after_b3[21][1] == 11           # untouched cell kept its label
+
+    drain(b3, "b3")
+    assert store_now() == after_b3
+
+
 def test_threshold_validation(spark):
     with pytest.raises(ValueError, match="threshold"):
         semantic_dedup(_hand_emb(spark), threshold=0.0)
