@@ -2575,6 +2575,42 @@ def corpus_classifier_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_classifier_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out precision/recall threshold sweep
+    (classifier.classifier_pr_curve, round 11) — the curve that turns
+    corpus_quality_select's fixed top-25% into a measured operating
+    point: same leakage-safe train/test split and trained weights as
+    corpus_classifier_holdout, then the decision rule
+    ``keep iff score_joins >= t`` swept over every distinct observed
+    score on the weak-labeled test slice. One row per distinct score:
+    (threshold, n_keep, n_pos_kept, precision/recall/F1 ppm,
+    keep_frac_ppm) — read the row nearest keep_frac 250000 to see
+    what the 25% keep actually buys. The sweep is one
+    map-side-combined groupBy(score) plus a cumulative window over
+    the distinct-score aggregate (eval-slice-sized, never corpus);
+    slice totals ride a 1-row scalar broadcast. The oracle replays
+    the split, weights, scoring, and the cumulative integer-ppm
+    arithmetic."""
+    from nspc_etl_basic_spark.operators.classifier import classifier_pr_curve
+    from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    _, comp = _dedup_tier(spark, sf_dir)
+    split = leakage_safe_split(
+        docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+    train_df = docs.join(
+        split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
+    )
+    eval_df = docs.join(
+        split.filter(F.col("split") == "test").select("doc_id"), "doc_id"
+    )
+    return classifier_pr_curve(
+        train_df, eval_df, _LABEL_RULES, "joins", id_col="doc_id",
+        text_col="text", n_buckets=512, salt="clf",
+    )
+
+
 def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication (operators/semdedup.py, round 9;
     Abbas et al. arXiv:2303.09540): fixed-point-k-means-cluster the
@@ -2617,6 +2653,31 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
     )
     return bm25_topk(docs, queries, k=5)
+
+
+def text_bm25_df_capped_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 under the df-cap lever (retrieval.bm25_topk
+    max_df_fraction, round 11) — the corpus-side pruning the r10 sf1
+    stress proved missing: every query term whose document frequency
+    exceeds half the corpus is SKIPPED (the Elasticsearch
+    cutoff-frequency / dynamic-stopword cap; exact BIGINT predicate
+    ``df * 1e6 <= 500000 * N``). The synthetic corpus is deliberately
+    the degenerate regime — every vocabulary token except the planted
+    'dup' marker sits at ~75-80% df — so under the cap only the
+    queries that carry a genuinely rare term probe at all: the probe
+    volume collapses from |queries| x corpus to the rare term's
+    posting list (10 rows at sf0.01 vs 250 uncapped), which is the
+    production story for document-as-query sweeps over common-term
+    text. Query set doc_id % 10 == 0 so some queries carry the rare
+    term; the oracle replays df table, cap predicate, and the
+    integer-micros scoring bit-for-bit."""
+    from nspc_etl_basic_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("query_id"), F.col("text").alias("query_text")
+    )
+    return bm25_topk(docs, queries, k=5, max_df_fraction=0.5)
 
 
 def _trained_codebooks(spark: SparkSession, sf_dir: str):
@@ -5816,6 +5877,8 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_quality_select": corpus_quality_select_q,
         "corpus_classifier_eval": corpus_classifier_eval_q,
         "corpus_classifier_holdout": corpus_classifier_holdout_q,
+        "corpus_classifier_pr": corpus_classifier_pr_q,
+        "text_bm25_df_capped": text_bm25_df_capped_q,
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
         "corpus_semantic_decontaminate": corpus_semantic_decontaminate_q,
@@ -7919,6 +7982,7 @@ def _sql_classifier_holdout(
     n_buckets: int = 512,
     salt: str = "clf",
     scale: int = 1_000_000_000,
+    final: str | None = None,
 ) -> str:
     """Oracle for corpus_classifier_holdout: the full leakage-safe
     held-out chain from scratch — LSH pairs -> recursive-reachability
@@ -7928,7 +7992,13 @@ def _sql_classifier_holdout(
     weak labels -> scoring restricted to the TEST slice -> confusion
     -> integer-ppm metrics. Standalone rather than composed from
     _sql_quality_classifier so that builder's train/score scope (the
-    whole corpus) stays byte-identical for its three green queries."""
+    whole corpus) stays byte-identical for its three green queries.
+
+    ``final`` swaps the tail AFTER the ``filled`` (test-slice scores)
+    and ``lab`` (weak labels) CTEs — corpus_classifier_pr reuses the
+    identical split/train/score chain and closes with the threshold
+    sweep instead of the confusion matrix; None keeps the holdout's
+    confusion/ppm tail byte-identical."""
     labels = sorted(rules)
 
     def occ(lab: str) -> str:
@@ -7972,6 +8042,41 @@ def _sql_classifier_holdout(
         ]
         pred_ladder += f" WHEN {' AND '.join(conds)} THEN '{lab}'"
     pred_ladder += " END"
+    if final is None:
+        final = f"""pred AS (
+            SELECT doc_id, {pred_ladder} AS pred_label FROM filled
+        ),
+        conf AS (
+            SELECT l.label, p.pred_label, CAST(count(*) AS BIGINT) AS n
+            FROM lab l JOIN pred p USING (doc_id)
+            WHERE l.label IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        cls AS (SELECT * FROM (VALUES {label_values}) AS v(cls)),
+        agg AS (
+            SELECT c.cls AS label,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_true,
+                   CAST(coalesce(sum(CASE WHEN f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_pred,
+                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
+                                      AND f.pred_label = c.cls
+                                     THEN f.n END), 0) AS BIGINT) AS n_correct
+            FROM cls c LEFT JOIN conf f ON TRUE
+            GROUP BY c.cls
+        )
+        SELECT label, n_true, n_pred, n_correct,
+               CASE WHEN n_pred > 0
+                    THEN CAST((1000000 * n_correct) // n_pred AS BIGINT)
+               END AS precision_ppm,
+               CASE WHEN n_true > 0
+                    THEN CAST((1000000 * n_correct) // n_true AS BIGINT)
+               END AS recall_ppm,
+               CASE WHEN n_pred + n_true > 0
+                    THEN CAST((2000000 * n_correct) // (n_pred + n_true)
+                              AS BIGINT)
+               END AS f1_ppm
+        FROM agg ORDER BY label"""
 
     return f"""
         WITH RECURSIVE lsh_pairs AS ({_sql_lsh_pairs()}),
@@ -8060,40 +8165,7 @@ def _sql_classifier_holdout(
             LEFT JOIN sc ON d.doc_id = sc.doc_id
             WHERE s.split = 'test'
         ),
-        pred AS (
-            SELECT doc_id, {pred_ladder} AS pred_label FROM filled
-        ),
-        conf AS (
-            SELECT l.label, p.pred_label, CAST(count(*) AS BIGINT) AS n
-            FROM lab l JOIN pred p USING (doc_id)
-            WHERE l.label IS NOT NULL
-            GROUP BY 1, 2
-        ),
-        cls AS (SELECT * FROM (VALUES {label_values}) AS v(cls)),
-        agg AS (
-            SELECT c.cls AS label,
-                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
-                                     THEN f.n END), 0) AS BIGINT) AS n_true,
-                   CAST(coalesce(sum(CASE WHEN f.pred_label = c.cls
-                                     THEN f.n END), 0) AS BIGINT) AS n_pred,
-                   CAST(coalesce(sum(CASE WHEN f.label = c.cls
-                                      AND f.pred_label = c.cls
-                                     THEN f.n END), 0) AS BIGINT) AS n_correct
-            FROM cls c LEFT JOIN conf f ON TRUE
-            GROUP BY c.cls
-        )
-        SELECT label, n_true, n_pred, n_correct,
-               CASE WHEN n_pred > 0
-                    THEN CAST((1000000 * n_correct) // n_pred AS BIGINT)
-               END AS precision_ppm,
-               CASE WHEN n_true > 0
-                    THEN CAST((1000000 * n_correct) // n_true AS BIGINT)
-               END AS recall_ppm,
-               CASE WHEN n_pred + n_true > 0
-                    THEN CAST((2000000 * n_correct) // (n_pred + n_true)
-                              AS BIGINT)
-               END AS f1_ppm
-        FROM agg ORDER BY label
+        {final}
     """
 
 
@@ -10682,6 +10754,64 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
         """,
+        # df-capped BM25: same integer-micros scoring, query terms with
+        # df*1e6 > 500000*N skipped (the cutoff-frequency stopword cap)
+        "text_bm25_df_capped": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_sql_word_tokens('text')}) AS token
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, token
+            ),
+            stats AS (
+                SELECT doc_id, token, tf,
+                       SUM(tf) OVER (PARTITION BY doc_id) AS dl,
+                       COUNT(*) OVER (PARTITION BY token) AS df
+                FROM tf
+            ),
+            g AS (
+                SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+                       (SELECT CAST(count(*) AS BIGINT) FROM toks)
+                           AS total_tokens
+            ),
+            qt0 AS (
+                SELECT DISTINCT query_id, token
+                FROM (
+                    SELECT doc_id AS query_id,
+                           unnest({_sql_word_tokens('text')}) AS token
+                    FROM documents WHERE doc_id % 10 = 0
+                )
+            ),
+            dfs AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS qdf
+                FROM tf GROUP BY token
+            ),
+            qt AS (
+                SELECT q.query_id, q.token
+                FROM qt0 q JOIN dfs d USING (token) CROSS JOIN g
+                WHERE d.qdf * 1000000 <= 500000 * g.n
+            ),
+            scored AS (
+                SELECT q.query_id, s.doc_id,
+                       CAST(SUM(CAST(round(
+                           ln((g.n - s.df + 0.5) / (s.df + 0.5) + 1.0)
+                           * (s.tf * 2.2
+                              / (s.tf + 1.2 * (0.25 + 0.75 * s.dl
+                                  / (CAST(g.total_tokens AS DOUBLE) / g.n))))
+                           * 1e6) AS BIGINT)) AS BIGINT) AS score_micro
+                FROM stats s JOIN qt q USING (token) CROSS JOIN g
+                GROUP BY q.query_id, s.doc_id
+            )
+            SELECT query_id, doc_id, score_micro,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY score_micro DESC, doc_id ASC) AS INTEGER)
+                       AS rank
+            FROM scored
+            QUALIFY rank <= 5
+        """,
         # hybrid RRF: the BM25 leg (integer micros, depth 10), the
         # trained-IVF dense leg (k-means replay + probed assignment,
         # depth 10), fused by integer reciprocal ranks
@@ -11209,6 +11339,47 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_classifier_holdout": _sql_classifier_holdout(
             _LABEL_RULES, n_buckets=512, salt="clf"
+        ),
+        # PR threshold sweep: identical split/train/score chain, then
+        # cumulative keep/positive counts over distinct scores desc
+        "corpus_classifier_pr": _sql_classifier_holdout(
+            _LABEL_RULES, n_buckets=512, salt="clf",
+            final="""pts AS (
+            SELECT f.score_joins AS threshold,
+                   CASE WHEN l.label = 'joins' THEN 1 ELSE 0 END AS pos
+            FROM filled f JOIN lab l USING (doc_id)
+            WHERE l.label IS NOT NULL
+        ),
+        per AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM pts GROUP BY threshold
+        ),
+        cum AS (
+            SELECT threshold,
+                   CAST(SUM(n) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_keep,
+                   CAST(SUM(npos) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_pos_kept,
+                   CAST((SELECT sum(n) FROM per) AS BIGINT) AS n_eval,
+                   CAST((SELECT sum(npos) FROM per) AS BIGINT) AS n_pos
+            FROM per
+        )
+        SELECT threshold, n_keep, n_pos_kept,
+               CAST((1000000 * n_pos_kept) // n_keep AS BIGINT)
+                   AS precision_ppm,
+               CASE WHEN n_pos > 0
+                    THEN CAST((1000000 * n_pos_kept) // n_pos AS BIGINT)
+               END AS recall_ppm,
+               CASE WHEN n_keep + n_pos > 0
+                    THEN CAST((2000000 * n_pos_kept) // (n_keep + n_pos)
+                              AS BIGINT)
+               END AS f1_ppm,
+               CAST((1000000 * n_keep) // n_eval AS BIGINT)
+                   AS keep_frac_ppm
+        FROM cum""",
         ),
         # SemDeDup: trained k-means (bit-exact fixed-point replay) ->
         # within-cell round-6 cosine pairs -> recursive-reachability
