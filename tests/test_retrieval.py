@@ -236,3 +236,60 @@ def test_bm25_max_df_fraction_caps_common_terms(spark):
         bm25_topk(docs, q, k=10, max_df_fraction=0.0)
     with pytest.raises(ValueError, match="max_df_fraction"):
         bm25_topk(docs, q, k=10, max_df_fraction=1.5)
+
+
+def test_hybrid_dense_leg_residual_recall_vs_ivf(spark, sf_dir):
+    """The round-11 hybrid dense-leg swap (trained-IVF -> residual
+    IVF-PQ) at the hybrid query's exact knobs: the residual tier reads
+    16-byte codes instead of full vectors, so its recall of the exact
+    cosine top-5 within the depth-10 shortlist may sit slightly BELOW
+    the in-cell exact-cosine IVF leg (measured 10 vs 13 at sf0.001,
+    15 vs 17 at sf0.01 of 25 exact) — pin that the gap stays bounded
+    (>= 70% of the IVF leg's hits) and that both legs feed rrf_fuse
+    the same (query_id, doc_id, rank) contract."""
+    from nspc_etl_basic_spark.operators.pq import (
+        ivf_residual_frame,
+        ivfpq_residual_topk,
+        train_pq_codebooks,
+    )
+    from nspc_etl_basic_spark.operators.retrieval import rrf_fuse
+    from nspc_etl_basic_spark.operators.similarity import (
+        KMEANS_SCALE,
+        cosine_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+    books = train_pq_codebooks(
+        ivf_residual_frame(emb, cents), m=16, k=16, n_iter=3,
+        vec_col="__resid", id_col="vec_id",
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(emb, q, k=10, n_cells=16, n_probe=4, centroids=cents)
+    res = ivfpq_residual_topk(
+        emb, q, cents, books, k=10, n_probe=4, quantize_scale=KMEANS_SCALE
+    )
+    exact = cosine_topk(emb, q, k=5)
+
+    def hits(a):
+        return exact.join(
+            a.select("query_id", "vec_id"), ["query_id", "vec_id"],
+            "left_semi",
+        ).count()
+
+    h_ivf, h_res = hits(ivf), hits(res)
+    assert h_ivf > 0 and h_res > 0
+    assert h_res * 10 >= h_ivf * 7, (h_res, h_ivf)
+    # both legs fuse under the same contract; every fused doc carries
+    # at least one leg's reciprocal and n_lists counts the agreements
+    legs = [
+        x.select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+        for x in (ivf, res)
+    ]
+    fused = rrf_fuse(legs, k=10, rrf_k=60)
+    rows = fused.collect()
+    assert rows and all(1 <= r["n_lists"] <= 2 for r in rows)
