@@ -53,6 +53,9 @@ HEAVY = [
     "corpus_semantic_dedup_incr",  # frozen codebook + contraction merge
     "sim_ann_ivfpq",          # IVF prune + PQ ADC + exact-recall tier
     "corpus_classifier_eval",
+    # round 11 additions
+    "text_bm25_df_capped",    # the degenerate-probe collapse datapoint
+    "text_hybrid_topk",       # BM25 + residual-IVFPQ dense leg + RRF
 ]
 
 
@@ -139,6 +142,7 @@ def main() -> None:
         "/tmp/nspc_replay_deduptier*",
         "/tmp/nspc_replay_semdedupbase90_*",
         "/tmp/nspc_replay_codebooks16_*",
+        "/tmp/nspc_replay_residbooks16_*",
     ):
         for d in glob.glob(pat):
             shutil.rmtree(d, ignore_errors=True)
@@ -146,13 +150,23 @@ def main() -> None:
     import __spark_entry__ as entry
     from nspc_etl_basic_spark import get_spark
 
+    # --only a,b,c: measure a subset (per-query cold-cache contract
+    # unchanged — the wipe above already ran); default = full HEAVY
+    run_list = HEAVY
+    if "--only" in sys.argv:
+        names = sys.argv[sys.argv.index("--only") + 1].split(",")
+        unknown = [n for n in names if n not in HEAVY]
+        if unknown:
+            raise SystemExit(f"--only names not in HEAVY: {unknown}")
+        run_list = names
+
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm-up
     qs = entry.queries()
 
     out: dict[str, dict] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", SF1_DIR)):
-        for q in HEAVY:
+        for q in run_list:
             spark.catalog.clearCache()
             r0, w0 = stage_totals(spark)
             t0 = time.time()
