@@ -2914,9 +2914,13 @@ def text_hybrid_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qemb = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # max_queries=600: the %100 query set grows with the corpus (500 at
+    # the sf1 stress tier); a production sweep batches queries, and 600
+    # per batch keeps the per-(query, cell) ADC literal payload in the
+    # measured plan-size envelope (SCALE.md r11 stress row)
     dense = ivfpq_residual_topk(
         emb, qemb, cents, books, k=10, n_probe=4,
-        quantize_scale=KMEANS_SCALE,
+        quantize_scale=KMEANS_SCALE, max_queries=600,
     ).select("query_id", F.col("vec_id").alias("doc_id"), "rank")
     return rrf_fuse([lexical, dense], k=10, rrf_k=60)
 
@@ -5616,10 +5620,12 @@ def stream_semdedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     store buckets. By induction the union of pair sets over batches is
     the full within-cell pair set, so the drained store equals the
     from-scratch semantic_dedup with the same codebook — the oracle IS
-    corpus_semantic_dedup's replay SQL. Re-ingested ids keep their
-    original store row (first-write-wins on the vector payload) and
-    contract to their existing components, so batch replays are
-    idempotent."""
+    corpus_semantic_dedup's replay SQL. UNCHANGED re-ingests keep
+    their store row and contract to their existing components, so
+    batch replays are idempotent (changed vectors take the round-11
+    dirty-cell update path — exercised by
+    stream_semdedup_update_replay; the terciles here are disjoint, so
+    this replay never enters it)."""
     import os
     import shutil
 
@@ -5657,6 +5663,69 @@ def stream_semdedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain_slices(
             spark,
             slices,
+            os.path.join(work, "src"),
+            lambda stream: run_stream_semdedup(
+                stream, store, os.path.join(work, "ckpt"), cents,
+                threshold=0.3,
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return semdedup_from_store(label_store_table(spark, store_path))
+
+
+def stream_semdedup_update_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic dedup CHANGED-VECTOR update path (round 11,
+    streaming/semdedup.py dirty-cell rebuild) driver-oracled: batch 1
+    ingests the whole corpus with every vec_id % 25 == 0 carrying a
+    PERTURBED embedding (the array reversed — a deterministic wrong
+    direction, so those ids land in wrong cells with wrong labels);
+    batch 2 re-ingests exactly those ids with their TRUE vectors. The
+    update path must detect the vector change, re-assign the cells,
+    and rebuild every dirty cell's components from scratch — splits
+    included — leaving the store equal to the from-scratch
+    semantic_dedup of the TRUE corpus under the same frozen codebook.
+    The oracle is therefore the ordinary full replay SQL (k-means +
+    assignment + pairs + components over the parquet embeddings):
+    the perturbation must leave NO residue, which is exactly the
+    contract under test. Store writes are minimal-diff (fresh rows,
+    changed ids, moved labels); unchanged-replay idempotency rides
+    the same classification join and is pinned in pytest."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.operators import semdedup as _sd_m
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+    from nspc_etl_basic_spark.streaming import semdedup as _ssd_m
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work, done = _replay_work_dir(
+        sf_dir, "semdedupupd", "embeddings",
+        code=_replay_code_hash(
+            stream_semdedup_update_replay_q, _ssd_m, _sd_m
+        ),
+    )
+    store_path = os.path.join(work, "store")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+        perturbed = emb.select(
+            "vec_id",
+            F.when(
+                F.col("vec_id") % 25 == 0, F.reverse(F.col("embedding"))
+            ).otherwise(F.col("embedding")).alias("embedding"),
+        )
+        corrections = emb.where(F.col("vec_id") % 25 == 0)
+        store = label_store_table(spark, store_path)
+        _drain_slices(
+            spark,
+            [perturbed, corrections],
             os.path.join(work, "src"),
             lambda stream: run_stream_semdedup(
                 stream, store, os.path.join(work, "ckpt"), cents,
@@ -5979,6 +6048,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_quality_replay": stream_quality_replay_q,
         "stream_novelty_replay": stream_novelty_replay_q,
         "stream_semdedup_replay": stream_semdedup_replay_q,
+        "stream_semdedup_update_replay": stream_semdedup_update_replay_q,
         "events_partition_prune": events_partition_prune_q,
         "events_agg_pushdown": events_agg_pushdown_q,
         "events_dpp_join": events_dpp_join_q,
@@ -11496,6 +11566,9 @@ def oracle_sql() -> dict[str, str]:
         # replay (induction over micro-batches via the contraction
         # argument) — full-corpus-trained codebook, same params
         "stream_semdedup_replay": _sql_semantic_dedup(),
+        # the update replay must leave NO residue of the perturbed
+        # batch, so its oracle is the SAME from-scratch replay
+        "stream_semdedup_update_replay": _sql_semantic_dedup(),
         # incremental SemDeDup == from-scratch rebuild with the frozen
         # base-trained codebook (the incremental_components contraction
         # contract), so the oracle IS the from-scratch replay: k-means
