@@ -506,6 +506,12 @@ def classifier_pr_curve(
             F.count(F.lit(1)).cast("long").alias("__n"),
             F.sum("__pos").cast("long").alias("__npos"),
         )
+        # materialize the distinct-score aggregate ONCE: two consumers
+        # (the cumulative window and the 1-row totals) would otherwise
+        # each re-run the whole train+score chain (measured 16 s vs
+        # ~5 s at sf0.1); the frame is curve-sized, blocks are
+        # ContextCleaner-freed (the corpus_quality_select precedent)
+        .localCheckpoint(eager=True)
     )
     from pyspark.sql.window import Window
 
