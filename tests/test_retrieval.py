@@ -293,3 +293,45 @@ def test_hybrid_dense_leg_residual_recall_vs_ivf(spark, sf_dir):
     fused = rrf_fuse(legs, k=10, rrf_k=60)
     rows = fused.collect()
     assert rows and all(1 <= r["n_lists"] <= 2 for r in rows)
+
+
+def test_bm25_df_cap_randomized_vs_reference(spark):
+    """Seeded-random corpora: the df-capped operator must equal the
+    pure-Python reference scored over exactly the terms the integer
+    predicate keeps (df * 1e6 <= round(f * 1e6) * N)."""
+    import random
+    import re
+
+    rng = random.Random(1186)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(3):
+        corpus = [
+            (d, " ".join(rng.choices(vocab, k=rng.randint(3, 12))))
+            for d in range(1, 9)
+        ]
+        qtext = " ".join(rng.choices(vocab, k=6))
+        frac = rng.choice([0.25, 0.5, 0.75])
+        docs = spark.createDataFrame(corpus, "doc_id long, text string")
+        q = spark.createDataFrame(
+            [(99, qtext)], "query_id long, query_text string"
+        )
+        got = {
+            r["doc_id"]: r["score_micro"]
+            for r in bm25_topk(
+                docs, q, k=20, max_df_fraction=frac
+            ).collect()
+        }
+        # independent kept-term set + reference scores
+        tok = lambda t: re.findall(r"[a-z0-9']+", t.lower())
+        df: dict = {}
+        for _d, t in corpus:
+            for w in set(tok(t)):
+                df[w] = df.get(w, 0) + 1
+        n = len(corpus)
+        ppm = round(frac * 1_000_000)
+        kept = [
+            w for w in set(tok(qtext))
+            if w in df and df[w] * 1_000_000 <= ppm * n
+        ]
+        expected = _ref_bm25(corpus, kept)
+        assert got == expected, (trial, frac, kept)

@@ -514,3 +514,72 @@ def test_semantic_decontaminate_catches_paraphrase_ngrams_miss(spark):
         semantic_contaminated_ids(corpus_emb, eval_emb, [], threshold=0.9)
     with pytest.raises(ValueError, match="threshold"):
         semantic_contaminated_ids(corpus_emb, eval_emb, cents, threshold=0.0)
+
+
+def test_stream_semdedup_randomized_updates_vs_scratch(spark, tmp_path):
+    """Randomized adversary for the dirty-cell rebuild: three batches
+    of seeded-random vectors with overlapping updates (ids re-embedded
+    once or twice), fresh arrivals, and unchanged re-ingests mixed into
+    update batches — after every drain the store must equal the
+    from-scratch semantic_dedup of the latest vector per id."""
+    import numpy as np
+
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    rng = np.random.default_rng(1186)
+    dim = 6
+
+    def rv():
+        return [float(x) for x in rng.normal(size=dim)]
+
+    cents = [(c, rv()) for c in range(4)]
+    schema = "vec_id long, embedding array<double>"
+    store = label_store_table(spark, str(tmp_path / "store"), n_buckets=4)
+    latest: dict[int, list[float]] = {}
+    n_drains = [0]
+
+    def drain(rows):
+        n_drains[0] += 1
+        src = str(tmp_path / f"b{n_drains[0]}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(schema).format("parquet").load(src)
+        run_stream_semdedup(
+            stream, store, str(tmp_path / f"ck{n_drains[0]}"), cents,
+            threshold=0.5,
+        )
+        latest.update(dict(rows))
+        got = {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semdedup_from_store(store).collect()
+        }
+        want_df = spark.createDataFrame(sorted(latest.items()), schema)
+        want = {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semantic_dedup(
+                want_df, centroids=cents, threshold=0.5
+            ).collect()
+        }
+        assert got == want, f"batch {n_drains[0]} diverged"
+
+    b1 = [(i, rv()) for i in range(80)]
+    drain(b1)
+    upd = sorted(rng.choice(80, size=15, replace=False).tolist())
+    b2 = (
+        [(int(i), rv()) for i in upd]
+        + [(i, rv()) for i in range(80, 90)]
+        + [(int(i), latest[int(i)]) for i in
+           rng.choice([x for x in range(80) if x not in upd], 5,
+                      replace=False)]
+    )
+    drain(b2)
+    upd2 = sorted(rng.choice(90, size=8, replace=False).tolist())
+    b3 = [(int(i), rv()) for i in upd2] + [
+        (int(i), latest[int(i)])
+        for i in rng.choice([x for x in range(90) if x not in upd2], 5,
+                            replace=False)
+    ]
+    drain(b3)
