@@ -5737,6 +5737,62 @@ def stream_semdedup_update_replay_q(spark: SparkSession, sf_dir: str) -> DataFra
     return semdedup_from_store(label_store_table(spark, store_path))
 
 
+def stream_semdedup_retire_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-store RETIREMENT (round 11, streaming/semdedup.retire_ids)
+    driver-oracled — the data-removal third of the store contract
+    (takedowns, right-to-be-forgotten, decontamination purges): the
+    whole corpus streams into the store, then every vec_id % 20 == 0
+    is retired. Removal can SPLIT components (a departing cut vertex)
+    and orphan group labels (a departing min id), so the departed
+    cells take the dirty-cell rebuild; the store must equal the
+    from-scratch semantic_dedup of the SURVIVORS under the same
+    frozen full-corpus codebook — which is exactly what the oracle
+    replays (full-corpus k-means training, survivor-slice assignment/
+    pairs/components). The delete itself rewrites only the buckets
+    holding the retired keys (BucketedTable.delete)."""
+    import os
+    import shutil
+
+    from nspc_etl_basic_spark.operators import semdedup as _sd_m
+    from nspc_etl_basic_spark.operators.similarity import train_ivf_centroids
+    from nspc_etl_basic_spark.streaming import semdedup as _ssd_m
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        retire_ids,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work, done = _replay_work_dir(
+        sf_dir, "semdedupret", "embeddings",
+        code=_replay_code_hash(
+            stream_semdedup_retire_replay_q, _ssd_m, _sd_m
+        ),
+    )
+    store_path = os.path.join(work, "store")
+    if not os.path.exists(done):
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        cents = train_ivf_centroids(emb, n_cells=16, n_iter=3)
+        store = label_store_table(spark, store_path)
+        _drain_slices(
+            spark,
+            [emb],
+            os.path.join(work, "src"),
+            lambda stream: run_stream_semdedup(
+                stream, store, os.path.join(work, "ckpt"), cents,
+                threshold=0.3,
+            ),
+        )
+        retire_ids(
+            store, emb.where(F.col("vec_id") % 20 == 0), threshold=0.3
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return semdedup_from_store(label_store_table(spark, store_path))
+
+
 def stream_quality_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-micro-batch data-quality gate (streaming/quality.
     run_stream_quality) driver-oracled: events replay as three time
@@ -6049,6 +6105,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "stream_novelty_replay": stream_novelty_replay_q,
         "stream_semdedup_replay": stream_semdedup_replay_q,
         "stream_semdedup_update_replay": stream_semdedup_update_replay_q,
+        "stream_semdedup_retire_replay": stream_semdedup_retire_replay_q,
         "events_partition_prune": events_partition_prune_q,
         "events_agg_pushdown": events_agg_pushdown_q,
         "events_dpp_join": events_dpp_join_q,
@@ -7955,23 +8012,28 @@ def _sql_quality_classifier(
 
 
 def _sql_semantic_dedup(
-    train_table: str = "embeddings", n_cells: int = 16
+    train_table: str = "embeddings",
+    n_cells: int = 16,
+    assign_table: str = "embeddings",
 ) -> str:
     """Oracle for the SemDeDup family: trained k-means (bit-exact
     fixed-point replay over ``train_table``) -> within-cell round-6
     cosine pairs -> recursive-reachability components -> min-id
-    representative. Shared by corpus_semantic_dedup (full-corpus
-    training), corpus_semantic_dedup_incr (base-slice training; the
-    incremental merge provably equals this from-scratch replay),
-    stream_semdedup_replay (the drained store equals it too), and
+    representative over ``assign_table`` (the corpus whose labels the
+    query reports; defaults to the whole table). Shared by
+    corpus_semantic_dedup (full-corpus training),
+    corpus_semantic_dedup_incr (base-slice training; the incremental
+    merge provably equals this from-scratch replay),
+    stream_semdedup_replay (the drained store equals it too),
     corpus_semantic_dedup_auto (hash-sampled training slice +
-    corpus-derived n_cells)."""
+    corpus-derived n_cells), and stream_semdedup_retire_replay
+    (full-corpus training, survivor-slice assignment)."""
     return f"""
             WITH RECURSIVE {_sql_ivf_kmeans_ctes(
                 n_cells=n_cells, n_iter=3, table=train_table)},
             c_assign AS (
                 SELECT e.vec_id, e.embedding::DOUBLE[] AS cv, cent_id
-                FROM embeddings e CROSS JOIN ivf_cents
+                FROM {assign_table} e CROSS JOIN ivf_cents
                 QUALIFY row_number() OVER (
                     PARTITION BY e.vec_id
                     ORDER BY {_sql_cosine('e.embedding::DOUBLE[]', 'cvec')} DESC,
@@ -7989,7 +8051,7 @@ def _sql_semantic_dedup(
                 SELECT id_b AS src, id_a AS dst FROM sem_pairs
             ),
             reach(node, label) AS (
-                SELECT vec_id, vec_id FROM embeddings
+                SELECT vec_id, vec_id FROM {assign_table}
                 UNION
                 SELECT e.src, r.label
                 FROM reach r JOIN sem_edges e ON r.node = e.dst
@@ -11569,6 +11631,11 @@ def oracle_sql() -> dict[str, str]:
         # the update replay must leave NO residue of the perturbed
         # batch, so its oracle is the SAME from-scratch replay
         "stream_semdedup_update_replay": _sql_semantic_dedup(),
+        # retirement: full-corpus-trained codebook, survivor-slice
+        # assignment/pairs/components — removal must leave exactly this
+        "stream_semdedup_retire_replay": _sql_semantic_dedup(
+            assign_table="(SELECT * FROM embeddings WHERE vec_id % 20 != 0)"
+        ),
         # incremental SemDeDup == from-scratch rebuild with the frozen
         # base-trained codebook (the incremental_components contraction
         # contract), so the oracle IS the from-scratch replay: k-means

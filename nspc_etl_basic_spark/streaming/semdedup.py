@@ -63,6 +63,12 @@ group_id) — the same asymptotic state as any exact semantic-dup
 tracker; the vector must be kept because FUTURE batches verify cosine
 against it (and because update detection compares against it).
 
+The store supports the full maintenance trio: streaming ingest,
+changed-vector update (both above), and batch RETIREMENT
+(:func:`retire_ids` — takedown/purge removal with the same
+dirty-cell rebuild, so surviving labels always equal a from-scratch
+dedup of the survivors).
+
 Precision contract: vectors cross into the store as float64 arrays
 cast once at assignment; cosines are the engine-wide round-6 doubles;
 ids/cells/labels are BIGINT. No Arrow kernel anywhere.
@@ -341,6 +347,110 @@ def run_stream_semdedup(
     )
     q.awaitTermination()
     return q
+
+
+def retire_ids(
+    store: BucketedTable,
+    ids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+) -> int:
+    """Retire vectors from the label store — the data-REMOVAL third of
+    the store contract (ingest / update / retire): takedowns,
+    right-to-be-forgotten purges, and decontamination removals all
+    reduce to "these ids must leave the corpus AND the surviving
+    labels must equal a from-scratch dedup of the survivors". Removing
+    a vector can SPLIT its component (it may be a cut vertex) and can
+    orphan a group label (the min id may be the one departing), so the
+    departed ids' cells take the same dirty-cell rebuild as the
+    changed-vector update path; edges are cell-local, so no other cell
+    can move. ``threshold`` must be the store's ingest threshold — it
+    re-derives the surviving within-cell edges. Returns the number of
+    store rows removed; ids not present are ignored (idempotent).
+
+    Write order is relabel-then-delete: if interrupted between the
+    two, re-running the same call converges (the retired rows are
+    still present, so the same dirty cells rebuild to the same labels
+    and the delete completes). Single-maintainer semantics, like
+    ``BucketedTable.compact``.
+
+    Scale: one store scan classifies + prunes (retired side broadcast);
+    the rebuild quadratic is bounded by the departed ids' cells; the
+    delete rewrites only the buckets holding the retired keys."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    state = store.read()
+    keys = ids.select(F.col(id_col).alias("vec_id")).distinct()
+    retired = state.join(F.broadcast(keys), "vec_id", "left_semi")
+    if retired.isEmpty():
+        return 0
+    dirty_cells = (
+        retired.select("cell").distinct().localCheckpoint(eager=True)
+    )
+    survivors = (
+        state.join(F.broadcast(dirty_cells), "cell", "left_semi")
+        .join(F.broadcast(keys), "vec_id", "left_anti")
+        .select(
+            F.col("vec_id").alias(id_col),
+            F.col("embedding").alias("__v"),
+            norm(F.col("embedding")).alias("__n"),
+            "cell",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    cos = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        6,
+    )
+    pairs = (
+        survivors.select(
+            F.col(id_col).alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+            "cell",
+        )
+        .join(
+            survivors.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__v").alias("__vb"),
+                F.col("__n").alias("__nb"),
+                "cell",
+            ),
+            "cell",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    labels = incremental_components(
+        survivors.select(id_col),
+        pairs,
+        state.sparkSession.createDataFrame(
+            [], f"{id_col} long, component_id long"
+        ),
+        id_col=id_col,
+    )
+    moved = (
+        state.select("vec_id", "cell", "embedding", "group_id")
+        .join(
+            labels.select(
+                F.col(id_col).alias("vec_id"),
+                F.col("component_id").alias("__new"),
+            ),
+            "vec_id",
+        )
+        .where(F.col("group_id") != F.col("__new"))
+        .select(
+            "vec_id",
+            "cell",
+            "embedding",
+            F.col("__new").cast("long").alias("group_id"),
+        )
+    )
+    store.merge(moved)
+    return store.delete(keys)
 
 
 def semdedup_from_store(store: BucketedTable) -> DataFrame:

@@ -583,3 +583,94 @@ def test_stream_semdedup_randomized_updates_vs_scratch(spark, tmp_path):
                             replace=False)
     ]
     drain(b3)
+
+
+def test_retire_ids_restores_from_scratch_of_survivors(spark, tmp_path):
+    """retire_ids: removing a cut vertex splits its component, removing
+    a group MIN relabels the survivors, unknown ids are a no-op, and
+    the store always equals the from-scratch dedup of the survivors."""
+    import math
+
+    from nspc_etl_basic_spark.streaming.semdedup import (
+        label_store_table,
+        retire_ids,
+        run_stream_semdedup,
+        semdedup_from_store,
+    )
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])]
+
+    def v(deg, plane=0):
+        c, s = math.cos(math.radians(deg)), math.sin(math.radians(deg))
+        return [c, s, 0.0, 0.0] if plane == 0 else [0.0, 0.0, c, s]
+
+    # chain 10-11-12 (11 the cut vertex) in cell 0; pair 20-21 in cell 1
+    rows = [
+        (10, v(0)),
+        (11, v(25)),
+        (12, v(50)),
+        (20, v(0, plane=1)),
+        (21, v(5, plane=1)),
+    ]
+    schema = "vec_id long, embedding array<double>"
+    store = label_store_table(spark, str(tmp_path / "store"), n_buckets=2)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    run_stream_semdedup(
+        spark.readStream.schema(schema).format("parquet").load(src),
+        store, str(tmp_path / "ck"), cents, threshold=0.9,
+    )
+
+    def store_now():
+        return {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semdedup_from_store(store).collect()
+        }
+
+    def scratch(latest):
+        df = spark.createDataFrame(sorted(latest.items()), schema)
+        return {
+            r["vec_id"]: (r["cell"], r["group_id"], r["keep"])
+            for r in semantic_dedup(
+                df, centroids=cents, threshold=0.9
+            ).collect()
+        }
+
+    latest = dict(rows)
+
+    def retire(ids):
+        n = retire_ids(
+            store,
+            spark.createDataFrame([(i,) for i in ids], "vec_id long"),
+            threshold=0.9,
+        )
+        for i in ids:
+            latest.pop(i, None)
+        return n
+
+    # unknown ids: no-op
+    assert retire([999]) == 0
+    assert store_now() == scratch(latest)
+
+    # retire the cut vertex 11: {10,11,12} must split into {10},{12}
+    assert retire([11]) == 1
+    got = store_now()
+    assert got == scratch(latest)
+    assert got[10] == (0, 10, True) and got[12] == (0, 12, True)
+
+    # retire the group MIN 20: 21 must take over its own label
+    assert retire([20]) == 1
+    got = store_now()
+    assert got == scratch(latest)
+    assert got[21] == (1, 21, True)
+
+    # idempotent re-run of an already-applied retirement
+    assert retire([11, 20]) == 0
+    assert store_now() == scratch(latest)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="threshold"):
+        retire_ids(
+            store, spark.createDataFrame([(1,)], "vec_id long"), threshold=0.0
+        )
