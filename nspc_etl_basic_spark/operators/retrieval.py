@@ -18,14 +18,19 @@ score bit-for-bit. (A raw double sum would depend on engine summation
 order; ln itself is IEEE-stable across both engines at the inputs the
 micros rounding then absorbs — the ``tfidf_topk`` precedent.)
 
-Scale: the same shuffle inventory as ``text.tfidf_topk`` plus one
-token-keyed join — (doc, token) for TF (map-side combined), token for
-DF, token for the query-terms inverted-index probe (query side
-broadcast — it is query-sized, never corpus-sized), (query, doc) for
-the score aggregate, query for the final top-k window. One corpus text
-scan; N and avgdl are 1-row aggregates broadcast into the plan
-(scalar-subquery shape). Nothing is all-pairs: a query only meets the
-documents that share a term with it.
+Scale: the same shuffle inventory as ``text.tfidf_topk`` — (doc,
+token) for TF (map-side combined), token for the DF aggregate (also
+map-side combined — NEVER a token-partitioned window, which would
+funnel a Zipf-hot token's df ~ N rows through one unsplittable task),
+token for the query-terms inverted-index probe (query side broadcast —
+it is query-sized, never corpus-sized, and carries each term's df so
+the probe adds no corpus-side df join), (query, doc) for the score
+aggregate, query for the final top-k window. The only window over the
+corpus-sized TF table is doc-length, whose partitions are
+document-sized by construction. One corpus text scan; N and avgdl are
+1-row aggregates broadcast into the plan (scalar-subquery shape).
+Nothing is all-pairs: a query only meets the documents that share a
+term with it.
 
 Reference parity: no counterpart in /root/reference — extension surface
 (LLM-pipeline family).
@@ -112,11 +117,16 @@ def bm25_topk(
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    # doc length and document frequency as windows over the TF triples:
-    # one corpus scan feeds everything (the tfidf_topk plan argument)
+    # doc length as a window over the TF triples: partitions are
+    # document-sized, so no hot key is possible. Document frequency is
+    # NOT a window — a Zipf-hot token ("the") would funnel its df ~ N
+    # row set through one window task, and AQE cannot split a window
+    # the way it splits a skewed join. Instead df is a map-side-combined
+    # groupBy aggregate attached to the BROADCAST query-term side below,
+    # so it never costs a corpus-sized shuffle or join at all.
     with_stats = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    ).withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    )
     globals_row = docs.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
     ).crossJoin(
@@ -128,17 +138,20 @@ def bm25_topk(
         F.col(query_id_col),
         F.explode(word_tokens(F.col(query_text_col))).alias("token"),
     ).distinct()
+    dfs = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    # broadcast the QUERY side into the vocab-sized df table (the
+    # vocabulary can be huge at corpus scale; the query terms never
+    # are) — from here every frame is query-sized and carries its
+    # term's df, so the probe join below needs no df on the TF side
+    q_terms = dfs.join(F.broadcast(q_terms), "token")
     if max_query_terms is not None or max_df_fraction is not None:
-        dfs = tf.groupBy("token").agg(
-            F.count(F.lit(1)).cast("long").alias("__df")
-        )
-        # broadcast the QUERY side into the vocab-sized df table (the
-        # vocabulary can be huge at corpus scale; the query terms never
-        # are) — from here every frame is query-sized
-        q_terms = dfs.join(F.broadcast(q_terms), "token")
         if max_df_fraction is not None:
-            # absolute cutoff first: df * 1e6 <= ppm * N, exact BIGINT
-            ppm = round(max_df_fraction * 1_000_000)
+            # absolute cutoff first: df * 1e6 <= ppm * N, exact BIGINT;
+            # clamp to 1 ppm so a fraction below 5e-7 (which validation
+            # accepts) cannot silently floor to ppm=0 and drop every term
+            ppm = max(1, round(max_df_fraction * 1_000_000))
             q_terms = q_terms.crossJoin(
                 F.broadcast(
                     docs.agg(F.count(F.lit(1)).cast("long").alias("__capn"))
@@ -155,8 +168,11 @@ def bm25_topk(
             q_terms = q_terms.withColumn(
                 "__qrk", F.row_number().over(wq)
             ).filter(F.col("__qrk") <= max_query_terms)
-        q_terms = q_terms.select(query_id_col, "token")
-    # inverted-index probe: the (query, token) side is query-sized
+    q_terms = q_terms.select(
+        query_id_col, "token", F.col("__df").alias("df")
+    )
+    # inverted-index probe: the (query, token) side is query-sized and
+    # already carries df, so the corpus-sized TF side joins on token only
     hits = with_stats.join(F.broadcast(q_terms), "token")
     idf = F.log(
         (

@@ -592,3 +592,26 @@ def test_ngram_overlap_no_cartesian(spark, sf_dir):
     plan = _plan_simple(QUERIES["corpus_ngram_overlap"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_has_no_token_partitioned_window(spark, sf_dir):
+    """BM25's document frequency must be the map-side-combined groupBy
+    aggregate carried on the broadcast query-term side, never a
+    ``Window.partitionBy("token")`` over the full TF table: a Zipf-hot
+    token would funnel df ~ N rows through ONE window task, and AQE
+    cannot split a window the way it splits a skewed join. The only
+    corpus-sized window allowed is doc-length (doc-sized partitions)."""
+    for name in ("text_bm25_topk", "text_bm25_df_capped",
+                 "text_hybrid_topk"):
+        plan = _plan_simple(QUERIES[name](spark, sf_dir))
+        for ln in plan.splitlines():
+            if "windowspecdefinition" not in ln:
+                continue
+            # Window node prints `Window [fns], [partitionSpec],
+            # [orderSpec]` — token in the PARTITION group is the
+            # defect; token in an ORDER BY (the rarest-N rank) is fine
+            groups = ln.split("], [")
+            if len(groups) >= 2 and "token#" in groups[1]:
+                raise AssertionError(
+                    f"{name}: token-partitioned window survived: {ln}"
+                )
