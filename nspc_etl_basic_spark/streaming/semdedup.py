@@ -167,13 +167,26 @@ def run_stream_semdedup(
             return
 
         state = store.read()
-        # classify the batch against the store: one batch-broadcast
-        # id join — fresh / unchanged replay / changed vector
+        # classify the batch against the store — fresh / unchanged
+        # replay / changed vector — WITHOUT ever shuffling the
+        # vector-bearing store: a left OUTER join cannot broadcast its
+        # left (batch) side, so first prune the store to the batch's
+        # ids with a broadcast LEFT-SEMI (batch ids broadcast into a
+        # scan-only pass over the store), then left-join the batch
+        # against the now batch-sized pruned slice, which IS a legal
+        # broadcast right side
+        hit = state.join(
+            F.broadcast(batch_a.select(F.col(id_col).alias("vec_id"))),
+            "vec_id",
+            "left_semi",
+        )
         cls = batch_a.join(
-            state.select(
-                F.col("vec_id").alias(id_col),
-                F.col("cell").alias("__scell"),
-                F.col("embedding").alias("__sv"),
+            F.broadcast(
+                hit.select(
+                    F.col("vec_id").alias(id_col),
+                    F.col("cell").alias("__scell"),
+                    F.col("embedding").alias("__sv"),
+                )
             ),
             id_col,
             "left",
@@ -197,10 +210,13 @@ def run_stream_semdedup(
         # ---- clean path: the merge-only contraction, restricted to
         # cells no changed vector touches (= the whole batch when
         # has_updates is False — today's common case)
-        batch_clean = batch_a
+        # batch_clean rides on cls (already materialized) so the
+        # fresh-vs-replay split below reads the __sv flag instead of
+        # re-scanning the store
+        batch_clean = cls
         state_clean = state
         if has_updates:
-            batch_clean = batch_a.join(
+            batch_clean = cls.join(
                 F.broadcast(dirty_cells), "cell", "left_anti"
             )
             state_clean = state.join(
@@ -232,16 +248,20 @@ def run_stream_semdedup(
             batch_clean.select(id_col), pairs, existing, id_col=id_col
         ).localCheckpoint(eager=True)
 
-        new_rows = batch_clean.join(labels, id_col).select(
-            F.col(id_col).alias("vec_id"),
-            F.col("cell").cast("long").alias("cell"),
-            F.col("__v").alias("embedding"),
-            F.col("component_id").cast("long").alias("group_id"),
-        )
         # a re-ingested (unchanged) batch id is excluded from new_rows
-        # — its store row already holds the vector and label
-        new_rows = new_rows.join(
-            state.select("vec_id"), "vec_id", "left_anti"
+        # — its store row already holds the vector and label. The
+        # fresh/replay split is the __sv flag cls already materialized
+        # (a second left_anti against the full store would re-scan the
+        # corpus per batch for information the classify pass has).
+        new_rows = (
+            batch_clean.filter(F.col("__sv").isNull())
+            .join(labels, id_col)
+            .select(
+                F.col(id_col).alias("vec_id"),
+                F.col("cell").cast("long").alias("cell"),
+                F.col("__v").alias("embedding"),
+                F.col("component_id").cast("long").alias("group_id"),
+            )
         )
         # two-step relabel so vectors stay put: the moved set is
         # found on LABEL-ONLY columns (16-byte rows keyed on the
