@@ -160,8 +160,12 @@ def semantic_dedup(
     GROWS with n, so a default-arg call clusters at a different — and
     deliberately scale-correct — granularity than the old fixed 16;
     pass ``n_cells=16`` explicitly to reproduce pre-round-10 output.
-    ``corpus_count`` is trusted as given (it only sizes the codebook;
-    a stale count degrades cell balance, never correctness).
+    ``corpus_count`` is trusted as given. It feeds ``auto_n_cells``,
+    so a stale count yields a different derived cell count and
+    therefore a different (still valid) clustering granularity and
+    group labeling — the determinism contract holds for the VALUE
+    actually passed, not across different values. Pass the true count
+    wherever an oracle or replay derives ``n_cells`` from it.
     """
     if not 0 < threshold <= 1:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
