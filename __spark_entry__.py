@@ -1341,6 +1341,31 @@ def dedup_components_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def dedup_band_retire_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown from the near-dup tier (operators/retire.
+    retire_from_band_store, round 12 — the third leg of the store
+    contract after ingest and incremental merge): retire every doc
+    with doc_id % 10 == 5 from the tier90 corpus' persisted band store
+    and component label table. Removal is component-local — only the
+    components CONTAINING a retired id re-pair (from the surviving
+    stored band rows) and re-label; everything else keeps its label
+    untouched — yet the returned labels provably equal a from-scratch
+    components run over the survivors (pytest pins the equivalence
+    incl. bridge-splits, min-id departures, and cap reappearance; the
+    oracle replays survivor LSH pairs -> recursive reachability).
+    Plan: the retired-id set is always the broadcast side; the
+    corpus-sized store and label table are scanned, never shuffled."""
+    from nspc_etl_basic_spark.operators.retire import retire_from_band_store
+
+    docs = _t(spark, sf_dir, "documents")
+    store, existing = _dedup_tier90(spark, sf_dir)
+    retired = docs.filter(F.col("doc_id") % 10 == 5).select("doc_id")
+    _, new_labels = retire_from_band_store(store, existing, retired)
+    return new_labels.select(
+        "doc_id", F.col("component_id").cast("long").alias("component_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data extensions: text analysis
 # ---------------------------------------------------------------------------
@@ -2609,6 +2634,62 @@ def corpus_classifier_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_df, eval_df, _LABEL_RULES, "joins", id_col="doc_id",
         text_col="text", n_buckets=512, salt="clf",
     )
+
+
+def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curve-driven quality selection (selection.select_by_pr_threshold,
+    round 12) — closes the loop corpus_classifier_pr opened: instead of
+    corpus_quality_select's fixed top-25%, the keep threshold is CHOSEN
+    FROM a held-out PR curve. Textbook three-way wiring on the
+    leakage-safe split: weights train on the train slice's weak labels,
+    the PR sweep runs on the VAL slice (classifier_pr_curve), the max-F1
+    row's threshold (ties -> highest threshold) becomes the operating
+    point, and the TEST slice — data neither training nor threshold
+    selection ever saw — is filtered to ``score_joins >= threshold``.
+    Plan: the operating point is a 1-row broadcast from the curve-sized
+    frame into a pure scan filter; training/scoring are the holdout's
+    broadcast-grid plans (corpus text never shuffles). The oracle
+    replays the split, the weight grid, VAL scoring, the cumulative
+    integer-ppm curve, the max-F1 choice, and the TEST-slice filter."""
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_pr_curve,
+        classify_tokens,
+        train_token_classifier,
+    )
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+    from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
+    from nspc_etl_basic_spark.operators.selection import (
+        select_by_pr_threshold,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    _, comp = _dedup_tier(spark, sf_dir)
+    split = leakage_safe_split(
+        docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+    def _slice(name: str) -> DataFrame:
+        return docs.join(
+            split.filter(F.col("split") == name).select("doc_id"), "doc_id"
+        )
+
+    train_df, val_df, test_df = _slice("train"), _slice("val"), _slice("test")
+    curve = classifier_pr_curve(
+        train_df, val_df, _LABEL_RULES, "joins", id_col="doc_id",
+        text_col="text", n_buckets=512, salt="clf",
+    )
+    labels = sorted(_LABEL_RULES)
+    train_weak = keyword_labels(
+        train_df, "doc_id", "text", _LABEL_RULES
+    ).where(F.col("label").isNotNull()).select("doc_id", "label")
+    weights = train_token_classifier(
+        train_df.select("doc_id", "text").join(train_weak, "doc_id"),
+        labels, "text", "label", 512, "clf",
+    )
+    scored = classify_tokens(
+        test_df, weights, labels, "doc_id", "text", 512, "clf"
+    ).select("doc_id", "score_joins")
+    return select_by_pr_threshold(scored, curve, "score_joins")
 
 
 def corpus_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4852,6 +4933,40 @@ def corpus_span_dedup_incr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_span_retire_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown from the span-dedup tier (operators/retire.
+    retire_from_gram_store, round 12): the corpus docs with
+    doc_id % 10 == 5 are retired — their n-gram counts DECREMENT out of
+    the persisted (gh, count) store (zero-count rows drop; the guard
+    floors at zero) — and the incoming batch (doc_id % 10 == 0) is then
+    span-cleaned against the decremented store. Spans whose only
+    duplicates were the retired docs stop being flagged: the oracle
+    replays the store as built from the SURVIVORS, which the decrement
+    provably equals (pytest pins store equality and the unflag
+    behavior). Plan: one gram pass over the batch-sized retired rows,
+    broadcast-joined into the store — scan-only on the corpus side."""
+    from nspc_etl_basic_spark.operators.retire import retire_from_gram_store
+    from nspc_etl_basic_spark.operators.spandedup import (
+        build_gram_store,
+        incremental_dedup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    retired = corpus.filter(F.col("doc_id") % 10 == 5)
+    store = retire_from_gram_store(
+        build_gram_store(corpus, n=5), retired, n=5
+    )
+    cleaned, _counts = incremental_dedup_spans(batch, store, n=5, min_count=2)
+    return cleaned.select(
+        "doc_id",
+        "clean_text",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def corpus_temperature_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based mixture rebalancing (alpha=0.5) over documents
     by language: per-stratum md5-bucket thresholds derived from
@@ -6056,6 +6171,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "corpus_classifier_eval": corpus_classifier_eval_q,
         "corpus_classifier_holdout": corpus_classifier_holdout_q,
         "corpus_classifier_pr": corpus_classifier_pr_q,
+        "corpus_quality_select_pr": corpus_quality_select_pr_q,
         "text_bm25_df_capped": text_bm25_df_capped_q,
         "corpus_semantic_dedup": corpus_semantic_dedup_q,
         "corpus_semantic_dedup_incr": corpus_semantic_dedup_incr_q,
@@ -6137,6 +6253,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "dedup_lsh_pairs": dedup_lsh_pairs_q,
         "dedup_incremental": dedup_incremental_q,
         "dedup_components_incr": dedup_components_incr_q,
+        "dedup_band_retire": dedup_band_retire_q,
         "dedup_jaccard": dedup_jaccard_q,
         "dedup_components": dedup_components_q,
         "dedup_keep_best": dedup_keep_best_q,
@@ -6230,6 +6347,7 @@ _QUERY_REGISTRY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         "scd2_apply": scd2_apply_q,
         "corpus_span_dedup": corpus_span_dedup_q,
         "corpus_span_dedup_incr": corpus_span_dedup_incr_q,
+        "corpus_span_retire": corpus_span_retire_q,
         "corpus_temperature_sample": corpus_temperature_sample_q,
         "events_anomaly": events_anomaly_q,
         "events_hist_quantiles": events_hist_quantiles_q,
@@ -7151,10 +7269,12 @@ def _sql_span_dedup() -> str:
     """
 
 
-def _sql_span_dedup_incr() -> str:
+def _sql_span_dedup_incr(corpus_where: str = "doc_id % 10 <> 0") -> str:
     """Oracle for corpus_span_dedup_incr: batch grams vs corpus gram
     counts, same combined-count >= 2 flag rule as
-    `operators/spandedup.py:incremental_dedup_spans`."""
+    `operators/spandedup.py:incremental_dedup_spans`. ``corpus_where``
+    narrows the store-side corpus — corpus_span_retire replays a
+    post-takedown store as the store built from the SURVIVORS."""
     toks = _sql_word_tokens("text")
     return f"""
         WITH btoks AS (
@@ -7163,7 +7283,7 @@ def _sql_span_dedup_incr() -> str:
         ),
         ctoks AS (
             SELECT doc_id, coalesce({toks}, CAST([] AS VARCHAR[])) AS t
-            FROM documents WHERE doc_id % 10 <> 0
+            FROM documents WHERE {corpus_where}
         ),
         btokpos AS (
             SELECT doc_id, unnest(t) AS tok, generate_subscripts(t, 1) AS p
@@ -8168,6 +8288,7 @@ def _sql_classifier_holdout(
     salt: str = "clf",
     scale: int = 1_000_000_000,
     final: str | None = None,
+    score_split: str = "test",
 ) -> str:
     """Oracle for corpus_classifier_holdout: the full leakage-safe
     held-out chain from scratch — LSH pairs -> recursive-reachability
@@ -8331,7 +8452,7 @@ def _sql_classifier_holdout(
         dc AS (
             SELECT b.doc_id, b.bucket, CAST(count(*) AS BIGINT) AS cnt
             FROM tb b JOIN spl s USING (doc_id)
-            WHERE s.split = 'test'
+            WHERE s.split = '{score_split}'
             GROUP BY 1, 2
         ),
         parts AS (
@@ -8348,7 +8469,7 @@ def _sql_classifier_holdout(
                    {full_cols}
             FROM documents d JOIN spl s ON d.doc_id = s.doc_id
             LEFT JOIN sc ON d.doc_id = sc.doc_id
-            WHERE s.split = 'test'
+            WHERE s.split = '{score_split}'
         ),
         {final}
     """
@@ -9088,8 +9209,35 @@ def oracle_sql() -> dict[str, str]:
         "dq_profile": _sql_dq_profile(),
         "scd2_history": _sql_scd2_history(),
         "scd2_apply": _sql_scd2_apply(),
+        # takedown replay: surviving labels == from-scratch components
+        # over the survivor corpus (retire_from_band_store contract)
+        "dedup_band_retire": f"""
+            WITH RECURSIVE corpus AS (
+                SELECT doc_id, text FROM documents
+                WHERE doc_id % 10 != 0 AND doc_id % 10 != 5
+            ),
+            pairs AS ({_sql_lsh_pairs(table='corpus')}),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM corpus
+                UNION
+                SELECT e.src, r.label
+                FROM reach r JOIN edges e ON r.node = e.dst
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS component_id
+            FROM reach GROUP BY node
+        """,
         "corpus_span_dedup": _sql_span_dedup(),
         "corpus_span_dedup_incr": _sql_span_dedup_incr(),
+        # takedown replay: the decremented gram store == the store built
+        # from the survivors, so the batch cleans against survivor counts
+        "corpus_span_retire": _sql_span_dedup_incr(
+            corpus_where="doc_id % 10 <> 0 AND doc_id % 10 <> 5"
+        ),
         "corpus_temperature_sample": _sql_temperature_sample(),
         "events_anomaly": _sql_events_anomaly(),
         # streaming replays: end state behind the batch oracles (fold ==
@@ -11607,6 +11755,71 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * n_keep) // n_eval AS BIGINT)
                    AS keep_frac_ppm
         FROM cum""",
+        ),
+        # curve-driven selection: VAL-slice PR curve -> max-F1 threshold
+        # (ties: highest) -> TEST-slice filter, all on the holdout chain
+        "corpus_quality_select_pr": _sql_classifier_holdout(
+            _LABEL_RULES, n_buckets=512, salt="clf", score_split="val",
+            final="""pts AS (
+            SELECT f.score_joins AS threshold,
+                   CASE WHEN l.label = 'joins' THEN 1 ELSE 0 END AS pos
+            FROM filled f JOIN lab l USING (doc_id)
+            WHERE l.label IS NOT NULL
+        ),
+        per AS (
+            SELECT threshold, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS npos
+            FROM pts GROUP BY threshold
+        ),
+        cum AS (
+            SELECT threshold,
+                   CAST(SUM(n) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_keep,
+                   CAST(SUM(npos) OVER (ORDER BY threshold DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS n_pos_kept,
+                   CAST((SELECT sum(npos) FROM per) AS BIGINT) AS n_pos
+            FROM per
+        ),
+        curve AS (
+            SELECT threshold,
+                   CASE WHEN n_keep + n_pos > 0
+                        THEN CAST((2000000 * n_pos_kept)
+                                  // (n_keep + n_pos) AS BIGINT)
+                   END AS f1_ppm
+            FROM cum
+        ),
+        best AS (
+            SELECT threshold FROM curve
+            ORDER BY f1_ppm DESC, threshold DESC LIMIT 1
+        ),
+        dc2 AS (
+            SELECT b.doc_id, b.bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM tb b JOIN spl s USING (doc_id)
+            WHERE s.split = 'test'
+            GROUP BY 1, 2
+        ),
+        parts2 AS (
+            SELECT dc2.doc_id, w.label, dc2.cnt * w.w AS part
+            FROM dc2 JOIN w ON w.bucket = dc2.bucket
+        ),
+        sc2 AS (
+            SELECT doc_id,
+                   CAST(coalesce(sum(CASE WHEN label = 'joins' THEN part END),
+                                 0) AS BIGINT) AS score_joins
+            FROM parts2 GROUP BY doc_id
+        ),
+        filled2 AS (
+            SELECT d.doc_id,
+                   coalesce(sc2.score_joins, CAST(0 AS BIGINT)) AS score_joins
+            FROM documents d JOIN spl s ON d.doc_id = s.doc_id
+            LEFT JOIN sc2 ON d.doc_id = sc2.doc_id
+            WHERE s.split = 'test'
+        )
+        SELECT doc_id, score_joins FROM filled2
+        WHERE score_joins >= (SELECT threshold FROM best)
+        ORDER BY doc_id""",
         ),
         # SemDeDup: trained k-means (bit-exact fixed-point replay) ->
         # within-cell round-6 cosine pairs -> recursive-reachability

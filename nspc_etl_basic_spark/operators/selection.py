@@ -49,7 +49,7 @@ from fractions import Fraction
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["top_fraction"]
+__all__ = ["select_by_pr_threshold", "top_fraction"]
 
 _FANOUT = 4096
 
@@ -182,4 +182,48 @@ def top_fraction(
     return scored.where(
         keep_above
         | ((F.col(score_col) == s_star) & (F.col(id_col) <= id_star))
+    )
+
+
+def select_by_pr_threshold(
+    scored: DataFrame,
+    curve: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    target_precision_ppm: int | None = None,
+) -> DataFrame:
+    """Keep the rows of ``scored`` that clear an operating point chosen
+    FROM a held-out PR curve (``classifier_pr_curve``'s output) — the
+    measured replacement for an arbitrary fixed keep-fraction: the
+    threshold is justified by precision/recall observed on data the
+    scorer never trained on.
+
+    Default objective is max-F1 (ties -> the highest threshold, i.e.
+    the smallest selection); with ``target_precision_ppm`` the chosen
+    row is instead the LOWEST threshold whose held-out precision still
+    meets the target — maximum recall subject to the precision floor.
+    No curve row meeting the target selects nothing (an empty result
+    is the honest answer when the classifier cannot reach the asked
+    precision at any threshold).
+
+    Scale: the operating point is a 1-row frame derived from the
+    curve (already aggregate-sized, never the corpus) and broadcast
+    into a pure scan filter over ``scored`` — no shuffle, no global
+    sort, no driver round-trip; composes with any scored frame the
+    same trained weights produced (test slice, full corpus, a future
+    batch)."""
+    best = curve
+    if target_precision_ppm is not None:
+        best = best.where(
+            F.col("precision_ppm") >= int(target_precision_ppm)
+        ).orderBy(F.col("threshold").asc())
+    else:
+        best = best.orderBy(
+            F.col("f1_ppm").desc(), F.col("threshold").desc()
+        )
+    thr = best.limit(1).select(F.col("threshold").alias("__thr"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .where(F.col(score_col) >= F.col("__thr"))
+        .drop("__thr")
     )

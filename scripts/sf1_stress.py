@@ -56,6 +56,11 @@ HEAVY = [
     # round 11 additions
     "text_bm25_df_capped",    # the degenerate-probe collapse datapoint
     "text_hybrid_topk",       # BM25 + residual-IVFPQ dense leg + RRF
+    # round 12 additions
+    "corpus_classifier_pr",   # train+score chain x the threshold sweep
+    "corpus_quality_select_pr",  # curve -> max-F1 threshold -> test filter
+    "dedup_band_retire",      # takedown: component-local rebuild
+    "corpus_span_retire",     # takedown: gram-count decrement + clean
 ]
 
 

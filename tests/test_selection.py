@@ -99,3 +99,50 @@ def test_top_fraction_result_is_scan_filter(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan and "Window" not in plan
     assert "Exchange" not in plan
+
+
+def _curve(spark, rows):
+    # (threshold, precision_ppm, f1_ppm) — the classifier_pr_curve
+    # columns select_by_pr_threshold reads
+    return spark.createDataFrame(
+        rows, "threshold long, precision_ppm long, f1_ppm long"
+    )
+
+
+def test_select_by_pr_threshold_max_f1_ties_highest_threshold(spark):
+    from nspc_etl_basic_spark.operators.selection import (
+        select_by_pr_threshold,
+    )
+
+    scored = _df(spark, [(1, 5), (2, 10), (3, 20), (4, 30)])
+    curve = _curve(
+        spark,
+        [(30, 900000, 700000), (20, 800000, 800000), (10, 600000, 800000)],
+    )
+    # f1 tie at 800000 between thresholds 20 and 10 -> highest wins (20)
+    got = {r.doc_id for r in select_by_pr_threshold(
+        scored, curve, "score", "doc_id"
+    ).collect()}
+    assert got == {3, 4}
+
+
+def test_select_by_pr_threshold_target_precision_maximizes_recall(spark):
+    from nspc_etl_basic_spark.operators.selection import (
+        select_by_pr_threshold,
+    )
+
+    scored = _df(spark, [(1, 5), (2, 10), (3, 20), (4, 30)])
+    curve = _curve(
+        spark,
+        [(30, 950000, 500000), (20, 900000, 600000), (10, 600000, 700000)],
+    )
+    # precision floor 900000: thresholds 30 and 20 qualify; the LOWEST
+    # qualifying threshold (20) keeps the most rows
+    got = {r.doc_id for r in select_by_pr_threshold(
+        scored, curve, "score", "doc_id", target_precision_ppm=900000
+    ).collect()}
+    assert got == {3, 4}
+    # unreachable precision floor -> honest empty selection
+    assert select_by_pr_threshold(
+        scored, curve, "score", "doc_id", target_precision_ppm=990000
+    ).isEmpty()
