@@ -211,3 +211,37 @@ def test_gram_store_retire_floors_at_zero(spark):
     twice = retire_from_gram_store(once, docs)
     assert twice.filter(F.col("count") < 0).isEmpty()
     assert once.isEmpty() and twice.isEmpty()
+
+
+def test_gram_store_retire_randomized_equivalence(spark):
+    rng = random.Random(1207)
+    vocab = ["the", "license", "header", "block", "alpha", "beta",
+             "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 18))))
+        for i in range(30)
+    ]
+    docs = _corpus(spark, rows)
+    store = build_gram_store(docs)
+    retired_ids = set(rng.sample(range(30), 11))
+    retired = docs.filter(F.col("doc_id").isin(list(retired_ids)))
+    survivors = docs.filter(~F.col("doc_id").isin(list(retired_ids)))
+
+    got = retire_from_gram_store(store, retired)
+    want = build_gram_store(survivors)
+    assert _store_rows(got) == _store_rows(want)
+
+    # and retirement commutes with incremental ingest: retiring after a
+    # merge equals building from (survivors + batch)
+    from nspc_etl_basic_spark.operators.spandedup import merge_gram_store
+
+    batch = _corpus(
+        spark,
+        [(100 + i,
+          " ".join(rng.choice(vocab) for _ in range(rng.randrange(5, 15))))
+         for i in range(5)],
+    )
+    merged = merge_gram_store(store, build_gram_store(batch))
+    got2 = retire_from_gram_store(merged, retired)
+    want2 = build_gram_store(survivors.unionByName(batch))
+    assert _store_rows(got2) == _store_rows(want2)
