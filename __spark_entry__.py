@@ -2674,10 +2674,11 @@ def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     train_df, val_df, test_df = _slice("train"), _slice("val"), _slice("test")
-    curve = classifier_pr_curve(
-        train_df, val_df, _LABEL_RULES, "joins", id_col="doc_id",
-        text_col="text", n_buckets=512, salt="clf",
-    )
+    # train ONCE: the weight grid (|labels| x 512 rows) feeds both the
+    # VAL-slice curve and the TEST-slice scoring — at corpus scale the
+    # training pass is a corpus scan, so it must not run per consumer;
+    # localCheckpoint pins the tiny grid (training is deterministic, so
+    # this equals in-curve training bit-for-bit)
     labels = sorted(_LABEL_RULES)
     train_weak = keyword_labels(
         train_df, "doc_id", "text", _LABEL_RULES
@@ -2685,6 +2686,10 @@ def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = train_token_classifier(
         train_df.select("doc_id", "text").join(train_weak, "doc_id"),
         labels, "text", "label", 512, "clf",
+    ).localCheckpoint(eager=True)
+    curve = classifier_pr_curve(
+        train_df, val_df, _LABEL_RULES, "joins", id_col="doc_id",
+        text_col="text", n_buckets=512, salt="clf", weights=weights,
     )
     scored = classify_tokens(
         test_df, weights, labels, "doc_id", "text", 512, "clf"

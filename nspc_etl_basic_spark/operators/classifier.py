@@ -435,6 +435,7 @@ def classifier_pr_curve(
     n_buckets: int = 1024,
     salt: str = "clf",
     check_disjoint: bool = False,
+    weights: DataFrame | None = None,
 ) -> DataFrame:
     """Held-out precision/recall sweep over SCORE THRESHOLDS for one
     class — the curve that turns ``top_fraction``'s keep-fraction from
@@ -480,13 +481,19 @@ def classifier_pr_curve(
     if check_disjoint:
         _check_slices_disjoint(train_df, eval_df, id_col)
     labels = sorted(rules)
-    train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
-        F.col("label").isNotNull()
-    ).select(id_col, "label")
-    train = train_df.select(id_col, text_col).join(train_weak, id_col)
-    weights = train_token_classifier(
-        train, labels, text_col, "label", n_buckets, salt
-    )
+    if weights is None:
+        # trained here by default; callers that ALSO score other slices
+        # with the same model (select_by_pr_threshold pipelines) pass
+        # the weight grid in so the training pass runs once, not per
+        # consumer — training is deterministic, so the result is
+        # identical either way
+        train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
+            F.col("label").isNotNull()
+        ).select(id_col, "label")
+        train = train_df.select(id_col, text_col).join(train_weak, id_col)
+        weights = train_token_classifier(
+            train, labels, text_col, "label", n_buckets, salt
+        )
     scored = classify_tokens(
         eval_df, weights, labels, id_col, text_col, n_buckets, salt
     ).select(id_col, f"score_{positive_label}")
