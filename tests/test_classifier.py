@@ -447,3 +447,42 @@ def test_pr_curve_and_holdout_validation_guards(spark):
     assert classifier_holdout_eval(
         a, c, rules, n_buckets=16, check_disjoint=True
     ).count() == 2
+
+
+def test_pr_curve_precomputed_weights_equal_in_curve_training(spark):
+    """The weights parameter exists so a selection pipeline trains ONCE
+    for both the curve and downstream scoring; training is
+    deterministic, so passing the externally-trained grid must
+    reproduce the default path's curve exactly (the
+    corpus_quality_select_pr single-train contract)."""
+    from nspc_etl_basic_spark.operators.classifier import (
+        classifier_pr_curve,
+        train_token_classifier,
+    )
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    rules = {"cats": ["cat", "purr"], "dogs": ["dog", "bark"]}
+    train = spark.createDataFrame(
+        [(i, f"cat purr number {i}") for i in range(6)]
+        + [(10 + i, f"dog bark number {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "cat purr evaluation"), (101, "dog bark evaluation"),
+         (102, "cat item"), (103, "dog item")],
+        "doc_id long, text string",
+    )
+    default = classifier_pr_curve(train, ev, rules, "cats", n_buckets=32)
+
+    weak = keyword_labels(train, "doc_id", "text", rules).where(
+        F.col("label").isNotNull()
+    ).select("doc_id", "label")
+    w = train_token_classifier(
+        train.join(weak, "doc_id"), sorted(rules), "text", "label", 32
+    )
+    external = classifier_pr_curve(
+        train, ev, rules, "cats", n_buckets=32, weights=w
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, external.collect())
+    )
