@@ -331,14 +331,23 @@ def run_stream_semdedup(
                 F.col("component_id").cast("long").alias("group_id"),
             )
             # minimal-diff upsert: fresh rows, changed ids (vector /
-            # cell move), and rows whose label moved under the rebuild
+            # cell move), and rows whose label moved under the rebuild.
+            # Same no-store-shuffle discipline as the classify pass:
+            # prune the corpus-sized prior-state slice to the rebuilt
+            # ids with a broadcast semi FIRST (scan-only over the
+            # store), so the left join's right side is rebuild-sized
+            # and broadcastable
             prior = state.select(
                 "vec_id",
                 F.col("cell").alias("__pc"),
                 F.col("group_id").alias("__pg"),
+            ).join(
+                F.broadcast(rebuild.select(F.col(id_col).alias("vec_id"))),
+                "vec_id",
+                "left_semi",
             )
             dirty_upsert = (
-                rebuilt_rows.join(prior, "vec_id", "left")
+                rebuilt_rows.join(F.broadcast(prior), "vec_id", "left")
                 .where(
                     F.col("__pg").isNull()
                     | (F.col("group_id") != F.col("__pg"))
@@ -455,9 +464,11 @@ def retire_ids(
     moved = (
         state.select("vec_id", "cell", "embedding", "group_id")
         .join(
-            labels.select(
-                F.col(id_col).alias("vec_id"),
-                F.col("component_id").alias("__new"),
+            F.broadcast(
+                labels.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col("component_id").alias("__new"),
+                )
             ),
             "vec_id",
         )
