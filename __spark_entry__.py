@@ -2654,9 +2654,8 @@ def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nspc_etl_basic_spark.operators.classifier import (
         classifier_pr_curve,
         classify_tokens,
-        train_token_classifier,
+        train_weak_weights,
     )
-    from nspc_etl_basic_spark.operators.labeling import keyword_labels
     from nspc_etl_basic_spark.operators.sampling import leakage_safe_split
     from nspc_etl_basic_spark.operators.selection import (
         select_by_pr_threshold,
@@ -2674,25 +2673,22 @@ def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     train_df, val_df, test_df = _slice("train"), _slice("val"), _slice("test")
-    # train ONCE: the weight grid (|labels| x 512 rows) feeds both the
-    # VAL-slice curve and the TEST-slice scoring — at corpus scale the
-    # training pass is a corpus scan, so it must not run per consumer;
-    # localCheckpoint pins the tiny grid (training is deterministic, so
-    # this equals in-curve training bit-for-bit)
-    labels = sorted(_LABEL_RULES)
-    train_weak = keyword_labels(
-        train_df, "doc_id", "text", _LABEL_RULES
-    ).where(F.col("label").isNotNull()).select("doc_id", "label")
-    weights = train_token_classifier(
-        train_df.select("doc_id", "text").join(train_weak, "doc_id"),
-        labels, "text", "label", 512, "clf",
+    # train ONCE via the shared recipe (classifier.train_weak_weights —
+    # the same function the curve's default path runs, so passing the
+    # grid is provably identical to in-curve training): the weight grid
+    # (|labels| x 512 rows) feeds both the VAL-slice curve and the
+    # TEST-slice scoring — at corpus scale the training pass is a
+    # corpus scan, so it must not run per consumer; localCheckpoint
+    # pins the tiny grid
+    weights = train_weak_weights(
+        train_df, _LABEL_RULES, "doc_id", "text", 512, "clf"
     ).localCheckpoint(eager=True)
     curve = classifier_pr_curve(
         train_df, val_df, _LABEL_RULES, "joins", id_col="doc_id",
         text_col="text", n_buckets=512, salt="clf", weights=weights,
     )
     scored = classify_tokens(
-        test_df, weights, labels, "doc_id", "text", 512, "clf"
+        test_df, weights, sorted(_LABEL_RULES), "doc_id", "text", 512, "clf"
     ).select("doc_id", "score_joins")
     return select_by_pr_threshold(scored, curve, "score_joins")
 

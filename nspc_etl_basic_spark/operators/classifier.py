@@ -425,6 +425,33 @@ def classifier_holdout_eval(
     return _per_class_metrics(conf, labels)
 
 
+def train_weak_weights(
+    train_df: DataFrame,
+    rules: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    salt: str = "clf",
+) -> DataFrame:
+    """The weight grid trained on a slice's weak keyword labels — the
+    ONE definition of "train on weak labels" shared by
+    ``classifier_pr_curve``'s default path and any pipeline that also
+    scores other slices with the same model (the curve-driven selection
+    query): keyword-label the slice, drop unlabeled rows, train the
+    Laplace-smoothed grid. Sharing the function is what makes a
+    precomputed-weights curve provably identical to the default path —
+    there is no second copy of the training recipe to drift."""
+    from nspc_etl_basic_spark.operators.labeling import keyword_labels
+
+    weak = keyword_labels(train_df, id_col, text_col, rules).where(
+        F.col("label").isNotNull()
+    ).select(id_col, "label")
+    return train_token_classifier(
+        train_df.select(id_col, text_col).join(weak, id_col),
+        sorted(rules), text_col, "label", n_buckets, salt,
+    )
+
+
 def classifier_pr_curve(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -482,17 +509,14 @@ def classifier_pr_curve(
         _check_slices_disjoint(train_df, eval_df, id_col)
     labels = sorted(rules)
     if weights is None:
-        # trained here by default; callers that ALSO score other slices
-        # with the same model (select_by_pr_threshold pipelines) pass
-        # the weight grid in so the training pass runs once, not per
-        # consumer — training is deterministic, so the result is
-        # identical either way
-        train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
-            F.col("label").isNotNull()
-        ).select(id_col, "label")
-        train = train_df.select(id_col, text_col).join(train_weak, id_col)
-        weights = train_token_classifier(
-            train, labels, text_col, "label", n_buckets, salt
+        # trained here by default via the SHARED recipe; callers that
+        # ALSO score other slices with the same model
+        # (select_by_pr_threshold pipelines) pass the grid from the
+        # same train_weak_weights call so the training pass runs once,
+        # not per consumer — training is deterministic, so the result
+        # is identical either way
+        weights = train_weak_weights(
+            train_df, rules, id_col, text_col, n_buckets, salt
         )
     scored = classify_tokens(
         eval_df, weights, labels, id_col, text_col, n_buckets, salt

@@ -17,10 +17,13 @@ Two stores get the leg here:
   ``incremental_dedup_spans`` / ``merge_gram_store``) —
   :func:`retire_from_gram_store`.
 
-Both are PURE DataFrame -> DataFrame transforms: callers persisting the
-stores should write the relabeled/decremented outputs BEFORE deleting
-the old snapshots (the relabel-then-delete order the streaming semantic
-store uses), so an interrupted takedown converges on re-run.
+Both return DataFrames rather than writing anywhere: callers persisting
+the stores should write the relabeled/decremented outputs BEFORE
+deleting the old snapshots (the relabel-then-delete order the streaming
+semantic store uses), so an interrupted takedown converges on re-run.
+(The gram decrement is a fully lazy plan; the band retire, like every
+connected-components caller, runs its bounded fixpoint — and one
+batch-bounded bucket-decrement materialization — at call time.)
 
 100 TB stance (shared by both functions): the retired-id set is
 batch-bounded and always the BROADCAST side; the corpus-sized store and
@@ -46,6 +49,30 @@ from nspc_etl_basic_spark.operators.dedup import (
 from nspc_etl_basic_spark.operators.spandedup import build_gram_store
 
 __all__ = ["retire_from_band_store", "retire_from_gram_store"]
+
+
+def _bucket_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct within-bucket candidate pairs (id_a < id_b) from a band
+    table — the self-join shape shared by the phase-1 touched-membership
+    rebuild and the phase-2 cap-reappearance sweep (and semantically by
+    ``lsh_candidate_pairs``, minus the shared-band count components
+    never read)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_id") == F.col("b.band_id"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
 
 
 def retire_from_band_store(
@@ -90,6 +117,14 @@ def retire_from_band_store(
     """
     retired = retired_ids.select(id_col).distinct()
     has_sizes = "bucket_size" in band_store.columns
+    if max_bucket_size is not None and not has_sizes:
+        # a silent uncapped run would break the from-scratch-equality
+        # contract AND re-open the O(bucket^2) hot-key path the cap
+        # exists to close — refuse rather than guess
+        raise ValueError(
+            "max_bucket_size requires the store's bucket_size column "
+            "(build the store with build_band_store)"
+        )
 
     # ---- store maintenance: drop the retired ids' band rows and
     # decrement the touched buckets' stored sizes (both passes are
@@ -98,10 +133,13 @@ def retire_from_band_store(
     kept = band_store.join(F.broadcast(retired), id_col, "left_anti")
     bucket_dec = None
     if has_sizes:
+        # batch-bounded (<= retired x bands buckets); materialized once
+        # so the two consumers (size decrement, cap-reappearance sweep)
+        # share ONE victim scan of the store
         bucket_dec = victim_rows.groupBy("band_id", "band_key").agg(
             F.count(F.lit(1)).alias("__dec"),
             F.first("bucket_size").alias("__old"),
-        )
+        ).localCheckpoint(eager=True)
         new_store = (
             kept.join(
                 F.broadcast(bucket_dec.select("band_id", "band_key", "__dec")),
@@ -129,26 +167,16 @@ def retire_from_band_store(
         .join(F.broadcast(retired), id_col, "left_anti")
         .select(id_col)
     )
-    mem_bands = new_store.join(F.broadcast(survivors_t), id_col, "left_semi")
-    if max_bucket_size is not None and has_sizes:
+    # no broadcast HINT on survivors_t: it is touched-component-
+    # MEMBERSHIP-sized, which a boilerplate mega-component makes
+    # arbitrarily large — AQE broadcasts it when small and falls back
+    # to a shuffle join otherwise, instead of failing at the broadcast
+    # limit (only the batch-bounded retired/touched-comps frames carry
+    # the hint)
+    mem_bands = new_store.join(survivors_t, id_col, "left_semi")
+    if max_bucket_size is not None:
         mem_bands = mem_bands.filter(F.col("bucket_size") <= max_bucket_size)
-    a = mem_bands.alias("a")
-    b = mem_bands.alias("b")
-    pairs_t = (
-        a.join(
-            b,
-            on=[
-                F.col("a.band_id") == F.col("b.band_id"),
-                F.col("a.band_key") == F.col("b.band_key"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    pairs_t = _bucket_pairs(mem_bands, id_col)
     relabeled_t = neardup_components(
         survivors_t, pairs_t, id_col=id_col, max_iter=max_iter
     )
@@ -159,39 +187,27 @@ def retire_from_band_store(
     # ---- label maintenance, phase 2 (cap reappearance): buckets the
     # retirement pulled back under the cap expose previously-skipped
     # pairs — pure edge ADDITIONS, absorbed by contraction
-    if max_bucket_size is not None and has_sizes:
+    if max_bucket_size is not None:
         uncapped = bucket_dec.filter(
             (F.col("__old") > max_bucket_size)
             & (F.col("__old") - F.col("__dec") <= max_bucket_size)
         ).select("band_id", "band_key")
-        if not uncapped.isEmpty():
-            ub = new_store.join(
-                F.broadcast(uncapped), ["band_id", "band_key"], "left_semi"
-            )
-            ua, ub2 = ub.alias("a"), ub.alias("b")
-            new_pairs = (
-                ua.join(
-                    ub2,
-                    on=[
-                        F.col("a.band_id") == F.col("b.band_id"),
-                        F.col("a.band_key") == F.col("b.band_key"),
-                        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-                    ],
-                )
-                .select(
-                    F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                )
-                .distinct()
-            )
-            spark = band_store.sparkSession
-            new_labels = incremental_components(
-                spark.createDataFrame([], f"{id_col} long"),
-                new_pairs,
-                new_labels,
-                id_col=id_col,
-                max_iter=max_iter,
-            )
+        # unconditional (no eager emptiness probe — the function stays
+        # a pure plan builder): with zero newly-uncapped buckets the
+        # pair frame is empty and incremental_components contracts to
+        # a label passthrough
+        ub = new_store.join(
+            F.broadcast(uncapped), ["band_id", "band_key"], "left_semi"
+        )
+        new_pairs = _bucket_pairs(ub, id_col)
+        spark = band_store.sparkSession
+        new_labels = incremental_components(
+            spark.createDataFrame([], f"{id_col} long"),
+            new_pairs,
+            new_labels,
+            id_col=id_col,
+            max_iter=max_iter,
+        )
     return new_store, new_labels
 
 

@@ -94,8 +94,10 @@ def bm25_topk(
     corpus, and its idf — ln((N-df+0.5)/(df+0.5)+1) — is already near
     the floor, so dropping it removes the bulk of the probe while
     moving scores least. The predicate is exact integer arithmetic
-    (``df * 1e6 <= round(fraction * 1e6) * N``, all BIGINT), so an
-    SQL oracle replays the kept-term set bit-for-bit. Composes with
+    (``df * 1e6 <= ppm * N`` with ``ppm = max(1, round(fraction *
+    1e6))``, all BIGINT — the clamp keeps a sub-5e-7 fraction from
+    flooring to ppm=0 and silently dropping every term), so an SQL
+    oracle replays the kept-term set bit-for-bit. Composes with
     ``max_query_terms``: the cap filters first, the rarest-N rank
     runs on the survivors. Like the rank lever this is a retrieval
     VARIANT (dropped terms contribute nothing to scores); a query

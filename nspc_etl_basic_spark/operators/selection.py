@@ -202,9 +202,13 @@ def select_by_pr_threshold(
     the smallest selection); with ``target_precision_ppm`` the chosen
     row is instead the LOWEST threshold whose held-out precision still
     meets the target — maximum recall subject to the precision floor.
-    No curve row meeting the target selects nothing (an empty result
-    is the honest answer when the classifier cannot reach the asked
-    precision at any threshold).
+    EITHER path selects nothing when no operating point exists: no
+    curve row meets the precision target, or the curve itself is EMPTY
+    (an empty or unlabeled eval slice — e.g. a degenerate corpus whose
+    cluster-keyed split collapses to one slice, the measured sf1
+    case). An empty selection is the honest answer when no threshold
+    was ever validated; callers that would rather fail loudly should
+    assert the curve is non-empty before selecting.
 
     Scale: the operating point is a 1-row frame derived from the
     curve (already aggregate-sized, never the corpus) and broadcast

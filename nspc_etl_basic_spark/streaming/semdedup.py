@@ -337,17 +337,23 @@ def run_stream_semdedup(
             # ids with a broadcast semi FIRST (scan-only over the
             # store), so the left join's right side is rebuild-sized
             # and broadcastable
+            # no broadcast HINT on either side: the rebuild membership
+            # is dirty-cell-sized, which a hot cell can make arbitrarily
+            # large — the semi-prune keeps the store scan-only, and AQE
+            # picks broadcast only when the pruned slice is actually
+            # small (forcing it would trade the shuffle fallback for a
+            # broadcast-limit failure on degenerate cells)
             prior = state.select(
                 "vec_id",
                 F.col("cell").alias("__pc"),
                 F.col("group_id").alias("__pg"),
             ).join(
-                F.broadcast(rebuild.select(F.col(id_col).alias("vec_id"))),
+                rebuild.select(F.col(id_col).alias("vec_id")),
                 "vec_id",
                 "left_semi",
             )
             dirty_upsert = (
-                rebuilt_rows.join(F.broadcast(prior), "vec_id", "left")
+                rebuilt_rows.join(prior, "vec_id", "left")
                 .where(
                     F.col("__pg").isNull()
                     | (F.col("group_id") != F.col("__pg"))
@@ -464,11 +470,13 @@ def retire_ids(
     moved = (
         state.select("vec_id", "cell", "embedding", "group_id")
         .join(
-            F.broadcast(
-                labels.select(
-                    F.col(id_col).alias("vec_id"),
-                    F.col("component_id").alias("__new"),
-                )
+            # unhinted: labels is dirty-cell-membership-sized; AQE
+            # broadcasts it when small and falls back to a shuffle
+            # join on degenerate cells instead of hitting the
+            # broadcast limit
+            labels.select(
+                F.col(id_col).alias("vec_id"),
+                F.col("component_id").alias("__new"),
             ),
             "vec_id",
         )

@@ -457,9 +457,8 @@ def test_pr_curve_precomputed_weights_equal_in_curve_training(spark):
     corpus_quality_select_pr single-train contract)."""
     from nspc_etl_basic_spark.operators.classifier import (
         classifier_pr_curve,
-        train_token_classifier,
+        train_weak_weights,
     )
-    from nspc_etl_basic_spark.operators.labeling import keyword_labels
 
     rules = {"cats": ["cat", "purr"], "dogs": ["dog", "bark"]}
     train = spark.createDataFrame(
@@ -474,12 +473,7 @@ def test_pr_curve_precomputed_weights_equal_in_curve_training(spark):
     )
     default = classifier_pr_curve(train, ev, rules, "cats", n_buckets=32)
 
-    weak = keyword_labels(train, "doc_id", "text", rules).where(
-        F.col("label").isNotNull()
-    ).select("doc_id", "label")
-    w = train_token_classifier(
-        train.join(weak, "doc_id"), sorted(rules), "text", "label", 32
-    )
+    w = train_weak_weights(train, rules, n_buckets=32)
     external = classifier_pr_curve(
         train, ev, rules, "cats", n_buckets=32, weights=w
     )
