@@ -245,3 +245,41 @@ def test_gram_store_retire_randomized_equivalence(spark):
     got2 = retire_from_gram_store(merged, retired)
     want2 = build_gram_store(survivors.unionByName(batch))
     assert _store_rows(got2) == _store_rows(want2)
+
+
+def test_band_store_retire_capped_is_idempotent(spark):
+    # re-running the same capped retirement is a no-op even after the
+    # cap-reappearance phase ran (the retired rows are gone, so no
+    # bucket crosses the cap a second time)
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur " * 2) for i in range(12)]
+    docs = _corpus(spark, boiler)
+    sigs = minhash_signatures(docs)
+    store = build_band_store(sigs)
+    labels = neardup_components(
+        docs.select("doc_id"), lsh_candidate_pairs(sigs, max_bucket_size=10)
+    )
+    retired = spark.createDataFrame([(0,), (1,), (2,)], "doc_id long")
+    s1, l1 = retire_from_band_store(store, labels, retired, max_bucket_size=10)
+    s2, l2 = retire_from_band_store(s1, l1, retired, max_bucket_size=10)
+    assert _labels(l1) == _labels(l2)
+    assert _store_rows(s1) == _store_rows(s2)
+
+
+def test_bucket_pairs_matches_lsh_candidate_pairs(spark):
+    # the retire module's within-bucket pair helper must agree with the
+    # production LSH pair path on the same band table (ignoring the
+    # shared-band counts components never read)
+    from nspc_etl_basic_spark.operators.dedup import band_table
+    from nspc_etl_basic_spark.operators.retire import _bucket_pairs
+
+    docs = _band_corpus(spark)
+    sigs = minhash_signatures(docs)
+    want = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sigs).select("id_a", "id_b").collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in _bucket_pairs(band_table(sigs), "doc_id").collect()
+    }
+    assert got == want
