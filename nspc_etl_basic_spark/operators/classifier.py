@@ -164,21 +164,37 @@ def classify_tokens(
     contribution for that class. One row out per row in."""
     labels = sorted(labels)
     dc = hashed_token_counts(df, id_col, text_col, n_buckets, salt)
-    expanded = dc.select(
-        id_col, "bucket", "cnt", F.explode(F.lit(labels)).alias("label")
+    # pivot the (broadcast-sized) weight grid to ONE row per bucket with
+    # one weight column per class, so the corpus-sized (doc, bucket, cnt)
+    # stream joins ONCE per row instead of once per (row, label) — the
+    # previous explode-by-labels multiplied the scored stream (and the
+    # partial-aggregate input feeding the doc-keyed shuffle) by
+    # len(labels). Arithmetic is unchanged: score_<lab> is still
+    # sum(cnt * w(lab, bucket)) over the same (doc, bucket) set — a
+    # label's missing (label, bucket) row pivots to a NULL weight whose
+    # product the sum skips, exactly as the inner join dropped it.
+    wide = (
+        weights.groupBy("bucket")
+        .pivot("label", labels)
+        .agg(F.first("w"))
+        .select(
+            "bucket",
+            *[
+                F.col(f"`{lab}`").alias(f"__w_{lab}")
+                for lab in labels
+            ],
+        )
     )
-    parts = expanded.join(
-        F.broadcast(weights), ["label", "bucket"]
-    ).select(
+    parts = dc.join(F.broadcast(wide), "bucket").select(
         id_col,
-        "label",
-        (F.col("cnt") * F.col("w")).alias("__part"),
+        *[
+            (F.col("cnt") * F.col(f"__w_{lab}")).alias(f"__part_{lab}")
+            for lab in labels
+        ],
     )
     scores = parts.groupBy(id_col).agg(
         *[
-            F.sum(F.when(F.col("label") == lab, F.col("__part")))
-            .cast("long")
-            .alias(f"score_{lab}")
+            F.sum(f"__part_{lab}").cast("long").alias(f"score_{lab}")
             for lab in labels
         ]
     )

@@ -681,6 +681,98 @@ def neardup_components(
     )
 
 
+def _uf_min_labels(pdf):
+    """Union-find with union-by-min over one pandas edge group: returns
+    (node, min id of its connected component) for every node that
+    appears in an edge. Attaching the LARGER root under the smaller
+    keeps the invariant root == min(component), so the output is the
+    same min-label fixpoint ``neardup_components`` converges to."""
+    import pandas as pd
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["id_a"], pdf["id_b"]):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    nodes = list(parent)
+    return pd.DataFrame(
+        {"__node": nodes, "__label": [find(x) for x in nodes]}
+    )
+
+
+def components_onepass(
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    key_col: str | None = None,
+) -> DataFrame:
+    """Min-label connected components of a pair graph in ONE grouped
+    Arrow pass (per-group union-find) instead of ``neardup_components``'
+    O(log diameter)-round distributed fixpoint — the round-12 job-count
+    optimization for the two regimes where the fixpoint's generality is
+    pure overhead. Returns ``(id_col, component_id)`` for every id that
+    appears in a pair (singletons are the caller's left-join+coalesce,
+    same as the fixpoint's union step). The labels are IDENTICAL to
+    ``neardup_components`` on the same pairs: both compute the min id
+    per connected component (pinned by tests/test_dedup.py's randomized
+    equivalence).
+
+    Two sanctioned regimes — use the fixpoint for anything else:
+
+    - ``key_col`` given: edges are KEY-LOCAL by construction (semantic
+      dedup's within-cell pairs — components can never span cells), so
+      each key group is an independent union-find. Fully distributed:
+      one shuffle keyed by ``key_col``, per-task work bounded by the
+      caller's cell-size bound (``auto_n_cells``/``max_cell_size``),
+      hot cells impossible beyond that same bound.
+    - ``key_col=None``: the whole pair set is ONE group on one task.
+      ONLY for graphs the caller already bounds to broadcast size —
+      the ``incremental_components`` contraction contract (its result
+      is immediately ``F.broadcast`` into the corpus label scans, so
+      a graph too big for one task was already too big for the
+      existing plan); never for corpus-scale pair tables.
+
+    The kernel ships only (id_a, id_b[, key]) through Arrow — never
+    vectors or text — and a pair table is orders of magnitude below
+    the corpus by the LSH/cell-bucketing contracts."""
+    from pyspark.sql import types as T
+
+    id_t = pairs.schema["id_a"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_t),
+            T.StructField("component_id", id_t),
+        ]
+    )
+
+    def _kernel(_key, pdf):
+        out = _uf_min_labels(pdf)
+        return out.rename(
+            columns={"__node": id_col, "__label": "component_id"}
+        )
+
+    if key_col is None:
+        sel = pairs.select("id_a", "id_b").groupBy(F.lit(0).alias("__g"))
+    else:
+        sel = pairs.select(key_col, "id_a", "id_b").groupBy(key_col)
+    return sel.applyInPandas(_kernel, out_schema)
+
+
 def incremental_components(
     new_nodes: DataFrame,
     batch_pairs: DataFrame,
@@ -747,17 +839,24 @@ def incremental_components(
         .where(F.col("id_a") != F.col("id_b"))
         .cache()
     )
-    sub_nodes = (
-        contracted.select(F.col("id_a").alias(id_col))
-        .unionByName(contracted.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
+    # single-pass union-find instead of the distributed fixpoint
+    # (round 12): the contracted graph is batch-bounded BY CONTRACT —
+    # its labels are F.broadcast into both corpus scans below, so the
+    # one-task kernel adds no size limit the plan did not already have,
+    # and it replaces the fixpoint's ~4 jobs/round x O(log diameter)
+    # rounds with one Spark job. Every node of the contracted graph
+    # appears in an edge (the != filter above removed only self-loops,
+    # whose nodes the old sub_nodes derivation dropped identically), so
+    # no singleton pass is needed; labels are the same min-id-per-
+    # component the fixpoint computes (union-by-min; pinned equivalent
+    # in tests/test_dedup.py). max_iter is retained for API
+    # compatibility but no longer bounds anything here.
     # localCheckpoint, not cache(): materialized once for the two
     # broadcast joins below, and its blocks are released by the
     # ContextCleaner when the result frame is dropped — nothing stays
     # pinned in the CacheManager across repeated calls
-    merged = neardup_components(
-        sub_nodes, contracted, id_col=id_col, max_iter=max_iter
+    merged = components_onepass(
+        contracted, id_col=id_col
     ).select(
         F.col(id_col).alias("__m"), F.col("component_id").alias("__ml")
     ).localCheckpoint(eager=True)

@@ -76,6 +76,13 @@ def pagerank(
     )
     n_nodes = nodes.count()  # bounded metadata scalar (node count)
     out_w = e.groupBy("src").agg(F.sum("w").alias("__ow"))
+    # cache the fraction table PRE-PARTITIONED on the join key: the
+    # n_iter per-round joins then reuse the cached hash partitioning and
+    # only the node-sized rank table is exchanged each round — without
+    # it every round re-shuffled the EDGE-sized side (n_iter edge
+    # shuffles for the one paid here). repartition carries no explicit
+    # partition count, so AQE sizes it from the data (scale-adaptive,
+    # not a local[32] constant).
     frac = (
         e.join(out_w, "src")
         .select(
@@ -85,6 +92,7 @@ def pagerank(
                 "frac"
             ),
         )
+        .repartition("src")
         .cache()
     )
     frac.count()  # materialize once; the loop reads it n_iter times

@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from nspc_etl_basic_spark.operators.text import word_tokens
+from nspc_etl_basic_spark.operators.text import word_token_count, word_tokens
 
 __all__ = ["bm25_topk"]
 
@@ -113,28 +113,43 @@ def bm25_topk(
         raise ValueError(
             f"max_df_fraction must be in (0, 1], got {max_df_fraction}"
         )
+    # doc length is a PROJECTION, not a window: dl(d) == size of the
+    # token array (== the sum-of-tf the previous doc-partitioned window
+    # computed — identical integer), so it rides the tokenize scan for
+    # free and the TF table never pays the window's second corpus-sized
+    # exchange + sort by doc id. Document frequency is NOT a window
+    # either — a Zipf-hot token ("the") would funnel its df ~ N row set
+    # through one window task, and AQE cannot split a window the way it
+    # splits a skewed join. Instead df is a map-side-combined groupBy
+    # aggregate attached to the BROADCAST query-term side below, so it
+    # never costs a corpus-sized shuffle or join at all.
     toks = docs.select(
-        F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
+        F.col(id_col), word_tokens(F.col(text_col)).alias("__toks")
+    ).select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("dl"),
+        F.explode("__toks").alias("token"),
     )
     tf = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.max("dl").alias("dl"),
     )
-    # doc length as a window over the TF triples: partitions are
-    # document-sized, so no hot key is possible. Document frequency is
-    # NOT a window — a Zipf-hot token ("the") would funnel its df ~ N
-    # row set through one window task, and AQE cannot split a window
-    # the way it splits a skewed join. Instead df is a map-side-combined
-    # groupBy aggregate attached to the BROADCAST query-term side below,
-    # so it never costs a corpus-sized shuffle or join at all.
-    with_stats = tf.withColumn(
-        "dl", F.sum("tf").over(Window.partitionBy(id_col))
-    )
+    with_stats = tf
+    # N and total-token globals in ONE light pass over the doc scan:
+    # regexp_count over the word_tokens pattern counts exactly the
+    # matches regexp_extract_all would materialize, so the per-doc token
+    # count needs no array build and no explode — the previous
+    # toks.agg(count) paid a full tokenize+explode pass for the same
+    # integer. NULL text: regexp_count is NULL and sum() skips it,
+    # matching explode's zero rows.
     globals_row = docs.agg(
         F.count(F.lit(1)).cast("long").alias("__n"),
-    ).crossJoin(
-        F.broadcast(
-            toks.agg(F.count(F.lit(1)).cast("long").alias("__total_tokens"))
+        F.coalesce(
+            F.sum(word_token_count(F.col(text_col))),
+            F.lit(0),
         )
+        .cast("long")
+        .alias("__total_tokens"),
     )
     q_terms = queries.select(
         F.col(query_id_col),

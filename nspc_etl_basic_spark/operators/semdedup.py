@@ -51,8 +51,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from nspc_etl_basic_spark.operators.dedup import (
+    components_onepass,
     incremental_components,
-    neardup_components,
 )
 from nspc_etl_basic_spark.operators.similarity import (
     _ivf_cells_sorted,
@@ -224,20 +224,33 @@ def semantic_dedup(
     pairs = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .select("cell", "id_a", "id_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
-    comps = neardup_components(
-        assigned.select(id_col), pairs, id_col=id_col
-    ).select(F.col(id_col), F.col("component_id").alias("group_id"))
+    # duplicate groups in ONE grouped-Arrow union-find pass keyed by the
+    # cell (round 12): pairs never cross cells, so components are
+    # cell-local by construction and the generic O(log diameter)
+    # min-label fixpoint (a dozen-job iteration) is pure overhead here —
+    # components_onepass computes the identical min-id-per-component
+    # labels fully distributed (one shuffle keyed by cell, per-task work
+    # bounded by the cell-size bound). Singletons take the left-join
+    # coalesce instead of the fixpoint's union pass — same rows out.
+    comps = components_onepass(pairs, id_col=id_col, key_col="cell").select(
+        F.col(id_col), F.col("component_id").alias("group_id")
+    )
     return (
         assigned.select(id_col, "cell")
-        .join(comps, id_col)
+        .join(comps, id_col, "left")
         .select(
             id_col,
             F.col("cell").cast("long").alias("cell"),
-            F.col("group_id").cast("long").alias("group_id"),
-            (F.col(id_col) == F.col("group_id")).alias("keep"),
+            F.coalesce(F.col("group_id"), F.col(id_col))
+            .cast("long")
+            .alias("group_id"),
+            (
+                F.col(id_col)
+                == F.coalesce(F.col("group_id"), F.col(id_col))
+            ).alias("keep"),
         )
     )
 

@@ -416,42 +416,56 @@ def _ivf_cells_sorted(
     CELL — n_cells redundant array folds per row."""
     from nspc_etl_basic_spark.functions.fastlit import nested_lit
 
+    if not cents:
+        return F.sort_array(F.array())
     vnorm = norm_col if norm_col is not None else norm(vec)
-    # the whole codebook enters as ONE fastlit literal; each cell's
-    # vector is element_at(literal, literal) — Catalyst constant-folds
-    # it back to a per-cell array Literal, but construction is one py4j
-    # call instead of n_cells (pyspark's flat-list F.lit pays py4j per
-    # element: ~0.9 s of driver time for 16 x dim-64 cells, per call
-    # site, before this change)
+    # CONSTANT-SIZE expression tree (round 12): the codebook, the
+    # centroid norms, and the cell ids each enter as ONE fastlit
+    # literal, and the per-cell scoring runs as a `transform` lambda
+    # over the index sequence — so the plan holds O(1) expression
+    # nodes regardless of n_cells. The previous shape unrolled one
+    # struct (with its own zip_with/aggregate fold) PER CELL:
+    # O(n_cells x dim) expression nodes, whose Catalyst optimization +
+    # codegen COMPILE cost dominated every auto-n_cells caller
+    # (semantic_dedup_auto derives n_cells from the corpus, so at
+    # 100 TB the unrolled plan would hold tens of thousands of folds —
+    # megabytes of generated code, past the JIT/64KB-method cliff).
+    # The per-(row, cell) ARITHMETIC is unchanged expression-for-
+    # expression (same fold order, same literal values — the centroid
+    # norm literal is the same Python float, json round-tripped
+    # exactly), so scores, ties, and the sorted order are bit-identical
+    # to the unrolled plan and every oracle replay still matches.
     cb_lit = nested_lit(
         [[float(w) for w in cvec] for _cid, cvec in cents],
         "array<array<double>>",
     )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -F.round(
-                        F.aggregate(
-                            F.zip_with(
-                                vec,
-                                F.element_at(cb_lit, idx + 1),
-                                lambda x, w: x.cast("double") * w,
-                            ),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                        / (
-                            vnorm
-                            * F.lit(sum(w * w for w in cvec) ** 0.5)
+    cn_lit = nested_lit(
+        [float(sum(w * w for w in cvec) ** 0.5) for _cid, cvec in cents],
+        "array<double>",
+    )
+    cid_lit = nested_lit(
+        [int(cid) for cid, _cvec in cents], "array<bigint>"
+    )
+    scored = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cents))),
+        lambda i: F.struct(
+            (
+                -F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.element_at(cb_lit, i),
+                            lambda x, w: x.cast("double") * w,
                         ),
-                        6,
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
                     )
-                ).alias("neg_score"),
-                F.lit(cid).cast("long").alias("cent_id"),
-            )
-            for idx, (cid, cvec) in enumerate(cents)
-        ]
+                    / (vnorm * F.element_at(cn_lit, i)),
+                    6,
+                )
+            ).alias("neg_score"),
+            F.element_at(cid_lit, i).alias("cent_id"),
+        ),
     )
     return F.sort_array(scored)
 

@@ -17,6 +17,7 @@ from typing import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # small, deterministic per-language stopword marker sets for the n-gram/
 # stopword language-ID heuristic. Public-knowledge function words.
@@ -40,9 +41,22 @@ def token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"\S+"))
 
 
+#: the word_tokens token pattern — shared with word_token_count so the
+#: count can never drift from the array
+WORD_TOKEN_RE = r"[a-z0-9']+"
+
+
 def word_tokens(text: Column) -> Column:
     """array<string> of lowercase word tokens (BPE-ish regex: word chars)."""
-    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z0-9']+"), 0)
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_TOKEN_RE), 0)
+
+
+def word_token_count(text: Column) -> Column:
+    """Number of word_tokens matches WITHOUT materializing the array —
+    ``regexp_count`` over the same pattern; NULL text yields NULL (the
+    explode of a NULL array yields zero rows — callers aggregate with
+    sum(), which skips the NULL identically)."""
+    return F.regexp_count(F.lower(text), F.lit(WORD_TOKEN_RE))
 
 
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -477,26 +491,28 @@ def tfidf_topk(
     (rounding collapses cross-engine double near-ties) with token-ascending
     tie-break.
 
-    Scale: three shuffles, all on bounded-cardinality keys — (doc, token)
-    for TF (map-side combined), token for DF, doc for the final top-k
-    window — and ONE corpus scan: DF is a count window over the TF
-    table, not a separate aggregate joined back (the join form read the
-    corpus three times — once per side of the TF<->DF join plus the
-    count — and paid a fourth exchange; a window over the
-    already-tiny TF triples computes the same integer on the rows it
-    annotates). The document count N is a 1-row aggregate broadcast
-    into the plan (scalar-subquery shape, not a driver collect);
-    nothing here is all-pairs.
+    Scale: DF is a map-side-combined groupBy aggregate joined back onto
+    the TF table on the token key — NEVER a token-partitioned window: a
+    Zipf-hot token ("the") would put its entire df ~ N row set into ONE
+    window partition, an unsplittable single-task sort+count funnel at
+    corpus scale (AQE splits skewed JOINS, not windows — the round-11
+    BM25 df defect, fixed here too). The TF table is localCheckpointed
+    once so the DF aggregate and the join probe read it without
+    re-running the tokenize+explode scan per consumer. Shuffles: (doc,
+    token) for TF (map-side combined), token for the DF aggregate and
+    the splittable TF<->DF equi-join, doc for the final top-k window.
+    The document count N is a 1-row aggregate broadcast into the plan
+    (scalar-subquery shape, not a driver collect); nothing here is
+    all-pairs.
     """
-    from pyspark.sql import Window
-
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("token")
     )
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    with_df = tf.withColumn(
-        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
-    )
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
+    dfs = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    with_df = tf.join(dfs, "token")
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
     scored = with_df.crossJoin(F.broadcast(n_docs)).select(
         F.col(id_col),

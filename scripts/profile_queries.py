@@ -21,7 +21,9 @@ from bench import build_spark  # noqa: E402
 
 
 def _next_job_id(spark) -> int:
-    return spark.sparkContext._jsc.sc().dagScheduler().nextJobId().get()
+    # py4j already unboxes the AtomicInteger to a Python int here
+    nid = spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+    return nid if isinstance(nid, int) else nid.get()
 
 
 def main() -> None:

@@ -452,3 +452,65 @@ def test_incremental_components_randomized_equivalence(spark):
             ).collect()
         }
         assert incr == rebuild
+
+
+def test_components_onepass_matches_fixpoint_randomized(spark):
+    # the round-12 one-pass union-find must produce EXACTLY the
+    # min-label components the distributed fixpoint converges to —
+    # single-group mode and key-local (cell) mode, over seeded random
+    # graphs including chains, bridges, and isolated pairs
+    import random
+
+    from nspc_etl_basic_spark.operators.dedup import (
+        components_onepass,
+        neardup_components,
+    )
+
+    rng = random.Random(121212)
+    for _ in range(3):
+        ids = list(range(1, 61))
+        pairs = [
+            (a, b)
+            for a in ids
+            for b in ids
+            if a < b and rng.random() < 0.04
+        ]
+        if not pairs:
+            pairs = [(1, 2)]
+        nodes = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+        fix = {
+            r.doc_id: r.component_id
+            for r in neardup_components(nodes, pdf).collect()
+        }
+        one = {
+            r.doc_id: r.component_id
+            for r in components_onepass(pdf, id_col="doc_id").collect()
+        }
+        # onepass covers only paired ids; the fixpoint unions singletons
+        paired = {a for a, _ in pairs} | {b for _, b in pairs}
+        assert one == {k: v for k, v in fix.items() if k in paired}
+
+    # key-local mode: two disjoint key groups, components never span keys
+    kp = spark.createDataFrame(
+        [(10, 1, 2), (10, 2, 3), (20, 7, 8), (20, 8, 9), (20, 7, 9)],
+        "cell long, id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in components_onepass(kp, id_col="doc_id", key_col="cell").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 9: 7}
+
+
+def test_components_onepass_string_ids(spark):
+    from nspc_etl_basic_spark.operators.dedup import components_onepass
+
+    pdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b")], "id_a string, id_b string"
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in components_onepass(pdf, id_col="doc_id").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a"}
