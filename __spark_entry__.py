@@ -1225,14 +1225,32 @@ def corpus_end_to_end_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nspc_etl_basic_spark.operators.sampling import assign_split
     from nspc_etl_basic_spark.operators.text import quality_filter
 
-    docs_all = _t(spark, sf_dir, "documents")
-    good_ids = quality_filter(
-        docs_all,
-        min_chars=100, max_chars=20000, min_tokens=20,
-        max_punct_ratio=0.1, min_stopword_ratio=0.02, lang="en",
-    ).select("doc_id")
-    good = docs_all.join(good_ids, "doc_id", "left_semi").repartition(
-        spark.sparkContext.defaultParallelism
+    # ONE corpus scan (round 12, guide §2.4): the gate features, the
+    # survivor text, and the keep-best quality column all come off the
+    # same quality_filter pass via carry= — the previous shape computed
+    # the gates, then re-read the whole corpus to semi-join the
+    # surviving ids back, and (being lazy) re-ran that double scan for
+    # each of the three downstream consumers. The survivor slice is
+    # materialized once (localCheckpoint — survivors are the pipeline's
+    # working set; in production this is the curated-subset table every
+    # multi-consumer curation stage persists, guide §5) so the
+    # signature build, the component node set, and keep-best read it
+    # without recomputing the gates. Row set, columns, and every
+    # downstream value are unchanged — n_chars is the documents
+    # column, threaded through, not the gate feature.
+    docs_all = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.col("n_chars").alias("__nc")
+    )
+    good = (
+        quality_filter(
+            docs_all,
+            min_chars=100, max_chars=20000, min_tokens=20,
+            max_punct_ratio=0.1, min_stopword_ratio=0.02, lang="en",
+            carry=("text", "__nc"),
+        )
+        .select("doc_id", "text", F.col("__nc").alias("n_chars"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
     )
     sigs = minhash_signatures(good).cache()
     cand = lsh_candidate_pairs(sigs).cache()
@@ -2725,9 +2743,11 @@ def text_bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the score — and therefore the ranking — is exactly
     order-independent and the oracle replays it bit-for-bit (ln rides
     the tfidf precedent; the micros rounding absorbs it). Plan: one
-    corpus text scan; DF/doc-length as windows over the TF triples; the
-    query-terms probe is a broadcast inverted-index join; N/avgdl are
-    1-row scalar broadcasts."""
+    corpus text scan, query-token-pruned before the TF aggregate
+    (round 12); doc length is a projection, DF a map-side-combined
+    groupBy on the pruned postings; the query-terms probe is a
+    broadcast inverted-index join; N/avgdl are 1-row scalar
+    broadcasts."""
     from nspc_etl_basic_spark.operators.retrieval import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")

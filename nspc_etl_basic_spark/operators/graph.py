@@ -3,8 +3,9 @@
 PageRank here is the repo's generic "iterative relational algorithm"
 shape (the same one ``dedup.neardup_components`` and the trained-codebook
 loops use): per round ONE equi-join + ONE map-side-combined groupBy over
-the edge table, ``localCheckpoint`` lineage cuts so round N's plan never
-embeds rounds 1..N-1, and **fixed-point integer arithmetic** so the
+the edge table, periodic ``localCheckpoint`` lineage cuts (every
+``checkpoint_every`` rounds) so a plan never embeds more than a bounded
+handful of rounds, and **fixed-point integer arithmetic** so the
 result is bit-identical regardless of partitioning — which is what lets
 ``oracle_sql()`` replay the whole iteration in DuckDB (floating-point
 summation order would make every run its own answer).
@@ -28,6 +29,7 @@ def pagerank(
     n_iter: int = 10,
     damping_pct: int = 85,
     scale: int = 1_000_000,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Weighted PageRank over a directed edge table; returns
     ``(node, rank)`` with ``rank`` in fixed-point units of
@@ -107,9 +109,14 @@ def pagerank(
     if not has_dangling:
         dangling.unpersist()
 
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         inc = (
             frac.join(ranks, frac["src"] == ranks["node"])
             .groupBy("dst")
@@ -129,22 +136,30 @@ def pagerank(
             share = f"(__dsum div {int(n_nodes)})"
         else:
             share = "CAST(0 AS BIGINT)"
-        ranks = (
-            joined.select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"(CAST({int(damping_pct)} AS DECIMAL(38,0))"
-                        f" * (coalesce(__inc, CAST(0 AS BIGINT))"
-                        f"    + {share})) div 100"
-                    )
+        ranks = joined.select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"(CAST({int(damping_pct)} AS DECIMAL(38,0))"
+                    f" * (coalesce(__inc, CAST(0 AS BIGINT))"
+                    f"    + {share})) div 100"
                 )
-                .cast("long")
-                .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .cast("long")
+            .alias("rank"),
         )
+        # lineage cut every `checkpoint_every` rounds (and on the last
+        # round), not every round: each eager localCheckpoint is a full
+        # Spark job over the node-sized state, and at bench scale the
+        # per-job submission overhead — not the 25-row data — owned the
+        # iteration wall (guide §1.2: fix the job shape first). A
+        # bounded handful of rounds per plan keeps optimizer/codegen
+        # time flat while cutting the job count ~checkpoint_every-fold;
+        # the integer arithmetic is untouched, so ranks stay
+        # bit-identical round for round.
+        if (it + 1) % checkpoint_every == 0 or it == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

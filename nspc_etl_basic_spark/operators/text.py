@@ -142,6 +142,7 @@ def quality_filter(
     max_punct_ratio: float = 0.1,
     min_stopword_ratio: float = 0.05,
     lang: str = "en",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite pretraining-corpus filter: keep documents that pass the
     standard C4-style gates — length band, minimum token count, bounded
@@ -163,11 +164,30 @@ def quality_filter(
     passes over the token array. Catalyst fuses the chained
     projections into one codegen stage, so the staging costs nothing.
     Returns the surviving documents with their gate features.
+
+    ``carry`` names extra input columns to thread through to the output
+    unchanged — so a downstream consumer that needs e.g. the text of
+    the survivors gets it from THIS scan instead of re-joining the
+    filter result back against the corpus (a second full corpus read
+    plus a shuffle at 100 TB; guide §2.4 — remove the join outright).
+    Carried names must not collide with the feature output columns.
     """
     t = F.col(text_col)
     langs = sorted(LANG_MARKERS)
+    reserved = {
+        id_col, "n_chars", "n_tokens", "punct_ratio",
+        "stopword_ratio", "pred_lang",
+    }
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry columns collide with feature outputs: {clash}"
+        )
     # stage 1: tokenize ONCE
-    s1 = df.select(F.col(id_col), t.alias("__t"), word_tokens(t).alias("__w"))
+    s1 = df.select(
+        F.col(id_col), t.alias("__t"), word_tokens(t).alias("__w"),
+        *[F.col(c) for c in carry],
+    )
 
     def marker_score(markers: list[str]) -> Column:
         # closure, not a defaulted lambda — pyspark HOF lambdas must be
@@ -196,6 +216,7 @@ def quality_filter(
             marker_score(LANG_MARKERS[lg]).alias(f"__s_{lg}")
             for lg in langs
         ],
+        *[F.col(c) for c in carry],
     )
     # stage 3: argmax over the named scores
     best = F.greatest(*[F.col(f"__s_{lg}") for lg in langs])
@@ -213,6 +234,7 @@ def quality_filter(
         "punct_ratio",
         "stopword_ratio",
         pred.alias("pred_lang"),
+        *[F.col(c) for c in carry],
     )
     return out.filter(
         F.col("n_chars").between(min_chars, max_chars)
