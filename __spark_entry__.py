@@ -2603,9 +2603,14 @@ def corpus_classifier_holdout_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     _, comp = _dedup_tier(spark, sf_dir)
+    # derive the split ONCE (round 13, guide §5): the narrow
+    # (doc_id, split) table has one consumer per slice join below, and
+    # without the checkpoint every slice consumer re-ran the whole
+    # component-join + md5 derivation (the before-plan re-read the
+    # documents and component parquets 14 and 7 times respectively)
     split = leakage_safe_split(
         docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
+    ).select("doc_id", "split").localCheckpoint(eager=True)
     train_df = docs.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
@@ -2639,9 +2644,11 @@ def corpus_classifier_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     _, comp = _dedup_tier(spark, sf_dir)
+    # split derived once for all slice consumers (the holdout-query
+    # checkpoint rationale, round 13)
     split = leakage_safe_split(
         docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
+    ).select("doc_id", "split").localCheckpoint(eager=True)
     train_df = docs.join(
         split.filter(F.col("split") == "train").select("doc_id"), "doc_id"
     )
@@ -2681,9 +2688,11 @@ def corpus_quality_select_pr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     _, comp = _dedup_tier(spark, sf_dir)
+    # split derived once for all slice consumers (the holdout-query
+    # checkpoint rationale, round 13)
     split = leakage_safe_split(
         docs.select("doc_id"), comp, {"train": 0.8, "val": 0.1, "test": 0.1}
-    ).select("doc_id", "split")
+    ).select("doc_id", "split").localCheckpoint(eager=True)
 
     def _slice(name: str) -> DataFrame:
         return docs.join(
@@ -3137,9 +3146,14 @@ def sim_ann_ivfpq_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _W.partitionBy("query_id").orderBy(
         F.col("__d").asc(), F.col("vec_id").asc()
     )
+    # materialize the exact ground-truth tier ONCE (round 13, guide §5):
+    # it has two consumers (the hit semi-join and the per-query total),
+    # and each re-derivation re-ran the sanctioned query-by-corpus
+    # exact-distance sweep — the query's dominant cost. The checkpoint
+    # is <= 5 rows per query.
     exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= 5
-    )
+    ).localCheckpoint(eager=True)
     hits = exact.join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     )
@@ -3219,9 +3233,14 @@ def sim_ann_ivfpq_residual_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _W.partitionBy("query_id").orderBy(
         F.col("__d").asc(), F.col("vec_id").asc()
     )
+    # materialize the exact ground-truth tier ONCE (round 13, guide §5):
+    # it has two consumers (the hit semi-join and the per-query total),
+    # and each re-derivation re-ran the sanctioned query-by-corpus
+    # exact-distance sweep — the query's dominant cost. The checkpoint
+    # is <= 5 rows per query.
     exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= 5
-    )
+    ).localCheckpoint(eager=True)
     hits = exact.join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     )
@@ -3274,7 +3293,9 @@ def sim_dim_truncation_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc_corpus = emb.select("vec_id", half.alias("embedding"))
     trunc_q = queries.select("query_id", half.alias("embedding"))
     shortlist = cosine_topk(trunc_corpus, trunc_q, k=25)
-    exact = cosine_topk(emb, queries, k=5)
+    # exact tier materialized once for its two consumers (round 13,
+    # guide §5 — same rationale as the IVF-PQ recall queries)
+    exact = cosine_topk(emb, queries, k=5).localCheckpoint(eager=True)
     hits = exact.join(
         shortlist.select("query_id", "vec_id"),
         ["query_id", "vec_id"], "left_semi",
@@ -3650,7 +3671,11 @@ def dedup_lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = setjoin_exact(
         docs, threshold_ppm=600_000, shingle_k=12
     ).select("id_a", "id_b")
-    cands = lsh_candidate_pairs(minhash_signatures(docs, k=12)).select(
+    # the signature table feeds both sides of the banded pair
+    # derivation: materialize the MinHash pass once (round 13, guide
+    # §5) instead of re-hashing the block's shingles per consumer
+    sigs = minhash_signatures(docs, k=12).localCheckpoint(eager=True)
+    cands = lsh_candidate_pairs(sigs).select(
         "id_a", "id_b"
     )
     t_tag = truth.select(
@@ -4168,9 +4193,14 @@ def sim_ann_pq_trained_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _W.partitionBy("query_id").orderBy(
         F.col("__d").asc(), F.col("vec_id").asc()
     )
+    # materialize the exact ground-truth tier ONCE (round 13, guide §5):
+    # it has two consumers (the hit semi-join and the per-query total),
+    # and each re-derivation re-ran the sanctioned query-by-corpus
+    # exact-distance sweep — the query's dominant cost. The checkpoint
+    # is <= 5 rows per query.
     exact = pairs.withColumn("__rk", F.row_number().over(w)).filter(
         F.col("__rk") <= 5
-    )
+    ).localCheckpoint(eager=True)
     hits = exact.join(
         approx.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_semi"
     )

@@ -5,7 +5,20 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Timing methodology: one warmup action amortizes JVM/codegen startup, then
 each query executes to completion through the `noop` datasource (full
 computation, zero serialization-to-driver cost — measures the engine, not
-collect())."""
+collect()).
+
+Telemetry (round 13, purely additive — no timing change): /proc/stat
+CPU-tick deltas are sampled around every timed query and the whole run,
+recorded as `steal_ppm` / `busy_ppm` fields plus a per-query
+`steal_ppm_by_query` map. Round 12's numbers were contaminated by
+episodic hypervisor CPU steal that the record itself could not show
+(untouched queries 2-10x slower, 8 cores beating 32); these fields let
+any reader tell a quiet window from a stolen one.
+
+`SPARK_GRAFT_BENCH_QUERIES` (comma-separated names, default unset = all)
+restricts the run to a query subset. It exists ONLY for the bench
+contract smoke test in tests/ (which runs a 3-query bench at sf0.001 and
+asserts the JSON line parses); the driver never sets it."""
 
 from __future__ import annotations
 
@@ -17,6 +30,27 @@ import time
 from pyspark.sql import SparkSession
 
 import __spark_entry__ as entrymod
+
+
+def _cpu_ticks() -> tuple[int, int, int]:
+    """(steal, busy, total) clock ticks from the aggregate /proc/stat cpu
+    line; busy excludes idle+iowait. Zeros when the file is unreadable
+    (non-Linux), so telemetry can never fail the bench."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        v = [int(x) for x in parts[1:]]
+        # user nice system idle iowait irq softirq steal
+        steal = v[7] if len(v) > 7 else 0
+        total = sum(v[:8])
+        busy = total - v[3] - v[4]
+        return steal, busy, total
+    except (OSError, ValueError, IndexError):
+        return 0, 0, 0
+
+
+def _ppm(delta_part: int, delta_total: int) -> int:
+    return round(1_000_000 * delta_part / delta_total) if delta_total else 0
 
 
 def build_spark(cpus: int) -> SparkSession:
@@ -50,8 +84,12 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    warm_subset_raw = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    warm_subset = {q.strip() for q in warm_subset_raw.split(",") if q.strip()}
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     for _name, fn in entrymod.queries().items():
+        if warm_subset and _name not in warm_subset:
+            continue
         try:
             fn(spark, warm_dir).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001 — warmup must never fail the bench
@@ -62,10 +100,17 @@ def main() -> None:
     # GC/page-cache noise (observed ±2x swings on individual queries); the
     # minimum over repeats is the stable engine-throughput estimate
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    subset_raw = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    subset = {q.strip() for q in subset_raw.split(",") if q.strip()}
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
+    steal_by_query: dict[str, int] = {}
+    run_t0 = _cpu_ticks()
     for name, fn in entrymod.queries().items():
+        if subset and name not in subset:
+            continue
         best = float("inf")
+        q_t0 = _cpu_ticks()
         # per-query isolation: one broken plan must never zero the whole
         # round's perf evidence (BENCH_r02 died on a single AnalysisException)
         try:
@@ -78,6 +123,8 @@ def main() -> None:
             msg = f"{type(exc).__name__}: {exc}"[:300]
             timings[name] = {"err": msg}
             errors[name] = msg
+        q_t1 = _cpu_ticks()
+        steal_by_query[name] = _ppm(q_t1[0] - q_t0[0], q_t1[2] - q_t0[2])
         # storage hygiene between queries: several query contracts cache
         # intermediates they cannot unpersist (the returned DF still
         # references them); across 100+ queries x repeats the block
@@ -86,6 +133,7 @@ def main() -> None:
         # their timings. Repeats of ONE query still share its caches.
         spark.catalog.clearCache()
 
+    run_t1 = _cpu_ticks()
     total = round(
         sum(v for v in timings.values() if isinstance(v, float)), 3
     )
@@ -96,6 +144,13 @@ def main() -> None:
         "queries": timings,
         "errors": len(errors),
         "sf": sf,
+        # window-quality telemetry (additive): hypervisor steal and CPU
+        # busy fraction over the timed section, in parts-per-million of
+        # elapsed CPU ticks. steal_ppm near 0 = quiet window; tens of
+        # thousands = contaminated numbers (the round-12 hazard).
+        "steal_ppm": _ppm(run_t1[0] - run_t0[0], run_t1[2] - run_t0[2]),
+        "busy_ppm": _ppm(run_t1[1] - run_t0[1], run_t1[2] - run_t0[2]),
+        "steal_ppm_by_query": steal_by_query,
     }
     print(json.dumps(record))
     # durable twin of the stdout line: BENCH_r03's captured tail truncated

@@ -117,11 +117,18 @@ def train_token_classifier(
         raise ValueError(f"n_buckets must be positive, got {n_buckets}")
 
     b = _label_buckets(labeled, text_col, label_col, n_buckets, salt)
+    # ONE tokenize pass over the training slice (round 13, guide §2.4):
+    # the per-label total is the bucket-marginal of the (label, bucket)
+    # grid — sum(c_cnt) over buckets == count of the label's token
+    # occurrences — so deriving nc from the tiny materialized grid
+    # replaces a second full tokenize+explode of the slice. The grid is
+    # <= |labels| * n_buckets rows (broadcast-sized by the module
+    # contract), so the checkpoint is metadata-cheap.
     lb = b.groupBy("label", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("c_cnt")
-    )
-    nc = b.groupBy("label").agg(
-        F.count(F.lit(1)).cast("long").alias("n_c")
+    ).localCheckpoint(eager=True)
+    nc = lb.groupBy("label").agg(
+        F.sum("c_cnt").cast("long").alias("n_c")
     )
     # full labels x buckets grid via range + literal-array explode
     # (pure projection — no cartesian join enters the plan)
@@ -234,12 +241,13 @@ def quality_classifier(
     one row per input row."""
     from nspc_etl_basic_spark.operators.labeling import keyword_labels
 
-    labeled = keyword_labels(df, id_col, text_col, rules).select(
-        id_col, "label"
-    )
-    train = df.select(id_col, text_col).join(labeled, id_col).where(
-        F.col("label").isNotNull()
-    )
+    # keyword_labels is a pure projection, so the training slice is its
+    # OWN carry-through — one corpus scan instead of a scan + self-join
+    # (ids are unique by the operator contract, so the inner join this
+    # replaces selected exactly these rows; round 13, guide §2.4)
+    train = keyword_labels(
+        df, id_col, text_col, rules, carry=(text_col,)
+    ).where(F.col("label").isNotNull()).select(id_col, text_col, "label")
     weights = train_token_classifier(
         train, sorted(rules), text_col, "label", n_buckets, salt
     )
@@ -286,14 +294,25 @@ def classifier_agreement(
     from nspc_etl_basic_spark.operators.labeling import keyword_labels
 
     labels = sorted(rules)
-    weak = keyword_labels(df, id_col, text_col, rules).where(
-        F.col("label").isNotNull()
-    ).select(id_col, "label")
-    pred = quality_classifier(
-        df, rules, id_col, text_col, n_buckets, salt
+    # weak-label the corpus ONCE (round 13, guide §5): the labeled
+    # slice feeds both the training pass and the agreement join, and
+    # composing via quality_classifier re-ran the keyword projection
+    # over the full corpus a second time. The materialized slice is the
+    # rows the rules fired on — the training working set. Training and
+    # scoring are exactly quality_classifier's (same shared recipe).
+    lab = keyword_labels(
+        df, id_col, text_col, rules, carry=(text_col,)
+    ).where(F.col("label").isNotNull()).select(
+        id_col, text_col, "label"
+    ).localCheckpoint(eager=True)
+    weights = train_token_classifier(
+        lab, labels, text_col, "label", n_buckets, salt
+    )
+    pred = classify_tokens(
+        df, weights, labels, id_col, text_col, n_buckets, salt
     ).select(id_col, "pred_label")
     conf = (
-        weak.join(pred, id_col)
+        lab.select(id_col, "label").join(pred, id_col)
         .groupBy("label", "pred_label")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
@@ -420,10 +439,12 @@ def classifier_holdout_eval(
     if check_disjoint:
         _check_slices_disjoint(train_df, eval_df, id_col)
     labels = sorted(rules)
-    train_weak = keyword_labels(train_df, id_col, text_col, rules).where(
-        F.col("label").isNotNull()
-    ).select(id_col, "label")
-    train = train_df.select(id_col, text_col).join(train_weak, id_col)
+    # one training-slice scan: the weak labels carry the text through
+    # the projection instead of re-scanning the slice for a self-join
+    # (round 13, guide §2.4; ids unique by contract)
+    train = keyword_labels(
+        train_df, id_col, text_col, rules, carry=(text_col,)
+    ).where(F.col("label").isNotNull()).select(id_col, text_col, "label")
     weights = train_token_classifier(
         train, labels, text_col, "label", n_buckets, salt
     )
@@ -459,12 +480,12 @@ def train_weak_weights(
     there is no second copy of the training recipe to drift."""
     from nspc_etl_basic_spark.operators.labeling import keyword_labels
 
-    weak = keyword_labels(train_df, id_col, text_col, rules).where(
-        F.col("label").isNotNull()
-    ).select(id_col, "label")
+    # one training-slice scan (carry precedent; ids unique by contract)
+    train = keyword_labels(
+        train_df, id_col, text_col, rules, carry=(text_col,)
+    ).where(F.col("label").isNotNull()).select(id_col, text_col, "label")
     return train_token_classifier(
-        train_df.select(id_col, text_col).join(weak, id_col),
-        sorted(rules), text_col, "label", n_buckets, salt,
+        train, sorted(rules), text_col, "label", n_buckets, salt,
     )
 
 

@@ -778,7 +778,6 @@ def incremental_components(
     batch_pairs: DataFrame,
     existing_labels: DataFrame,
     id_col: str = "doc_id",
-    max_iter: int = 20,
 ) -> DataFrame:
     """Merge a new batch into existing near-dup components WITHOUT
     recomputing the corpus fixpoint — the missing half of the
@@ -849,8 +848,7 @@ def incremental_components(
     # whose nodes the old sub_nodes derivation dropped identically), so
     # no singleton pass is needed; labels are the same min-id-per-
     # component the fixpoint computes (union-by-min; pinned equivalent
-    # in tests/test_dedup.py). max_iter is retained for API
-    # compatibility but no longer bounds anything here.
+    # in tests/test_dedup.py).
     # localCheckpoint, not cache(): materialized once for the two
     # broadcast joins below, and its blocks are released by the
     # ContextCleaner when the result frame is dropped — nothing stays
@@ -984,10 +982,17 @@ def setjoin_exact(
         if shingle_k is not None
         else word_tokens(F.col(text_col))
     )
+    # materialize the token table ONCE (round 13, guide §5): it has
+    # FOUR consumers (the frequency aggregate, the per-doc prefix sort,
+    # and both sides of the verification join), and the shingle explode
+    # over the input text — ~len(text) rows per doc at the default
+    # k=12 — is the operator's dominant per-row cost; without the
+    # checkpoint every consumer re-ran it (the before-plan carried 6
+    # text-bearing scans)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.explode(F.array_distinct(tok_expr)).alias("tok"),
-    )
+    ).localCheckpoint(eager=True)
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__tf"))
     per_doc = (
         toks.join(freq, "tok")
@@ -1008,11 +1013,16 @@ def setjoin_exact(
             + F.lit(1),
         )
     )
+    # the prefix index likewise feeds BOTH sides of the candidate
+    # self-join; one materialization, two cheap reads (it is strictly
+    # smaller than the token table by the prefix bound)
     prefix = per_doc.select(
         "__id",
         "__n",
         F.explode(F.expr("slice(__sorted, 1, __k)")).alias("__p"),
-    ).select("__id", "__n", F.col("__p.tok").alias("tok"))
+    ).select(
+        "__id", "__n", F.col("__p.tok").alias("tok")
+    ).localCheckpoint(eager=True)
     a = prefix.select(
         F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "tok"
     )

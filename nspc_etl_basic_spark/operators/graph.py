@@ -64,6 +64,12 @@ def pagerank(
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # validate BEFORE the eager jobs below (nodes.count, frac.count,
+    # dangling probe) — an invalid argument must not waste cluster work
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
 
     e = edges.select(
         F.col(src).alias("src"),
@@ -108,11 +114,6 @@ def pagerank(
     has_dangling = dangling.limit(1).count() > 0
     if not has_dangling:
         dangling.unpersist()
-
-    if checkpoint_every < 1:
-        raise ValueError(
-            f"checkpoint_every must be >= 1, got {checkpoint_every}"
-        )
 
     base = ((100 - damping_pct) * scale) // 100
     ranks = nodes.select("node", F.lit(int(scale)).cast("long").alias("rank"))

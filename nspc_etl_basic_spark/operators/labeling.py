@@ -45,11 +45,20 @@ def keyword_labels(
     id_col: str,
     text_col: str,
     rules: dict[str, list[str]],
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Label rows by keyword-occurrence votes: returns ``(id_col,
     score_<label>... , label)`` with one score column per rule (sorted
     label order) and the winning label (ties -> first sorted label;
-    all-zero -> null)."""
+    all-zero -> null).
+
+    ``carry`` names extra input columns threaded through unchanged —
+    the operator is a pure projection, so a consumer that needs e.g.
+    the text of the labeled rows gets it from THIS scan instead of
+    re-joining the label output back against the corpus (a second full
+    corpus read plus a shuffle at 100 TB; the quality_filter carry
+    precedent, guide §2.4). Carried names must not collide with the
+    output columns and must not repeat."""
     if not rules or any(not kws for kws in rules.values()):
         raise ValueError("rules must map each label to a non-empty keyword list")
     # [a-z0-9 ] only: lower() is a no-op on quotes/punctuation, and a
@@ -72,8 +81,18 @@ def keyword_labels(
                 )
 
     labels = sorted(rules)
+    reserved = {id_col, "label", "__t", *(f"score_{lab}" for lab in labels)}
+    clash = [c for c in carry if c in reserved]
+    if clash:
+        raise ValueError(
+            f"carry columns collide with label outputs: {clash}"
+        )
+    dupes = sorted({c for c in carry if list(carry).count(c) > 1})
+    if dupes:
+        raise ValueError(f"carry contains duplicate columns: {dupes}")
     lowered = df.select(
-        F.col(id_col), F.lower(F.col(text_col)).alias("__t")
+        F.col(id_col), F.lower(F.col(text_col)).alias("__t"),
+        *[F.col(c) for c in carry],
     )
     scored = lowered.select(
         id_col,
@@ -84,6 +103,7 @@ def keyword_labels(
             ).alias(f"score_{lab}")
             for lab in labels
         ],
+        *[F.col(c) for c in carry],
     )
     expr = None
     for i, lab in enumerate(labels):

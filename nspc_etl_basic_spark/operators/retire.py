@@ -206,7 +206,6 @@ def retire_from_band_store(
             new_pairs,
             new_labels,
             id_col=id_col,
-            max_iter=max_iter,
         )
     return new_store, new_labels
 

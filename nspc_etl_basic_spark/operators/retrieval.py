@@ -66,6 +66,15 @@ def bm25_topk(
     doc id. Queries with no term overlap anywhere yield no rows —
     retrieval semantics, not an error.
 
+    Side effect: constructing the result DataFrame EAGERLY runs the
+    corpus tokenize/prune/TF aggregation (an internal
+    ``localCheckpoint(eager=True)`` materializes the query-term TF
+    table for its two consumers), even if the result is only
+    ``explain()``ed and never executed. The checkpointed blocks are
+    freed by the JVM ContextCleaner once the result frame is garbage
+    collected; a long-lived multi-query session that wants immediate
+    release should drop its reference to the returned frame when done.
+
     ``max_query_terms`` keeps only each query's N RAREST terms (lowest
     corpus df; ties by token) — the standard query-pruning lever for
     DOCUMENT-AS-QUERY workloads (dedup-by-retrieval, decontamination
@@ -74,9 +83,10 @@ def bm25_topk(
     decides rankings. Scores CHANGE when pruning fires (dropped terms
     contribute nothing), so this is an explicit retrieval variant, not
     an optimization of the exact operator; the default None stays
-    exact. Pruning costs one extra corpus TF pass for the df table,
-    joined query-side via a broadcast of the query terms, never a
-    corpus shuffle. Know the regime before reaching for it (measured,
+    exact. Pruning reads df off the single pruned, checkpointed TF
+    table (no extra corpus pass), joined query-side via a broadcast of
+    the query terms, never a corpus shuffle. Know the regime before
+    reaching for it (measured,
     SCALE.md): the lever cuts VOCABULARY-RICH long queries; against a
     degenerate vocabulary where every query term is corpus-common
     (the sf1 stand-in: ~25 distinct terms/query, mean df 36k over 50k
@@ -93,7 +103,9 @@ def bm25_topk(
     with df > fraction*N would alone touch that fraction of the
     corpus, and its idf — ln((N-df+0.5)/(df+0.5)+1) — is already near
     the floor, so dropping it removes the bulk of the probe while
-    moving scores least. The predicate is exact integer arithmetic
+    moving scores least. Both levers read df straight off the single
+    pruned, checkpointed TF table — no extra corpus pass. The
+    predicate is exact integer arithmetic
     (``df * 1e6 <= ppm * N`` with ``ppm = max(1, round(fraction *
     1e6))``, all BIGINT — the clamp keeps a sub-5e-7 fraction from
     flooring to ppm=0 and silently dropping every term), so an SQL
@@ -113,6 +125,16 @@ def bm25_topk(
         raise ValueError(
             f"max_df_fraction must be in (0, 1], got {max_df_fraction}"
         )
+    # materialize the QUERY frame once (round 13, guide §5): it has two
+    # consumers below (the distinct-token prune set and the per-query
+    # term table), and in the document-as-query workloads the frame is
+    # derived FROM the corpus (a filter over the documents scan), so
+    # each consumer re-ran a full corpus read to rebuild a query-sized
+    # result. The checkpoint is query-set-sized by the operator
+    # contract — never corpus-sized.
+    queries = queries.select(
+        query_id_col, query_text_col
+    ).localCheckpoint(eager=True)
     # doc length is a PROJECTION, not a window: dl(d) == size of the
     # token array (== the sum-of-tf the previous doc-partitioned window
     # computed — identical integer), so it rides the tokenize scan for

@@ -939,49 +939,61 @@ def knn_graph(
     cost — the standard LSH recall/cost dial. The graph is directed
     (k best per source); symmetrize downstream if needed.
     """
-    base = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__v"),
-        norm(F.col(vec_col)).alias("__n"),
-    )
-    per_table = []
-    for t in range(n_tables):
-        sig = base.select(
-            id_col, "__v", "__n",
+    # ALL tables' signatures ride ONE projection and the per-table
+    # self-join becomes a single join keyed by (table, signature)
+    # (round 13, guide §2.4): the per-table loop derived the signature
+    # projection twice per table — 2 * n_tables corpus scans, each
+    # re-computing n_planes dot products per row — where the exploded
+    # layout pays 2 scans and one equi-join total for any n_tables.
+    # The candidate pair set and every cos_sim are identical: a pair
+    # collides per table exactly when its sigs match at that table's
+    # plane offset (the join key carries the table index), and the
+    # cross-table dedup keeps one of byte-identical rows either way.
+    sigs = F.array(
+        *[
             rp_signature(
                 F.col("__v"), n_planes, dim, plane_offset=t * n_planes
-            ).alias("__sig"),
-        )
-        if max_bucket_size is not None:
-            w = Window.partitionBy("__sig")
-            sig = (
-                sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
-                .filter(F.col("__bsz") <= max_bucket_size)
-                .drop("__bsz")
             )
-        a = sig.select(
-            F.col(id_col).alias("__ia"), F.col("__v").alias("__va"),
-            F.col("__n").alias("__na"), "__sig",
+            for t in range(n_tables)
+        ]
+    )
+    sig = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col)).alias("__n"),
         )
-        b = sig.select(
-            F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"),
-            F.col("__n").alias("__nb"), "__sig",
+        .select(id_col, "__v", "__n", F.posexplode(sigs))
+        .withColumnRenamed("pos", "__tbl")
+        .withColumnRenamed("col", "__sig")
+    )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("__tbl", "__sig")
+        sig = (
+            sig.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
         )
-        per_table.append(
-            a.join(b, "__sig")
-            .filter(F.col("__ia") != F.col("__ib"))
-            .select(
-                "__ia", "__ib",
-                F.round(
-                    dot(F.col("__va"), F.col("__vb"))
-                    / (F.col("__na") * F.col("__nb")),
-                    6,
-                ).alias("cos_sim"),
-            )
+    a = sig.select(
+        F.col(id_col).alias("__ia"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "__tbl", "__sig",
+    )
+    b = sig.select(
+        F.col(id_col).alias("__ib"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "__tbl", "__sig",
+    )
+    cand = (
+        a.join(b, ["__tbl", "__sig"])
+        .filter(F.col("__ia") != F.col("__ib"))
+        .select(
+            "__ia", "__ib",
+            F.round(
+                dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                6,
+            ).alias("cos_sim"),
         )
-    cand = per_table[0]
-    for more in per_table[1:]:
-        cand = cand.unionByName(more)
-    cand = cand.dropDuplicates(["__ia", "__ib"])
+        .dropDuplicates(["__ia", "__ib"])
+    )
     w = Window.partitionBy("__ia").orderBy(
         F.col("cos_sim").desc(), F.col("__ib").asc()
     )

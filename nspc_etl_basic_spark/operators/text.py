@@ -174,15 +174,23 @@ def quality_filter(
     """
     t = F.col(text_col)
     langs = sorted(LANG_MARKERS)
+    # reserved covers the feature OUTPUT names and the internal staging
+    # names (__t, __w, __s_<lang>): carrying a staging name would create
+    # a duplicate column in stage 1 and surface later as an opaque
+    # ambiguous-reference AnalysisException instead of this ValueError
     reserved = {
         id_col, "n_chars", "n_tokens", "punct_ratio",
         "stopword_ratio", "pred_lang",
+        "__t", "__w", *[f"__s_{lg}" for lg in langs],
     }
     clash = [c for c in carry if c in reserved]
     if clash:
         raise ValueError(
             f"carry columns collide with feature outputs: {clash}"
         )
+    dupes = sorted({c for c in carry if list(carry).count(c) > 1})
+    if dupes:
+        raise ValueError(f"carry contains duplicate columns: {dupes}")
     # stage 1: tokenize ONCE
     s1 = df.select(
         F.col(id_col), t.alias("__t"), word_tokens(t).alias("__w"),
@@ -582,35 +590,64 @@ def bigram_lm_scores(
     is not IEEE-pinned cross-engine, so it is pytest-verified against an
     independent recomputation instead of value-hashed.
 
-    Scale: two global count tables (bigram, unigram) built with map-side
-    combine; the per-doc explode joins them on their keys (sort-merge —
-    a 100 TB corpus's bigram vocabulary is far beyond broadcast), and V
-    enters as a 1-row broadcast scalar, not a driver collect. Training
-    and scoring are the same two passes for any corpus size.
+    Scale: the per-instance bigram stream is pre-aggregated to
+    ``(doc, bigram, cnt)`` with map-side combine BEFORE any join (guide
+    §2.3 — at corpus scale a repeated-bigram document would otherwise
+    ship every instance through the counts join), the global bigram
+    count table derives from that same pre-aggregate (one bigram
+    explode pass total, materialized once for its two consumers), the
+    unigram join stays sort-merge (a 100 TB corpus's bigram vocabulary
+    is far beyond broadcast), and V enters as a 1-row broadcast scalar,
+    not a driver collect.
+
+    Operator-contract note on ``avg_logprob``: the per-doc log-prob sum
+    is ``sum(cnt * log2(p))`` over DISTINCT (doc, bigram) rows — the
+    mathematically identical regrouping of the original per-instance
+    ``sum(log2(p))`` whose float rounding path differs by at most a few
+    ulps (a repeated bigram's contribution is one multiply instead of
+    cnt additions). The deterministic columns (n_bigrams and the two
+    freq columns) are pure integer arithmetic under the regrouping —
+    bit-identical, which is what the oracle checks.
     """
     toks = df.select(
         F.col(id_col), F.explode(word_tokens(F.col(text_col))).alias("w")
     )
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+    # vocabulary-sized table with two consumers (the V count and the
+    # head-word join): materialize once so the corpus tokenize+explode
+    # behind it runs once, not per consumer
+    uni = toks.groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_uni")
+    ).localCheckpoint(eager=True)
     vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
 
-    bi = df.select(
-        F.col(id_col), F.explode(bigram_array(F.col(text_col))).alias("bg")
+    # (doc, bigram, cnt) pre-aggregate, materialized ONCE for its two
+    # consumers (the global counts aggregate and the scoring join) —
+    # without the checkpoint each consumer re-ran the full corpus
+    # tokenize + bigram explode (the BM25 TF-table precedent, guide §5)
+    bi_doc = (
+        df.select(
+            F.col(id_col),
+            F.explode(bigram_array(F.col(text_col))).alias("bg"),
+        )
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=True)
     )
-    bi_counts = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bi"))
+    bi_counts = bi_doc.groupBy("bg").agg(F.sum("__cnt").alias("c_bi"))
 
     scored = (
-        bi.join(bi_counts, "bg")
+        bi_doc.join(bi_counts, "bg")
         .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
         .join(uni.withColumnRenamed("w", "w1"), "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("c_bi").alias("__sum_bi"),
-            F.sum("c_uni").alias("__sum_uni"),
+            F.sum("__cnt").alias("n_bigrams"),
+            F.sum(F.col("__cnt") * F.col("c_bi")).alias("__sum_bi"),
+            F.sum(F.col("__cnt") * F.col("c_uni")).alias("__sum_uni"),
             F.sum(
-                F.log2(
+                F.col("__cnt")
+                * F.log2(
                     (F.col("c_bi") + F.lit(add_k))
                     / (F.col("c_uni") + F.lit(add_k) * F.col("__v"))
                 )
@@ -633,8 +670,15 @@ def bigram_lm_scores(
         "avg_logprob",
     )
     # docs with < 2 tokens have no bigrams: emit zero-row stats so the
-    # operator is total over the corpus (filter pipelines need every doc)
-    empty = df.join(out.select(id_col), on=id_col, how="left_anti").select(
+    # operator is total over the corpus (filter pipelines need every
+    # doc). Membership probes the CHECKPOINTED pre-aggregate — a doc
+    # scores iff it has a (doc, bigram) row (the counts joins never drop
+    # rows: every bigram is in the global table by construction and its
+    # head word is always a corpus token) — so the scoring subtree is
+    # not re-derived just to learn which ids it covers.
+    empty = df.join(
+        bi_doc.select(id_col).distinct(), on=id_col, how="left_anti"
+    ).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_bigrams"),
         F.lit(None).cast("double").alias("avg_bigram_freq"),

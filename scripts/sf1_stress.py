@@ -61,6 +61,11 @@ HEAVY = [
     "corpus_quality_select_pr",  # curve -> max-F1 threshold -> test filter
     "dedup_band_retire",      # takedown: component-local rebuild
     "corpus_span_retire",     # takedown: gram-count decrement + clean
+    # round 13 additions (VERDICT r12 ask #6)
+    "corpus_end_to_end",      # composed pipeline: the single-scan claim
+    "corpus_classifier_holdout",  # split-once + one-pass training chain
+    "dedup_setjoin_exact",    # exact tier: shingle table materialized once
+    "text_lm_familiarity",    # (doc, bigram, cnt) pre-aggregate
 ]
 
 

@@ -94,3 +94,35 @@ def test_corpus_pipeline_composes(spark):
         prev_cum = r.cum_weight
     total_seqs = rows[-1].cum_weight // 256 + 1
     assert rows[-1].seq_end == total_seqs - 1 or rows[-1].seq_end == total_seqs
+
+
+def test_quality_filter_carry_threads_columns_unchanged(spark):
+    docs = _corpus(spark).withColumn(
+        "extra", F.concat(F.lit("x"), F.col("doc_id").cast("string"))
+    )
+    out = quality_filter(
+        docs, min_chars=50, max_chars=10_000, min_tokens=10,
+        max_punct_ratio=0.2, min_stopword_ratio=0.05, lang="en",
+        carry=("text", "extra"),
+    )
+    assert "text" in out.columns and "extra" in out.columns
+    # carried values are byte-identical to the input rows
+    src = {r.doc_id: (r.text, r.extra) for r in docs.collect()}
+    for r in out.collect():
+        assert (r.text, r.extra) == src[r.doc_id]
+
+
+def test_quality_filter_carry_rejects_collisions(spark):
+    import pytest
+
+    docs = _corpus(spark)
+    kw = dict(
+        min_chars=50, max_chars=10_000, min_tokens=10,
+        max_punct_ratio=0.2, min_stopword_ratio=0.05, lang="en",
+    )
+    # feature-output name, internal staging names, and duplicates all
+    # fail fast with ValueError (not a downstream AnalysisException)
+    for bad in (("n_chars",), ("__t",), ("__w",), ("__s_en",),
+                ("text", "text")):
+        with pytest.raises(ValueError):
+            quality_filter(docs, carry=bad, **kw)

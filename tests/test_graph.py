@@ -115,3 +115,27 @@ def test_triangle_stats_matches_bruteforce_on_random_graph(spark):
     )
     r = _tri(spark, [(a, b) for a, b in edges])
     assert r.n_triangles == expect
+
+
+def test_pagerank_identical_across_checkpoint_intervals(spark):
+    # the periodic lineage cut is a job-count optimization only: ranks
+    # must be bit-identical for every interval, including one that does
+    # not divide n_iter (the last round always checkpoints)
+    edges = [
+        ("a", "b", 3),
+        ("a", "c", 1),
+        ("b", "a", 2),
+        ("b", "c", 2),
+        ("d", "a", 5),
+    ]
+    baseline = _run(spark, edges, n_iter=7, checkpoint_every=1)
+    assert baseline == _replay(edges, n_iter=7)
+    for every in (2, 3, 7, 50):
+        assert _run(spark, edges, n_iter=7, checkpoint_every=every) == baseline
+
+
+def test_pagerank_rejects_bad_checkpoint_every(spark):
+    # validated with the other params BEFORE any eager job runs, so the
+    # df is never touched: None must not raise anything but ValueError
+    with pytest.raises(ValueError):
+        pagerank(None, checkpoint_every=0)

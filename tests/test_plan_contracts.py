@@ -615,3 +615,38 @@ def test_bm25_has_no_token_partitioned_window(spark, sf_dir):
                 raise AssertionError(
                     f"{name}: token-partitioned window survived: {ln}"
                 )
+
+
+def test_onepass_unionfind_result_is_always_broadcast(spark):
+    """components_onepass(key_col=None) runs the WHOLE contracted pair
+    set through one task — sound only while its consumers broadcast the
+    result (a graph too big to broadcast was already too big for the
+    plan). Pin that bound mechanically: with auto-broadcast disabled,
+    incremental_components' two relabel joins against the union-find
+    output must STILL be BroadcastHashJoin (i.e. the explicit
+    F.broadcast hint is in the code path, not a size estimate); if
+    someone drops the hint, this fails instead of the kernel silently
+    becoming a single-task scale-killer."""
+    from nspc_etl_basic_spark.operators.dedup import incremental_components
+
+    new_nodes = spark.createDataFrame([(10,), (11,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 3)], "id_a long, id_b long"
+    )
+    existing = spark.createDataFrame(
+        [(1, 1), (3, 1)], "doc_id long, component_id long"
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = incremental_components(new_nodes, pairs, existing)
+        plan = _plan_simple(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    merged_joins = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "__m#" in ln
+    ]
+    assert len(merged_joins) >= 2, (
+        f"union-find output must reach both relabel joins broadcast:\n{plan}"
+    )
