@@ -34,6 +34,9 @@ def test_bench_stdout_last_line_is_the_json_record(tmp_path):
     env = dict(os.environ)
     env.update(
         {
+            # the copy runs from tmp_path, so sys.path[0] is tmp_path, not
+            # the repo root; __spark_entry__ must still resolve from the repo
+            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
             "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
             "SPARK_GRAFT_CPUS": "2",
             "SPARK_GRAFT_BENCH_REPEATS": "1",
