@@ -511,6 +511,7 @@ def neardup_components(
     id_col: str = "doc_id",
     max_iter: int = 20,
     hot_degree_threshold: int = 1_000_000,
+    onepass_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Near-duplicate CLUSTERS from candidate pairs: every document mapped
     to a ``component_id`` (the minimum id in its connected component of
@@ -536,6 +537,26 @@ def neardup_components(
     round is one equi-join + one map-side-combined groupBy keyed by the
     8-byte id, and ``localCheckpoint`` cuts the iterative plan's lineage
     so round N's plan does not embed rounds 1..N-1.
+
+    Size-adaptive kernel (round 13, guide §1.2 "the distributed
+    algorithm" / §2.4): the fixpoint's O(log diameter) rounds each cost
+    a handful of Spark jobs (join + groupBy + pointer-jump self-join +
+    lineage cut + convergence aggregate) — pure scheduling overhead
+    when the candidate graph is small, which is the COMMON case for
+    this operator's callers (retirement re-pairs one component's
+    membership, incremental merges contract to batch-sized graphs, and
+    even a full corpus's LSH candidate graph is orders of magnitude
+    below the corpus). When the directed edge count (known from the
+    sizing count this function already performs) is at most
+    ``onepass_max_edges``, the labels come from ``components_onepass``
+    — ONE grouped-Arrow union-find task — whose output is pinned
+    bit-identical to the fixpoint (tests/test_dedup.py randomized
+    equivalence). Above the bound the distributed fixpoint runs
+    unchanged, so 100 TB pair tables never serialize through one task.
+    The bound is a PLAN choice, not a semantic one (both kernels
+    compute min-id-per-component), sized so the one-task union-find
+    stays in the low seconds / low hundreds of MB (2M directed edges =
+    1M pairs ~ 16 MB through Arrow).
 
     Skew: the per-round neighbor join is keyed on ``dst``, so a
     pathological high-degree node (one boilerplate gram in 10% of docs
@@ -567,6 +588,27 @@ def neardup_components(
     # caller's pairs once — callers pass a cached/materialized candidate
     # table.)
     n_edges = edges_raw.count()
+
+    if n_edges <= int(onepass_max_edges):
+        # small-graph kernel: one grouped-Arrow union-find pass (see
+        # the docstring's size-adaptive note); labels bit-identical to
+        # the fixpoint below by the pinned equivalence. The eager
+        # localCheckpoint mirrors the fixpoint's returned labels frame
+        # (which is checkpointed by its last round): iterated callers
+        # (retirement chains, incremental re-ingest) embed this result
+        # in their next round's plan, and WITHOUT the lineage cut the
+        # nested plans recompute multiplicatively — observed as a
+        # test-suite hang before the cut was added.
+        comp = components_onepass(pairs, id_col=id_col).localCheckpoint(
+            eager=True
+        )
+        singletons = (
+            nodes.select(F.col(id_col))
+            .join(comp.select(id_col), on=id_col, how="left_anti")
+            .select(F.col(id_col), F.col(id_col).alias("component_id"))
+        )
+        return comp.unionByName(singletons)
+
     n_parts = max(2, min(
         edges_raw.sparkSession.sparkContext.defaultParallelism,
         n_edges // 500_000 + 2,
@@ -741,11 +783,14 @@ def components_onepass(
       caller's cell-size bound (``auto_n_cells``/``max_cell_size``),
       hot cells impossible beyond that same bound.
     - ``key_col=None``: the whole pair set is ONE group on one task.
-      ONLY for graphs the caller already bounds to broadcast size —
-      the ``incremental_components`` contraction contract (its result
-      is immediately ``F.broadcast`` into the corpus label scans, so
-      a graph too big for one task was already too big for the
-      existing plan); never for corpus-scale pair tables.
+      ONLY for graphs the caller bounds — either structurally (the
+      ``incremental_components`` contraction contract: its result is
+      immediately ``F.broadcast`` into the corpus label scans, so a
+      graph too big for one task was already too big for the existing
+      plan) or by a MEASURED edge count (``neardup_components``'
+      round-13 size-adaptive cutover, which counts the edges first and
+      keeps the distributed fixpoint above its bound); never for
+      unbounded corpus-scale pair tables.
 
     The kernel ships only (id_a, id_b[, key]) through Arrow — never
     vectors or text — and a pair table is orders of magnitude below

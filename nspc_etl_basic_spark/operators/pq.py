@@ -520,14 +520,15 @@ def ivfpq_topk(
     the ``int()`` coercion. The corpus ``id_col`` keeps its input type
     on both the scored and the empty path.
 
-    Design note on the fan-out: each corpus row explodes over
-    ``sequence(1..n_queries)`` BEFORE the probe filter. Codegen fuses
-    explode+filter so nothing materializes, but the per-row cost is
-    O(n_queries) probe-set tests — fine under the ``max_queries``
-    bound this function enforces; if that bound is ever raised
-    substantially, restructure to a cell-keyed join against a
-    (query, probed_cell) table so non-probed (row, query) pairs are
-    pruned by the join instead of tested per row.
+    Design note on the fan-out (round 13): each corpus row explodes
+    over a cell -> [query index] literal MAP keyed by its own cell, so
+    the per-row cost is O(matching queries) — on average
+    ``n_queries * n_probe / n_cells`` — rather than the previous
+    O(n_queries) probe-set tests per row (explode over
+    ``sequence(1..n_queries)`` followed by an ``array_contains``
+    filter). The emitted (row, query) set is identical; only the
+    non-survivors are never generated. The ``max_queries`` bound now
+    guards plan-literal size alone.
     """
     import numpy as np
 
@@ -636,21 +637,30 @@ def ivfpq_topk(
         ],
         "array<array<array<double>>>",
     )
-    probes_lit = nested_lit(
-        [[int(c) for c in probes] for _qid, _t, probes in per_query],
-        "array<array<bigint>>",
+    # invert the probe lists into a cell -> [query index] literal map,
+    # so each corpus row GENERATES only the queries probing its cell
+    # (round 13, guide §2.3): the old explode(sequence(1, n_queries)) +
+    # array_contains filter paid n_queries probe-set tests per corpus
+    # row; the map explode emits exactly the ~n_queries*n_probe/n_cells
+    # survivors (element_at on an unprobed cell is NULL, and explode of
+    # NULL drops the row — identical to the filter's empty case). This
+    # also retires the docstring's max_queries caveat about O(n_queries)
+    # per-row tests.
+    by_cell: dict[int, list[int]] = {}
+    for i, (_qid, _t, probes) in enumerate(per_query, start=1):
+        for c in probes:
+            by_cell.setdefault(int(c), []).append(i)
+    cell_keys = sorted(by_cell)
+    queries_by_cell_lit = F.map_from_arrays(
+        F.lit(cell_keys).cast("array<bigint>"),
+        nested_lit([by_cell[c] for c in cell_keys], "array<array<int>>"),
     )
     scored = (
         enc.withColumn(
-            "__i", F.explode(F.sequence(F.lit(1), F.lit(len(per_query))))
-        )
-        # probe filter FIRST: rows outside the query's probed cells are
-        # dropped before any table lookup happens
-        .filter(
-            F.array_contains(
-                F.element_at(probes_lit, F.col("__i")),
-                F.col("__cell").cast("long"),
-            )
+            "__i",
+            F.explode(
+                F.element_at(queries_by_cell_lit, F.col("__cell").cast("long"))
+            ),
         )
         .withColumn("__tbl", F.element_at(tbls_lit, F.col("__i")))
         .select(
@@ -881,20 +891,32 @@ def ivfpq_residual_topk(
             pairs.append((int(r[query_id_col]), int(cell), table))
 
     qids_lit = F.lit([q for q, _c, _t in pairs]).cast("array<bigint>")
-    cells_lit = F.lit([c for _q, c, _t in pairs]).cast("array<bigint>")
     tbls_lit = nested_lit(
         [[[float(x) for x in row] for row in t] for _q, _c, t in pairs],
         "array<array<array<double>>>",
     )
+    # invert the pair list into a cell -> [pair index] literal map, so
+    # each corpus row GENERATES only the pairs probing its own cell
+    # (round 13, guide §2.3 — compute less, not filter more): the old
+    # explode(sequence(1, n_pairs)) + cell-equality filter materialized
+    # n_pairs rows per corpus row inside codegen and discarded all but
+    # ~n_pairs/n_cells of them; the map explode emits exactly the
+    # surviving set (element_at on a missing cell is NULL, and explode
+    # of NULL drops the row — identical to the filter's empty case).
+    by_cell: dict[int, list[int]] = {}
+    for i, (_q, c, _t) in enumerate(pairs, start=1):
+        by_cell.setdefault(int(c), []).append(i)
+    cell_keys = sorted(by_cell)
+    pairs_by_cell_lit = F.map_from_arrays(
+        F.lit(cell_keys).cast("array<bigint>"),
+        nested_lit([by_cell[c] for c in cell_keys], "array<array<int>>"),
+    )
     scored = (
         enc.withColumn(
-            "__i", F.explode(F.sequence(F.lit(1), F.lit(len(pairs))))
-        )
-        # cell equality FIRST: a corpus row only pays the m lookups for
-        # pairs probing ITS cell — at most one pair per query
-        .filter(
-            F.element_at(cells_lit, F.col("__i"))
-            == F.col("__cell").cast("bigint")
+            "__i",
+            F.explode(
+                F.element_at(pairs_by_cell_lit, F.col("__cell").cast("bigint"))
+            ),
         )
         .withColumn("__tbl", F.element_at(tbls_lit, F.col("__i")))
         .select(

@@ -115,9 +115,14 @@ def test_neardup_components_known_graph(spark):
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
     )
-    out = neardup_components(nodes, pairs)
-    got = {r.doc_id: r.component_id for r in out.collect()}
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+    # both kernels: the size-adaptive default (one-pass union-find at
+    # this size) and the distributed fixpoint forced via a zero bound
+    for kw in ({}, {"onepass_max_edges": 0}):
+        out = neardup_components(nodes, pairs, **kw)
+        got = {r.doc_id: r.component_id for r in out.collect()}
+        assert got == {
+            0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9
+        }, kw
 
 
 def test_neardup_components_merges_via_bridge(spark):
@@ -128,8 +133,9 @@ def test_neardup_components_merges_via_bridge(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (4, 5), (5, 6), (3, 4), (0, 1)], "id_a long, id_b long"
     )
-    out = neardup_components(nodes, pairs)
-    assert {r.component_id for r in out.collect()} == {0}
+    for kw in ({}, {"onepass_max_edges": 0}):
+        out = neardup_components(nodes, pairs, **kw)
+        assert {r.component_id for r in out.collect()} == {0}, kw
 
 
 def test_neardup_components_star_graph_hot_path(spark):
@@ -147,8 +153,15 @@ def test_neardup_components_star_graph_hot_path(spark):
         [(7, i) for i in range(n) if i != 7] + [(60, 61), (61, 62)],
         "id_a long, id_b long",
     )
-    hot = neardup_components(nodes, pairs, hot_degree_threshold=8)
-    cold = neardup_components(nodes, pairs, hot_degree_threshold=10**9)
+    # onepass_max_edges=0 forces the distributed fixpoint — the hot
+    # branch under test lives there, and this graph is small enough
+    # that the size-adaptive default would route around it
+    hot = neardup_components(
+        nodes, pairs, hot_degree_threshold=8, onepass_max_edges=0
+    )
+    cold = neardup_components(
+        nodes, pairs, hot_degree_threshold=10**9, onepass_max_edges=0
+    )
     got_hot = {r.doc_id: r.component_id for r in hot.collect()}
     got_cold = {r.doc_id: r.component_id for r in cold.collect()}
     assert got_hot == got_cold
@@ -165,7 +178,9 @@ def test_neardup_components_hub_is_min_label(spark):
     pairs = spark.createDataFrame(
         [(0, i) for i in range(1, 20)], "id_a long, id_b long"
     )
-    out = neardup_components(nodes, pairs, hot_degree_threshold=5)
+    out = neardup_components(
+        nodes, pairs, hot_degree_threshold=5, onepass_max_edges=0
+    )
     assert {r.component_id for r in out.collect()} == {0}
 
 
@@ -481,7 +496,13 @@ def test_components_onepass_matches_fixpoint_randomized(spark):
         pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
         fix = {
             r.doc_id: r.component_id
-            for r in neardup_components(nodes, pdf).collect()
+            # onepass_max_edges=0: force the DISTRIBUTED fixpoint —
+            # the round-13 size-adaptive default would otherwise route
+            # this small graph through onepass and the test would
+            # compare the kernel with itself
+            for r in neardup_components(
+                nodes, pdf, onepass_max_edges=0
+            ).collect()
         }
         one = {
             r.doc_id: r.component_id
